@@ -1,0 +1,598 @@
+"""Determinized game mechanics: the engine's pinned replacement for the
+reference's LLM referee.
+
+In the reference, game-state consequences (night-kill resolution, vote
+tallies, eliminations, scoring, speaker rotation, role assignment) are
+produced by RefereeNode, an LLM with prompt rules (reference:
+agent/game_agent_v2.py:619-803, agent/prompt/referee_system_prompt_1.txt,
+referee_system_prompt_2.txt). This module pins those judgment calls as a
+deterministic rule-based analyzer: it scans the DSL and attaches to each
+phase (a) a *record program* — which state fields an accepted player action
+writes, parsed from the field mentions in completion_criteria.description —
+and (b) *on-enter mechanics* — a small library of resolution ops detected
+from phase names/descriptions.
+
+PINNED SEMANTICS (the engine's contract; documented here once, implemented
+identically by oracle/interp.py and core/step.py):
+
+  P1  One action per player per phase; acceptance requires the player to be
+      present, match the phase's target predicate, not have acted yet, and
+      the choice to be legal (reference bot rules:
+      agent/prompt/bot_behavior_system_prompt.txt one-action-per-phase,
+      alive-target requirements).
+  P2  TARGET choices must point at a present, alive player (1-based id).
+      OPTION choices must be in [1, choice_max]. SUBMIT choices are
+      free-content markers (any value accepted, recorded as 1).
+  P3  player_action phases complete when every currently-targeted player has
+      acted; vacuously complete when no player matches the target predicate.
+      UI_displayed and timer phases auto-complete (timer phases are
+      unconditional single-step advances; the reference's wall-clock timer is
+      cosmetic — agent/prompt/PhaseNode_system_prompt.txt:14-19,
+      src/app/page.tsx:1327-1335).
+  P4  One phase transition per engine step (matches one reference turn).
+  P5  Branch maps evaluate first-match-wins in DSL order; an unmatched
+      sentence compiles to Always (progression bias); if nothing matches,
+      the LAST branch is taken as fallback.
+  P6  Vote tallies are pluralities with ties broken by LOWEST candidate id;
+      zero votes means no effect.
+  P7  Night resolution order: kill attempt -> protection check ->
+      investigation (already recorded at choice time). The kill succeeds iff
+      the plurality kill target is alive and differs from the protection
+      target. Night bookkeeping fields written by the night phases reset to
+      their template defaults on resolution.
+  P8  Guess-vote scoring: each eligible voter whose choice equals the
+      speaker's lie_index gains +1; the speaker gains +1 per voter who voted
+      and was wrong ("fooled"). The speaker's rounds counter increments at
+      the scoring phase.
+  P9  Speaker rotation: next speaker is the present player with the minimum
+      rounds counter, ties to lowest id; can_vote = not is_speaker; all
+      round-scoped fields reset to template defaults.
+  P10 Role assignment: the role multiset replicates players_example counts,
+      with surplus players taking the most-common example role (ties to
+      declaration order) and shortfall trimming filler first; the assignment
+      permutation is splitmix32(seed, player) argsort — identical in
+      oracle and jitted engine. Fields constant-per-role in players_example
+      (team, eligibility flags, ...) are set alongside the role.
+  P11 Winner on terminal entry: team games — the team whose alive count is
+      maximal wins, ties favoring the minority team (by example count);
+      score games — the player with max cumulative score, ties to lowest id.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import re
+from typing import Optional
+
+from game_engine_tpu.gamespec.expr import Pred, parse_predicate, PredicateError, TRUE
+from game_engine_tpu.gamespec.layout import (
+    BANK_BOOL,
+    BANK_NUM,
+    BANK_ODICT,
+    BANK_PDICT,
+    BANK_STR,
+    StateLayout,
+)
+from game_engine_tpu.gamespec.schema import CompletionType, GameSpec, PhaseSpec
+
+
+class ChoiceKind(enum.Enum):
+    NONE = 0
+    TARGET = 1  # choice = 1-based player id, must be present & alive
+    OPTION = 2  # choice in [1, choice_max]
+    SUBMIT = 3  # free content; recorded as 1
+
+
+@dataclasses.dataclass(frozen=True)
+class RecordProgram:
+    """Field writes applied when a player's action is accepted (P1/P2)."""
+
+    choice_kind: ChoiceKind = ChoiceKind.NONE
+    choice_max: int = 0
+    set_bool_true: tuple[str, ...] = ()
+    set_bool_false: tuple[str, ...] = ()
+    write_choice_num: Optional[str] = None  # num field <- choice
+    write_pdict: Optional[tuple[str, str]] = None  # (pdict field, source str field)
+    mark_odict: Optional[str] = None  # odict field <- mark key set
+
+
+@dataclasses.dataclass(frozen=True)
+class NightResolve:
+    """P7. kill/protect choices read from named phases via choice registers."""
+
+    kill_phases: frozenset[int]
+    protect_phases: frozenset[int]
+    kill_pred: Pred  # must still hold for the chooser at resolve time
+    protect_pred: Pred
+    reset_bools: tuple[str, ...] = ()
+    reset_nums: tuple[str, ...] = ()
+
+
+@dataclasses.dataclass(frozen=True)
+class VoteElim:
+    """P6. plurality elimination from votes cast in vote_phases."""
+
+    vote_phases: frozenset[int]
+    voter_pred: Pred
+
+
+@dataclasses.dataclass(frozen=True)
+class GuessScore:
+    """P8. two-truths style scoring."""
+
+    speaker_field: str  # bool: is_speaker
+    lie_field: str  # num: lie_index
+    vote_field: str  # num: vote_choice
+    voted_field: str  # bool: has_voted
+    score_field: str  # num: total_score
+    rounds_field: Optional[str]  # num: rounds_as_speaker (incremented here)
+
+
+@dataclasses.dataclass(frozen=True)
+class SpeakerRotate:
+    """P9."""
+
+    speaker_field: str
+    rounds_field: str
+    can_vote_field: Optional[str]
+    reset_bools: tuple[str, ...] = ()
+    reset_nums: tuple[str, ...] = ()
+    reset_odicts: tuple[str, ...] = ()
+    reset_pdicts: tuple[str, ...] = ()
+
+
+@dataclasses.dataclass(frozen=True)
+class RoleAssign:
+    """P10."""
+
+    role_field: str
+    # role name -> count weight from players_example
+    role_counts: tuple[tuple[str, int], ...]
+    # role name -> [(field, raw value)] constant-per-role settings
+    role_fields: tuple[tuple[str, tuple[tuple[str, object], ...]], ...]
+    filler_role: str
+
+
+@dataclasses.dataclass(frozen=True)
+class SetBoolAll:
+    fields: tuple[str, ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class GameOver:
+    """P11."""
+
+    mode: str  # 'team' | 'score' | 'none'
+    team_field: str = ""
+    # minority-first team ordering for tie-breaks
+    team_order: tuple[str, ...] = ()
+    score_field: str = ""
+
+
+Mechanic = object  # union of the above dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class PhaseProgram:
+    phase_id: int
+    record: RecordProgram
+    on_enter: tuple[Mechanic, ...]
+
+
+# ---------------------------------------------------------------------------
+# Detection helpers
+# ---------------------------------------------------------------------------
+
+_RE_FIELD_TRUE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*(?:=|set to)\s*true\b", re.IGNORECASE)
+_RE_FIELD_FALSE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*(?:=|set to)\s*false\b", re.IGNORECASE)
+_RE_FIELD_SET = re.compile(
+    r"\b([A-Za-z_][A-Za-z0-9_]*)\s+(?:set|updated|recorded|filled)\b", re.IGNORECASE
+)
+_RE_RANGE = re.compile(r"\(\s*1\s*[-–]\s*(\d+)\s*\)|options?\s+1\s*(?:,\s*\d+)*\s*,\s*(\d+)")
+
+_TARGET_WORDS = re.compile(
+    r"\b(eliminat\w*|protect\w*|investigat\w*|target\w*|kill\w*)\b", re.IGNORECASE
+)
+_NIGHT_RESOLVE_RE = re.compile(
+    r"(resolve|apply)[^.]*night|night[^.]*(resolution|resolve)|kill attempt[^.]*protection",
+    re.IGNORECASE,
+)
+_VOTE_ELIM_RE = re.compile(
+    r"eliminat\w*[^.]*\bvot\w+|\bvot\w+[^.]*eliminat\w*", re.IGNORECASE
+)
+_KILL_PHASE_RE = re.compile(r"\b(eliminate|kill|target to eliminate|choose\w* .*target)\b", re.IGNORECASE)
+_PROTECT_PHASE_RE = re.compile(r"\bprotect", re.IGNORECASE)
+_SCORE_RE = re.compile(r"\b(scor\w+|tally points|points)\b", re.IGNORECASE)
+_ROTATE_RE = re.compile(
+    r"\bround start\b|(select|confirm|choose|rotate)[^.]*\bspeaker\b|next speaker", re.IGNORECASE
+)
+_ROLE_ASSIGN_RE = re.compile(r"\b(assign\w*)\b[^.]*\brole|role assignment", re.IGNORECASE)
+_REVEAL_TRUE_RE = re.compile(r"\(\s*([A-Za-z_][A-Za-z0-9_]*)\s+set to true\s*\)", re.IGNORECASE)
+
+
+def _safe_pred(src: str) -> Pred:
+    try:
+        return parse_predicate(src)
+    except PredicateError:
+        return TRUE
+
+
+def _phase_text(ph: PhaseSpec) -> str:
+    parts = [ph.name, ph.description, ph.completion.description, ph.completion.target_description]
+    parts.extend(a.description for a in ph.actions)
+    return " \n ".join(parts)
+
+
+def _predecessors(spec: GameSpec) -> dict[int, set[int]]:
+    preds: dict[int, set[int]] = {pid: set() for pid in spec.phases}
+    for pid, ph in spec.phases.items():
+        if ph.next_id is not None:
+            preds[ph.next_id].add(pid)
+        for b in ph.branches:
+            preds[b.phase_id].add(pid)
+    return preds
+
+
+def _action_chain_before(spec: GameSpec, pid: int, preds: dict[int, set[int]]) -> list[int]:
+    """Maximal unique-predecessor chain of player_action phases ending at pid."""
+    chain: list[int] = []
+    cur = pid
+    seen = {pid}
+    while True:
+        ps = preds.get(cur, set())
+        if len(ps) != 1:
+            break
+        prev = next(iter(ps))
+        if prev in seen:
+            break
+        if spec.phases[prev].completion.type is not CompletionType.PLAYER_ACTION:
+            break
+        chain.append(prev)
+        seen.add(prev)
+        cur = prev
+    chain.reverse()
+    return chain
+
+
+# ---------------------------------------------------------------------------
+# Record programs
+# ---------------------------------------------------------------------------
+
+
+def build_record_program(ph: PhaseSpec, spec: GameSpec, layout: StateLayout) -> RecordProgram:
+    if ph.completion.type is not CompletionType.PLAYER_ACTION:
+        return RecordProgram()
+
+    text = ph.completion.description
+    decl = spec.declaration
+    known = set(decl.field_names())
+
+    set_true: list[str] = []
+    set_false: list[str] = []
+    write_num: Optional[str] = None
+    write_pdict: Optional[tuple[str, str]] = None
+    mark_odict: Optional[str] = None
+
+    mentioned: list[str] = []
+    for m in _RE_FIELD_TRUE.finditer(text):
+        f = m.group(1)
+        if f in known and layout.slot(f).bank == BANK_BOOL:
+            set_true.append(f)
+            mentioned.append(f)
+    for m in _RE_FIELD_FALSE.finditer(text):
+        f = m.group(1)
+        if f in known and layout.slot(f).bank == BANK_BOOL:
+            set_false.append(f)
+            mentioned.append(f)
+    for m in _RE_FIELD_SET.finditer(text):
+        f = m.group(1)
+        if f not in known or f in mentioned:
+            continue
+        bank = layout.slot(f).bank
+        if bank == BANK_NUM and write_num is None:
+            write_num = f
+        elif bank == BANK_PDICT and write_pdict is None:
+            # value source: the string field whose vocab covers the pdict's
+            src = ""
+            pvocab = set(v.lower() for v in layout.slot(f).vocab if v)
+            for g in decl.fields:
+                s = layout.get(g.name)
+                if s is not None and s.bank == BANK_STR:
+                    svocab = set(v.lower() for v in s.vocab if v)
+                    if pvocab and pvocab <= svocab:
+                        src = g.name
+                        break
+            write_pdict = (f, src)
+        elif bank == BANK_ODICT and mark_odict is None:
+            mark_odict = f
+        elif bank == BANK_BOOL:
+            set_true.append(f)
+        mentioned.append(f)
+
+    # choice kind (P2): text-input tools -> SUBMIT; option range on the
+    # written num field -> OPTION; target-verb phases -> TARGET.
+    tools = {t for a in ph.actions for t in a.tools}
+    kind = ChoiceKind.NONE
+    cmax = 0
+    if "createTextInputPanel" in tools and write_num is None:
+        kind = ChoiceKind.SUBMIT
+    else:
+        if write_num is not None:
+            fld = decl.field(write_num)
+            rng = _RE_RANGE.search(f"{fld.description} {ph.description} " + " ".join(a.description for a in ph.actions))
+            if rng:
+                kind = ChoiceKind.OPTION
+                cmax = int(rng.group(1) or rng.group(2))
+        if kind is ChoiceKind.NONE:
+            if _TARGET_WORDS.search(_phase_text(ph)) or write_pdict is not None:
+                kind = ChoiceKind.TARGET
+            elif write_num is not None:
+                kind = ChoiceKind.OPTION
+                cmax = 0  # 0 => engine uses MAX_PLAYERS as bound
+            else:
+                kind = ChoiceKind.SUBMIT
+
+    return RecordProgram(
+        choice_kind=kind,
+        choice_max=cmax,
+        set_bool_true=tuple(dict.fromkeys(set_true)),
+        set_bool_false=tuple(dict.fromkeys(set_false)),
+        write_choice_num=write_num,
+        write_pdict=write_pdict,
+        mark_odict=mark_odict,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Role assignment (P10)
+# ---------------------------------------------------------------------------
+
+
+def _build_role_assign(spec: GameSpec, layout: StateLayout) -> Optional[RoleAssign]:
+    decl = spec.declaration
+    if "role" not in set(decl.field_names()) or not decl.roles:
+        return None
+    # example counts per role
+    counts: dict[str, int] = {r.name: 0 for r in decl.roles}
+    rows_by_role: dict[str, list[dict]] = {r.name: [] for r in decl.roles}
+    for row in decl.players_example.values():
+        rname = row.get("role")
+        if isinstance(rname, str):
+            for r in decl.roles:
+                if r.name.lower() == rname.lower():
+                    counts[r.name] += 1
+                    rows_by_role[r.name].append(row)
+    if all(c == 0 for c in counts.values()):
+        for r in decl.roles:  # no example: one of each, first role fills
+            counts[r.name] = 1
+    maxc = max(counts.values())
+    filler = next(r.name for r in decl.roles if counts[r.name] == maxc)
+
+    # constant-per-role field settings (skip role itself, names, cumulative)
+    skip = {"role", "name"}
+    role_fields: list[tuple[str, tuple[tuple[str, object], ...]]] = []
+    for r in decl.roles:
+        rows = rows_by_role[r.name]
+        settings: list[tuple[str, object]] = []
+        if rows:
+            for f in decl.fields:
+                if f.name in skip or layout.slot(f.name).bank not in (BANK_BOOL, BANK_NUM, BANK_STR):
+                    continue
+                vals = {repr(row.get(f.name)) for row in rows if f.name in row}
+                if len(vals) == 1:
+                    v = rows[0].get(f.name)
+                    # only set if it differs across roles somewhere
+                    others = {
+                        repr(orow.get(f.name))
+                        for oname, orows in rows_by_role.items()
+                        if oname != r.name
+                        for orow in orows
+                    }
+                    if others and others != vals:
+                        settings.append((f.name, v))
+        role_fields.append((r.name, tuple(settings)))
+
+    return RoleAssign(
+        role_field="role",
+        role_counts=tuple((r.name, counts[r.name]) for r in decl.roles),
+        role_fields=tuple(role_fields),
+        filler_role=filler,
+    )
+
+
+def role_multiset(ra: RoleAssign, n_players: int) -> list[str]:
+    """P10: concrete role list (unpermuted) for n players."""
+    base: list[str] = []
+    for name, c in ra.role_counts:
+        base.extend([name] * c)
+    if len(base) < n_players:
+        base.extend([ra.filler_role] * (n_players - len(base)))
+    elif len(base) > n_players:
+        # trim filler copies first, then from the end of declaration order
+        while len(base) > n_players and base.count(ra.filler_role) > 1:
+            base.remove(ra.filler_role)
+        while len(base) > n_players:
+            base.pop()
+    return base
+
+
+def splitmix32(x: int) -> int:
+    """Deterministic 32-bit mixer used for backend-independent permutations
+    (identical results in pure Python and in int32 jax ops)."""
+    x = (x + 0x9E3779B9) & 0xFFFFFFFF
+    z = x
+    z = ((z ^ (z >> 16)) * 0x85EBCA6B) & 0xFFFFFFFF
+    z = ((z ^ (z >> 13)) * 0xC2B2AE35) & 0xFFFFFFFF
+    return (z ^ (z >> 16)) & 0xFFFFFFFF
+
+
+def role_permutation(seed: int, n_players: int) -> list[int]:
+    """P10: player p receives role_multiset[perm[p]]; perm = argsort of
+    per-player hash keys (ties by player index)."""
+    keys = [(splitmix32((seed * 0x100 + p) & 0xFFFFFFFF), p) for p in range(n_players)]
+    order = sorted(range(n_players), key=lambda p: keys[p])
+    # order[i] = player holding rank i; invert: perm[player] = rank
+    perm = [0] * n_players
+    for rank, player in enumerate(order):
+        perm[player] = rank
+    return perm
+
+
+# ---------------------------------------------------------------------------
+# Full analysis
+# ---------------------------------------------------------------------------
+
+
+def _round_scoped_fields(spec: GameSpec, layout: StateLayout, programs: dict[int, RecordProgram],
+                         cumulative: set[str]) -> tuple[list[str], list[str], list[str], list[str]]:
+    """Fields written by record programs / reveals => reset on rotation (P9)."""
+    bools: list[str] = []
+    nums: list[str] = []
+    odicts: list[str] = []
+    pdicts: list[str] = []
+    for rp in programs.values():
+        for f in rp.set_bool_true + rp.set_bool_false:
+            if f not in bools:
+                bools.append(f)
+        if rp.write_choice_num and rp.write_choice_num not in cumulative and rp.write_choice_num not in nums:
+            nums.append(rp.write_choice_num)
+        if rp.mark_odict and rp.mark_odict not in odicts:
+            odicts.append(rp.mark_odict)
+        if rp.write_pdict and rp.write_pdict[0] not in pdicts:
+            pdicts.append(rp.write_pdict[0])
+    # reveal-style bools set by UI phases
+    for ph in spec.phases.values():
+        m = _REVEAL_TRUE_RE.search(ph.completion.description)
+        if m and layout.get(m.group(1)) is not None and layout.slot(m.group(1)).bank == BANK_BOOL:
+            if m.group(1) not in bools:
+                bools.append(m.group(1))
+    return bools, nums, odicts, pdicts
+
+
+def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
+    """Attach a PhaseProgram to every phase (the determinized referee)."""
+    decl = spec.declaration
+    fields = set(decl.field_names())
+    preds_map = _predecessors(spec)
+
+    records = {pid: build_record_program(ph, spec, layout) for pid, ph in spec.phases.items()}
+
+    role_assign = _build_role_assign(spec, layout)
+
+    # identify cumulative fields (incremented by scoring): total/score/rounds
+    cumulative = {
+        f.name
+        for f in decl.fields
+        if layout.slot(f.name).bank == BANK_NUM
+        and re.search(r"total|cumulat|score|rounds", f.name + " " + f.description, re.IGNORECASE)
+    }
+
+    rs_bools, rs_nums, rs_odicts, rs_pdicts = _round_scoped_fields(spec, layout, records, cumulative)
+
+    # guess-score field resolution
+    gs: Optional[GuessScore] = None
+    if {"lie_index", "vote_choice", "total_score"} <= fields:
+        gs = GuessScore(
+            speaker_field="is_speaker" if "is_speaker" in fields else "",
+            lie_field="lie_index",
+            vote_field="vote_choice",
+            voted_field="has_voted" if "has_voted" in fields else "",
+            score_field="total_score",
+            rounds_field="rounds_as_speaker" if "rounds_as_speaker" in fields else None,
+        )
+
+    # team metadata for GameOver (P11)
+    team_field = "team" if "team" in fields else ""
+    team_counts: dict[str, int] = {}
+    if team_field:
+        for row in decl.players_example.values():
+            t = row.get(team_field)
+            if isinstance(t, str) and t:
+                team_counts[t.lower()] = team_counts.get(t.lower(), 0) + 1
+    team_order = tuple(sorted(team_counts, key=lambda t: (team_counts[t], t)))
+    score_field = ""
+    for cand in ("total_score", "score", "points"):
+        if cand in fields and layout.slot(cand).bank == BANK_NUM:
+            score_field = cand
+            break
+    if team_field and team_order:
+        game_over = GameOver(mode="team", team_field=team_field, team_order=team_order)
+    elif score_field:
+        game_over = GameOver(mode="score", score_field=score_field)
+    else:
+        game_over = GameOver(mode="none")
+
+    out: dict[int, PhaseProgram] = {}
+    for pid, ph in spec.phases.items():
+        mechanics: list[Mechanic] = []
+        text = ph.name + " \n " + ph.description
+
+        if role_assign is not None and _ROLE_ASSIGN_RE.search(text):
+            mechanics.append(role_assign)
+
+        if _ROTATE_RE.search(text) and "is_speaker" in fields and "rounds_as_speaker" in fields:
+            mechanics.append(
+                SpeakerRotate(
+                    speaker_field="is_speaker",
+                    rounds_field="rounds_as_speaker",
+                    can_vote_field="can_vote" if "can_vote" in fields else None,
+                    reset_bools=tuple(f for f in rs_bools if f != "is_speaker"),
+                    reset_nums=tuple(rs_nums),
+                    reset_odicts=tuple(rs_odicts),
+                    reset_pdicts=tuple(rs_pdicts),
+                )
+            )
+
+        if _NIGHT_RESOLVE_RE.search(text):
+            chain = _action_chain_before(spec, pid, preds_map)
+            kill_ph = [c for c in chain if _KILL_PHASE_RE.search(_phase_text(spec.phases[c]))
+                       and not _PROTECT_PHASE_RE.search(spec.phases[c].name)]
+            prot_ph = [c for c in chain if _PROTECT_PHASE_RE.search(_phase_text(spec.phases[c]))
+                       and c not in kill_ph]
+            if kill_ph:
+                kill_pred = _safe_pred(spec.phases[kill_ph[0]].completion.target_condition)
+                protect_pred = (
+                    _safe_pred(spec.phases[prot_ph[0]].completion.target_condition) if prot_ph else TRUE
+                )
+                reset_bools: list[str] = []
+                reset_nums: list[str] = []
+                for c in chain:
+                    rp = records[c]
+                    reset_bools.extend(rp.set_bool_true + rp.set_bool_false)
+                    if rp.write_choice_num:
+                        reset_nums.append(rp.write_choice_num)
+                mechanics.append(
+                    NightResolve(
+                        kill_phases=frozenset(kill_ph),
+                        protect_phases=frozenset(prot_ph),
+                        kill_pred=kill_pred,
+                        protect_pred=protect_pred,
+                        reset_bools=tuple(dict.fromkeys(reset_bools)),
+                        reset_nums=tuple(dict.fromkeys(reset_nums)),
+                    )
+                )
+        elif _VOTE_ELIM_RE.search(ph.description + " " + ph.name):
+            chain = _action_chain_before(spec, pid, preds_map)
+            vote_ph = [c for c in chain if records[c].choice_kind is ChoiceKind.TARGET]
+            if vote_ph:
+                vp = vote_ph[-1]
+                mechanics.append(
+                    VoteElim(
+                        vote_phases=frozenset({vp}),
+                        voter_pred=_safe_pred(spec.phases[vp].completion.target_condition),
+                    )
+                )
+
+        if gs is not None and _SCORE_RE.search(ph.name) and ph.completion.type is not CompletionType.PLAYER_ACTION:
+            mechanics.append(gs)
+
+        m = _REVEAL_TRUE_RE.search(ph.completion.description)
+        if m and m.group(1) in fields and layout.slot(m.group(1)).bank == BANK_BOOL:
+            mechanics.append(SetBoolAll(fields=(m.group(1),)))
+
+        if ph.is_terminal:
+            mechanics.append(game_over)
+
+        out[pid] = PhaseProgram(phase_id=pid, record=records[pid], on_enter=tuple(mechanics))
+    return out

@@ -1,0 +1,292 @@
+"""YAML -> GameSpec parser with defensive normalization.
+
+Mirrors the reference's tolerance rules:
+  * int-or-str phase keys (reference: agent/tools/utils.py:19-31)
+  * player_states_template 3-tier fallback: template row "1" -> first row ->
+    synthesized from player_states schema type defaults
+    (reference: src/app/api/games/initialize-players/route.ts:83-151)
+  * type defaults string->'', num->0, boolean->false, dict->{}, array->[]
+    (reference: src/app/api/games/initialize-players/route.ts:115-141)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import yaml
+
+from game_engine_tpu.gamespec.schema import (
+    AudienceGroup,
+    CompletionCriteria,
+    CompletionType,
+    Declaration,
+    FieldSpec,
+    FieldType,
+    GameSpec,
+    NextPhaseBranch,
+    PhaseAction,
+    PhaseSpec,
+    RoleSpec,
+    WaitFor,
+    parse_field_type,
+)
+
+_TYPE_DEFAULTS = {
+    FieldType.STRING: "",
+    FieldType.NUM: 0,
+    FieldType.BOOLEAN: False,
+    FieldType.DICT: {},
+    FieldType.ARRAY: [],
+}
+
+
+def _as_int(key: Any) -> Optional[int]:
+    try:
+        return int(str(key).strip())
+    except (TypeError, ValueError):
+        return None
+
+
+def _as_bool(v: Any, default: bool = False) -> bool:
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, str):
+        return v.strip().lower() in ("true", "yes", "1")
+    if v is None:
+        return default
+    return bool(v)
+
+
+def _parse_fields(decl: dict[str, Any]) -> list[FieldSpec]:
+    raw_fields = decl.get("player_states") or {}
+    template = decl.get("player_states_template") or {}
+    # template may be nested under a 'player_states' key, then keyed by id "1"
+    trows = template.get("player_states", template) if isinstance(template, dict) else {}
+    trow: dict[str, Any] = {}
+    if isinstance(trows, dict) and trows:
+        # tier 1: row "1"; tier 2: first row
+        for key in list(trows):
+            if _as_int(key) == 1 and isinstance(trows[key], dict):
+                trow = trows[key]
+                break
+        else:
+            first = next(iter(trows.values()))
+            if isinstance(first, dict):
+                trow = first
+
+    fields = []
+    for name, meta in raw_fields.items():
+        meta = meta if isinstance(meta, dict) else {}
+        try:
+            ftype = parse_field_type(meta.get("type", "string"))
+        except ValueError:
+            ftype = FieldType.STRING
+        default = trow.get(name, _TYPE_DEFAULTS[ftype])
+        # tier 3 defense: a template value of the wrong shape falls back to
+        # the schema type default.
+        if ftype is FieldType.BOOLEAN:
+            default = _as_bool(default)
+        elif ftype is FieldType.NUM and not isinstance(default, (int, float)):
+            default = 0
+        elif ftype is FieldType.DICT and not isinstance(default, dict):
+            default = {}
+        elif ftype is FieldType.ARRAY and not isinstance(default, list):
+            default = []
+        elif ftype is FieldType.STRING and not isinstance(default, str):
+            default = str(default)
+        fields.append(
+            FieldSpec(
+                name=str(name),
+                type=ftype,
+                example=meta.get("example"),
+                description=str(meta.get("description", "")),
+                default=default,
+            )
+        )
+    return fields
+
+
+def _parse_players_example(decl: dict[str, Any]) -> tuple[dict[int, dict[str, Any]], tuple[str, ...]]:
+    pe = decl.get("players_example") or {}
+    tools = tuple(str(t) for t in pe.get("tools", []) or [])
+    rows = pe.get("player_states", pe if isinstance(pe, dict) else {}) or {}
+    out: dict[int, dict[str, Any]] = {}
+    if isinstance(rows, dict):
+        for key, row in rows.items():
+            pid = _as_int(key)
+            if pid is not None and isinstance(row, dict):
+                out[pid] = dict(row)
+    return out, tools
+
+
+def _parse_completion(raw: Any) -> CompletionCriteria:
+    raw = raw if isinstance(raw, dict) else {}
+    rtype = str(raw.get("type", "UI_displayed")).strip()
+    type_map = {c.value.lower(): c for c in CompletionType}
+    ctype = type_map.get(rtype.lower(), CompletionType.UI_DISPLAYED)
+
+    wait_for = None
+    raw_wait = raw.get("wait_for")
+    if raw_wait is not None:
+        wmap = {w.value.lower(): w for w in WaitFor}
+        wait_for = wmap.get(str(raw_wait).strip().lower())
+
+    tgt = raw.get("target_players") or {}
+    if not isinstance(tgt, dict):
+        tgt = {}
+    return CompletionCriteria(
+        type=ctype,
+        description=str(raw.get("description", "")),
+        wait_for=wait_for,
+        target_description=str(tgt.get("description", "")),
+        target_condition=str(tgt.get("condition", "")),
+    )
+
+
+def _parse_phase(pid: int, raw: dict[str, Any]) -> PhaseSpec:
+    actions = []
+    for a in raw.get("actions") or []:
+        if isinstance(a, dict):
+            tools = tuple(str(t) for t in (a.get("tools") or []))
+            actions.append(PhaseAction(description=str(a.get("description", "")), tools=tools))
+        elif isinstance(a, str):
+            actions.append(PhaseAction(description=a, tools=()))
+
+    nxt = raw.get("next_phase")
+    branches: list[NextPhaseBranch] = []
+    next_id: Optional[int] = None
+    next_name = ""
+    if isinstance(nxt, dict):
+        if "id" in nxt:  # direct {id, name}
+            next_id = _as_int(nxt.get("id"))
+            next_name = str(nxt.get("name", ""))
+        else:  # branch map: condition sentence -> {id, name}; YAML preserves
+            # insertion order, which defines first-match-wins priority
+            # (reference: agent/prompt/PhaseNode_system_prompt.txt:44-48).
+            for cond, target in nxt.items():
+                if isinstance(target, dict):
+                    bid = _as_int(target.get("id"))
+                    if bid is not None:
+                        branches.append(
+                            NextPhaseBranch(
+                                condition=str(cond),
+                                phase_id=bid,
+                                phase_name=str(target.get("name", "")),
+                            )
+                        )
+                else:
+                    bid = _as_int(target)
+                    if bid is not None:
+                        branches.append(NextPhaseBranch(condition=str(cond), phase_id=bid))
+    elif nxt is not None:
+        next_id = _as_int(nxt)
+
+    return PhaseSpec(
+        id=pid,
+        name=str(raw.get("name", f"Phase {pid}")),
+        description=str(raw.get("description", "")),
+        actions=tuple(actions),
+        completion=_parse_completion(raw.get("completion_criteria")),
+        branches=tuple(branches),
+        next_id=next_id,
+        next_name=next_name,
+    )
+
+
+def parse_game_spec(doc: dict[str, Any], name: str = "game") -> GameSpec:
+    """Parse a loaded YAML document into a GameSpec."""
+    if not isinstance(doc, dict):
+        raise ValueError("game DSL must be a mapping with 'declaration' and 'phases'")
+    decl = doc.get("declaration") or {}
+    raw_phases = doc.get("phases") or {}
+
+    roles = tuple(
+        RoleSpec(name=str(r.get("name", "")), description=str(r.get("description", "")))
+        for r in (decl.get("roles") or [])
+        if isinstance(r, dict) and r.get("name")
+    )
+    fields = tuple(_parse_fields(decl))
+    players_example, tools = _parse_players_example(decl)
+    groups = tuple(
+        AudienceGroup(
+            name=str(gname),
+            description=str((g or {}).get("description", "")),
+            selection_criteria=str((g or {}).get("selection_criteria", "")),
+        )
+        for gname, g in (decl.get("audience_groups") or {}).items()
+    )
+
+    declaration = Declaration(
+        description=str(decl.get("description", "")),
+        is_multiplayer=_as_bool(decl.get("is_multiplayer"), default=True),
+        min_players=int(_as_int(decl.get("min_players")) or 1),
+        roles=roles,
+        fields=fields,
+        players_example=players_example,
+        audience_groups=groups,
+        tools=tools,
+    )
+
+    phases: dict[int, PhaseSpec] = {}
+    for key, raw in raw_phases.items():
+        pid = _as_int(key)
+        if pid is None or not isinstance(raw, dict):
+            continue
+        phases[pid] = _parse_phase(pid, raw)
+    if not phases:
+        raise ValueError("game DSL has no parseable phases")
+
+    # Defensive: drop dangling next ids (point them at a terminal sentinel by
+    # marking the branch/next as terminal) — mirrors the reference's phase-id
+    # normalization (reference: agent/game_agent_v2.py:1172-1204).
+    valid = set(phases)
+    fixed: dict[int, PhaseSpec] = {}
+    for pid, ph in phases.items():
+        branches = tuple(b for b in ph.branches if b.phase_id in valid)
+        next_id = ph.next_id if ph.next_id in valid else None
+        if branches != ph.branches or next_id != ph.next_id:
+            ph = PhaseSpec(
+                id=ph.id,
+                name=ph.name,
+                description=ph.description,
+                actions=ph.actions,
+                completion=ph.completion,
+                branches=branches,
+                next_id=next_id,
+                next_name=ph.next_name if next_id is not None else "",
+            )
+        fixed[pid] = ph
+
+    return GameSpec(name=name, declaration=declaration, phases=fixed)
+
+
+def load_game_spec(path: str, name: Optional[str] = None) -> GameSpec:
+    """Load a GameSpec from a YAML file path."""
+    with open(path, "r", encoding="utf-8") as f:
+        doc = yaml.safe_load(f)
+    if name is None:
+        name = os.path.splitext(os.path.basename(path))[0]
+    return parse_game_spec(doc, name=name)
+
+
+def games_dir() -> str:
+    """Repo-local games/ directory (the DSL data assets)."""
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "games")
+
+
+def load_builtin(name: str) -> GameSpec:
+    """Load one of the shipped game DSLs by (fuzzy) name.
+
+    Mirrors the reference's load-by-gameName scan of games/*.yaml
+    (reference: agent/tools/utils.py:557-581).
+    """
+    d = games_dir()
+    want = name.lower().replace(" ", "-")
+    for fn in sorted(os.listdir(d)):
+        if not fn.endswith((".yaml", ".yml")):
+            continue
+        stem = os.path.splitext(fn)[0].lower()
+        if want in stem or stem in want:
+            return load_game_spec(os.path.join(d, fn))
+    raise FileNotFoundError(f"no game DSL matching {name!r} in {d}")

@@ -1,0 +1,90 @@
+"""Predicate-compiler tests over the DSL's criteria strings."""
+
+import pytest
+
+from game_engine_tpu.gamespec.expr import (
+    And,
+    Atom,
+    Const,
+    PredicateError,
+    collect_atoms,
+    eval_predicate,
+    parse_predicate,
+    to_dnf,
+)
+
+
+def test_simple_and():
+    p = parse_predicate("player.team == 'werewolves' and player.is_alive == true")
+    assert isinstance(p, And)
+    wolf = {"team": "werewolves", "is_alive": True}
+    dead_wolf = {"team": "werewolves", "is_alive": False}
+    villager = {"team": "villagers", "is_alive": True}
+    assert eval_predicate(p, wolf)
+    assert not eval_predicate(p, dead_wolf)
+    assert not eval_predicate(p, villager)
+
+
+def test_in_list():
+    p = parse_predicate("player.role in ['Doctor', 'Detective'] and player.is_alive == true")
+    assert eval_predicate(p, {"role": "Doctor", "is_alive": True})
+    assert eval_predicate(p, {"role": "Detective", "is_alive": True})
+    assert not eval_predicate(p, {"role": "Villager", "is_alive": True})
+    assert not eval_predicate(p, {"role": "Doctor", "is_alive": False})
+
+
+def test_false_comparison():
+    p = parse_predicate("player.is_speaker == false and player.can_vote == true")
+    assert eval_predicate(p, {"is_speaker": False, "can_vote": True})
+    assert not eval_predicate(p, {"is_speaker": True, "can_vote": True})
+
+
+def test_numeric_and_flip():
+    p = parse_predicate("player.total_score >= 3")
+    assert eval_predicate(p, {"total_score": 3})
+    assert not eval_predicate(p, {"total_score": 2})
+    flipped = parse_predicate("3 <= player.total_score")
+    assert eval_predicate(flipped, {"total_score": 5})
+
+
+def test_bare_truthy_and_not():
+    p = parse_predicate("player.is_alive and not player.has_voted")
+    assert eval_predicate(p, {"is_alive": True, "has_voted": False})
+    assert not eval_predicate(p, {"is_alive": True, "has_voted": True})
+
+
+def test_empty_is_true():
+    assert parse_predicate("") == Const(True)
+    assert eval_predicate(parse_predicate("   "), {})
+
+
+def test_or_dnf():
+    p = parse_predicate("player.role == 'Doctor' or (player.role == 'Detective' and player.is_alive == true)")
+    dnf = to_dnf(p)
+    assert len(dnf) == 2
+    atoms = collect_atoms(p)
+    assert Atom("role", "eq", "Doctor") in atoms
+
+
+def test_in_expands_in_dnf():
+    p = parse_predicate("player.role in ['A', 'B']")
+    dnf = to_dnf(p)
+    assert dnf == [[Atom("role", "eq", "A")], [Atom("role", "eq", "B")]]
+    neg = parse_predicate("not (player.role in ['A', 'B'])")
+    dnf_neg = to_dnf(neg)
+    assert dnf_neg == [[Atom("role", "ne", "A"), Atom("role", "ne", "B")]]
+
+
+def test_malformed_raises():
+    with pytest.raises(PredicateError):
+        parse_predicate("player.x ==")
+    with pytest.raises(PredicateError):
+        parse_predicate("__import__('os').system('x')")
+
+
+def test_all_shipped_criteria_compile(werewolf_spec, twotruths_spec):
+    for spec in (werewolf_spec, twotruths_spec):
+        for g in spec.declaration.audience_groups:
+            parse_predicate(g.selection_criteria)
+        for ph in spec.phases.values():
+            parse_predicate(ph.completion.target_condition)
