@@ -205,7 +205,8 @@ _KILL_PHASE_RE = re.compile(r"\b(eliminate|kill|target to eliminate|choose\w* .*
 _PROTECT_PHASE_RE = re.compile(r"\bprotect", re.IGNORECASE)
 _SCORE_RE = re.compile(r"\b(scor\w+|tally points|points)\b", re.IGNORECASE)
 _ROTATE_RE = re.compile(
-    r"\bround start\b|(select|confirm|choose|rotate)[^.]*\bspeaker\b|next speaker", re.IGNORECASE
+    r"\bround start\b|\b(select|confirm|choose|rotate|pick)\w*(?:/\w+)?[^.;]*\bspeaker\b",
+    re.IGNORECASE,
 )
 _ROLE_ASSIGN_RE = re.compile(r"\b(assign\w*)\b[^.]*\brole|role assignment", re.IGNORECASE)
 _REVEAL_TRUE_RE = re.compile(r"\(\s*([A-Za-z_][A-Za-z0-9_]*)\s+set to true\s*\)", re.IGNORECASE)
@@ -531,7 +532,15 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
         if role_assign is not None and _ROLE_ASSIGN_RE.search(text):
             mechanics.append(role_assign)
 
-        if _ROTATE_RE.search(text) and "is_speaker" in fields and "rounds_as_speaker" in fields:
+        # Rotation phases are UI phases that *prepare* the round — never the
+        # player_action phases where the speaker themselves acts.
+        rotate_hit = _ROTATE_RE.search(ph.name) or _ROTATE_RE.search(ph.description)
+        if (
+            rotate_hit
+            and ph.completion.type is not CompletionType.PLAYER_ACTION
+            and "is_speaker" in fields
+            and "rounds_as_speaker" in fields
+        ):
             mechanics.append(
                 SpeakerRotate(
                     speaker_field="is_speaker",

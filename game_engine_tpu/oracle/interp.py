@@ -1,0 +1,324 @@
+"""Plain-Python interpreter of a CompiledGame — the semantics oracle.
+
+Readable and slow: one room, dict-based player states, direct IR evaluation.
+The jitted engine (core/step.py) must produce bit-identical
+phase/vote/state/win traces against this interpreter; golden-parity tests
+enforce that (SURVEY.md §4, BASELINE.json north star). The reference system
+it determinizes is the LangGraph node pipeline
+Router -> BotBehavior -> PhaseNode -> Referee -> ActionExecutor
+(reference: agent/game_agent_v2.py:1570-1587); one ``step()`` here equals one
+reference game turn.
+
+All semantic rules implemented here are the pinned P1..P11 semantics
+documented in gamespec/mechanics.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+from game_engine_tpu.gamespec import conditions as C
+from game_engine_tpu.gamespec import mechanics as M
+from game_engine_tpu.gamespec.compile import CompiledGame, CompiledPhase
+from game_engine_tpu.gamespec.expr import eval_predicate
+from game_engine_tpu.gamespec.layout import BANK_ODICT, BANK_PDICT
+from game_engine_tpu.gamespec.mechanics import ChoiceKind
+from game_engine_tpu.gamespec.schema import CompletionType, FieldType
+
+
+@dataclasses.dataclass
+class OracleTrace:
+    """Per-step observable record used by parity tests."""
+
+    phase_id: int
+    done: bool
+    winner: int
+    alive: tuple[bool, ...]
+    acted: tuple[bool, ...]
+
+
+class OracleRoom:
+    """One game room interpreted in plain Python."""
+
+    def __init__(self, game: CompiledGame, n_players: int, seed: int = 0):
+        assert 1 <= n_players <= game.config.max_players
+        self.game = game
+        self.n = n_players
+        self.seed = seed
+        decl = game.spec.declaration
+
+        self.players: dict[int, dict[str, Any]] = {}
+        for pid in range(1, n_players + 1):
+            row: dict[str, Any] = {}
+            for f in decl.fields:
+                if f.type in (FieldType.DICT,):
+                    row[f.name] = {}
+                elif f.type is FieldType.ARRAY:
+                    row[f.name] = []
+                else:
+                    row[f.name] = f.default
+            if "name" in row and not row["name"]:
+                row["name"] = f"Player {pid}"
+            self.players[pid] = row
+
+        self.phase: CompiledPhase = game.phases[game.start_index]
+        self.prev_phase_id: Optional[int] = None
+        self.done = False
+        self.winner = 0
+        self.step_count = 0
+        self.acted: set[int] = set()
+        self.choice: dict[int, int] = {}
+        self.choice_phase: dict[int, int] = {}
+        # on-enter mechanics of the start phase
+        self._apply_on_enter(self.phase)
+
+    # -- predicates --------------------------------------------------------
+
+    def _match(self, pred, pid: int) -> bool:
+        return eval_predicate(pred, self.players[pid])
+
+    def _targets(self, phase: CompiledPhase) -> list[int]:
+        return [p for p in range(1, self.n + 1) if self._match(phase.target_pred, p)]
+
+    # -- action acceptance (P1/P2) ------------------------------------------
+
+    def _legal_choice(self, rp: M.RecordProgram, choice: int) -> Optional[int]:
+        if rp.choice_kind is ChoiceKind.TARGET:
+            if 1 <= choice <= self.n:
+                tgt = self.players[choice]
+                if "is_alive" not in tgt or tgt["is_alive"]:
+                    return choice
+            return None
+        if rp.choice_kind is ChoiceKind.OPTION:
+            hi = rp.choice_max if rp.choice_max > 0 else self.n
+            return choice if 1 <= choice <= hi else None
+        if rp.choice_kind is ChoiceKind.SUBMIT:
+            return 1
+        return None
+
+    def _accept(self, pid: int, choice: int) -> bool:
+        phase = self.phase
+        if phase.completion is not CompletionType.PLAYER_ACTION:
+            return False
+        if pid in self.acted or not self._match(phase.target_pred, pid):
+            return False
+        rp = phase.program.record
+        c = self._legal_choice(rp, choice)
+        if c is None:
+            return False
+        row = self.players[pid]
+        for f in rp.set_bool_true:
+            row[f] = True
+        for f in rp.set_bool_false:
+            row[f] = False
+        if rp.write_choice_num:
+            row[rp.write_choice_num] = c
+        if rp.write_pdict:
+            field, src = rp.write_pdict
+            if 1 <= c <= self.n:
+                val = self.players[c].get(src, "") if src else ""
+                row[field] = dict(row[field])
+                row[field][str(c)] = val
+        if rp.mark_odict:
+            row[rp.mark_odict] = {"1": "submitted"}
+        self.acted.add(pid)
+        self.choice[pid] = c
+        self.choice_phase[pid] = phase.dsl_id
+        return True
+
+    # -- resolution mechanics (P6-P11) ---------------------------------------
+
+    def _plurality(self, votes: list[int]) -> int:
+        """P6: plurality with lowest-id tie-break; 0 if no votes."""
+        if not votes:
+            return 0
+        counts = [0] * (self.n + 1)
+        for v in votes:
+            if 1 <= v <= self.n:
+                counts[v] += 1
+        best = max(counts)
+        if best == 0:
+            return 0
+        return counts.index(best)  # lowest index with max count
+
+    def _choices_from(self, phases: frozenset[int], pred) -> list[int]:
+        out = []
+        for p in range(1, self.n + 1):
+            if self.choice_phase.get(p) in phases and self._match(pred, p):
+                out.append(self.choice[p])
+        return out
+
+    def _apply_on_enter(self, phase: CompiledPhase) -> None:
+        for mech in phase.program.on_enter:
+            if isinstance(mech, M.RoleAssign):
+                self._role_assign(mech)
+            elif isinstance(mech, M.NightResolve):
+                self._night_resolve(mech)
+            elif isinstance(mech, M.VoteElim):
+                self._vote_elim(mech)
+            elif isinstance(mech, M.GuessScore):
+                self._guess_score(mech)
+            elif isinstance(mech, M.SpeakerRotate):
+                self._speaker_rotate(mech)
+            elif isinstance(mech, M.SetBoolAll):
+                for pid in self.players:
+                    for f in mech.fields:
+                        self.players[pid][f] = True
+            elif isinstance(mech, M.GameOver):
+                self._game_over(mech)
+
+    def _role_assign(self, ra: M.RoleAssign) -> None:
+        multiset = M.role_multiset(ra, self.n)
+        perm = M.role_permutation(self.seed, self.n)
+        settings = dict(ra.role_fields)
+        for p in range(self.n):
+            role = multiset[perm[p]]
+            row = self.players[p + 1]
+            row[ra.role_field] = role
+            for fname, val in settings.get(role, ()):
+                row[fname] = val
+
+    def _night_resolve(self, nr: M.NightResolve) -> None:
+        kill = self._plurality(self._choices_from(nr.kill_phases, nr.kill_pred))
+        protect = self._plurality(self._choices_from(nr.protect_phases, nr.protect_pred))
+        if kill and kill != protect and self.players[kill].get("is_alive", True):
+            self.players[kill]["is_alive"] = False
+        decl = self.game.spec.declaration
+        for pid in self.players:
+            for f in nr.reset_bools:
+                self.players[pid][f] = decl.field(f).default
+            for f in nr.reset_nums:
+                self.players[pid][f] = decl.field(f).default
+
+    def _vote_elim(self, ve: M.VoteElim) -> None:
+        target = self._plurality(self._choices_from(ve.vote_phases, ve.voter_pred))
+        if target and self.players[target].get("is_alive", True):
+            self.players[target]["is_alive"] = False
+
+    def _guess_score(self, gs: M.GuessScore) -> None:
+        speakers = [p for p in range(1, self.n + 1) if gs.speaker_field and self.players[p].get(gs.speaker_field)]
+        if not speakers:
+            return
+        sp = speakers[0]
+        lie = self.players[sp].get(gs.lie_field, 0)
+        fooled = 0
+        for p in range(1, self.n + 1):
+            if p == sp:
+                continue
+            row = self.players[p]
+            if gs.voted_field and not row.get(gs.voted_field):
+                continue
+            if row.get(gs.vote_field, 0) == lie:
+                row[gs.score_field] = row.get(gs.score_field, 0) + 1
+            else:
+                fooled += 1
+        self.players[sp][gs.score_field] = self.players[sp].get(gs.score_field, 0) + fooled
+        if gs.rounds_field:
+            self.players[sp][gs.rounds_field] = self.players[sp].get(gs.rounds_field, 0) + 1
+
+    def _speaker_rotate(self, sr: M.SpeakerRotate) -> None:
+        decl = self.game.spec.declaration
+        # next speaker: min rounds, tie -> lowest id (P9)
+        rounds = [(self.players[p].get(sr.rounds_field, 0), p) for p in range(1, self.n + 1)]
+        speaker = min(rounds)[1]
+        for p in range(1, self.n + 1):
+            row = self.players[p]
+            row[sr.speaker_field] = p == speaker
+            if sr.can_vote_field:
+                row[sr.can_vote_field] = p != speaker
+            for f in sr.reset_bools:
+                row[f] = decl.field(f).default
+            for f in sr.reset_nums:
+                row[f] = decl.field(f).default
+            for f in sr.reset_odicts:
+                row[f] = {}
+            for f in sr.reset_pdicts:
+                row[f] = {}
+
+    def _game_over(self, go: M.GameOver) -> None:
+        self.done = True
+        if go.mode == "team":
+            counts = []
+            for ti, team in enumerate(go.team_order):
+                c = sum(
+                    1
+                    for p in self.players.values()
+                    if str(p.get(go.team_field, "")).lower() == team and p.get("is_alive", True)
+                )
+                counts.append((c, ti))
+            # max alive count; ties favor minority team = earliest in order
+            best = max(c for c, _ in counts)
+            for c, ti in counts:
+                if c == best:
+                    self.winner = ti + 1
+                    break
+        elif go.mode == "score":
+            scores = [(-self.players[p].get(go.score_field, 0), p) for p in range(1, self.n + 1)]
+            self.winner = min(scores)[1]
+        else:
+            self.winner = 0
+
+    # -- transition (P3/P4/P5) ------------------------------------------------
+
+    def _complete(self) -> bool:
+        if self.phase.completion is CompletionType.PLAYER_ACTION:
+            return all(p in self.acted for p in self._targets(self.phase))
+        return True  # UI_displayed / timer auto-complete (P3)
+
+    def _select_next(self) -> Optional[int]:
+        phase = self.phase
+        if phase.terminal:
+            return None
+        if phase.branches:
+            for b in phase.branches:
+                if C.eval_condition(b.cond, self.players, self.prev_phase_id):
+                    return b.next_index
+            return phase.branches[-1].next_index  # P5 fallback
+        return phase.next_index
+
+    def step(self, actions: Optional[dict[int, int]] = None) -> OracleTrace:
+        """One engine step = one reference game turn.
+
+        ``actions``: player id -> choice int (P2 encoding). Illegal or
+        ineligible actions are silently ignored (the referee's invalid-vote
+        rule, reference: agent/prompt/referee_system_prompt_1.txt:45-51).
+        """
+        self.step_count += 1
+        if not self.done:
+            if actions:
+                for pid in sorted(actions):
+                    if 1 <= pid <= self.n:
+                        self._accept(pid, int(actions[pid]))
+            if self._complete():
+                nxt = self._select_next()
+                if nxt is not None and nxt != self.phase.index:
+                    self.prev_phase_id = self.phase.dsl_id
+                    self.phase = self.game.phases[nxt]
+                    self.acted = set()
+                    self._apply_on_enter(self.phase)
+        return self.trace()
+
+    def trace(self) -> OracleTrace:
+        return OracleTrace(
+            phase_id=self.phase.dsl_id,
+            done=self.done,
+            winner=self.winner,
+            alive=tuple(bool(self.players[p].get("is_alive", True)) for p in range(1, self.n + 1)),
+            acted=tuple(p in self.acted for p in range(1, self.n + 1)),
+        )
+
+    # -- introspection helpers (tests / projection) ----------------------------
+
+    def field_values(self, name: str) -> list[Any]:
+        return [self.players[p].get(name) for p in range(1, self.n + 1)]
+
+    def snapshot(self) -> dict[str, Any]:
+        """AgentState-shaped dict (reference: src/lib/canvas/types.ts:338-360)."""
+        return {
+            "player_states": {str(p): dict(self.players[p]) for p in range(1, self.n + 1)},
+            "current_phase_id": self.phase.dsl_id,
+            "current_phase_name": self.phase.name,
+            "done": self.done,
+            "winner": self.winner,
+        }
