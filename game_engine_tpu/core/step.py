@@ -1,0 +1,520 @@
+"""The jittable engine step: one fused XLA program per game turn.
+
+Replaces the reference's 4-LLM-call pipeline per turn — BotBehavior ingest,
+PhaseNode transition, RefereeNode resolution (reference:
+agent/game_agent_v2.py:468-1241) — with branch-free data flow:
+
+  atoms -> predicate values -> action acceptance -> record writes ->
+  completion gate -> first-match branch select -> transition ->
+  masked on-enter mechanics
+
+Everything is elementwise ops and tiny reductions over the player axis,
+batched over rooms on axis 0. No lax.switch / lax.cond: per-phase structure
+is folded at trace time (compute-all, select-by-phase), which XLA fuses into
+a handful of VPU kernels. Semantics are pinned P1..P11
+(gamespec/mechanics.py) and must stay bit-identical to oracle/interp.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from game_engine_tpu.core.state import GameState
+from game_engine_tpu.gamespec import tables as T
+from game_engine_tpu.gamespec.mechanics import ChoiceKind
+from game_engine_tpu.gamespec.tables import (
+    AB_BOOL,
+    AB_CONST,
+    AB_NUM,
+    AB_STR,
+    Lowered,
+    OP_EQ,
+    OP_GE,
+    OP_GT,
+    OP_LE,
+    OP_LT,
+    OP_NE,
+)
+
+_U32 = jnp.uint32
+
+
+def splitmix32_jax(x):
+    """uint32 splitmix — must match gamespec.mechanics.splitmix32 exactly."""
+    x = (x + _U32(0x9E3779B9)).astype(_U32)
+    z = x
+    z = (z ^ (z >> 16)) * _U32(0x85EBCA6B)
+    z = (z ^ (z >> 13)) * _U32(0xC2B2AE35)
+    return z ^ (z >> 16)
+
+
+class PredEval:
+    """Lazily evaluates lowered predicates over the current state banks."""
+
+    def __init__(self, lowered: Lowered, state: GameState):
+        self.lw = lowered
+        self.state = state
+        self._atom_cache: dict[int, jax.Array] = {}
+        self._pred_cache: dict[int, jax.Array] = {}
+        B, P = state.present.shape
+        self._shape = (B, P)
+
+    def atom(self, idx: int) -> jax.Array:
+        if idx in self._atom_cache:
+            return self._atom_cache[idx]
+        a = self.lw.atoms[idx]
+        if a.bank == AB_CONST:
+            v = jnp.full(self._shape, bool(a.const))
+        else:
+            if a.bank == AB_BOOL:
+                x = self.state.bools[..., a.slot].astype(jnp.int32)
+            elif a.bank == AB_NUM:
+                x = self.state.nums[..., a.slot]
+            else:
+                x = self.state.strs[..., a.slot]
+            c = jnp.int32(a.value)
+            if a.op == OP_EQ:
+                v = x == c
+            elif a.op == OP_NE:
+                v = x != c
+            elif a.op == OP_GE:
+                v = x >= c
+            elif a.op == OP_LE:
+                v = x <= c
+            elif a.op == OP_GT:
+                v = x > c
+            else:
+                v = x < c
+        self._atom_cache[idx] = v
+        return v
+
+    def pred(self, idx: int) -> jax.Array:
+        """(B, P) bool — does each player satisfy predicate idx."""
+        if idx in self._pred_cache:
+            return self._pred_cache[idx]
+        terms = self.lw.preds[idx]
+        if not terms:
+            v = jnp.zeros(self._shape, bool)
+        else:
+            tvals = []
+            for term in terms:
+                if not term:
+                    tvals.append(jnp.ones(self._shape, bool))
+                else:
+                    tv = self.atom(term[0])
+                    for ai in term[1:]:
+                        tv = tv & self.atom(ai)
+                    tvals.append(tv)
+            v = tvals[0]
+            for tv in tvals[1:]:
+                v = v | tv
+        self._pred_cache[idx] = v
+        return v
+
+    def count(self, idx: int) -> jax.Array:
+        """(B,) int32 — present players satisfying predicate idx."""
+        return jnp.sum(self.pred(idx) & self.state.present, axis=1, dtype=jnp.int32)
+
+
+def _alive(lowered: Lowered, state: GameState) -> jax.Array:
+    """(B, P) — is_alive if declared, else present."""
+    if lowered.alive_bool >= 0:
+        return state.bools[..., lowered.alive_bool] & state.present
+    return state.present
+
+
+def _take_player(arr: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather along the player axis: arr (B, P[, ...]), idx (B,) -> (B[, ...])."""
+    idxc = jnp.clip(idx, 0, arr.shape[1] - 1)
+    expand = idxc.reshape(idxc.shape + (1,) * (arr.ndim - 1))
+    return jnp.take_along_axis(arr, expand, axis=1).squeeze(1)
+
+
+def _plurality(choice: jax.Array, mask: jax.Array, P: int):
+    """P6: plurality over 1-based targets with lowest-id tie-break.
+
+    Returns (target_id (B,), any_votes (B,)). jnp.argmax picks the first
+    (= lowest-id) maximum, matching the oracle's counts.index(max).
+    """
+    oh = jax.nn.one_hot(jnp.clip(choice - 1, 0, P - 1), P, dtype=jnp.int32)
+    counts = jnp.sum(oh * mask[..., None].astype(jnp.int32), axis=1)  # (B, P)
+    best = jnp.max(counts, axis=1)
+    tgt = jnp.argmax(counts, axis=1).astype(jnp.int32) + 1
+    return jnp.where(best > 0, tgt, 0), best > 0
+
+
+def _phase_mask_lookup(mask_np: np.ndarray, idx: jax.Array) -> jax.Array:
+    """Index an (NP+1,) numpy mask by a (dense index, -1 allowed) array."""
+    return jnp.take(jnp.asarray(mask_np), idx + 1)
+
+
+# ---------------------------------------------------------------------------
+# On-enter mechanics (P6-P11), each applied masked by `active` (B,)
+# ---------------------------------------------------------------------------
+
+
+def _mech_role_assign(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LRoleAssign) -> GameState:
+    B, P = st.present.shape
+    pids = jnp.arange(P, dtype=jnp.uint32)[None, :]
+    keys = splitmix32_jax(st.seed[:, None] * _U32(0x100) + pids)
+    keys = jnp.where(st.present, keys, jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(keys, axis=1, stable=True)
+    rank = jnp.argsort(order, axis=1, stable=True).astype(jnp.int32)  # perm[player]
+    n = jnp.sum(st.present, axis=1, dtype=jnp.int32)
+    codes_rows = jnp.take(jnp.asarray(m.role_codes_by_n), n, axis=0)  # (B, P)
+    role_code = jnp.take_along_axis(codes_rows, rank, axis=1)  # (B, P)
+
+    wmask = active[:, None] & st.present
+    strs = st.strs.at[..., m.role_str_slot].set(
+        jnp.where(wmask, role_code, st.strs[..., m.role_str_slot])
+    )
+    bools, nums = st.bools, st.nums
+    for code, triples in m.role_settings:
+        rmask = wmask & (role_code == code)
+        for bank, slot, val in triples:
+            if bank == AB_BOOL:
+                bools = bools.at[..., slot].set(jnp.where(rmask, val != 0, bools[..., slot]))
+            elif bank == AB_NUM:
+                nums = nums.at[..., slot].set(jnp.where(rmask, jnp.int32(val), nums[..., slot]))
+            else:
+                strs = strs.at[..., slot].set(jnp.where(rmask, jnp.int32(val), strs[..., slot]))
+    return st._replace(bools=bools, nums=nums, strs=strs)
+
+
+def _reset_fields(st: GameState, active, bool_slots, bool_defs, num_slots, num_defs) -> GameState:
+    bools, nums = st.bools, st.nums
+    a = active[:, None]
+    for slot, d in zip(bool_slots, bool_defs):
+        bools = bools.at[..., slot].set(jnp.where(a, bool(d), bools[..., slot]))
+    for slot, d in zip(num_slots, num_defs):
+        nums = nums.at[..., slot].set(jnp.where(a, jnp.int32(d), nums[..., slot]))
+    return st._replace(bools=bools, nums=nums)
+
+
+def _mech_night_resolve(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LNightResolve) -> GameState:
+    P = st.present.shape[1]
+    kmask = _phase_mask_lookup(m.kill_phase_mask, st.choice_phase) & pe.pred(m.kill_pred) & st.present
+    pmask = (
+        _phase_mask_lookup(m.protect_phase_mask, st.choice_phase) & pe.pred(m.protect_pred) & st.present
+    )
+    kill, any_k = _plurality(st.choice, kmask, P)
+    protect, _ = _plurality(st.choice, pmask, P)
+    alive = _alive(lw, st)
+    kill_alive = _take_player(alive, kill - 1)
+    do_kill = active & any_k & (kill != protect) & kill_alive
+    bools = st.bools
+    if lw.alive_bool >= 0:
+        death = jax.nn.one_hot(jnp.clip(kill - 1, 0, P - 1), P, dtype=bool) & do_kill[:, None]
+        bools = bools.at[..., lw.alive_bool].set(bools[..., lw.alive_bool] & ~death)
+    st = st._replace(bools=bools)
+    return _reset_fields(
+        st, active, m.reset_bool_slots, m.reset_bool_defaults, m.reset_num_slots, m.reset_num_defaults
+    )
+
+
+def _mech_vote_elim(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LVoteElim) -> GameState:
+    P = st.present.shape[1]
+    vmask = _phase_mask_lookup(m.vote_phase_mask, st.choice_phase) & pe.pred(m.voter_pred) & st.present
+    tgt, any_v = _plurality(st.choice, vmask, P)
+    do = active & any_v
+    bools = st.bools
+    if lw.alive_bool >= 0:
+        death = jax.nn.one_hot(jnp.clip(tgt - 1, 0, P - 1), P, dtype=bool) & do[:, None]
+        bools = bools.at[..., lw.alive_bool].set(bools[..., lw.alive_bool] & ~death)
+    return st._replace(bools=bools)
+
+
+def _mech_guess_score(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LGuessScore) -> GameState:
+    B, P = st.present.shape
+    sp_mask = st.bools[..., m.speaker_bool] & st.present
+    has_sp = jnp.any(sp_mask, axis=1)
+    sp = jnp.argmax(sp_mask, axis=1).astype(jnp.int32)  # first speaker (lowest id)
+    lie = _take_player(st.nums[..., m.lie_num], sp)  # (B,)
+    pidx = jnp.arange(P, dtype=jnp.int32)[None, :]
+    voted = st.bools[..., m.voted_bool] if m.voted_bool >= 0 else jnp.ones((B, P), bool)
+    is_voter = st.present & voted & (pidx != sp[:, None])
+    correct = is_voter & (st.nums[..., m.vote_num] == lie[:, None])
+    fooled = jnp.sum(is_voter & ~correct, axis=1, dtype=jnp.int32)
+    act = active & has_sp
+    nums = st.nums
+    score = nums[..., m.score_num]
+    score = score + jnp.where(act[:, None] & correct, 1, 0)
+    sp_oh = jax.nn.one_hot(sp, P, dtype=jnp.int32)
+    score = score + jnp.where(act[:, None], sp_oh * fooled[:, None], 0)
+    nums = nums.at[..., m.score_num].set(score)
+    if m.rounds_num >= 0:
+        rounds = nums[..., m.rounds_num] + jnp.where(act[:, None], sp_oh, 0)
+        nums = nums.at[..., m.rounds_num].set(rounds)
+    return st._replace(nums=nums)
+
+
+def _mech_speaker_rotate(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LSpeakerRotate) -> GameState:
+    B, P = st.present.shape
+    rounds = st.nums[..., m.rounds_num]
+    key = jnp.where(st.present, rounds, jnp.int32(2**31 - 1))
+    sp = jnp.argmin(key, axis=1).astype(jnp.int32)  # first min = lowest id
+    pidx = jnp.arange(P, dtype=jnp.int32)[None, :]
+    is_sp = pidx == sp[:, None]
+    a = active[:, None]
+    bools = st.bools
+    bools = bools.at[..., m.speaker_bool].set(jnp.where(a, is_sp, bools[..., m.speaker_bool]))
+    if m.can_vote_bool >= 0:
+        bools = bools.at[..., m.can_vote_bool].set(jnp.where(a, ~is_sp, bools[..., m.can_vote_bool]))
+    st = st._replace(bools=bools)
+    st = _reset_fields(
+        st, active, m.reset_bool_slots, m.reset_bool_defaults, m.reset_num_slots, m.reset_num_defaults
+    )
+    odict, pdict = st.odict, st.pdict
+    for slot in m.reset_odict_slots:
+        odict = odict.at[..., slot].set(jnp.where(a, 0, odict[..., slot]))
+    for slot in m.reset_pdict_slots:
+        pdict = pdict.at[:, :, slot, :].set(jnp.where(a[..., None], 0, pdict[:, :, slot, :]))
+    return st._replace(odict=odict, pdict=pdict)
+
+
+def _mech_set_bool_all(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LSetBoolAll) -> GameState:
+    bools = st.bools
+    wmask = active[:, None] & st.present
+    for slot in m.slots:
+        bools = bools.at[..., slot].set(jnp.where(wmask, True, bools[..., slot]))
+    return st._replace(bools=bools)
+
+
+def _mech_game_over(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LGameOver) -> GameState:
+    B, P = st.present.shape
+    if m.mode == "team" and m.team_str_slot >= 0 and m.team_codes:
+        alive = _alive(lw, st)
+        counts = jnp.stack(
+            [
+                jnp.sum(alive & (st.strs[..., m.team_str_slot] == code), axis=1, dtype=jnp.int32)
+                for code in m.team_codes
+            ],
+            axis=1,
+        )  # (B, NT) minority-first
+        best = jnp.max(counts, axis=1, keepdims=True)
+        win = jnp.argmax(counts == best, axis=1).astype(jnp.int32) + 1
+    elif m.mode == "score" and m.score_num >= 0:
+        score = jnp.where(st.present, st.nums[..., m.score_num], jnp.int32(-(2**31) + 1))
+        win = jnp.argmax(score, axis=1).astype(jnp.int32) + 1  # first max = lowest id
+    else:
+        win = jnp.zeros((B,), jnp.int32)
+    return st._replace(
+        done=st.done | active,
+        winner=jnp.where(active, win, st.winner),
+    )
+
+
+_MECH_FNS = {
+    T.LRoleAssign: _mech_role_assign,
+    T.LNightResolve: _mech_night_resolve,
+    T.LVoteElim: _mech_vote_elim,
+    T.LGuessScore: _mech_guess_score,
+    T.LSpeakerRotate: _mech_speaker_rotate,
+    T.LSetBoolAll: _mech_set_bool_all,
+    T.LGameOver: _mech_game_over,
+}
+
+
+def apply_on_enter(lowered: Lowered, state: GameState, entered: jax.Array, new_phase: jax.Array) -> GameState:
+    """Apply every mechanic masked by (entered & phase match).
+
+    Predicates used by mechanics are evaluated on the state at entry time;
+    mechanics within one phase are independent by construction (the
+    analyzer never emits intra-phase pred dependencies).
+    """
+    pe = PredEval(lowered, state)
+    for mech in lowered.mechanics:
+        active = entered & (new_phase == mech.phase_index)
+        state = _MECH_FNS[type(mech)](lowered, state, pe, active, mech)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Branch conditions (room level)
+# ---------------------------------------------------------------------------
+
+
+def _eval_cond(cond, pe: PredEval, st: GameState) -> jax.Array:
+    if isinstance(cond, T.LAlways):
+        return jnp.ones((st.present.shape[0],), bool)
+    if isinstance(cond, T.LAnd):
+        v = _eval_cond(cond.items[0], pe, st)
+        for c in cond.items[1:]:
+            v = v & _eval_cond(c, pe, st)
+        return v
+    if isinstance(cond, T.LPrevPhaseIn):
+        return _phase_mask_lookup(cond.mask, st.prev_phase)
+    if isinstance(cond, T.LAllPresent):
+        n = jnp.sum(st.present, axis=1, dtype=jnp.int32)
+        return pe.count(cond.pred) == n
+    if isinstance(cond, T.LCountCmp):
+        lhs = pe.count(cond.left_pred)
+        rhs = jnp.int32(cond.right_const) if cond.right_pred < 0 else pe.count(cond.right_pred)
+        return {
+            "eq": lhs == rhs,
+            "ne": lhs != rhs,
+            "ge": lhs >= rhs,
+            "le": lhs <= rhs,
+            "gt": lhs > rhs,
+            "lt": lhs < rhs,
+        }[cond.op]
+    raise TypeError(cond)
+
+
+# ---------------------------------------------------------------------------
+# The step
+# ---------------------------------------------------------------------------
+
+
+def make_step(lowered: Lowered):
+    """Build step(state, actions) -> state. actions: (B, P) int32, 0 = none."""
+    NP, P = lowered.NP, lowered.P
+    NB = lowered.rec_bool_true.shape[1]
+    NN = lowered.num_defaults.shape[0]
+
+    c_is_action = jnp.asarray(lowered.phase_is_action)
+    c_kind = jnp.asarray(lowered.choice_kind)
+    c_max = jnp.asarray(lowered.choice_max)
+    c_rec_true = jnp.asarray(lowered.rec_bool_true)
+    c_rec_false = jnp.asarray(lowered.rec_bool_false)
+    c_rec_num = jnp.asarray(lowered.rec_num_slot)
+    c_rec_pd = jnp.asarray(lowered.rec_pdict_slot)
+    c_rec_pd_src = jnp.asarray(lowered.rec_pdict_src)
+    c_rec_od = jnp.asarray(lowered.rec_odict_slot)
+    c_static_next = jnp.asarray(lowered.phase_static_next)
+
+    def step(state: GameState, actions: jax.Array) -> GameState:
+        B = state.present.shape[0]
+        pe_pre = PredEval(lowered, state)
+
+        # --- per-room phase gathers ---
+        ph = state.phase
+        is_action = jnp.take(c_is_action, ph)  # (B,)
+        kind = jnp.take(c_kind, ph)
+        kmax = jnp.take(c_max, ph)
+        n_present = jnp.sum(state.present, axis=1, dtype=jnp.int32)
+
+        # target predicate of the current phase, per room (P3)
+        tgt_all = jnp.stack([pe_pre.pred(int(pi)) for pi in lowered.phase_target_pred], axis=-1)
+        target = jnp.take_along_axis(tgt_all, ph[:, None, None], axis=2)[..., 0]  # (B, P)
+        targeted = target & state.present
+
+        # --- action legality (P1/P2) ---
+        c = actions.astype(jnp.int32)
+        alive = _alive(lowered, state)
+        tgt_alive = jnp.take_along_axis(alive, jnp.clip(c - 1, 0, P - 1), axis=1)
+        in_players = (c >= 1) & (c <= P)
+        target_ok = in_players & tgt_alive
+        hi = jnp.where(kmax > 0, kmax, n_present)[:, None]
+        option_ok = (c >= 1) & (c <= hi)
+        kind_b = kind[:, None]
+        legal = jnp.where(
+            kind_b == ChoiceKind.TARGET.value,
+            target_ok,
+            jnp.where(
+                kind_b == ChoiceKind.OPTION.value,
+                option_ok,
+                kind_b == ChoiceKind.SUBMIT.value,  # SUBMIT: any nonzero
+            ),
+        )
+        accept = (
+            is_action[:, None]
+            & ~state.done[:, None]
+            & targeted
+            & ~state.acted
+            & (c != 0)
+            & legal
+        )
+        c_norm = jnp.where(kind_b == ChoiceKind.SUBMIT.value, 1, c)
+
+        # --- record writes ---
+        rec_t = jnp.take(c_rec_true, ph, axis=0)[:, None, :]  # (B,1,NB)
+        rec_f = jnp.take(c_rec_false, ph, axis=0)[:, None, :]
+        am = accept[..., None]
+        bools = jnp.where(am & rec_t, True, state.bools)
+        bools = jnp.where(am & rec_f, False, bools)
+
+        num_sel = jax.nn.one_hot(jnp.take(c_rec_num, ph), NN, dtype=bool)[:, None, :]  # (B,1,NN)
+        nums = jnp.where(am & num_sel, c_norm[..., None], state.nums)
+
+        # pdict write: field[target] = target's source-string value
+        pd_slot = jnp.take(c_rec_pd, ph)  # (B,)
+        pd_src = jnp.take(c_rec_pd_src, ph)
+        NPD = state.pdict.shape[2]
+        tgt_strs = jnp.take_along_axis(state.strs, jnp.clip(c - 1, 0, P - 1)[..., None], axis=1)
+        src_val = jnp.take_along_axis(
+            tgt_strs, jnp.clip(pd_src, 0, state.strs.shape[-1] - 1)[:, None, None], axis=2
+        )[..., 0]  # (B, P)
+        # translate source string codes into the pdict field's value vocab
+        trans_rows = jnp.take(jnp.asarray(lowered.rec_pdict_trans), ph, axis=0)  # (B, MAXV)
+        src_val = jnp.take_along_axis(
+            trans_rows, jnp.clip(src_val, 0, trans_rows.shape[1] - 1), axis=1
+        )
+        src_val = jnp.where(pd_src[:, None] >= 0, src_val, 0)
+        pd_oh = jax.nn.one_hot(pd_slot, NPD, dtype=bool)[:, None, :, None]  # (B,1,NPD,1)
+        tgt_oh = jax.nn.one_hot(jnp.clip(c - 1, 0, P - 1), P, dtype=bool)[:, :, None, :]
+        pd_mask = am[..., None] & pd_oh & tgt_oh & (pd_slot >= 0)[:, None, None, None]
+        pdict = jnp.where(pd_mask, src_val[..., None, None], state.pdict)
+
+        NOD = state.odict.shape[2]
+        od_oh = jax.nn.one_hot(jnp.take(c_rec_od, ph), NOD, dtype=bool)[:, None, :]
+        odict = jnp.where(am & od_oh, 1, state.odict)
+
+        acted = state.acted | accept
+        choice = jnp.where(accept, c_norm, state.choice)
+        choice_phase = jnp.where(accept, ph[:, None], state.choice_phase)
+
+        state = state._replace(
+            bools=bools, nums=nums, pdict=pdict, odict=odict,
+            acted=acted, choice=choice, choice_phase=choice_phase,
+        )
+
+        # --- completion (P3) on post-ingest state ---
+        pe = PredEval(lowered, state)
+        need = targeted & ~acted
+        complete = jnp.where(is_action, ~jnp.any(need, axis=1), True) & ~state.done
+
+        # --- next-phase select (P4/P5): compute-all, gather by phase ---
+        nexts = []
+        for i in range(NP):
+            if lowered.branches[i]:
+                nxt = jnp.full((B,), lowered.branches[i][-1][1], jnp.int32)  # P5 fallback
+                for cond, tgt_idx in reversed(lowered.branches[i]):
+                    nxt = jnp.where(_eval_cond(cond, pe, state), jnp.int32(tgt_idx), nxt)
+            else:
+                nxt = jnp.full((B,), int(lowered.phase_static_next[i]), jnp.int32)
+            nexts.append(nxt)
+        next_all = jnp.stack(nexts, axis=1)  # (B, NP)
+        next_idx = jnp.take_along_axis(next_all, ph[:, None], axis=1)[:, 0]
+
+        trans = complete & (next_idx != ph)
+        prev_phase = jnp.where(trans, ph, state.prev_phase)
+        new_phase = jnp.where(trans, next_idx, ph)
+        acted = jnp.where(trans[:, None], False, state.acted)
+        state = state._replace(
+            phase=new_phase, prev_phase=prev_phase, acted=acted, t=state.t + 1
+        )
+
+        # --- on-enter mechanics of the newly-entered phase ---
+        return apply_on_enter(lowered, state, trans, new_phase)
+
+    return step
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_cache():  # pragma: no cover
+    return {}
+
+
+def jit_step(lowered: Lowered):
+    """jit-compiled step for a lowered game (cached per Lowered identity)."""
+    cache = _jitted_cache()
+    key = id(lowered)
+    if key not in cache:
+        cache[key] = jax.jit(make_step(lowered), donate_argnums=(0,))
+    return cache[key]

@@ -7,10 +7,16 @@ is imported anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# the image's sitecustomize registers the axon TPU backend regardless of the
+# env var; force the virtual 8-device CPU mesh explicitly.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
