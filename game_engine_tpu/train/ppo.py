@@ -1,0 +1,194 @@
+"""PPO self-play over batched rooms (BASELINE.json configs 4-5).
+
+Zero-sum terminal rewards: in team games every player whose team wins gets
++1, losers -1, paid on the episode-end step; in score games the winning
+player gets +1. Only players whose action was *relevant* this step (targeted
+in a player_action phase) contribute to the policy loss — everyone
+contributes to the value loss.
+
+The train step is one jitted program: unroll T env steps with the learned
+policy (lax.scan), compute GAE, one clipped-PPO update. Rooms shard over the
+'data' mesh axis, hidden layers over 'model' (see parallel/mesh.py); under
+pjit/GSPMD the gradient all-reduce and activation collectives ride ICI
+automatically.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from game_engine_tpu.core.engine import init_state_like
+from game_engine_tpu.core.state import GameState
+from game_engine_tpu.core.step import PredEval, make_step
+from game_engine_tpu.gamespec.tables import Lowered, LGameOver
+from game_engine_tpu.policies import net as N
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    horizon: int = 32
+    gamma: float = 0.99
+    lam: float = 0.95
+    clip: float = 0.2
+    vf_coef: float = 0.5
+    ent_coef: float = 0.01
+    lr: float = 3e-4
+    net: N.NetConfig = dataclasses.field(default_factory=N.NetConfig)
+
+
+def _game_over_mech(lowered: Lowered) -> LGameOver | None:
+    for m in lowered.mechanics:
+        if isinstance(m, LGameOver):
+            return m
+    return None
+
+
+def terminal_rewards(lowered: Lowered, state: GameState, ended: jax.Array) -> jax.Array:
+    """(B, P) float32 rewards paid on the step an episode ends."""
+    go = _game_over_mech(lowered)
+    B, P = state.present.shape
+    if go is None:
+        return jnp.zeros((B, P), jnp.float32)
+    if go.mode == "team" and go.team_str_slot >= 0 and go.team_codes:
+        team = state.strs[..., go.team_str_slot]
+        codes = jnp.asarray(go.team_codes, jnp.int32)  # minority-first, winner = idx+1
+        win_code = jnp.take(codes, jnp.clip(state.winner - 1, 0, len(go.team_codes) - 1))
+        r = jnp.where(team == win_code[:, None], 1.0, -1.0)
+    elif go.mode == "score":
+        pidx = jnp.arange(1, P + 1, dtype=jnp.int32)[None, :]
+        r = jnp.where(pidx == state.winner[:, None], 1.0, -1.0 / jnp.maximum(P - 1, 1))
+    else:
+        r = jnp.zeros((B, P), jnp.float32)
+    return jnp.where(ended[:, None] & state.present, r, 0.0)
+
+
+def actor_mask(lowered: Lowered, state: GameState) -> jax.Array:
+    """(B, P) — players whose decision this step is policy-relevant."""
+    pe = PredEval(lowered, state)
+    tgt_all = jnp.stack([pe.pred(int(pi)) for pi in lowered.phase_target_pred], axis=-1)
+    target = jnp.take_along_axis(tgt_all, state.phase[:, None, None], axis=2)[..., 0]
+    is_action = jnp.take(jnp.asarray(lowered.phase_is_action), state.phase)[:, None]
+    return target & state.present & is_action & ~state.acted & ~state.done[:, None]
+
+
+class Rollout(NamedTuple):
+    obs: jax.Array  # (T, B, P, F)
+    actions: jax.Array  # (T, B, P) 1-based
+    logp: jax.Array  # (T, B, P)
+    value: jax.Array  # (T, B, P)
+    reward: jax.Array  # (T, B, P)
+    done: jax.Array  # (T, B) episode ended at this step
+    mask: jax.Array  # (T, B, P) actor mask
+
+
+def make_unroll(lowered: Lowered, cfg: PPOConfig):
+    step = make_step(lowered)
+
+    def unroll(params, state: GameState, key):
+        def body(carry, _):
+            st, k = carry
+            k, sk = jax.random.split(k)
+            obs = N.observe(lowered, st)
+            a, logp, v, _ = N.sample_actions(lowered, params, st, sk, cfg.net)
+            mask = actor_mask(lowered, st)
+            actions = jnp.where(mask, a, 0)
+            nxt = step(st, actions)
+            ended = nxt.done & ~st.done
+            reward = terminal_rewards(lowered, nxt, ended)
+            fresh = init_state_like(lowered, nxt)
+            nxt = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    nxt.done.reshape((-1,) + (1,) * (old.ndim - 1)), new, old
+                ),
+                fresh,
+                nxt,
+            )
+            return (nxt, k), Rollout(obs, actions, logp, v, reward, ended, mask)
+
+        (state, key), traj = jax.lax.scan(body, (state, key), None, length=cfg.horizon)
+        return state, key, traj
+
+    return unroll
+
+
+def gae(traj: Rollout, last_value: jax.Array, cfg: PPOConfig):
+    """(T, B, P) advantages + returns; bootstrap cut at episode ends."""
+
+    def body(carry, x):
+        adv_next, v_next = carry
+        v, r, ended = x
+        nonterm = 1.0 - ended[:, None].astype(jnp.float32)
+        delta = r + cfg.gamma * v_next * nonterm - v
+        adv = delta + cfg.gamma * cfg.lam * nonterm * adv_next
+        return (adv, v), adv
+
+    (_, _), advs = jax.lax.scan(
+        body,
+        (jnp.zeros_like(last_value), last_value),
+        (traj.value, traj.reward, traj.done),
+        reverse=True,
+    )
+    return advs, advs + traj.value
+
+
+def make_train_step(lowered: Lowered, cfg: PPOConfig, tx: optax.GradientTransformation):
+    unroll = make_unroll(lowered, cfg)
+
+    def loss_fn(params, traj: Rollout, adv, ret):
+        logits, value = N.apply_net(params, traj.obs, cfg.net)
+        logp_all = jax.nn.log_softmax(logits, axis=-1)
+        a_idx = jnp.clip(traj.actions - 1, 0, logits.shape[-1] - 1)
+        logp = jnp.take_along_axis(logp_all, a_idx[..., None], axis=-1)[..., 0]
+        ratio = jnp.exp(logp - traj.logp)
+
+        m = traj.mask.astype(jnp.float32)
+        msum = jnp.maximum(jnp.sum(m), 1.0)
+        adv_n = (adv - jnp.sum(adv * m) / msum) / (
+            jnp.sqrt(jnp.sum(m * (adv - jnp.sum(adv * m) / msum) ** 2) / msum) + 1e-8
+        )
+        pg = -jnp.minimum(
+            ratio * adv_n, jnp.clip(ratio, 1 - cfg.clip, 1 + cfg.clip) * adv_n
+        )
+        pg_loss = jnp.sum(pg * m) / msum
+        v_loss = 0.5 * jnp.mean((value - ret) ** 2)
+        ent = -jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1)
+        ent_loss = -jnp.sum(ent * m) / msum
+        total = pg_loss + cfg.vf_coef * v_loss + cfg.ent_coef * ent_loss
+        return total, {
+            "pg_loss": pg_loss,
+            "v_loss": v_loss,
+            "entropy": -ent_loss,
+            "ratio_mean": jnp.sum(ratio * m) / msum,
+        }
+
+    def train_step(params, opt_state, state: GameState, key):
+        state, key, traj = unroll(params, state, key)
+        _, last_v = N.apply_net(params, N.observe(lowered, state), cfg.net)
+        adv, ret = gae(traj, last_v, cfg)
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, traj, adv, ret
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["reward_per_step"] = jnp.mean(jnp.sum(traj.reward, axis=-1))
+        metrics["episodes"] = jnp.sum(traj.done.astype(jnp.int32))
+        return params, opt_state, state, key, metrics
+
+    return train_step
+
+
+def init_training(lowered: Lowered, cfg: PPOConfig, key):
+    in_dim = N.obs_dim(lowered)
+    n_actions = N.action_space(lowered)
+    params = N.init_params(key, in_dim, n_actions, cfg.net)
+    tx = optax.adam(cfg.lr)
+    opt_state = tx.init(params)
+    return params, opt_state, tx

@@ -1,0 +1,131 @@
+"""PPO self-play smoke tests + multi-chip sharding tests (8 virtual CPU
+devices, SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from game_engine_tpu.core.state import init_state
+from game_engine_tpu.gamespec.compile import compile_game
+from game_engine_tpu.gamespec.parser import load_builtin
+from game_engine_tpu.gamespec.tables import lower
+from game_engine_tpu.parallel.mesh import make_mesh, params_sharding, replicate, state_sharding
+from game_engine_tpu.policies import net as N
+from game_engine_tpu.train.ppo import PPOConfig, init_training, make_train_step, terminal_rewards
+
+
+@pytest.fixture(scope="module")
+def ww_lowered():
+    return lower(compile_game(load_builtin("werewolf")))
+
+
+def test_observe_and_mask_shapes(ww_lowered):
+    state = init_state(ww_lowered, 4, 5, np.arange(4, dtype=np.uint32))
+    obs = N.observe(ww_lowered, state)
+    assert obs.shape == (4, 8, N.obs_dim(ww_lowered))
+    mask = N.legal_action_mask(ww_lowered, state)
+    assert mask.shape == (4, 8, N.action_space(ww_lowered))
+
+
+def test_policy_actions_are_legal(ww_lowered):
+    """Sampled actions in an action phase must always be accepted by the
+    engine for targeted players (the mask encodes P2 exactly)."""
+    from game_engine_tpu.core.engine import BatchedEngine
+
+    eng = BatchedEngine(ww_lowered)
+    state = init_state(ww_lowered, 8, 5, np.arange(8, dtype=np.uint32))
+    cfg = N.NetConfig(hidden=32, layers=1)
+    params = N.init_params(
+        jax.random.PRNGKey(0), N.obs_dim(ww_lowered), N.action_space(ww_lowered), cfg
+    )
+    key = jax.random.PRNGKey(1)
+    for t in range(30):
+        key, sk = jax.random.split(key)
+        a, logp, v, _ = N.sample_actions(ww_lowered, params, state, sk, cfg)
+        from game_engine_tpu.train.ppo import actor_mask
+
+        am = actor_mask(ww_lowered, state)
+        prev_phase = state.phase
+        state = eng.step(state, jnp.where(am, a, 0))
+        # every masked emission must have been accepted: either acted is now
+        # set, or the phase completed and transitioned (acted resets then)
+        transitioned = np.asarray(state.phase != prev_phase)[:, None]
+        accepted = np.asarray(state.acted) | ~np.asarray(am) | transitioned
+        assert accepted.all(), f"t={t}: policy emitted an illegal action"
+
+
+def test_train_step_runs_and_updates(ww_lowered):
+    cfg = PPOConfig(horizon=8, net=N.NetConfig(hidden=32, layers=1))
+    params, opt_state, tx = init_training(ww_lowered, cfg, jax.random.PRNGKey(0))
+    train_step = jax.jit(make_train_step(ww_lowered, cfg, tx))
+    state = init_state(ww_lowered, 16, 5, np.arange(16, dtype=np.uint32))
+    key = jax.random.PRNGKey(7)
+    p0 = jax.tree_util.tree_map(lambda x: x.copy(), params)
+    for _ in range(3):
+        params, opt_state, state, key, metrics = train_step(params, opt_state, state, key)
+    assert np.isfinite(float(metrics["loss"]))
+    changed = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), p0, params
+    )
+    assert max(jax.tree_util.tree_leaves(changed)) > 0
+
+
+def test_terminal_rewards_team(ww_lowered):
+    from game_engine_tpu.core.engine import BatchedEngine, scripted_actions
+
+    eng = BatchedEngine(ww_lowered)
+    state = init_state(ww_lowered, 4, 5, np.arange(4, dtype=np.uint32))
+    for _ in range(200):
+        state = eng.step(state, scripted_actions(ww_lowered, state))
+        if bool(state.done.all()):
+            break
+    assert bool(state.done.all())
+    r = np.asarray(terminal_rewards(ww_lowered, state, state.done))
+    team_slot = ww_lowered.game.layout.slot("team")
+    teams = np.asarray(state.strs[..., team_slot.index])
+    for b in range(4):
+        w = int(state.winner[b])
+        assert w in (1, 2)
+        # winners +1, losers -1, zero-sum over teams
+        for p in range(5):
+            expected = 1.0 if (w == 1) == (teams[b, p] == team_slot.encode("werewolves")) else -1.0
+            assert r[b, p] == expected
+
+
+def test_multichip_rollout_parity(ww_lowered):
+    """Sharding rooms over 8 devices must not change results vs single-device."""
+    from game_engine_tpu.core.engine import scripted_actions
+    from game_engine_tpu.core.step import make_step
+
+    step = jax.jit(make_step(ww_lowered))
+    B = 16
+    state1 = init_state(ww_lowered, B, 5, np.arange(B, dtype=np.uint32))
+    state2 = init_state(ww_lowered, B, 5, np.arange(B, dtype=np.uint32))
+    mesh = make_mesh(8, model_parallel=1)
+    state2 = state_sharding(mesh, state2)
+    for _ in range(60):
+        a1 = scripted_actions(ww_lowered, state1)
+        a2 = scripted_actions(ww_lowered, state2)
+        state1 = step(state1, a1)
+        state2 = step(state2, a2)
+    for f1, f2 in zip(state1, state2):
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+
+
+def test_multichip_train_step(ww_lowered):
+    """Full dp+tp PPO train step over a (4, 2) mesh."""
+    cfg = PPOConfig(horizon=4, net=N.NetConfig(hidden=64, layers=2))
+    params, opt_state, tx = init_training(ww_lowered, cfg, jax.random.PRNGKey(0))
+    train_step = make_train_step(ww_lowered, cfg, tx)
+    mesh = make_mesh(8, model_parallel=2)
+    state = init_state(ww_lowered, 16, 5, np.arange(16, dtype=np.uint32))
+    with mesh:
+        state = state_sharding(mesh, state)
+        params = params_sharding(mesh, params)
+        opt_state = replicate(mesh, opt_state)
+        key = replicate(mesh, jax.random.PRNGKey(3))
+        params, opt_state, state, key, metrics = jax.jit(train_step)(
+            params, opt_state, state, key
+        )
+        assert np.isfinite(float(metrics["loss"]))
