@@ -1,0 +1,88 @@
+"""Decode engine arrays back into the reference's AgentState dict shape.
+
+The inverse of the layout encoding: one room of GameState banks ->
+``player_states`` dicts + phase fields, matching the AgentState schema the
+reference syncs over useCoAgent (reference: src/lib/canvas/types.ts:338-360,
+agent/game_agent_v2.py:97-117). Names are synthesized as "Player N" when the
+room session provides none (the engine treats names as cosmetic)."""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import numpy as np
+
+from game_engine_tpu.core.state import GameState
+from game_engine_tpu.gamespec.layout import (
+    BANK_ARR,
+    BANK_BOOL,
+    BANK_NUM,
+    BANK_ODICT,
+    BANK_PDICT,
+    BANK_STR,
+)
+from game_engine_tpu.gamespec.tables import Lowered
+
+
+def decode_room(
+    lowered: Lowered,
+    state: GameState,
+    b: int = 0,
+    player_names: Optional[dict[int, str]] = None,
+) -> dict[str, Any]:
+    """AgentState-shaped snapshot of room b."""
+    game = lowered.game
+    layout = game.layout
+    bools = np.asarray(state.bools[b])
+    nums = np.asarray(state.nums[b])
+    strs = np.asarray(state.strs[b])
+    pdict = np.asarray(state.pdict[b])
+    odict = np.asarray(state.odict[b])
+    present = np.asarray(state.present[b])
+    n = int(present.sum())
+    names = player_names or {}
+
+    player_states: dict[str, dict[str, Any]] = {}
+    for p in range(n):
+        row: dict[str, Any] = {}
+        for f in game.spec.declaration.fields:
+            slot = layout.slot(f.name)
+            if slot.bank == BANK_BOOL:
+                row[f.name] = bool(bools[p, slot.index])
+            elif slot.bank == BANK_NUM:
+                row[f.name] = int(nums[p, slot.index])
+            elif slot.bank == BANK_STR:
+                if f.name == "name":
+                    row[f.name] = names.get(p + 1, f"Player {p + 1}")
+                else:
+                    row[f.name] = slot.decode(int(strs[p, slot.index]))
+            elif slot.bank == BANK_PDICT:
+                d = {}
+                for q in range(n):
+                    code = int(pdict[p, slot.index, q])
+                    if code != 0:
+                        d[str(q + 1)] = slot.decode(code)
+                row[f.name] = d
+            elif slot.bank == BANK_ODICT:
+                row[f.name] = {"1": "submitted"} if int(odict[p, slot.index]) else {}
+            elif slot.bank == BANK_ARR:
+                row[f.name] = []
+        player_states[str(p + 1)] = row
+
+    phase_idx = int(state.phase[b])
+    cp = game.phases[phase_idx]
+    dead = [
+        str(p + 1)
+        for p in range(n)
+        if lowered.alive_bool >= 0 and not bools[p, lowered.alive_bool]
+    ]
+    return {
+        "player_states": player_states,
+        "current_phase_id": cp.dsl_id,
+        "current_phase_name": cp.name,
+        "gameName": game.spec.name,
+        "deadPlayers": dead,
+        "done": bool(state.done[b]),
+        "winner": int(state.winner[b]),
+        "stateVersion": int(state.t[b]),
+    }

@@ -1,0 +1,242 @@
+"""The DM projection: phase -> canvas items.
+
+Replaces the reference's ActionExecutor LLM (reference:
+agent/game_agent_v2.py:1243-1568), which renders each phase by calling
+frontend tools listed in the DSL phase's actions (first action always
+clearCanvas, audience tiers in the action descriptions). Here the same
+contract is a pure function: given the compiled game and an AgentState
+snapshot, emit the items[] the reference DM would create — clear-before-
+create, TIER 1/2/3 audience permissions, death-marker persistence
+(reference: agent/prompt/ActionExecutor_system_prompt.txt:13-123).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Optional
+
+from game_engine_tpu.gamespec.compile import CompiledGame, CompiledPhase
+from game_engine_tpu.gamespec.expr import eval_predicate
+from game_engine_tpu.gamespec.mechanics import ChoiceKind
+from game_engine_tpu.view.cards import Item, TOOL_TO_CARD, clear_canvas, make_item
+
+_TIER_RE = re.compile(r"TIER\s*(\d)", re.IGNORECASE)
+_EXCEPT_RE = re.compile(r"\bexcept\b|\bwaiting\b|\bnon-|\bother players\b", re.IGNORECASE)
+_EXEMPT_DEATH_RE = re.compile(r"exempt[^.]*death|death markers?[^.]*(persist|remain|exempt)", re.IGNORECASE)
+
+
+def _phase_targets(phase: CompiledPhase, snapshot: dict[str, Any]) -> list[str]:
+    out = []
+    for pid, row in snapshot.get("player_states", {}).items():
+        if eval_predicate(phase.target_pred, row):
+            out.append(str(pid))
+    return out
+
+
+def _alive_names(snapshot: dict[str, Any]) -> list[str]:
+    names = []
+    for pid, row in sorted(snapshot.get("player_states", {}).items(), key=lambda kv: int(kv[0])):
+        if row.get("is_alive", True):
+            names.append(row.get("name") or f"Player {pid}")
+    return names
+
+
+def _audience(tier: Optional[int], description: str, targets: list[str], all_ids: list[str]):
+    """(audience_type, audience_ids) from the action's tier annotation."""
+    if tier == 3 or (tier == 2 and not _EXCEPT_RE.search(description)):
+        ids = targets or all_ids
+        return False, ids
+    if tier == 2:  # group message to everyone except the actors
+        ids = [i for i in all_ids if i not in targets] or all_ids
+        return False, ids
+    return True, []
+
+
+class Projector:
+    """Stateful item-id counter + per-room projection (one per room)."""
+
+    def __init__(self, game: CompiledGame):
+        self.game = game
+        self._counter = 1000
+
+    def _next_id(self, items: list[Item]) -> str:
+        # id derivation: max(existing numeric ids, counter) + 1
+        # (reference: src/app/page.tsx:855-862)
+        mx = self._counter
+        for it in items:
+            try:
+                mx = max(mx, int(it.id))
+            except ValueError:
+                pass
+        self._counter = mx + 1
+        return str(self._counter)
+
+    def project(
+        self,
+        snapshot: dict[str, Any],
+        prev_items: Optional[list[Item]] = None,
+        prev_dead: Optional[list[str]] = None,
+    ) -> list[Item]:
+        """Render the current phase of an AgentState snapshot into items."""
+        game = self.game
+        phase = game.phase_by_id(snapshot["current_phase_id"])
+        spec_phase = game.spec.phases[phase.dsl_id]
+        players = snapshot.get("player_states", {})
+        all_ids = sorted(players, key=int)
+        targets = _phase_targets(phase, snapshot)
+        dead = snapshot.get("deadPlayers", [])
+        newly_dead = [d for d in dead if d not in (prev_dead or [])]
+
+        items = list(prev_items or [])
+        for action in spec_phase.actions:
+            m = _TIER_RE.search(action.description)
+            tier = int(m.group(1)) if m else None
+            for tool in action.tools:
+                if tool == "clearCanvas":
+                    exempt = ["death_marker"] if (_EXEMPT_DEATH_RE.search(action.description) or dead) else []
+                    items = clear_canvas(items, exempt=exempt)
+                    continue
+                if tool == "markPlayerDead":
+                    continue  # state-side effect; death markers render below
+                card = TOOL_TO_CARD.get(tool)
+                if card is None:
+                    continue
+                aud_type, aud_ids = _audience(tier, action.description, targets, all_ids)
+                items.extend(
+                    self._make(card, tool, action.description, phase, snapshot,
+                               aud_type, aud_ids, targets, all_ids, newly_dead, items)
+                )
+        return items
+
+    # -- per-card synthesis -------------------------------------------------
+
+    def _make(self, card, tool, desc, phase, snapshot, aud_type, aud_ids,
+              targets, all_ids, newly_dead, items) -> list[Item]:
+        players = snapshot["player_states"]
+        rp = phase.program.record
+        out: list[Item] = []
+
+        def nid():
+            return self._next_id(items + out)
+
+        if card == "phase_indicator":
+            out.append(make_item(nid(), card, phase.name, currentPhase=phase.name,
+                                 description=desc))
+        elif card == "text_display":
+            out.append(make_item(nid(), card, phase.name, audience_type=aud_type,
+                                 audience_ids=aud_ids, content=desc, type="info"))
+        elif card == "voting_panel":
+            if rp.choice_kind is ChoiceKind.TARGET:
+                options = _alive_names(snapshot)
+            else:
+                hi = rp.choice_max if rp.choice_max > 0 else len(all_ids)
+                options = [str(i) for i in range(1, hi + 1)]
+            out.append(make_item(
+                nid(), card, phase.name,
+                audience_type=False, audience_ids=targets or all_ids,
+                votingId=f"vote-{phase.dsl_id}-{snapshot.get('stateVersion', 0)}",
+                title=desc or phase.name, options=options,
+            ))
+        elif card == "broadcast_input":  # createTextInputPanel
+            out.append(make_item(
+                nid(), card, phase.name,
+                audience_type=False, audience_ids=targets or all_ids,
+                title=desc, placeholder="Type here...", confirmLabel="Submit",
+            ))
+        elif card == "character_card":
+            # TIER 3: one private role card per player
+            for pid in all_ids:
+                role = players[pid].get("role", "")
+                out.append(make_item(
+                    nid(), card, f"Role: {role or 'Unknown'}",
+                    audience_type=False, audience_ids=[pid],
+                    role=role, description=self._role_desc(role),
+                ))
+        elif card == "avatar_set":
+            out.append(make_item(nid(), card, "Avatars", avatarType="human"))
+        elif card == "score_board":
+            score_field = self._score_field()
+            entries = [
+                {"id": pid, "name": players[pid].get("name", f"Player {pid}"),
+                 "score": int(players[pid].get(score_field, 0) or 0)}
+                for pid in all_ids
+            ] if score_field else []
+            out.append(make_item(nid(), card, "Scoreboard", title="Scoreboard",
+                                 entries=entries, sort="desc"))
+        elif card == "turn_indicator":
+            sp = next((pid for pid in all_ids if players[pid].get("is_speaker")), None)
+            if sp is not None:
+                out.append(make_item(
+                    nid(), card, "Current Speaker",
+                    currentPlayerId=sp, playerName=players[sp].get("name", f"Player {sp}"),
+                    label="Speaker",
+                ))
+        elif card == "statement_board":
+            sp = next((pid for pid in all_ids if players[pid].get("is_speaker")), None)
+            stmts = list((players.get(sp, {}).get("statements") or {}).values()) if sp else []
+            revealed = bool(players.get(sp, {}).get("lie_revealed")) if sp else False
+            lie = int(players.get(sp, {}).get("lie_index", 0) or 0) if sp else 0
+            data = {"statements": stmts, "locked": True}
+            if revealed and lie:
+                data["highlightIndex"] = lie - 1
+            out.append(make_item(nid(), card, "Statements", **data))
+        elif card == "timer":
+            out.append(make_item(nid(), card, "Timer", duration=10, label=phase.name))
+        elif card == "result_display":
+            out.append(make_item(nid(), card, "Results",
+                                 content=self._result_content(phase, snapshot, newly_dead)))
+        elif card == "death_marker":
+            for pid in newly_dead:
+                out.append(make_item(
+                    nid(), card, f"{players.get(pid, {}).get('name', f'Player {pid}')} eliminated",
+                    playerName=players.get(pid, {}).get("name", f"Player {pid}"),
+                    playerId=pid, cause=phase.name,
+                ))
+        elif card == "night_overlay":
+            out.append(make_item(nid(), card, "Night", visible=True, title=phase.name,
+                                 opacity=0.5))
+        elif card == "player_states_display":
+            out.append(make_item(nid(), card, "Player States", title="Player States"))
+        elif card == "player_actions_display":
+            out.append(make_item(nid(), card, "Action Log", title="Player Actions"))
+        else:
+            out.append(make_item(nid(), card, phase.name, audience_type=aud_type,
+                                 audience_ids=aud_ids))
+        return out
+
+    def _role_desc(self, role: str) -> str:
+        for r in self.game.spec.declaration.roles:
+            if r.name == role:
+                return r.description
+        return ""
+
+    def _score_field(self) -> Optional[str]:
+        for cand in ("total_score", "score", "points"):
+            if cand in self.game.spec.declaration.field_names():
+                return cand
+        return None
+
+    def _result_content(self, phase, snapshot, newly_dead) -> str:
+        players = snapshot["player_states"]
+        if snapshot.get("done"):
+            w = snapshot.get("winner", 0)
+            return f"Game over — winner: {self._winner_text(w, snapshot)}"
+        if newly_dead:
+            names = ", ".join(players.get(d, {}).get("name", f"Player {d}") for d in newly_dead)
+            return f"{names} has been eliminated."
+        return f"{phase.name}: no eliminations."
+
+    def _winner_text(self, winner: int, snapshot: dict) -> str:
+        if winner <= 0:
+            return "none"
+        # team games: winner indexes the minority-first team order
+        from game_engine_tpu.gamespec.mechanics import GameOver
+
+        for mech in self.game.phases[self.game.id_to_index[99]].program.on_enter if 99 in self.game.id_to_index else []:
+            if isinstance(mech, GameOver):
+                if mech.mode == "team" and winner <= len(mech.team_order):
+                    return mech.team_order[winner - 1]
+                if mech.mode == "score":
+                    row = snapshot["player_states"].get(str(winner), {})
+                    return row.get("name", f"Player {winner}")
+        return f"Player {winner}"
