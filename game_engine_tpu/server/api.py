@@ -1,0 +1,180 @@
+"""HTTP API: the reference's rooms/lobby/games REST surface + play endpoints.
+
+Routes (reference: SURVEY.md §2.4, src/app/api/*):
+  GET  /api/games                      -> game catalog from games/*.yaml
+  POST /api/rooms/create               {gameName, playerName}
+  POST /api/rooms/join                 {roomId, playerName}
+  POST /api/rooms/add-bot              {roomId}  (fills to min_players)
+  GET  /api/rooms/list?game=...        joinable rooms
+  GET  /api/rooms/<roomId>             room + players
+  POST /api/rooms/<roomId>/start       initialize players + engine slot
+  POST /api/rooms/<roomId>/action      {playerId, choice}   (queue)
+  POST /api/rooms/<roomId>/vote        {playerId, option}   (queue, panel index)
+  POST /api/rooms/<roomId>/step        advance one turn
+  POST /api/rooms/<roomId>/continue    advance until human input needed
+  GET  /api/rooms/<roomId>/state?playerId=N  -> AgentState + visible items
+  GET  /api/debug/rooms                storage dump
+
+Plain stdlib http.server — the host service is IO-thin; all compute stays
+on-device in the batched engine (server/manager.py).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Optional
+from urllib.parse import parse_qs, urlparse
+
+from game_engine_tpu.server.manager import GameHost
+from game_engine_tpu.server.storage import MemoryStorage
+
+
+class AppContext:
+    def __init__(self, storage_path: Optional[str] = None, games_path: Optional[str] = None):
+        self.storage = MemoryStorage(storage_path)
+        self.host = GameHost(games_path)
+
+    # -- handlers -------------------------------------------------------------
+
+    def handle(self, method: str, path: str, query: dict, body: dict) -> tuple[int, Any]:
+        route = (method, path)
+        try:
+            if route == ("GET", "/api/games"):
+                return 200, {"games": self.host.list_games()}
+            if route == ("POST", "/api/rooms/create"):
+                game = body["gameName"]
+                cat = {g["name"]: g for g in self.host.list_games()}
+                if game not in cat:
+                    match = [n for n in cat if game.lower() in n.lower()]
+                    if not match:
+                        return 404, {"error": f"unknown game {game!r}"}
+                    game = match[0]
+                room, hostp = self.storage.create_room(
+                    game, body.get("playerName", "Host"),
+                    min_players=cat[game]["minPlayers"],
+                )
+                return 200, {"room": room.__dict__, "player": hostp.__dict__}
+            if route == ("POST", "/api/rooms/join"):
+                room = self.storage.get_room(body["roomId"])
+                if room is None:
+                    return 404, {"error": "room not found"}
+                if room.status != "waiting":
+                    return 409, {"error": "game already started"}
+                p = self.storage.add_player(body["roomId"], body["playerName"])
+                return 200, {"player": p.__dict__}
+            if route == ("POST", "/api/rooms/add-bot"):
+                room = self.storage.get_room(body["roomId"])
+                if room is None:
+                    return 404, {"error": "room not found"}
+                added = []
+                players = self.storage.get_players(room.roomId)
+                while len(players) < room.minPlayers:
+                    # bots named player2..N (reference: add-bot/route.ts:58-96)
+                    p = self.storage.add_player(room.roomId, f"player{len(players) + 1}")
+                    added.append(p.__dict__)
+                    players = self.storage.get_players(room.roomId)
+                return 200, {"added": added, "playerCount": len(players)}
+            if route == ("GET", "/api/rooms/list"):
+                game = query.get("game", [None])[0]
+                return 200, {"rooms": self.storage.list_rooms(game)}
+            if route == ("GET", "/api/debug/rooms"):
+                return 200, self.storage.dump()
+
+            m = re.match(r"^/api/rooms/([^/]+)(?:/([a-z]+))?$", path)
+            if m:
+                room_id, action = m.group(1), m.group(2)
+                room = self.storage.get_room(room_id)
+                if room is None:
+                    return 404, {"error": "room not found"}
+                players = self.storage.get_players(room_id)
+                names = {p.id: p.name for p in players}
+                if method == "GET" and action is None:
+                    return 200, {"room": room.__dict__, "players": [p.__dict__ for p in players]}
+                if method == "POST" and action == "start":
+                    if len(players) < room.minPlayers:
+                        return 409, {"error": f"need {room.minPlayers} players"}
+                    thread = self.host.start_room(
+                        room_id, room.gameName, len(players), seed=body.get("seed")
+                    )
+                    self.storage.set_thread(room_id, thread)
+                    self.storage.set_status(room_id, "playing")
+                    return 200, self.host.snapshot(room_id, names)
+                if method == "GET" and action == "state" and room.status in ("playing", "finished"):
+                    viewer = int(query.get("playerId", ["1"])[0])
+                    return 200, self.host.visible_state(room_id, viewer, names)
+                if room.status != "playing":
+                    return 409, {"error": "room not started"}
+                if method == "POST" and action == "action":
+                    self.host.queue_action(room_id, int(body["playerId"]), int(body["choice"]))
+                    return 200, {"queued": True}
+                if method == "POST" and action == "vote":
+                    self.host.queue_vote(room_id, int(body["playerId"]), int(body["option"]))
+                    return 200, {"queued": True}
+                if method == "POST" and action == "step":
+                    return 200, self.host.step(room_id)
+                if method == "POST" and action == "continue":
+                    snap = self.host.run_until_input_needed(room_id)
+                    if snap.get("done"):
+                        self.storage.set_status(room_id, "finished")
+                    return 200, snap
+                if method == "GET" and action == "state":
+                    viewer = int(query.get("playerId", ["1"])[0])
+                    return 200, self.host.visible_state(room_id, viewer, names)
+            return 404, {"error": f"no route {method} {path}"}
+        except (KeyError, ValueError, TypeError) as e:
+            return 400, {"error": str(e)}
+
+
+def make_server(port: int = 0, storage_path: Optional[str] = None,
+                games_path: Optional[str] = None) -> ThreadingHTTPServer:
+    ctx = AppContext(storage_path, games_path)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _respond(self):
+            parsed = urlparse(self.path)
+            body = {}
+            if self.command == "POST":
+                length = int(self.headers.get("Content-Length") or 0)
+                if length:
+                    try:
+                        body = json.loads(self.rfile.read(length))
+                    except json.JSONDecodeError:
+                        body = {}
+            code, payload = ctx.handle(
+                self.command, parsed.path, parse_qs(parsed.query), body
+            )
+            data = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        do_GET = _respond
+        do_POST = _respond
+
+    server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    server.ctx = ctx  # type: ignore[attr-defined]
+    return server
+
+
+def main():  # pragma: no cover
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--port", type=int, default=8123)
+    ap.add_argument("--storage", default="temp-rooms.json")
+    args = ap.parse_args()
+    srv = make_server(args.port, args.storage)
+    print(f"game host listening on :{srv.server_address[1]}")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

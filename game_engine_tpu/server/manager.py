@@ -1,0 +1,262 @@
+"""GameHost: interactive rooms hosted inside one batched engine state.
+
+The reference binds one LangGraph thread per room and re-runs a 4-LLM
+pipeline per turn (reference: src/app/api/rooms/create/route.ts:16-26,
+SURVEY.md §3.2). Here every live room of a game occupies a slot in a single
+batched GameState; a turn is one fused engine step applied only to the
+requesting room (other slots are frozen via masked select). Human actions
+arrive asynchronously into a host-side queue and are merged with on-device
+bot-policy actions on the next step — the host/device action-queue design
+from SURVEY.md §7. Player 1 is the human: the bot policy never emits for
+them (reference: agent/prompt/bot_behavior_system_prompt.txt, ABSOLUTE
+HUMAN EXCLUSION).
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from game_engine_tpu.core.engine import BatchedEngine, scripted_actions
+from game_engine_tpu.core.state import init_state
+from game_engine_tpu.gamespec.compile import GameConfig, compile_game
+from game_engine_tpu.gamespec.mechanics import ChoiceKind
+from game_engine_tpu.gamespec.parser import games_dir, load_game_spec
+from game_engine_tpu.gamespec.tables import Lowered, lower
+from game_engine_tpu.view.decode import decode_room
+from game_engine_tpu.view.project import Projector
+
+import os
+
+SLOTS_PER_GAME = 64
+
+
+class _GameSlots:
+    """Batched engine state + slot allocation for one compiled game."""
+
+    def __init__(self, lowered: Lowered, capacity: int = SLOTS_PER_GAME):
+        self.lowered = lowered
+        self.engine = BatchedEngine(lowered)
+        self.capacity = capacity
+        self.state = init_state(
+            lowered, capacity, lowered.P, np.arange(capacity, dtype=np.uint32)
+        )
+        self.free = list(range(capacity))
+        self.projectors: dict[int, Projector] = {}
+        self.items: dict[int, list] = {}
+        self.prev_dead: dict[int, list] = {}
+
+    def alloc(self, n_players: int, seed: int) -> int:
+        slot = self.free.pop(0)
+        fresh = init_state(self.lowered, 1, n_players, np.uint32(seed))
+        self.state = jax.tree_util.tree_map(
+            lambda full, one: full.at[slot].set(one[0]), self.state, fresh
+        )
+        self.projectors[slot] = Projector(self.lowered.game)
+        self.items[slot] = []
+        self.prev_dead[slot] = []
+        return slot
+
+    def release(self, slot: int) -> None:
+        self.free.append(slot)
+        self.projectors.pop(slot, None)
+        self.items.pop(slot, None)
+        self.prev_dead.pop(slot, None)
+
+    def step_slot(self, slot: int, human_actions: dict[int, int],
+                  include_bots: bool = True) -> None:
+        """Advance only this slot by one engine step (others frozen)."""
+        bots = self.engine.bot_actions(self.state) if include_bots else jnp.zeros(
+            (self.capacity, self.lowered.P), jnp.int32
+        )
+        # human exclusion: policy never acts for player 1
+        actions = np.asarray(bots).copy()
+        actions[:, 0] = 0
+        for pid, choice in human_actions.items():
+            if 1 <= pid <= self.lowered.P:
+                actions[slot, pid - 1] = int(choice)
+        new_state = self.engine.step(self.state, jnp.asarray(actions))
+        keep = np.zeros((self.capacity,), bool)
+        keep[slot] = True
+        keep_j = jnp.asarray(keep)
+        self.state = jax.tree_util.tree_map(
+            lambda new, old: jnp.where(
+                keep_j.reshape((-1,) + (1,) * (old.ndim - 1)), new, old
+            ),
+            new_state,
+            self.state,
+        )
+
+
+class GameHost:
+    """Rooms -> engine slots; human action queues; state/items projection."""
+
+    def __init__(self, games_path: Optional[str] = None):
+        self._lock = threading.RLock()
+        self._games_path = games_path or games_dir()
+        self._slots: dict[str, _GameSlots] = {}
+        self._rooms: dict[str, tuple[str, int]] = {}  # roomId -> (game, slot)
+        self._queues: dict[str, dict[int, int]] = {}  # roomId -> {pid: choice}
+        self._seeds = 0
+
+    # -- game catalog ----------------------------------------------------------
+
+    def list_games(self) -> list[dict[str, Any]]:
+        """Scan games/*.yaml (reference: src/app/api/games/route.ts:13-56)."""
+        out = []
+        for fn in sorted(os.listdir(self._games_path)):
+            if not fn.endswith((".yaml", ".yml")):
+                continue
+            try:
+                spec = load_game_spec(os.path.join(self._games_path, fn))
+            except Exception:
+                continue
+            out.append(
+                {
+                    "name": spec.name,
+                    "description": spec.declaration.description[:200],
+                    "isMultiplayer": spec.declaration.is_multiplayer,
+                    "minPlayers": spec.declaration.min_players,
+                    "filename": fn,
+                }
+            )
+        return out
+
+    def _game_slots(self, game_name: str) -> _GameSlots:
+        if game_name not in self._slots:
+            spec = None
+            for fn in sorted(os.listdir(self._games_path)):
+                if fn.endswith((".yaml", ".yml")):
+                    s = load_game_spec(os.path.join(self._games_path, fn))
+                    if s.name == game_name or game_name.lower() in s.name.lower():
+                        spec = s
+                        break
+            if spec is None:
+                raise KeyError(f"unknown game {game_name!r}")
+            self._slots[game_name] = _GameSlots(lower(compile_game(spec, GameConfig())))
+        return self._slots[game_name]
+
+    # -- room lifecycle ---------------------------------------------------------
+
+    def start_room(self, room_id: str, game_name: str, n_players: int,
+                   seed: Optional[int] = None) -> str:
+        with self._lock:
+            gs = self._game_slots(game_name)
+            self._seeds += 1
+            slot = gs.alloc(n_players, seed if seed is not None else self._seeds)
+            self._rooms[room_id] = (game_name, slot)
+            self._queues[room_id] = {}
+            return f"{game_name}:{slot}"
+
+    def end_room(self, room_id: str) -> None:
+        with self._lock:
+            game_name, slot = self._rooms.pop(room_id, (None, None))
+            self._queues.pop(room_id, None)
+            if game_name is not None:
+                self._slots[game_name].release(slot)
+
+    # -- play -------------------------------------------------------------------
+
+    def queue_action(self, room_id: str, player_id: int, choice: int) -> None:
+        """Async human input (vote click, text submit, chat-driven action)."""
+        with self._lock:
+            self._queues.setdefault(room_id, {})[int(player_id)] = int(choice)
+
+    def queue_vote(self, room_id: str, player_id: int, option_index: int) -> None:
+        """Vote by option index (1-based position in the rendered panel).
+
+        TARGET panels list alive players in id order, so option k maps to the
+        k-th alive player; OPTION panels map straight through.
+        """
+        with self._lock:
+            game_name, slot = self._rooms[room_id]
+            gs = self._game_slots(game_name)
+            lowered = gs.lowered
+            phase = int(gs.state.phase[slot])
+            kind = int(lowered.choice_kind[phase])
+            if kind == ChoiceKind.TARGET.value:
+                alive_slot = lowered.alive_bool
+                bools = np.asarray(gs.state.bools[slot])
+                present = np.asarray(gs.state.present[slot])
+                alive = present if alive_slot < 0 else (bools[:, alive_slot] & present)
+                ids = [p + 1 for p in range(len(alive)) if alive[p]]
+                if 1 <= option_index <= len(ids):
+                    choice = ids[option_index - 1]
+                else:
+                    choice = 0
+            else:
+                choice = option_index
+            self._queues.setdefault(room_id, {})[int(player_id)] = int(choice)
+
+    def step(self, room_id: str) -> dict[str, Any]:
+        """One game turn: merge queued human actions + bot policy, advance."""
+        with self._lock:
+            game_name, slot = self._rooms[room_id]
+            gs = self._game_slots(game_name)
+            q = self._queues.get(room_id, {})
+            self._queues[room_id] = {}
+            gs.step_slot(slot, q)
+            return self.snapshot(room_id)
+
+    def run_until_input_needed(self, room_id: str, max_steps: int = 64) -> dict[str, Any]:
+        """Advance until the human (player 1) must act or the game ends —
+        the 'Continue' button semantics without manual clicking through
+        bot-only phases."""
+        with self._lock:
+            game_name, slot = self._rooms[room_id]
+            gs = self._game_slots(game_name)
+            for _ in range(max_steps):
+                q = self._queues.get(room_id, {})
+                self._queues[room_id] = {}
+                gs.step_slot(slot, q)
+                if bool(gs.state.done[slot]):
+                    break
+                if self._human_must_act(gs, slot):
+                    break
+            return self.snapshot(room_id)
+
+    def _human_must_act(self, gs: _GameSlots, slot: int) -> bool:
+        from game_engine_tpu.core.step import PredEval
+
+        lowered = gs.lowered
+        phase = int(gs.state.phase[slot])
+        if not bool(lowered.phase_is_action[phase]):
+            return False
+        pe = PredEval(lowered, gs.state)
+        tgt = np.asarray(pe.pred(int(lowered.phase_target_pred[phase])))[slot]
+        acted = np.asarray(gs.state.acted[slot])
+        return bool(tgt[0] and not acted[0])
+
+    # -- projection ---------------------------------------------------------------
+
+    def snapshot(self, room_id: str, player_names: Optional[dict[int, str]] = None) -> dict[str, Any]:
+        with self._lock:
+            game_name, slot = self._rooms[room_id]
+            gs = self._game_slots(game_name)
+            snap = decode_room(gs.lowered, gs.state, slot, player_names)
+            snap["roomId"] = room_id
+            proj = gs.projectors[slot]
+            gs.items[slot] = proj.project(
+                snap, prev_items=gs.items[slot], prev_dead=gs.prev_dead[slot]
+            )
+            gs.prev_dead[slot] = list(snap.get("deadPlayers", []))
+            snap["items"] = [i.to_json() for i in gs.items[slot]]
+            return snap
+
+    def visible_state(self, room_id: str, viewer_id: int,
+                      player_names: Optional[dict[int, str]] = None) -> dict[str, Any]:
+        """AgentState filtered by the audience gate for one viewer."""
+        from game_engine_tpu.view.cards import visible_to, Item
+
+        snap = self.snapshot(room_id, player_names)
+        snap["items"] = [
+            it for it in snap["items"]
+            if visible_to(Item(id=it["id"], type=it["type"], name=it["name"],
+                               subtitle=it.get("subtitle", ""), data=it["data"]),
+                          str(viewer_id))
+        ]
+        return snap

@@ -1,0 +1,103 @@
+"""End-to-end host-service test: lobby REST flow + a full interactive
+werewolf game driven over HTTP (reference flow: SURVEY.md §3.1-3.3)."""
+
+import json
+import threading
+from http.client import HTTPConnection
+
+import pytest
+
+from game_engine_tpu.server.api import make_server
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = make_server(port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+def req(server, method, path, body=None):
+    conn = HTTPConnection("127.0.0.1", server.server_address[1], timeout=30)
+    payload = json.dumps(body) if body is not None else None
+    conn.request(method, path, body=payload, headers={"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    data = json.loads(resp.read())
+    conn.close()
+    return resp.status, data
+
+
+def test_game_catalog(server):
+    code, data = req(server, "GET", "/api/games")
+    assert code == 200
+    names = [g["name"] for g in data["games"]]
+    assert any("werewolf" in n for n in names)
+    assert any("two-truths" in n for n in names)
+
+
+def test_full_lobby_and_game_flow(server):
+    # create room (host = player 1, the human)
+    code, data = req(server, "POST", "/api/rooms/create",
+                     {"gameName": "werewolf", "playerName": "Alice"})
+    assert code == 200, data
+    room_id = data["room"]["roomId"]
+    assert data["player"]["id"] == 1 and data["player"]["isHost"]
+
+    # join a second human, then fill with bots to min_players
+    code, data = req(server, "POST", "/api/rooms/join",
+                     {"roomId": room_id, "playerName": "Bob"})
+    assert code == 200 and data["player"]["id"] == 2
+    code, data = req(server, "POST", "/api/rooms/add-bot", {"roomId": room_id})
+    assert code == 200 and data["playerCount"] == 4
+
+    # duplicate name rejected
+    code, _ = req(server, "POST", "/api/rooms/join",
+                  {"roomId": room_id, "playerName": "Bob"})
+    assert code == 400
+
+    # room listing shows it as joinable
+    code, data = req(server, "GET", "/api/rooms/list?game=werewolf-(mafia)")
+    assert code == 200 and any(r["roomId"] == room_id for r in data["rooms"])
+
+    # start: players initialized from the template, engine slot allocated
+    code, snap = req(server, "POST", f"/api/rooms/{room_id}/start", {"seed": 7})
+    assert code == 200, snap
+    assert snap["current_phase_id"] == 0
+    assert len(snap["player_states"]) == 4
+    assert snap["player_states"]["1"]["name"] == "Alice"
+    assert snap["player_states"]["2"]["name"] == "Bob"
+
+    # started rooms disappear from the joinable list
+    code, data = req(server, "GET", "/api/rooms/list?game=werewolf-(mafia)")
+    assert not any(r["roomId"] == room_id for r in data["rooms"])
+
+    # drive the game: continue until the human must act, then act, repeat
+    for _ in range(80):
+        code, snap = req(server, "POST", f"/api/rooms/{room_id}/continue")
+        assert code == 200, snap
+        if snap["done"]:
+            break
+        # the human (player 1) must act: pick the first legal option
+        phase = snap["current_phase_id"]
+        code, _ = req(server, "POST", f"/api/rooms/{room_id}/vote",
+                      {"playerId": 1, "option": 1})
+        assert code == 200
+    assert snap["done"], f"game did not finish: stuck at phase {snap['current_phase_id']}"
+    assert snap["winner"] in (1, 2)
+
+    # per-viewer visibility: the human's view hides other players' role cards
+    code, view1 = req(server, "GET", f"/api/rooms/{room_id}/state?playerId=1")
+    assert code == 200
+    for item in view1["items"]:
+        assert item["data"]["audience_type"] or "1" in item["data"]["audience_ids"]
+
+
+def test_room_errors(server):
+    code, _ = req(server, "GET", "/api/rooms/nonexistent")
+    assert code == 404
+    code, _ = req(server, "POST", "/api/rooms/create", {"gameName": "no-such-game"})
+    assert code == 404
+    code, _ = req(server, "POST", "/api/rooms/nonexistent/step")
+    assert code == 404
