@@ -1,0 +1,581 @@
+"""Deterministic DSL generator.
+
+The reference generates game DSLs with three sequential gpt-5 calls taking
+~10 minutes (reference: agent/dsl_agent.py:157-371, README.md:48). This
+module generates the same YAML contract deterministically (milliseconds)
+from a structured Blueprint covering the two social-game archetypes the
+engine's mechanics library executes:
+
+  * 'elimination' — hidden-roles night/day cycle (werewolf-like): an evil
+    team secretly eliminates, optional protector/investigator roles, day
+    plurality voting, team win conditions;
+  * 'rounds'      — speaker-rotation guess games (two-truths-like): a
+    rotating speaker submits content, others vote, guess scoring, fixed
+    rounds per player.
+
+``generate_from_description`` maps a free-text description onto a Blueprint
+by keyword; an external LLM can be plugged at that seam (``llm_hook``) where
+the reference called OpenAI — no network is required for the built-in path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Callable, Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class RoleDef:
+    name: str
+    team: str
+    night_action: str = ""  # '', 'kill', 'protect', 'investigate'
+    description: str = ""
+
+
+@dataclasses.dataclass(frozen=True)
+class Blueprint:
+    name: str
+    description: str
+    archetype: str  # 'elimination' | 'rounds'
+    min_players: int = 4
+    roles: tuple[RoleDef, ...] = ()
+    rounds_per_player: int = 1
+
+
+WEREWOLF_LIKE_ROLES = (
+    RoleDef("Civilian", "town", "", "No night action; votes during the day."),
+    RoleDef("Assassin", "assassins", "kill", "At night, chooses one target to eliminate."),
+    RoleDef("Guardian", "town", "protect", "At night, protects one player from elimination."),
+    RoleDef("Seer", "town", "investigate", "At night, investigates one player's alignment."),
+)
+
+
+def _tool_action(description: str, *tools: str) -> dict[str, Any]:
+    return {"description": description, "tools": list(tools)}
+
+
+def _ui_phase(name: str, description: str, actions: list[dict], next_phase) -> dict[str, Any]:
+    return {
+        "name": name,
+        "description": description,
+        "actions": actions,
+        "completion_criteria": {
+            "type": "UI_displayed",
+            "description": f"{name} has been displayed to all players.",
+        },
+        "next_phase": next_phase,
+    }
+
+
+def _action_phase(
+    name: str,
+    description: str,
+    actions: list[dict],
+    completion_desc: str,
+    wait_for: str,
+    target_desc: str,
+    condition: str,
+    next_phase,
+) -> dict[str, Any]:
+    return {
+        "name": name,
+        "description": description,
+        "actions": actions,
+        "completion_criteria": {
+            "type": "player_action",
+            "description": completion_desc,
+            "wait_for": wait_for,
+            "target_players": {"description": target_desc, "condition": condition},
+        },
+        "next_phase": next_phase,
+    }
+
+
+def _timer_phase(name: str, description: str, actions: list[dict], next_phase) -> dict[str, Any]:
+    return {
+        "name": name,
+        "description": description,
+        "actions": actions,
+        "completion_criteria": {"type": "timer", "description": "Discussion timer has expired."},
+        "next_phase": next_phase,
+    }
+
+
+# ---------------------------------------------------------------------------
+# elimination archetype
+# ---------------------------------------------------------------------------
+
+
+def _gen_elimination(bp: Blueprint) -> dict[str, Any]:
+    roles = bp.roles or WEREWOLF_LIKE_ROLES
+    killer = next(r for r in roles if r.night_action == "kill")
+    protector = next((r for r in roles if r.night_action == "protect"), None)
+    investigator = next((r for r in roles if r.night_action == "investigate"), None)
+    filler = next(r for r in roles if not r.night_action)
+    evil_team, good_team = killer.team, filler.team
+
+    fields = {
+        "name": {"type": "string", "example": "Player A", "description": "Public display name."},
+        "role": {"type": "string", "example": killer.name,
+                 "description": f"Player's hidden role ({', '.join(r.name for r in roles)})."},
+        "team": {"type": "string", "example": evil_team,
+                 "description": f"Faction alignment ('{good_team}' or '{evil_team}')."},
+        "is_alive": {"type": "boolean", "example": True,
+                     "description": "Whether the player is still in the game."},
+        "can_vote": {"type": "boolean", "example": True,
+                     "description": "Whether the player may vote during day voting."},
+        "night_action_eligible": {"type": "boolean", "example": True,
+                                  "description": "Whether the player can take a night action."},
+        "night_action_submitted": {"type": "boolean", "example": False,
+                                   "description": "Whether the player has submitted their night action."},
+        "selected_target_id": {"type": "num", "example": 2,
+                               "description": "Target player ID for this player's night action (0 if none)."},
+    }
+    if investigator:
+        fields["investigated_alignments"] = {
+            "type": "dict",
+            "example": {"2": good_team, "3": evil_team},
+            "description": "Investigator's private memory mapping player IDs to alignments.",
+        }
+    template = {
+        "name": "", "role": "", "team": "", "is_alive": True, "can_vote": True,
+        "night_action_eligible": False, "night_action_submitted": False,
+        "selected_target_id": 0,
+    }
+    if investigator:
+        template["investigated_alignments"] = {}
+
+    def example_row(name, role):
+        row = dict(template)
+        row.update(
+            name=name, role=role.name, team=role.team,
+            night_action_eligible=bool(role.night_action),
+        )
+        return row
+
+    players_example = {
+        str(i + 1): example_row(nm, r)
+        for i, (nm, r) in enumerate(zip(["Alpha", "Beta", "Gamma", "Delta"], roles))
+    }
+
+    tools = [
+        "clearCanvas", "createPhaseIndicator", "createTextDisplay", "createAvatarSet",
+        "createVotingPanel", "createResultDisplay", "createTimer", "markPlayerDead",
+        "createDeathMarker", "createCharacterCard",
+    ]
+
+    def night_phase(idx, role, first, nxt):
+        prefix = "First Night" if first else "Night"
+        if role.night_action == "kill":
+            nm = f"{prefix} — {role.name}s Choose Target"
+            desc = f"Alive {role.name}s privately choose a target to eliminate; others wait."
+            comp = ("Votes/choices have been received from all alive "
+                    f"{role.name}s, and relevant player state (player_states) has been "
+                    "updated (night_action_submitted=true, selected_target_id set).")
+            wait = "multiple_players_action"
+        elif role.night_action == "protect":
+            nm = f"{prefix} — {role.name} Protects"
+            desc = f"The {role.name} privately chooses one player to protect from elimination this night."
+            comp = (f"{role.name} has submitted a protection target and relevant player state "
+                    "(player_states) has been updated (night_action_submitted=true, "
+                    "selected_target_id set).")
+            wait = "single_player_choice"
+        else:
+            nm = f"{prefix} — {role.name} Investigates"
+            desc = f"The {role.name} privately investigates one player to learn their alignment."
+            comp = (f"{role.name} has selected an investigation target and relevant player state "
+                    "(player_states) has been updated (night_action_submitted=true, "
+                    "investigated_alignments updated).")
+            wait = "single_player_choice"
+        return _action_phase(
+            nm, desc,
+            [
+                _tool_action("Clear previous UI; exempt death markers", "clearCanvas"),
+                _tool_action(f"TIER 1 - PUBLIC: Create night phase indicator ({nm})",
+                             "createPhaseIndicator"),
+                _tool_action(f"TIER 2 - GROUP: Show waiting message to all players except the {role.name}",
+                             "createTextDisplay"),
+                _tool_action(f"TIER 2 - GROUP: Create private voting panel for the {role.name} "
+                             "to choose an alive target", "createVotingPanel"),
+            ],
+            comp, wait, f"Alive {role.name}s",
+            f"player.role == '{role.name}' and player.is_alive == true",
+            nxt,
+        )
+
+    night_roles = [r for r in (killer, protector, investigator) if r is not None]
+
+    phases: dict[int, dict] = {}
+    phases[0] = _ui_phase(
+        "Game Introduction",
+        "Introduce the game's rules, roles, and night/day flow to all players.",
+        [
+            _tool_action("Clear all previous UI elements", "clearCanvas"),
+            _tool_action("Create public phase indicator", "createPhaseIndicator"),
+            _tool_action("Display rules and win conditions", "createTextDisplay"),
+            _tool_action("Create avatar set overlay for all players", "createAvatarSet"),
+        ],
+        {"id": 1, "name": "Role Assignment"},
+    )
+    phases[1] = _ui_phase(
+        "Role Assignment",
+        "Randomly assign roles to players and privately display each player's role card.",
+        [
+            _tool_action("Clear introduction UI", "clearCanvas"),
+            _tool_action("TIER 1 - PUBLIC: Create phase indicator", "createPhaseIndicator"),
+            _tool_action("TIER 3 - INDIVIDUAL: Create personal role card for each player",
+                         "createCharacterCard"),
+        ],
+        {"id": 2, "name": "night-0"},
+    )
+    # deterministic id plan (werewolf-shaped):
+    #   cycle 1: nights N1=[2..2+K-1], morning M1, discussion D1, voting V1,
+    #            results R1, win-check W
+    #   cycle 2: nights N2=[W+1..W+K], morning M2 -> W, discussion D2,
+    #            voting V2, results R2 -> W
+    K = len(night_roles)
+    N1 = 2
+    M1 = N1 + K
+    D1, V1, R1, W = M1 + 1, M1 + 2, M1 + 3, M1 + 4
+    N2 = W + 1
+    M2 = N2 + K
+    D2, V2, R2 = M2 + 1, M2 + 2, M2 + 3
+
+    def morning_phase(name, nxt):
+        return _ui_phase(
+            name,
+            "Resolve the night: apply the kill attempt versus protection, then announce "
+            "any eliminations to all players.",
+            [
+                _tool_action("Clear night UI; exempt death markers so they persist", "clearCanvas"),
+                _tool_action("TIER 1 - PUBLIC: Create morning phase indicator", "createPhaseIndicator"),
+                _tool_action("TIER 1 - PUBLIC: Display elimination announcement", "createResultDisplay"),
+                _tool_action("If a player was eliminated overnight, mark them dead",
+                             "markPlayerDead", "createDeathMarker"),
+            ],
+            nxt,
+        )
+
+    def discussion_phase(name, nxt):
+        return _timer_phase(
+            name, "Open discussion among all players before voting.",
+            [
+                _tool_action("Clear morning UI; exempt death markers", "clearCanvas"),
+                _tool_action("TIER 1 - PUBLIC: Create day discussion phase indicator",
+                             "createPhaseIndicator"),
+                _tool_action("TIER 1 - PUBLIC: Start a discussion timer", "createTimer"),
+            ],
+            nxt,
+        )
+
+    def voting_phase(name, nxt):
+        return _action_phase(
+            name, "All eligible (alive) players vote to eliminate one player.",
+            [
+                _tool_action("Clear discussion UI; exempt death markers", "clearCanvas"),
+                _tool_action("TIER 1 - PUBLIC: Create day voting phase indicator",
+                             "createPhaseIndicator"),
+                _tool_action("TIER 2 - GROUP: Create voting panel for all eligible voters",
+                             "createVotingPanel"),
+            ],
+            "All eligible voters have cast their votes and relevant player state "
+            "(player_states) has been updated with voting selections.",
+            "multiple_players_action", "All eligible voters",
+            "player.can_vote == true and player.is_alive == true",
+            nxt,
+        )
+
+    def results_phase(nxt):
+        return _ui_phase(
+            "Announce Day Voting Results",
+            "Announce the player selected for elimination by day vote and update their status.",
+            [
+                _tool_action("Clear voting UI; exempt death markers", "clearCanvas"),
+                _tool_action("TIER 1 - PUBLIC: Display the eliminated player", "createResultDisplay"),
+                _tool_action("Mark the eliminated player dead", "markPlayerDead", "createDeathMarker"),
+            ],
+            nxt,
+        )
+
+    for i, r in enumerate(night_roles):
+        nxt1 = {"id": N1 + i + 1, "name": "next"} if i + 1 < K else {"id": M1, "name": "Morning"}
+        nxt2 = {"id": N2 + i + 1, "name": "next"} if i + 1 < K else {"id": M2, "name": "Morning"}
+        phases[N1 + i] = night_phase(i, r, True, nxt1)
+        phases[N2 + i] = night_phase(i, r, False, nxt2)
+    phases[1]["next_phase"] = {"id": N1, "name": phases[N1]["name"]}
+    phases[M1] = morning_phase("First Morning — Announce Night Results",
+                               {"id": D1, "name": "First Day Discussion"})
+    phases[D1] = discussion_phase("First Day Discussion", {"id": V1, "name": "First Day Voting"})
+    phases[V1] = voting_phase("First Day Voting", {"id": R1, "name": "Results"})
+    phases[R1] = results_phase({"id": W, "name": "Check Win Conditions"})
+    phases[M2] = morning_phase("Morning — Announce Night Results",
+                               {"id": W, "name": "Check Win Conditions"})
+    phases[D2] = discussion_phase("Day Discussion", {"id": V2, "name": "Day Voting"})
+    phases[V2] = voting_phase("Day Voting", {"id": R2, "name": "Results"})
+    phases[R2] = results_phase({"id": W, "name": "Check Win Conditions"})
+    phases[W] = {
+        "name": "Check Win Conditions",
+        "description": "Evaluate whether either side has won after the latest elimination.",
+        "actions": [
+            _tool_action("Prepare routing by evaluating living team counts", "clearCanvas"),
+            _tool_action("TIER 1 - PUBLIC: Display status while win conditions are evaluated",
+                         "createTextDisplay"),
+        ],
+        "completion_criteria": {
+            "type": "UI_displayed",
+            "description": "Win condition evaluation prepared.",
+        },
+        "next_phase": {
+            f"If no living {killer.name}s remain (all {killer.name.lower()}s eliminated)": {
+                "id": 99, "name": "Game Over"},
+            f"If living {killer.name}s are equal to or outnumber living {filler.name}s": {
+                "id": 99, "name": "Game Over"},
+            "If this check follows a day elimination and the game continues": {
+                "id": N2, "name": phases[N2]["name"]},
+            "If this check follows a night resolution and the game continues": {
+                "id": D2, "name": "Day Discussion"},
+        },
+    }
+    phases[99] = _ui_phase(
+        "Game Over — Final Results",
+        "Display the final outcome based on win conditions and close the game.",
+        [
+            _tool_action("Clear non-persistent UI; exempt death markers", "clearCanvas"),
+            _tool_action("TIER 1 - PUBLIC: Display the winning side", "createResultDisplay"),
+        ],
+        None,
+    )
+
+    groups = {
+        killer.team: {
+            "description": f"Alive players aligned with the {killer.team} faction.",
+            "selection_criteria": f"player.team == '{killer.team}' and player.is_alive == true",
+        },
+        good_team: {
+            "description": f"Alive players aligned with {good_team}.",
+            "selection_criteria": f"player.team == '{good_team}' and player.is_alive == true",
+        },
+        "alive_players": {
+            "description": "All players who are alive.",
+            "selection_criteria": "player.is_alive == true",
+        },
+    }
+
+    return {
+        "declaration": {
+            "description": bp.description,
+            "is_multiplayer": True,
+            "min_players": bp.min_players,
+            "roles": [{"name": r.name, "description": r.description} for r in roles],
+            "player_states": fields,
+            "player_states_template": {"player_states": {"1": template}},
+            "players_example": {"tools": tools, "player_states": players_example},
+            "audience_groups": groups,
+        },
+        "phases": phases,
+    }
+
+
+# ---------------------------------------------------------------------------
+# rounds archetype
+# ---------------------------------------------------------------------------
+
+
+def _gen_rounds(bp: Blueprint) -> dict[str, Any]:
+    fields = {
+        "name": {"type": "string", "example": "Alex", "description": "Player's display name."},
+        "is_speaker": {"type": "boolean", "example": True,
+                       "description": "Whether this player is the current speaker."},
+        "statements": {"type": "dict", "example": {"1": "A story.", "2": "Another story.", "3": "A third story."},
+                       "description": "Content provided by the player when they are the speaker."},
+        "statements_submitted": {"type": "boolean", "example": True,
+                                 "description": "True after the speaker has provided their content."},
+        "lie_index": {"type": "num", "example": 2,
+                      "description": "Which statement (1-3) is the secret. Private to the speaker."},
+        "lie_revealed": {"type": "boolean", "example": False,
+                         "description": "Whether the secret has been revealed."},
+        "can_vote": {"type": "boolean", "example": True,
+                     "description": "Whether this player may vote this round."},
+        "vote_choice": {"type": "num", "example": 2,
+                        "description": "The statement number (1-3) this player selected. 0 if not yet voted."},
+        "has_voted": {"type": "boolean", "example": True,
+                      "description": "Whether this player has cast their vote this round."},
+        "total_score": {"type": "num", "example": 3,
+                        "description": "Cumulative points across rounds."},
+        "rounds_as_speaker": {"type": "num", "example": 0,
+                              "description": "Number of completed speaking turns across all rounds."},
+    }
+    template = {
+        "name": "", "is_speaker": False, "statements": {}, "statements_submitted": False,
+        "lie_index": 0, "lie_revealed": False, "can_vote": True, "vote_choice": 0,
+        "has_voted": False, "total_score": 0, "rounds_as_speaker": 0,
+    }
+    tools = [
+        "clearCanvas", "createPhaseIndicator", "createTextDisplay", "createAvatarSet",
+        "createScoreBoard", "createTurnIndicator", "createTextInputPanel",
+        "createVotingPanel", "createStatementBoard", "createTimer", "createResultDisplay",
+    ]
+    phases = {
+        0: _ui_phase(
+            "Game Introduction", "Introduce the rules, scoring, and turn rotation.",
+            [
+                _tool_action("Clear all previous UI elements", "clearCanvas"),
+                _tool_action("Create phase indicator for introduction", "createPhaseIndicator"),
+                _tool_action("Display game rules and scoring", "createTextDisplay"),
+                _tool_action("Create player avatar set", "createAvatarSet"),
+                _tool_action("Create initial scoreboard", "createScoreBoard"),
+            ],
+            {"id": 1, "name": "Round Start"},
+        ),
+        1: _ui_phase(
+            "Round Start",
+            "Select/confirm the current speaker, reset round voting eligibility, and brief players.",
+            [
+                _tool_action("Clear previous UI, exempt persistent scoreboard", "clearCanvas"),
+                _tool_action("Create phase indicator for round start", "createPhaseIndicator"),
+                _tool_action("Create turn indicator highlighting the current speaker",
+                             "createTurnIndicator"),
+            ],
+            {"id": 2, "name": "Content Collection"},
+        ),
+        2: _action_phase(
+            "Content Collection", "Current speaker privately submits their content for the round.",
+            [
+                _tool_action("Clear previous UI preserving scoreboard", "clearCanvas"),
+                _tool_action("Create phase indicator", "createPhaseIndicator"),
+                _tool_action("Create private text input for the speaker", "createTextInputPanel"),
+            ],
+            "Speaker has submitted content, and relevant player state (player_states) "
+            "has been updated (statements set, statements_submitted=true).",
+            "single_player_choice", "The current speaker", "player.is_speaker == true",
+            {"id": 3, "name": "Secret Selection"},
+        ),
+        3: _action_phase(
+            "Secret Selection", "Speaker privately picks which statement (1-3) is the secret.",
+            [
+                _tool_action("Clear previous UI, exempt scoreboard", "clearCanvas"),
+                _tool_action("Create phase indicator", "createPhaseIndicator"),
+                _tool_action("Create private voting panel for the speaker (options 1,2,3)",
+                             "createVotingPanel"),
+            ],
+            "Speaker has selected the secret via voting panel, and relevant player state "
+            "(player_states) has been updated (lie_index set).",
+            "single_player_choice", "The current speaker", "player.is_speaker == true",
+            {"id": 4, "name": "Discussion"},
+        ),
+        4: _timer_phase(
+            "Discussion", "Display the content to all players and allow open discussion.",
+            [
+                _tool_action("Clear previous UI, preserve scoreboard", "clearCanvas"),
+                _tool_action("Create phase indicator", "createPhaseIndicator"),
+                _tool_action("Display the statements to all players", "createStatementBoard"),
+                _tool_action("Create discussion timer", "createTimer"),
+            ],
+            {"id": 5, "name": "Voting Phase"},
+        ),
+        5: _action_phase(
+            "Voting Phase", "All eligible non-speaker players vote on which statement (1-3) is the secret.",
+            [
+                _tool_action("Clear discussion UI, exempt scoreboard", "clearCanvas"),
+                _tool_action("Create phase indicator", "createPhaseIndicator"),
+                _tool_action("Create voting panel for eligible voters", "createVotingPanel"),
+            ],
+            "Votes have been received from all eligible voters and relevant player state "
+            "(player_states) has been updated (has_voted=true, vote_choice set).",
+            "multiple_players_action", "All eligible voters (non-speakers)",
+            "player.is_speaker == false and player.can_vote == true",
+            {"id": 6, "name": "Reveal Phase"},
+        ),
+        6: _ui_phase(
+            "Reveal Phase", "Reveal the secret statement to all players (lie_revealed set to true).",
+            [
+                _tool_action("Clear voting UI, preserve scoreboard", "clearCanvas"),
+                _tool_action("Create phase indicator", "createPhaseIndicator"),
+                _tool_action("Display statements highlighting the secret", "createStatementBoard"),
+                _tool_action("Show public reveal announcement", "createResultDisplay"),
+            ],
+            {"id": 7, "name": "Scoring Update"},
+        ),
+        7: _ui_phase(
+            "Scoring Update", "Tally points for correct guesses and speaker deception; update the scoreboard.",
+            [
+                _tool_action("Clear reveal UI", "clearCanvas"),
+                _tool_action("Create phase indicator", "createPhaseIndicator"),
+                _tool_action("Create updated scoreboard", "createScoreBoard"),
+            ],
+            {"id": 8, "name": "Check Round Progress"},
+        ),
+        8: {
+            "name": "Check Round Progress",
+            "description": "Evaluate whether all players have completed the agreed number of "
+                           "speaking turns; otherwise continue to the next speaker.",
+            "actions": [
+                _tool_action("Clear scoring UI preserving scoreboard", "clearCanvas"),
+                _tool_action("Create phase indicator", "createPhaseIndicator"),
+                _tool_action("Display speaker rotation status", "createTextDisplay"),
+            ],
+            "completion_criteria": {
+                "type": "UI_displayed",
+                "description": "Round progress has been evaluated.",
+            },
+            "next_phase": {
+                "If all players have completed the agreed number of speaking turns": {
+                    "id": 99, "name": "Game Over"},
+                "Otherwise, continue to the next speaker's turn": {"id": 1, "name": "Round Start"},
+            },
+        },
+        99: _ui_phase(
+            "Game Over — Final Results", "Display the final standings and congratulate the winner.",
+            [
+                _tool_action("Clear previous UI elements", "clearCanvas"),
+                _tool_action("Create final scoreboard", "createScoreBoard"),
+                _tool_action("Create celebratory final result display", "createResultDisplay"),
+            ],
+            None,
+        ),
+    }
+    return {
+        "declaration": {
+            "description": bp.description,
+            "is_multiplayer": True,
+            "min_players": max(bp.min_players, 3),
+            "player_states": fields,
+            "player_states_template": {"player_states": {"1": template}},
+            "players_example": {"tools": tools, "player_states": {"1": {**template, "name": "Alex", "is_speaker": True}}},
+        },
+        "phases": phases,
+    }
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+
+def generate(bp: Blueprint) -> dict[str, Any]:
+    if bp.archetype == "elimination":
+        return _gen_elimination(bp)
+    if bp.archetype == "rounds":
+        return _gen_rounds(bp)
+    raise ValueError(f"unknown archetype {bp.archetype!r}")
+
+
+_ELIM_WORDS = re.compile(
+    r"\b(eliminat\w+|kill|night|hidden role|mafia|impostor|assassin|deduction|werewol\w+)\b",
+    re.IGNORECASE,
+)
+
+
+def generate_from_description(
+    name: str,
+    description: str,
+    llm_hook: Optional[Callable[[str, str], dict]] = None,
+) -> dict[str, Any]:
+    """Free-text description -> DSL doc. ``llm_hook(name, description)`` can
+    override with an external model (the seam where the reference called
+    gpt-5); the built-in path is keyword archetype selection."""
+    if llm_hook is not None:
+        return llm_hook(name, description)
+    archetype = "elimination" if _ELIM_WORDS.search(description) else "rounds"
+    return generate(Blueprint(name=name, description=description, archetype=archetype))

@@ -1,0 +1,100 @@
+"""DSL generation + validation: shipped games validate clean; generated
+games validate, compile, and run end-to-end with oracle/engine parity."""
+
+import numpy as np
+import pytest
+
+from game_engine_tpu.core.engine import BatchedEngine, scripted_actions
+from game_engine_tpu.core.state import init_state
+from game_engine_tpu.dslgen.generate import Blueprint, generate, generate_from_description
+from game_engine_tpu.dslgen.validate import errors, validate_doc, validate_spec
+from game_engine_tpu.gamespec.compile import compile_game
+from game_engine_tpu.gamespec.parser import parse_game_spec
+from game_engine_tpu.gamespec.tables import lower
+from game_engine_tpu.oracle.interp import OracleRoom
+from game_engine_tpu.policies.scripted import oracle_policy
+from tests.test_parity import assert_state_matches
+
+
+def test_shipped_games_validate(werewolf_spec, twotruths_spec):
+    for spec in (werewolf_spec, twotruths_spec):
+        issues = validate_spec(spec)
+        assert not errors(issues), [str(i) for i in errors(issues)]
+
+
+def test_validator_catches_structural_errors():
+    bad = {
+        "declaration": {"player_states": {}},
+        "phases": {
+            "1": {"name": "Orphan", "next_phase": {"id": 2, "name": "Loop"}},
+            "2": {"name": "Loop", "next_phase": {"id": 1, "name": "Orphan"}},
+        },
+    }
+    issues, spec = validate_doc(bad)
+    msgs = " | ".join(str(i) for i in issues)
+    assert "phase 0" in msgs
+    assert "no terminal phase" in msgs
+    assert "cannot reach any terminal" in msgs
+
+
+def test_validator_flags_bad_predicates():
+    doc = {
+        "declaration": {
+            "player_states": {"is_alive": {"type": "boolean"}},
+            "audience_groups": {
+                "broken": {"selection_criteria": "player.x ==  "},
+            },
+        },
+        "phases": {
+            0: {"name": "Intro", "actions": [{"description": "clear", "tools": ["clearCanvas"]}],
+                "completion_criteria": {"type": "UI_displayed"}, "next_phase": {"id": 99, "name": "End"}},
+            99: {"name": "End", "actions": [{"description": "clear", "tools": ["clearCanvas"]}],
+                 "completion_criteria": {"type": "UI_displayed"}, "next_phase": None},
+        },
+    }
+    issues, _ = validate_doc(doc)
+    assert any("selection_criteria" in str(i) for i in errors(issues))
+
+
+@pytest.mark.parametrize("archetype", ["elimination", "rounds"])
+def test_generated_game_validates_and_compiles(archetype):
+    doc = generate(Blueprint(name=f"gen-{archetype}", description="x", archetype=archetype))
+    issues, spec = validate_doc(doc, name=f"gen-{archetype}")
+    assert spec is not None
+    assert not errors(issues), [str(i) for i in errors(issues)]
+    compile_game(spec)
+
+
+def test_generated_elimination_runs_with_parity():
+    doc = generate_from_description(
+        "assassins", "A hidden-role night elimination deduction game with assassins."
+    )
+    spec = parse_game_spec(doc, name="assassins")
+    lowered = lower(compile_game(spec))
+    eng = BatchedEngine(lowered)
+    for seed in (0, 3):
+        room = OracleRoom(lowered.game, n_players=5, seed=seed)
+        state = init_state(lowered, 1, 5, np.uint32(seed))
+        for t in range(300):
+            room.step(oracle_policy(room, t, seed))
+            state = eng.step(state, scripted_actions(lowered, state))
+            assert_state_matches(lowered, room, state, 0, t)
+            if room.done:
+                break
+        assert room.done
+        roles = room.field_values("role")
+        assert roles.count("Assassin") == 1
+        assert room.winner in (1, 2)
+
+
+def test_generated_rounds_runs_to_completion():
+    doc = generate_from_description("storytime", "A turn-based storytelling guessing party game.")
+    spec = parse_game_spec(doc, name="storytime")
+    lowered = lower(compile_game(spec))
+    room = OracleRoom(lowered.game, n_players=4, seed=1)
+    for t in range(300):
+        room.step(oracle_policy(room, t, 1))
+        if room.done:
+            break
+    assert room.done
+    assert all(r == 1 for r in room.field_values("rounds_as_speaker"))
