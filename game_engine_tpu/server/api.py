@@ -8,6 +8,8 @@ Routes (reference: SURVEY.md §2.4, src/app/api/*):
   GET  /api/rooms/list?game=...        joinable rooms
   GET  /api/rooms/<roomId>             room + players
   POST /api/rooms/<roomId>/start       initialize players + engine slot
+  POST /api/rooms/<roomId>/chat        {playerId, message}  -> msg + bot reply
+  GET  /api/rooms/<roomId>/chat?playerId=N  visible chat messages
   POST /api/rooms/<roomId>/action      {playerId, choice}   (queue)
   POST /api/rooms/<roomId>/vote        {playerId, option}   (queue, panel index)
   POST /api/rooms/<roomId>/step        advance one turn
@@ -107,6 +109,14 @@ class AppContext:
                     return 200, self.host.visible_state(room_id, viewer, names)
                 if room.status != "playing":
                     return 409, {"error": "room not started"}
+                if method == "POST" and action == "chat":
+                    msgs = self.host.post_chat(
+                        room_id, int(body["playerId"]), str(body["message"]), names
+                    )
+                    return 200, {"messages": msgs}
+                if method == "GET" and action == "chat":
+                    viewer = int(query.get("playerId", ["1"])[0])
+                    return 200, {"messages": self.host.chat_messages(room_id, viewer)}
                 if method == "POST" and action == "action":
                     self.host.queue_action(room_id, int(body["playerId"]), int(body["choice"]))
                     return 200, {"queued": True}

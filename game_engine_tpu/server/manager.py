@@ -101,6 +101,7 @@ class GameHost:
         self._slots: dict[str, _GameSlots] = {}
         self._rooms: dict[str, tuple[str, int]] = {}  # roomId -> (game, slot)
         self._queues: dict[str, dict[int, int]] = {}  # roomId -> {pid: choice}
+        self._chats: dict[str, Any] = {}
         self._seeds = 0
 
     # -- game catalog ----------------------------------------------------------
@@ -147,17 +148,47 @@ class GameHost:
         with self._lock:
             gs = self._game_slots(game_name)
             self._seeds += 1
-            slot = gs.alloc(n_players, seed if seed is not None else self._seeds)
+            real_seed = seed if seed is not None else self._seeds
+            slot = gs.alloc(n_players, real_seed)
             self._rooms[room_id] = (game_name, slot)
             self._queues[room_id] = {}
+            from game_engine_tpu.server.chat import ChatRoom
+
+            self._chats[room_id] = ChatRoom(room_id, seed=real_seed)
             return f"{game_name}:{slot}"
 
     def end_room(self, room_id: str) -> None:
         with self._lock:
             game_name, slot = self._rooms.pop(room_id, (None, None))
             self._queues.pop(room_id, None)
+            self._chats.pop(room_id, None)
             if game_name is not None:
                 self._slots[game_name].release(slot)
+
+    # -- chat ---------------------------------------------------------------------
+
+    def post_chat(self, room_id: str, player_id: int, text: str,
+                  player_names: Optional[dict[int, str]] = None) -> list[dict[str, Any]]:
+        """Append a chat message and generate the bot reply; returns the new
+        messages (reference flow: page.tsx:321-351 -> ChatBotNode)."""
+        with self._lock:
+            chat = self._chats[room_id]
+            names = player_names or {}
+            sender_name = names.get(player_id, f"Player {player_id}")
+            msg = chat.post(player_id, sender_name, text)
+            game_name, slot = self._rooms[room_id]
+            gs = self._game_slots(game_name)
+            snap = decode_room(gs.lowered, gs.state, slot, names)
+            reply = chat.bot_reply(player_id, sender_name, text, snap)
+            out = [msg.to_json()]
+            if reply is not None:
+                out.append(reply.to_json())
+            return out
+
+    def chat_messages(self, room_id: str, viewer_id: int) -> list[dict[str, Any]]:
+        with self._lock:
+            chat = self._chats.get(room_id)
+            return [m.to_json() for m in chat.visible(viewer_id)] if chat else []
 
     # -- play -------------------------------------------------------------------
 
