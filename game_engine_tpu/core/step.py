@@ -128,11 +128,40 @@ def _alive(lowered: Lowered, state: GameState) -> jax.Array:
     return state.present
 
 
+# Per-element gathers along the tiny player axis lower to very slow code on
+# TPU (dynamic-index gather over a 128-padded minor dim). P is static and
+# small, so all player indexing is done as one-hot contractions instead —
+# pure elementwise + reduce, which the VPU eats for free.
+
+
+def _player_onehot(idx0: jax.Array, P: int) -> jax.Array:
+    """(..., P) bool one-hot of a 0-based player index; out-of-range -> all-false."""
+    return idx0[..., None] == jnp.arange(P, dtype=jnp.int32)
+
+
 def _take_player(arr: jax.Array, idx: jax.Array) -> jax.Array:
-    """Gather along the player axis: arr (B, P[, ...]), idx (B,) -> (B[, ...])."""
-    idxc = jnp.clip(idx, 0, arr.shape[1] - 1)
-    expand = idxc.reshape(idxc.shape + (1,) * (arr.ndim - 1))
-    return jnp.take_along_axis(arr, expand, axis=1).squeeze(1)
+    """arr (B, P), idx (B,) 0-based -> arr[b, idx[b]] (0/False when out of range)."""
+    oh = _player_onehot(idx, arr.shape[1])
+    if arr.dtype == jnp.bool_:
+        return jnp.any(arr & oh, axis=-1)
+    return jnp.sum(jnp.where(oh, arr, 0), axis=-1)
+
+
+def _gather_by_choice(vals: jax.Array, choice: jax.Array) -> jax.Array:
+    """vals (B, P), choice (B, P) 1-based -> out[b, p] = vals[b, choice[b,p]-1]."""
+    oh = _player_onehot(choice - 1, vals.shape[1])  # (B, P, P)
+    if vals.dtype == jnp.bool_:
+        return jnp.any(oh & vals[:, None, :], axis=-1)
+    return jnp.sum(jnp.where(oh, vals[:, None, :], 0), axis=-1)
+
+
+def _select_slot(bank: jax.Array, slot: jax.Array) -> jax.Array:
+    """bank (B, P, S), slot (B,) static-small S -> (B, P) unrolled select."""
+    S = bank.shape[-1]
+    out = jnp.zeros(bank.shape[:-1], bank.dtype)
+    for s in range(S):
+        out = jnp.where((slot == s)[:, None], bank[..., s], out)
+    return out
 
 
 def _plurality(choice: jax.Array, mask: jax.Array, P: int):
@@ -141,7 +170,7 @@ def _plurality(choice: jax.Array, mask: jax.Array, P: int):
     Returns (target_id (B,), any_votes (B,)). jnp.argmax picks the first
     (= lowest-id) maximum, matching the oracle's counts.index(max).
     """
-    oh = jax.nn.one_hot(jnp.clip(choice - 1, 0, P - 1), P, dtype=jnp.int32)
+    oh = _player_onehot(choice - 1, P).astype(jnp.int32)
     counts = jnp.sum(oh * mask[..., None].astype(jnp.int32), axis=1)  # (B, P)
     best = jnp.max(counts, axis=1)
     tgt = jnp.argmax(counts, axis=1).astype(jnp.int32) + 1
@@ -149,8 +178,15 @@ def _plurality(choice: jax.Array, mask: jax.Array, P: int):
 
 
 def _phase_mask_lookup(mask_np: np.ndarray, idx: jax.Array) -> jax.Array:
-    """Index an (NP+1,) numpy mask by a (dense index, -1 allowed) array."""
-    return jnp.take(jnp.asarray(mask_np), idx + 1)
+    """Membership of a (dense index, -1 allowed) array in a static phase set.
+
+    Unrolled equality ORs over the (few) set members — avoids a dynamic
+    gather entirely."""
+    members = np.nonzero(mask_np)[0] - 1  # back to dense indices
+    out = jnp.zeros(idx.shape, bool)
+    for m in members:
+        out = out | (idx == int(m))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -167,7 +203,7 @@ def _mech_role_assign(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LRo
     rank = jnp.argsort(order, axis=1, stable=True).astype(jnp.int32)  # perm[player]
     n = jnp.sum(st.present, axis=1, dtype=jnp.int32)
     codes_rows = jnp.take(jnp.asarray(m.role_codes_by_n), n, axis=0)  # (B, P)
-    role_code = jnp.take_along_axis(codes_rows, rank, axis=1)  # (B, P)
+    role_code = _gather_by_choice(codes_rows, rank + 1)  # (B, P)
 
     wmask = active[:, None] & st.present
     strs = st.strs.at[..., m.role_str_slot].set(
@@ -209,7 +245,7 @@ def _mech_night_resolve(lw: Lowered, st: GameState, pe: PredEval, active, m: T.L
     do_kill = active & any_k & (kill != protect) & kill_alive
     bools = st.bools
     if lw.alive_bool >= 0:
-        death = jax.nn.one_hot(jnp.clip(kill - 1, 0, P - 1), P, dtype=bool) & do_kill[:, None]
+        death = _player_onehot(kill - 1, P) & do_kill[:, None]
         bools = bools.at[..., lw.alive_bool].set(bools[..., lw.alive_bool] & ~death)
     st = st._replace(bools=bools)
     return _reset_fields(
@@ -224,7 +260,7 @@ def _mech_vote_elim(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LVote
     do = active & any_v
     bools = st.bools
     if lw.alive_bool >= 0:
-        death = jax.nn.one_hot(jnp.clip(tgt - 1, 0, P - 1), P, dtype=bool) & do[:, None]
+        death = _player_onehot(tgt - 1, P) & do[:, None]
         bools = bools.at[..., lw.alive_bool].set(bools[..., lw.alive_bool] & ~death)
     return st._replace(bools=bools)
 
@@ -407,7 +443,7 @@ def make_step(lowered: Lowered):
         # --- action legality (P1/P2) ---
         c = actions.astype(jnp.int32)
         alive = _alive(lowered, state)
-        tgt_alive = jnp.take_along_axis(alive, jnp.clip(c - 1, 0, P - 1), axis=1)
+        tgt_alive = _gather_by_choice(alive, c)  # all-false when c out of range
         in_players = (c >= 1) & (c <= P)
         target_ok = in_players & tgt_alive
         hi = jnp.where(kmax > 0, kmax, n_present)[:, None]
@@ -446,18 +482,19 @@ def make_step(lowered: Lowered):
         pd_slot = jnp.take(c_rec_pd, ph)  # (B,)
         pd_src = jnp.take(c_rec_pd_src, ph)
         NPD = state.pdict.shape[2]
-        tgt_strs = jnp.take_along_axis(state.strs, jnp.clip(c - 1, 0, P - 1)[..., None], axis=1)
-        src_val = jnp.take_along_axis(
-            tgt_strs, jnp.clip(pd_src, 0, state.strs.shape[-1] - 1)[:, None, None], axis=2
-        )[..., 0]  # (B, P)
+        # target's value of the per-room source slot (unrolled selects —
+        # dynamic player-axis gathers are pathologically slow on TPU)
+        src_bank = _select_slot(state.strs, pd_src)  # (B, P)
+        src_val = _gather_by_choice(src_bank, c)  # (B, P) target's code
         # translate source string codes into the pdict field's value vocab
         trans_rows = jnp.take(jnp.asarray(lowered.rec_pdict_trans), ph, axis=0)  # (B, MAXV)
-        src_val = jnp.take_along_axis(
-            trans_rows, jnp.clip(src_val, 0, trans_rows.shape[1] - 1), axis=1
-        )
-        src_val = jnp.where(pd_src[:, None] >= 0, src_val, 0)
+        MAXV = trans_rows.shape[1]
+        src_tr = jnp.zeros_like(src_val)
+        for v in range(MAXV):
+            src_tr = jnp.where(src_val == v, trans_rows[:, v][:, None], src_tr)
+        src_val = jnp.where(pd_src[:, None] >= 0, src_tr, 0)
         pd_oh = jax.nn.one_hot(pd_slot, NPD, dtype=bool)[:, None, :, None]  # (B,1,NPD,1)
-        tgt_oh = jax.nn.one_hot(jnp.clip(c - 1, 0, P - 1), P, dtype=bool)[:, :, None, :]
+        tgt_oh = _player_onehot(c - 1, P)[:, :, None, :]
         pd_mask = am[..., None] & pd_oh & tgt_oh & (pd_slot >= 0)[:, None, None, None]
         pdict = jnp.where(pd_mask, src_val[..., None, None], state.pdict)
 
