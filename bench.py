@@ -37,16 +37,15 @@ def main():
     seeds = np.arange(batch, dtype=np.uint32)
     state = init_state(lowered, batch, 8, seeds)
 
-    # warmup + compile
+    # warmup + compile (int() forces a real host sync on every path)
     state, eps = rollout(state)
-    jax.block_until_ready(state)
+    _ = int(eps)
 
     t0 = time.perf_counter()
     total_eps = 0
     for _ in range(iters):
         state, eps = rollout(state)
-        total_eps += int(eps)
-    jax.block_until_ready(state)
+        total_eps += int(eps)  # hard host sync each iteration
     dt = time.perf_counter() - t0
 
     steps = batch * inner_steps * iters

@@ -37,8 +37,10 @@ def scripted_actions(lowered: Lowered, state: GameState) -> jax.Array:
     h0 = splitmix32_jax(state.seed * _U32(_MIX) + state.t.astype(_U32))
     h = splitmix32_jax(h0[:, None] ^ (pid * _U32(_GOLDEN)))  # (B, P)
 
-    kind = jnp.take(jnp.asarray(lowered.choice_kind), state.phase)[:, None]  # (B,1)
-    kmax = jnp.take(jnp.asarray(lowered.choice_max), state.phase)[:, None]
+    from game_engine_tpu.core.step import _table_select
+
+    kind = _table_select(lowered.choice_kind, state.phase)[:, None]  # (B,1)
+    kmax = _table_select(lowered.choice_max, state.phase)[:, None]
     n_present = jnp.sum(state.present, axis=1, dtype=jnp.int32)[:, None]
 
     # TARGET: k-th alive player with k = h % n_alive (pick_from_mask twin)

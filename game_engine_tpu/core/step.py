@@ -164,6 +164,34 @@ def _select_slot(bank: jax.Array, slot: jax.Array) -> jax.Array:
     return out
 
 
+def _table_select(table: np.ndarray, idx: jax.Array) -> jax.Array:
+    """Static-table row lookup by per-room index, as unrolled selects.
+
+    TPU lowers dynamic gathers from tiny tables into slow custom calls;
+    grouping rows by distinct value keeps this to a handful of selects.
+    table: (N,) scalars or (N, K) rows; idx: (B,) -> (B,) or (B, K)."""
+    table = np.asarray(table)
+    if table.ndim == 1:
+        out = jnp.full(idx.shape, table[0].item(), dtype=jnp.asarray(table).dtype)
+        for v in np.unique(table)[::-1]:
+            members = np.nonzero(table == v)[0]
+            hit = jnp.zeros(idx.shape, bool)
+            for i in members:
+                hit = hit | (idx == int(i))
+            out = jnp.where(hit, v.item(), out)
+        return out
+    # row table: dedupe identical rows
+    uniq, inv = np.unique(table, axis=0, return_inverse=True)
+    out = jnp.broadcast_to(jnp.asarray(uniq[0]), idx.shape + (table.shape[1],))
+    for u in range(len(uniq)):
+        members = np.nonzero(inv == u)[0]
+        hit = jnp.zeros(idx.shape, bool)
+        for i in members:
+            hit = hit | (idx == int(i))
+        out = jnp.where(hit[..., None], jnp.asarray(uniq[u]), out)
+    return out
+
+
 def _plurality(choice: jax.Array, mask: jax.Array, P: int):
     """P6: plurality over 1-based targets with lowest-id tie-break.
 
@@ -202,7 +230,7 @@ def _mech_role_assign(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LRo
     order = jnp.argsort(keys, axis=1, stable=True)
     rank = jnp.argsort(order, axis=1, stable=True).astype(jnp.int32)  # perm[player]
     n = jnp.sum(st.present, axis=1, dtype=jnp.int32)
-    codes_rows = jnp.take(jnp.asarray(m.role_codes_by_n), n, axis=0)  # (B, P)
+    codes_rows = _table_select(m.role_codes_by_n, n)  # (B, P)
     role_code = _gather_by_choice(codes_rows, rank + 1)  # (B, P)
 
     wmask = active[:, None] & st.present
@@ -410,34 +438,29 @@ def _eval_cond(cond, pe: PredEval, st: GameState) -> jax.Array:
 def make_step(lowered: Lowered):
     """Build step(state, actions) -> state. actions: (B, P) int32, 0 = none."""
     NP, P = lowered.NP, lowered.P
-    NB = lowered.rec_bool_true.shape[1]
-    NN = lowered.num_defaults.shape[0]
-
-    c_is_action = jnp.asarray(lowered.phase_is_action)
-    c_kind = jnp.asarray(lowered.choice_kind)
-    c_max = jnp.asarray(lowered.choice_max)
-    c_rec_true = jnp.asarray(lowered.rec_bool_true)
-    c_rec_false = jnp.asarray(lowered.rec_bool_false)
-    c_rec_num = jnp.asarray(lowered.rec_num_slot)
-    c_rec_pd = jnp.asarray(lowered.rec_pdict_slot)
-    c_rec_pd_src = jnp.asarray(lowered.rec_pdict_src)
-    c_rec_od = jnp.asarray(lowered.rec_odict_slot)
-    c_static_next = jnp.asarray(lowered.phase_static_next)
 
     def step(state: GameState, actions: jax.Array) -> GameState:
         B = state.present.shape[0]
         pe_pre = PredEval(lowered, state)
 
-        # --- per-room phase gathers ---
+        # --- per-room phase gathers (unrolled selects; see _table_select) ---
         ph = state.phase
-        is_action = jnp.take(c_is_action, ph)  # (B,)
-        kind = jnp.take(c_kind, ph)
-        kmax = jnp.take(c_max, ph)
+        is_action = _table_select(lowered.phase_is_action, ph)  # (B,)
+        kind = _table_select(lowered.choice_kind, ph)
+        kmax = _table_select(lowered.choice_max, ph)
         n_present = jnp.sum(state.present, axis=1, dtype=jnp.int32)
 
-        # target predicate of the current phase, per room (P3)
-        tgt_all = jnp.stack([pe_pre.pred(int(pi)) for pi in lowered.phase_target_pred], axis=-1)
-        target = jnp.take_along_axis(tgt_all, ph[:, None, None], axis=2)[..., 0]  # (B, P)
+        # target predicate of the current phase, per room (P3): select over
+        # the distinct predicates only (no (B, P, NP) stack materialized)
+        target = jnp.zeros(state.present.shape, bool)
+        by_pred: dict[int, list[int]] = {}
+        for i, pi in enumerate(lowered.phase_target_pred):
+            by_pred.setdefault(int(pi), []).append(i)
+        for pi, phase_idxs in by_pred.items():
+            hit = jnp.zeros(ph.shape, bool)
+            for i in phase_idxs:
+                hit = hit | (ph == i)
+            target = jnp.where(hit[:, None], pe_pre.pred(pi), target)
         targeted = target & state.present
 
         # --- action legality (P1/P2) ---
@@ -469,25 +492,26 @@ def make_step(lowered: Lowered):
         c_norm = jnp.where(kind_b == ChoiceKind.SUBMIT.value, 1, c)
 
         # --- record writes ---
-        rec_t = jnp.take(c_rec_true, ph, axis=0)[:, None, :]  # (B,1,NB)
-        rec_f = jnp.take(c_rec_false, ph, axis=0)[:, None, :]
+        rec_t = _table_select(lowered.rec_bool_true, ph)[:, None, :]  # (B,1,NB)
+        rec_f = _table_select(lowered.rec_bool_false, ph)[:, None, :]
         am = accept[..., None]
         bools = jnp.where(am & rec_t, True, state.bools)
         bools = jnp.where(am & rec_f, False, bools)
 
-        num_sel = jax.nn.one_hot(jnp.take(c_rec_num, ph), NN, dtype=bool)[:, None, :]  # (B,1,NN)
+        NN = state.nums.shape[-1]
+        num_sel = jax.nn.one_hot(_table_select(lowered.rec_num_slot, ph), NN, dtype=bool)[:, None, :]
         nums = jnp.where(am & num_sel, c_norm[..., None], state.nums)
 
         # pdict write: field[target] = target's source-string value
-        pd_slot = jnp.take(c_rec_pd, ph)  # (B,)
-        pd_src = jnp.take(c_rec_pd_src, ph)
+        pd_slot = _table_select(lowered.rec_pdict_slot, ph)  # (B,)
+        pd_src = _table_select(lowered.rec_pdict_src, ph)
         NPD = state.pdict.shape[2]
         # target's value of the per-room source slot (unrolled selects —
         # dynamic player-axis gathers are pathologically slow on TPU)
         src_bank = _select_slot(state.strs, pd_src)  # (B, P)
         src_val = _gather_by_choice(src_bank, c)  # (B, P) target's code
         # translate source string codes into the pdict field's value vocab
-        trans_rows = jnp.take(jnp.asarray(lowered.rec_pdict_trans), ph, axis=0)  # (B, MAXV)
+        trans_rows = _table_select(lowered.rec_pdict_trans, ph)  # (B, MAXV)
         MAXV = trans_rows.shape[1]
         src_tr = jnp.zeros_like(src_val)
         for v in range(MAXV):
@@ -499,7 +523,7 @@ def make_step(lowered: Lowered):
         pdict = jnp.where(pd_mask, src_val[..., None, None], state.pdict)
 
         NOD = state.odict.shape[2]
-        od_oh = jax.nn.one_hot(jnp.take(c_rec_od, ph), NOD, dtype=bool)[:, None, :]
+        od_oh = jax.nn.one_hot(_table_select(lowered.rec_odict_slot, ph), NOD, dtype=bool)[:, None, :]
         odict = jnp.where(am & od_oh, 1, state.odict)
 
         acted = state.acted | accept
@@ -516,18 +540,14 @@ def make_step(lowered: Lowered):
         need = targeted & ~acted
         complete = jnp.where(is_action, ~jnp.any(need, axis=1), True) & ~state.done
 
-        # --- next-phase select (P4/P5): compute-all, gather by phase ---
-        nexts = []
+        # --- next-phase select (P4/P5): static map + branch overrides ---
+        next_idx = _table_select(lowered.phase_static_next, ph)
         for i in range(NP):
             if lowered.branches[i]:
                 nxt = jnp.full((B,), lowered.branches[i][-1][1], jnp.int32)  # P5 fallback
                 for cond, tgt_idx in reversed(lowered.branches[i]):
                     nxt = jnp.where(_eval_cond(cond, pe, state), jnp.int32(tgt_idx), nxt)
-            else:
-                nxt = jnp.full((B,), int(lowered.phase_static_next[i]), jnp.int32)
-            nexts.append(nxt)
-        next_all = jnp.stack(nexts, axis=1)  # (B, NP)
-        next_idx = jnp.take_along_axis(next_all, ph[:, None], axis=1)[:, 0]
+                next_idx = jnp.where(ph == i, nxt, next_idx)
 
         trans = complete & (next_idx != ph)
         prev_phase = jnp.where(trans, ph, state.prev_phase)
