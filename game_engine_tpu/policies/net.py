@@ -134,4 +134,4 @@ def sample_actions(lowered: Lowered, params, state: GameState, key, cfg: NetConf
     logits = jnp.where(mask, logits, neg)
     a = jax.random.categorical(key, logits, axis=-1)  # (B, P) in [0, A)
     logp = jnp.take_along_axis(jax.nn.log_softmax(logits, axis=-1), a[..., None], axis=-1)[..., 0]
-    return (a + 1).astype(jnp.int32), logp, value, logits
+    return (a + 1).astype(jnp.int32), logp, value, mask

@@ -33,6 +33,7 @@ from game_engine_tpu.policies import net as N
 @dataclasses.dataclass(frozen=True)
 class PPOConfig:
     horizon: int = 32
+    epochs: int = 4  # PPO epochs over each rollout (ratios move after ep 1)
     gamma: float = 0.99
     lam: float = 0.95
     clip: float = 0.2
@@ -85,6 +86,7 @@ class Rollout(NamedTuple):
     reward: jax.Array  # (T, B, P)
     done: jax.Array  # (T, B) episode ended at this step
     mask: jax.Array  # (T, B, P) actor mask
+    legal: jax.Array  # (T, B, P, A) legal-action mask used at sampling
 
 
 def make_unroll(lowered: Lowered, cfg: PPOConfig):
@@ -95,7 +97,7 @@ def make_unroll(lowered: Lowered, cfg: PPOConfig):
             st, k = carry
             k, sk = jax.random.split(k)
             obs = N.observe(lowered, st)
-            a, logp, v, _ = N.sample_actions(lowered, params, st, sk, cfg.net)
+            a, logp, v, legal = N.sample_actions(lowered, params, st, sk, cfg.net)
             mask = actor_mask(lowered, st)
             actions = jnp.where(mask, a, 0)
             nxt = step(st, actions)
@@ -109,7 +111,7 @@ def make_unroll(lowered: Lowered, cfg: PPOConfig):
                 fresh,
                 nxt,
             )
-            return (nxt, k), Rollout(obs, actions, logp, v, reward, ended, mask)
+            return (nxt, k), Rollout(obs, actions, logp, v, reward, ended, mask, legal)
 
         (state, key), traj = jax.lax.scan(body, (state, key), None, length=cfg.horizon)
         return state, key, traj
@@ -142,6 +144,9 @@ def make_train_step(lowered: Lowered, cfg: PPOConfig, tx: optax.GradientTransfor
 
     def loss_fn(params, traj: Rollout, adv, ret):
         logits, value = N.apply_net(params, traj.obs, cfg.net)
+        # the same legal-action masking as at sampling time — without it the
+        # recomputed log-probs (and hence PPO ratios) are wrong
+        logits = jnp.where(traj.legal, logits, jnp.float32(-1e9))
         logp_all = jax.nn.log_softmax(logits, axis=-1)
         a_idx = jnp.clip(traj.actions - 1, 0, logits.shape[-1] - 1)
         logp = jnp.take_along_axis(logp_all, a_idx[..., None], axis=-1)[..., 0]
@@ -171,11 +176,12 @@ def make_train_step(lowered: Lowered, cfg: PPOConfig, tx: optax.GradientTransfor
         state, key, traj = unroll(params, state, key)
         _, last_v = N.apply_net(params, N.observe(lowered, state), cfg.net)
         adv, ret = gae(traj, last_v, cfg)
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, traj, adv, ret
-        )
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        for _ in range(cfg.epochs):
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, traj, adv, ret
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
         metrics = dict(metrics)
         metrics["loss"] = loss
         metrics["reward_per_step"] = jnp.mean(jnp.sum(traj.reward, axis=-1))

@@ -1,0 +1,135 @@
+"""PPO self-play training runner (BASELINE.json configs 4-5).
+
+Usage:
+    python -m game_engine_tpu.train.run --game werewolf --batch 4096 \
+        --updates 200 --eval-every 25
+
+Self-play PPO over batched rooms with periodic cross-play evaluation:
+the learned policy controls one team while the scripted policy controls
+the rest, in both directions — win-rate deltas against the scripted
+baseline are the learning signal (zero-sum self-play rewards alone don't
+show progress). Checkpoints via utils.checkpoint.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from game_engine_tpu.core.engine import init_state_like, scripted_actions
+from game_engine_tpu.core.state import init_state
+from game_engine_tpu.core.step import make_step
+from game_engine_tpu.gamespec.compile import compile_game
+from game_engine_tpu.gamespec.parser import load_builtin
+from game_engine_tpu.gamespec.tables import Lowered, lower, LGameOver
+from game_engine_tpu.policies import net as N
+from game_engine_tpu.train.ppo import PPOConfig, actor_mask, init_training, make_train_step
+from game_engine_tpu.utils.checkpoint import save_tree
+
+
+def team_masks(lowered: Lowered, state) -> jax.Array:
+    """(B, P) — players on the minority ('evil') team, or speakers for
+    score games: the 'protagonist' side for cross-play eval."""
+    go = next((m for m in lowered.mechanics if isinstance(m, LGameOver)), None)
+    if go is not None and go.mode == "team" and go.team_codes:
+        return state.strs[..., go.team_str_slot] == go.team_codes[0]
+    if lowered.game.layout.get("is_speaker") is not None:
+        slot = lowered.game.layout.bool_index("is_speaker")
+        return state.bools[..., slot]
+    return jnp.zeros(state.present.shape, bool)
+
+
+def make_eval(lowered: Lowered, cfg: PPOConfig, learned_side: bool, n_steps: int = 256):
+    """Cross-play: learned policy for one side, scripted for the other.
+    Returns jitted fn(params, state, key) -> (wins_side, done_count)."""
+    step = make_step(lowered)
+
+    def run(params, state, key):
+        def body(carry, _):
+            st, k = carry
+            k, sk = jax.random.split(k)
+            la, _, _, _ = N.sample_actions(lowered, params, st, sk, cfg.net)
+            sa = scripted_actions(lowered, st)
+            side = team_masks(lowered, st)
+            use_learned = side if learned_side else ~side
+            am = actor_mask(lowered, st)
+            actions = jnp.where(am & use_learned, la, jnp.where(am, sa, 0))
+            nxt = step(st, actions)
+            ended = nxt.done & ~st.done
+            side_won = ended & (nxt.winner == 1)  # minority team / side 1
+            fresh = init_state_like(lowered, nxt)
+            nxt = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    nxt.done.reshape((-1,) + (1,) * (old.ndim - 1)), new, old
+                ),
+                fresh,
+                nxt,
+            )
+            return (nxt, k), (jnp.sum(side_won), jnp.sum(ended))
+
+        (state, _), (wins, dones) = jax.lax.scan(body, (state, key), None, length=n_steps)
+        return jnp.sum(wins), jnp.sum(dones)
+
+    return jax.jit(run)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--game", default="werewolf")
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--players", type=int, default=6)
+    ap.add_argument("--updates", type=int, default=100)
+    ap.add_argument("--horizon", type=int, default=32)
+    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--eval-every", type=int, default=25)
+    ap.add_argument("--eval-batch", type=int, default=1024)
+    ap.add_argument("--checkpoint", default="")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    lowered = lower(compile_game(load_builtin(args.game)))
+    cfg = PPOConfig(horizon=args.horizon, lr=args.lr, net=N.NetConfig(hidden=args.hidden))
+    key = jax.random.PRNGKey(args.seed)
+    params, opt_state, tx = init_training(lowered, cfg, key)
+    train_step = jax.jit(make_train_step(lowered, cfg, tx))
+    state = init_state(lowered, args.batch, args.players,
+                       np.arange(args.batch, dtype=np.uint32))
+    evals = {
+        "learned_as_minority": make_eval(lowered, cfg, learned_side=True),
+        "learned_as_majority": make_eval(lowered, cfg, learned_side=False),
+    }
+
+    def run_evals():
+        out = {}
+        for name, ev in evals.items():
+            es = init_state(lowered, args.eval_batch, args.players,
+                            np.arange(args.eval_batch, dtype=np.uint32) + 777)
+            wins, dones = ev(params, es, jax.random.PRNGKey(123))
+            rate = float(wins) / max(float(dones), 1.0)
+            out[name] = {"minority_win_rate": round(rate, 4), "episodes": int(dones)}
+        return out
+
+    print(json.dumps({"event": "eval", "update": 0, **run_evals()}))
+    t0 = time.time()
+    for u in range(1, args.updates + 1):
+        params, opt_state, state, key, metrics = train_step(params, opt_state, state, key)
+        if u % 10 == 0 or u == args.updates:
+            m = {k: round(float(v), 4) for k, v in metrics.items()}
+            m.update(event="train", update=u,
+                     steps_per_sec=round(u * args.horizon * args.batch / (time.time() - t0), 1))
+            print(json.dumps(m))
+        if u % args.eval_every == 0 or u == args.updates:
+            print(json.dumps({"event": "eval", "update": u, **run_evals()}))
+            if args.checkpoint:
+                save_tree(f"{args.checkpoint}_u{u}", params)
+    return params
+
+
+if __name__ == "__main__":
+    main()
