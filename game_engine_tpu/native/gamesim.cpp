@@ -1,0 +1,540 @@
+// gamesim — native C++ implementation of the table-driven room simulator.
+//
+// Third implementation of the pinned P1..P11 semantics (see
+// gamespec/mechanics.py): consumes the packed blob from native/pack.py and
+// must produce bit-identical traces to oracle/interp.py and core/step.py —
+// enforced by tests/test_native.py differential tests. Used as the
+// low-latency host-side step for interactive rooms (no device dispatch) and
+// as a CPU throughput baseline.
+//
+// Build: g++ -O3 -std=c++17 -shared -fPIC gamesim.cpp -o libgamesim.so
+
+#include <cstdint>
+#include <cstring>
+#include <numeric>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+constexpr int32_t MAGIC = 0x47534D31;
+enum Sections {
+  SEC_HEADER = 1, SEC_ATOMS, SEC_PRED_OFF, SEC_TERM_OFF, SEC_LITS, SEC_PHASE,
+  SEC_RECTRUE, SEC_RECFALSE, SEC_PDTRANS, SEC_CONDS, SEC_BRANCH_OFF,
+  SEC_BRANCHES, SEC_MECHS, SEC_POOL, SEC_DEFAULTS, SEC_ROLETAB,
+};
+enum CondType { COND_ALWAYS, COND_COUNTCMP, COND_ALLPRESENT, COND_PREVIN, COND_AND };
+enum MechType { MECH_NIGHT, MECH_VOTE, MECH_SCORE, MECH_ROTATE, MECH_ROLES,
+                MECH_SETBOOL, MECH_OVER };
+enum Bank { AB_BOOL, AB_NUM, AB_STR, AB_CONST };
+enum Op { OP_EQ, OP_NE, OP_GE, OP_LE, OP_GT, OP_LT };
+enum Kind { K_NONE = 0, K_TARGET = 1, K_OPTION = 2, K_SUBMIT = 3 };
+constexpr int MECH_PARAMS = 16;
+constexpr int PHASE_ROW = 11;
+
+uint32_t splitmix32(uint32_t x) {
+  x += 0x9E3779B9u;
+  uint32_t z = x;
+  z = (z ^ (z >> 16)) * 0x85EBCA6Bu;
+  z = (z ^ (z >> 13)) * 0xC2B2AE35u;
+  return z ^ (z >> 16);
+}
+
+uint32_t action_hash(uint32_t seed, uint32_t step, uint32_t pid) {
+  uint32_t h = splitmix32(seed * 0x85EBCA6Bu + step);
+  return splitmix32(h ^ (pid * 0x9E3779B9u));
+}
+
+struct Game {
+  int P, NP, NB, NN, NS, NPD, NOD;
+  int alive_slot, start_index, name_slot, n_atoms, n_preds, maxv;
+  std::vector<int32_t> atoms;      // n_atoms x 5
+  std::vector<int32_t> pred_off;   // n_preds+1 (into term_off)
+  std::vector<int32_t> term_off;   // n_terms+1 (into lits)
+  std::vector<int32_t> lits;
+  std::vector<int32_t> phase;      // NP x PHASE_ROW
+  std::vector<int32_t> rec_true;   // NP x NB
+  std::vector<int32_t> rec_false;  // NP x NB
+  std::vector<int32_t> pdtrans;    // NP x maxv
+  std::vector<int32_t> conds;      // n x 5
+  std::vector<int32_t> branch_off; // NP+1
+  std::vector<int32_t> branches;   // n x 2
+  std::vector<int32_t> mechs;      // n x (2 + MECH_PARAMS)
+  std::vector<int32_t> pool;
+  std::vector<int32_t> bool_def, num_def, str_def;
+  std::vector<int32_t> roletab;    // (P+1) x P
+
+  int ph(int i, int field) const { return phase[i * PHASE_ROW + field]; }
+};
+
+struct Room {
+  const Game* g;
+  int n;
+  uint32_t seed;
+  std::vector<uint8_t> bools;   // P x NB
+  std::vector<int32_t> nums;    // P x NN
+  std::vector<int32_t> strs;    // P x NS
+  std::vector<int32_t> pdict;   // P x NPD x P
+  std::vector<int32_t> odict;   // P x NOD
+  std::vector<uint8_t> acted;   // P
+  std::vector<int32_t> choice;  // P
+  std::vector<int32_t> choice_phase;  // P (dense index, -1)
+  int phase = 0, prev = -1, winner = 0, t = 0;
+  bool done = false;
+};
+
+bool atom_eval(const Game& g, const Room& r, int ai, int p) {
+  const int32_t* a = &g.atoms[ai * 5];
+  int bank = a[0], slot = a[1], op = a[2];
+  int32_t val = a[3];
+  if (bank == AB_CONST) return a[4] == 1;
+  int32_t x;
+  if (bank == AB_BOOL) x = r.bools[p * g.NB + slot];
+  else if (bank == AB_NUM) x = r.nums[p * g.NN + slot];
+  else x = r.strs[p * g.NS + slot];
+  switch (op) {
+    case OP_EQ: return x == val;
+    case OP_NE: return x != val;
+    case OP_GE: return x >= val;
+    case OP_LE: return x <= val;
+    case OP_GT: return x > val;
+    default: return x < val;
+  }
+}
+
+bool pred_eval(const Game& g, const Room& r, int pi, int p) {
+  int t0 = g.pred_off[pi], t1 = g.pred_off[pi + 1];
+  if (t0 == t1) return false;  // no terms => const False
+  for (int t = t0; t < t1; ++t) {
+    bool ok = true;
+    for (int l = g.term_off[t]; l < g.term_off[t + 1]; ++l)
+      if (!atom_eval(g, r, g.lits[l], p)) { ok = false; break; }
+    if (ok) return true;
+  }
+  return false;
+}
+
+int count_pred(const Game& g, const Room& r, int pi) {
+  int c = 0;
+  for (int p = 0; p < r.n; ++p) c += pred_eval(g, r, pi, p);
+  return c;
+}
+
+bool mask64_has(int32_t lo, int32_t hi, int idx_plus1) {
+  uint64_t bits = (uint64_t)(uint32_t)lo | ((uint64_t)(uint32_t)hi << 32);
+  return idx_plus1 >= 0 && idx_plus1 < 64 && ((bits >> idx_plus1) & 1);
+}
+
+bool cond_eval(const Game& g, const Room& r, int ci) {
+  const int32_t* c = &g.conds[ci * 5];
+  switch (c[0]) {
+    case COND_ALWAYS: return true;
+    case COND_COUNTCMP: {
+      int lhs = count_pred(g, r, c[1]);
+      int rhs = c[3] >= 0 ? count_pred(g, r, c[3]) : c[4];
+      switch (c[2]) {
+        case OP_EQ: return lhs == rhs;
+        case OP_NE: return lhs != rhs;
+        case OP_GE: return lhs >= rhs;
+        case OP_LE: return lhs <= rhs;
+        case OP_GT: return lhs > rhs;
+        default: return lhs < rhs;
+      }
+    }
+    case COND_ALLPRESENT: return count_pred(g, r, c[1]) == r.n;
+    case COND_PREVIN: return mask64_has(c[1], c[2], r.prev + 1);
+    case COND_AND: {
+      for (int k = 0; k < c[2]; ++k)
+        if (!cond_eval(g, r, g.pool[c[1] + k])) return false;
+      return true;
+    }
+  }
+  return false;
+}
+
+bool alive(const Game& g, const Room& r, int p) {
+  if (p < 0 || p >= r.n) return false;
+  if (g.alive_slot < 0) return true;
+  return r.bools[p * g.NB + g.alive_slot] != 0;
+}
+
+// P6: plurality over 1-based targets, lowest-id tie-break, 0 when no votes.
+int plurality(const Game& g, const Room& r, int32_t mask_lo, int32_t mask_hi, int pred) {
+  std::vector<int> counts(r.n + 1, 0);
+  for (int p = 0; p < r.n; ++p) {
+    if (mask64_has(mask_lo, mask_hi, r.choice_phase[p] + 1) && pred_eval(g, r, pred, p)) {
+      int c = r.choice[p];
+      if (c >= 1 && c <= r.n) counts[c]++;
+    }
+  }
+  int best = 0, tgt = 0;
+  for (int c = 1; c <= r.n; ++c)
+    if (counts[c] > best) { best = counts[c]; tgt = c; }
+  return best > 0 ? tgt : 0;
+}
+
+void kill_player(const Game& g, Room& r, int target) {
+  if (g.alive_slot >= 0 && target >= 1 && target <= r.n)
+    r.bools[(target - 1) * g.NB + g.alive_slot] = 0;
+}
+
+void reset_fields(const Game& g, Room& r, int rb_off, int rb_n, int rbd_off,
+                  int rn_off, int rn_n, int rnd_off) {
+  for (int p = 0; p < g.P; ++p) {
+    for (int k = 0; k < rb_n; ++k)
+      r.bools[p * g.NB + g.pool[rb_off + k]] = (uint8_t)g.pool[rbd_off + k];
+    for (int k = 0; k < rn_n; ++k)
+      r.nums[p * g.NN + g.pool[rn_off + k]] = g.pool[rnd_off + k];
+  }
+}
+
+void apply_on_enter(const Game& g, Room& r);
+
+void do_transition(const Game& g, Room& r, int next) {
+  if (next == r.phase) return;
+  r.prev = r.phase;
+  r.phase = next;
+  std::fill(r.acted.begin(), r.acted.end(), 0);
+  apply_on_enter(g, r);
+}
+
+void apply_on_enter(const Game& g, Room& r) {
+  int n_mech = (int)g.mechs.size() / (2 + MECH_PARAMS);
+  for (int mi = 0; mi < n_mech; ++mi) {
+    const int32_t* m = &g.mechs[mi * (2 + MECH_PARAMS)];
+    if (m[1] != r.phase) continue;
+    const int32_t* q = m + 2;
+    switch (m[0]) {
+      case MECH_ROLES: {  // P10
+        std::vector<uint32_t> keys(r.n);
+        for (int p = 0; p < r.n; ++p) keys[p] = splitmix32(r.seed * 0x100u + (uint32_t)p);
+        std::vector<int> order(r.n);
+        std::iota(order.begin(), order.end(), 0);
+        std::stable_sort(order.begin(), order.end(),
+                         [&](int a, int b) { return keys[a] < keys[b]; });
+        std::vector<int> rank(r.n);
+        for (int i = 0; i < r.n; ++i) rank[order[i]] = i;
+        int role_slot = q[0], s_off = q[1], s_n = q[2];
+        for (int p = 0; p < r.n; ++p) {
+          int code = g.roletab[r.n * g.P + rank[p]];
+          r.strs[p * g.NS + role_slot] = code;
+          for (int s = 0; s < s_n; ++s) {
+            const int32_t* row = &g.pool[s_off + s * 4];
+            if (row[0] != code) continue;
+            if (row[1] == AB_BOOL) r.bools[p * g.NB + row[2]] = (uint8_t)(row[3] != 0);
+            else if (row[1] == AB_NUM) r.nums[p * g.NN + row[2]] = row[3];
+            else r.strs[p * g.NS + row[2]] = row[3];
+          }
+        }
+        break;
+      }
+      case MECH_NIGHT: {  // P7
+        int kill = plurality(g, r, q[0], q[1], q[4]);
+        int prot = plurality(g, r, q[2], q[3], q[5]);
+        if (kill && kill != prot && alive(g, r, kill - 1)) kill_player(g, r, kill);
+        reset_fields(g, r, q[6], q[7], q[8], q[9], q[10], q[11]);
+        break;
+      }
+      case MECH_VOTE: {  // P6
+        int tgt = plurality(g, r, q[0], q[1], q[2]);
+        if (tgt && alive(g, r, tgt - 1)) kill_player(g, r, tgt);
+        break;
+      }
+      case MECH_SCORE: {  // P8
+        int sp = -1;
+        for (int p = 0; p < r.n; ++p)
+          if (r.bools[p * g.NB + q[0]]) { sp = p; break; }
+        if (sp < 0) break;
+        int lie = r.nums[sp * g.NN + q[1]];
+        int fooled = 0;
+        for (int p = 0; p < r.n; ++p) {
+          if (p == sp) continue;
+          if (q[3] >= 0 && !r.bools[p * g.NB + q[3]]) continue;
+          if (r.nums[p * g.NN + q[2]] == lie) r.nums[p * g.NN + q[4]] += 1;
+          else fooled++;
+        }
+        r.nums[sp * g.NN + q[4]] += fooled;
+        if (q[5] >= 0) r.nums[sp * g.NN + q[5]] += 1;
+        break;
+      }
+      case MECH_ROTATE: {  // P9
+        int sp = 0, best = INT32_MAX;
+        for (int p = 0; p < r.n; ++p) {
+          int v = r.nums[p * g.NN + q[1]];
+          if (v < best) { best = v; sp = p; }
+        }
+        for (int p = 0; p < r.n; ++p) {
+          r.bools[p * g.NB + q[0]] = (uint8_t)(p == sp);
+          if (q[2] >= 0) r.bools[p * g.NB + q[2]] = (uint8_t)(p != sp);
+        }
+        reset_fields(g, r, q[3], q[4], q[5], q[6], q[7], q[8]);
+        for (int p = 0; p < g.P; ++p) {
+          for (int k = 0; k < q[10]; ++k)
+            r.odict[p * g.NOD + g.pool[q[9] + k]] = 0;
+          for (int k = 0; k < q[12]; ++k)
+            std::fill_n(&r.pdict[(p * g.NPD + g.pool[q[11] + k]) * g.P], g.P, 0);
+        }
+        break;
+      }
+      case MECH_SETBOOL: {
+        for (int p = 0; p < r.n; ++p)
+          for (int k = 0; k < q[1]; ++k)
+            r.bools[p * g.NB + g.pool[q[0] + k]] = 1;
+        break;
+      }
+      case MECH_OVER: {  // P11
+        r.done = true;
+        if (q[0] == 0 && q[1] >= 0 && q[3] > 0) {  // team mode
+          int best = -1, win = 0;
+          for (int ti = 0; ti < q[3]; ++ti) {
+            int code = g.pool[q[2] + ti], c = 0;
+            for (int p = 0; p < r.n; ++p)
+              if (alive(g, r, p) && r.strs[p * g.NS + q[1]] == code) c++;
+            if (c > best) { best = c; win = ti + 1; }
+          }
+          r.winner = win;
+        } else if (q[0] == 1 && q[5] >= 0) {  // score mode
+          int best = INT32_MIN, win = 0;
+          for (int p = 0; p < r.n; ++p) {
+            int s = r.nums[p * g.NN + q[5]];
+            if (s > best) { best = s; win = p + 1; }
+          }
+          r.winner = win;
+        } else {
+          r.winner = 0;
+        }
+        break;
+      }
+    }
+  }
+}
+
+// P1/P2 acceptance + record writes.
+bool accept_action(const Game& g, Room& r, int p, int c) {
+  int i = r.phase;
+  if (!g.ph(i, 0)) return false;           // not a player_action phase
+  if (r.acted[p]) return false;
+  if (!pred_eval(g, r, g.ph(i, 1), p)) return false;
+  int kind = g.ph(i, 4);
+  if (kind == K_TARGET) {
+    if (c < 1 || c > r.n || !alive(g, r, c - 1)) return false;
+  } else if (kind == K_OPTION) {
+    int hi = g.ph(i, 5) > 0 ? g.ph(i, 5) : r.n;
+    if (c < 1 || c > hi) return false;
+  } else if (kind == K_SUBMIT) {
+    c = 1;
+  } else {
+    return false;
+  }
+  for (int b = 0; b < g.NB; ++b) {
+    if (g.rec_true[i * g.NB + b]) r.bools[p * g.NB + b] = 1;
+    if (g.rec_false[i * g.NB + b]) r.bools[p * g.NB + b] = 0;
+  }
+  if (g.ph(i, 6) >= 0) r.nums[p * g.NN + g.ph(i, 6)] = c;
+  int pd = g.ph(i, 7), src = g.ph(i, 8);
+  if (pd >= 0 && c >= 1 && c <= r.n) {
+    int code = 0;
+    if (src >= 0) {
+      int raw = r.strs[(c - 1) * g.NS + src];
+      if (raw >= 0 && raw < g.maxv) code = g.pdtrans[i * g.maxv + raw];
+    }
+    r.pdict[(p * g.NPD + pd) * g.P + (c - 1)] = code;
+  }
+  if (g.ph(i, 9) >= 0) r.odict[p * g.NOD + g.ph(i, 9)] = 1;
+  r.acted[p] = 1;
+  r.choice[p] = c;
+  r.choice_phase[p] = i;
+  return true;
+}
+
+void room_step(const Game& g, Room& r, const int32_t* actions) {
+  r.t += 1;
+  if (r.done) return;
+  if (actions) {
+    for (int p = 0; p < r.n; ++p)
+      if (actions[p] != 0) accept_action(g, r, p, actions[p]);
+  }
+  int i = r.phase;
+  bool complete = true;
+  if (g.ph(i, 0)) {  // player_action: all targeted have acted (P3)
+    for (int p = 0; p < r.n; ++p)
+      if (pred_eval(g, r, g.ph(i, 1), p) && !r.acted[p]) { complete = false; break; }
+  }
+  if (!complete) return;
+  if (g.ph(i, 2)) return;  // terminal stays
+  int next;
+  int b0 = g.branch_off[i], b1 = g.branch_off[i + 1];
+  if (b1 > b0) {
+    next = g.branches[(b1 - 1) * 2 + 1];  // P5 fallback: last branch
+    for (int b = b0; b < b1; ++b) {
+      if (cond_eval(g, r, g.branches[b * 2])) { next = g.branches[b * 2 + 1]; break; }
+    }
+  } else {
+    next = g.ph(i, 3);
+  }
+  do_transition(g, r, next);
+}
+
+// deterministic scripted policy (identical stream to policies/scripted.py)
+void room_policy(const Game& g, const Room& r, int32_t* out) {
+  std::fill_n(out, g.P, 0);
+  if (r.done) return;
+  int i = r.phase;
+  if (!g.ph(i, 0)) return;
+  int kind = g.ph(i, 4);
+  for (int p = 0; p < r.n; ++p) {
+    if (r.acted[p] || !pred_eval(g, r, g.ph(i, 1), p)) continue;
+    uint32_t h = action_hash(r.seed, (uint32_t)r.t, (uint32_t)(p + 1));
+    if (kind == K_TARGET) {
+      int n_alive = 0;
+      for (int q = 0; q < r.n; ++q) n_alive += alive(g, r, q);
+      if (n_alive == 0) continue;
+      int k = (int)(h % (uint32_t)n_alive), seen = 0;
+      for (int q = 0; q < r.n; ++q) {
+        if (alive(g, r, q)) {
+          if (seen == k) { out[p] = q + 1; break; }
+          seen++;
+        }
+      }
+    } else if (kind == K_OPTION) {
+      int hi = g.ph(i, 5) > 0 ? g.ph(i, 5) : r.n;
+      out[p] = 1 + (int)(h % (uint32_t)hi);
+    } else if (kind == K_SUBMIT) {
+      out[p] = 1;
+    }
+  }
+}
+
+void room_init(const Game& g, Room& r, int n, uint32_t seed) {
+  r.g = &g;
+  r.n = n;
+  r.seed = seed;
+  r.bools.assign(g.P * g.NB, 0);
+  r.nums.assign(g.P * g.NN, 0);
+  r.strs.assign(g.P * g.NS, 0);
+  r.pdict.assign(g.P * g.NPD * g.P, 0);
+  r.odict.assign(g.P * g.NOD, 0);
+  r.acted.assign(g.P, 0);
+  r.choice.assign(g.P, 0);
+  r.choice_phase.assign(g.P, -1);
+  r.phase = g.start_index;
+  r.prev = -1;
+  r.winner = 0;
+  r.t = 0;
+  r.done = false;
+  for (int p = 0; p < g.P; ++p) {
+    for (int b = 0; b < g.NB; ++b) r.bools[p * g.NB + b] = (uint8_t)g.bool_def[b];
+    for (int b = 0; b < g.NN; ++b) r.nums[p * g.NN + b] = g.num_def[b];
+    for (int b = 0; b < g.NS; ++b) r.strs[p * g.NS + b] = g.str_def[b];
+  }
+  apply_on_enter(g, r);
+}
+
+}  // namespace
+
+extern "C" {
+
+void* gs_create(const int32_t* blob, int64_t len) {
+  if (len < 1 || blob[0] != MAGIC) return nullptr;
+  auto* g = new Game();
+  int64_t i = 1;
+  while (i + 2 <= len) {
+    int sid = blob[i], n = blob[i + 1];
+    const int32_t* d = blob + i + 2;
+    std::vector<int32_t> v(d, d + n);
+    switch (sid) {
+      case SEC_HEADER:
+        g->P = v[0]; g->NP = v[1]; g->NB = v[2]; g->NN = v[3]; g->NS = v[4];
+        g->NPD = v[5]; g->NOD = v[6]; g->alive_slot = v[7]; g->start_index = v[8];
+        g->name_slot = v[9]; g->n_atoms = v[10]; g->n_preds = v[11]; g->maxv = v[12];
+        break;
+      case SEC_ATOMS: g->atoms = v; break;
+      case SEC_PRED_OFF: g->pred_off = v; break;
+      case SEC_TERM_OFF: g->term_off = v; break;
+      case SEC_LITS: g->lits = v; break;
+      case SEC_PHASE: g->phase = v; break;
+      case SEC_RECTRUE: g->rec_true = v; break;
+      case SEC_RECFALSE: g->rec_false = v; break;
+      case SEC_PDTRANS: g->pdtrans = v; break;
+      case SEC_CONDS: g->conds = v; break;
+      case SEC_BRANCH_OFF: g->branch_off = v; break;
+      case SEC_BRANCHES: g->branches = v; break;
+      case SEC_MECHS: g->mechs = v; break;
+      case SEC_POOL: g->pool = v; break;
+      case SEC_DEFAULTS:
+        g->bool_def.assign(v.begin(), v.begin() + g->NB);
+        g->num_def.assign(v.begin() + g->NB, v.begin() + g->NB + g->NN);
+        g->str_def.assign(v.begin() + g->NB + g->NN, v.end());
+        break;
+      case SEC_ROLETAB: g->roletab = v; break;
+      default: break;
+    }
+    i += 2 + n;
+  }
+  return g;
+}
+
+void gs_destroy(void* h) { delete (Game*)h; }
+
+void* gs_room_new(void* gh, int n, uint32_t seed) {
+  auto* g = (Game*)gh;
+  auto* r = new Room();
+  room_init(*g, *r, n, seed);
+  return r;
+}
+
+void gs_room_destroy(void* rh) { delete (Room*)rh; }
+
+void gs_room_step(void* rh, const int32_t* actions) {
+  auto* r = (Room*)rh;
+  room_step(*r->g, *r, actions);
+}
+
+void gs_room_policy(void* rh, int32_t* out) {
+  auto* r = (Room*)rh;
+  room_policy(*r->g, *r, out);
+}
+
+int64_t gs_state_size(void* gh) {
+  auto* g = (Game*)gh;
+  return 5 + (int64_t)g->P * (g->NB + g->NN + g->NS + g->NPD * g->P + g->NOD + 3);
+}
+
+void gs_room_read(void* rh, int32_t* out) {
+  auto* r = (Room*)rh;
+  const Game& g = *r->g;
+  int64_t k = 0;
+  out[k++] = r->phase; out[k++] = r->done ? 1 : 0; out[k++] = r->winner;
+  out[k++] = r->prev; out[k++] = r->t;
+  for (int p = 0; p < g.P; ++p) for (int b = 0; b < g.NB; ++b) out[k++] = r->bools[p * g.NB + b];
+  for (int p = 0; p < g.P; ++p) for (int b = 0; b < g.NN; ++b) out[k++] = r->nums[p * g.NN + b];
+  for (int p = 0; p < g.P; ++p) for (int b = 0; b < g.NS; ++b) out[k++] = r->strs[p * g.NS + b];
+  for (int64_t x = 0; x < (int64_t)g.P * g.NPD * g.P; ++x) out[k++] = r->pdict[x];
+  for (int64_t x = 0; x < (int64_t)g.P * g.NOD; ++x) out[k++] = r->odict[x];
+  for (int p = 0; p < g.P; ++p) out[k++] = r->acted[p];
+  for (int p = 0; p < g.P; ++p) out[k++] = r->choice[p];
+  for (int p = 0; p < g.P; ++p) out[k++] = r->choice_phase[p];
+}
+
+// batched scripted self-play for CPU throughput baseline; returns episodes.
+int64_t gs_selfplay(void* gh, int rooms, int n_players, uint32_t seed0, int steps) {
+  auto* g = (Game*)gh;
+  std::vector<Room> rs(rooms);
+  for (int b = 0; b < rooms; ++b) room_init(*g, rs[b], n_players, seed0 + (uint32_t)b);
+  std::vector<int32_t> acts(g->P);
+  int64_t episodes = 0;
+  for (int t = 0; t < steps; ++t) {
+    for (int b = 0; b < rooms; ++b) {
+      Room& r = rs[b];
+      room_policy(*g, r, acts.data());
+      room_step(*g, r, acts.data());
+      if (r.done) {
+        episodes++;
+        room_init(*g, r, n_players, splitmix32(r.seed ^ 0xDECAF000u));
+      }
+    }
+  }
+  return episodes;
+}
+
+}  // extern "C"

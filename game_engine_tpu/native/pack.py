@@ -1,0 +1,224 @@
+"""Serialize a Lowered game into a flat int32 blob for the C++ simulator.
+
+Tag-length-value section stream; the C++ side (gamesim.cpp) parses the same
+layout. All cross-references are indices into pools, so the blob is fully
+position-independent. Semantics carried here are exactly the pinned P1..P11
+rules — the C++ sim is a third implementation used for differential testing
+against the oracle and the jitted engine, and as a sub-microsecond host-side
+step for interactive serving.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from game_engine_tpu.gamespec import tables as T
+from game_engine_tpu.gamespec.tables import Lowered
+
+MAGIC = 0x47534D31  # 'GSM1'
+
+SEC_HEADER = 1
+SEC_ATOMS = 2
+SEC_PRED_OFF = 3
+SEC_TERM_OFF = 4
+SEC_LITS = 5
+SEC_PHASE = 6
+SEC_RECTRUE = 7
+SEC_RECFALSE = 8
+SEC_PDTRANS = 9
+SEC_CONDS = 10
+SEC_BRANCH_OFF = 11
+SEC_BRANCHES = 12
+SEC_MECHS = 13
+SEC_POOL = 14
+SEC_DEFAULTS = 15
+SEC_ROLETAB = 16
+
+COND_ALWAYS, COND_COUNTCMP, COND_ALLPRESENT, COND_PREVIN, COND_AND = range(5)
+MECH_NIGHT, MECH_VOTE, MECH_SCORE, MECH_ROTATE, MECH_ROLES, MECH_SETBOOL, MECH_OVER = range(7)
+OP_CODES = {"eq": 0, "ne": 1, "ge": 2, "le": 3, "gt": 4, "lt": 5}
+MECH_PARAMS = 16
+
+
+def _mask_words(mask: np.ndarray) -> tuple[int, int]:
+    """(NP+1,) bool -> two 32-bit words (little)."""
+    bits = 0
+    for i, b in enumerate(mask):
+        if b:
+            bits |= 1 << i
+    return bits & 0xFFFFFFFF, (bits >> 32) & 0xFFFFFFFF
+
+
+def _i32(x: int) -> int:
+    """Clamp into signed int32 range for blob storage."""
+    x = int(x) & 0xFFFFFFFF
+    return x - 0x100000000 if x >= 0x80000000 else x
+
+
+class _Pool:
+    def __init__(self):
+        self.data: list[int] = []
+
+    def add(self, items) -> tuple[int, int]:
+        off = len(self.data)
+        self.data.extend(int(v) for v in items)
+        return off, len(self.data) - off
+
+
+def pack(lowered: Lowered) -> np.ndarray:
+    lw = lowered
+    P, NP = lw.P, lw.NP
+    lay = lw.game.layout
+    pool = _Pool()
+
+    # -- conds ---------------------------------------------------------------
+    conds: list[list[int]] = []  # rows of 5: type, p1..p4
+
+    def add_cond(c) -> int:
+        if isinstance(c, T.LAlways):
+            row = [COND_ALWAYS, 0, 0, 0, 0]
+        elif isinstance(c, T.LCountCmp):
+            row = [COND_COUNTCMP, c.left_pred, OP_CODES[c.op], c.right_pred, c.right_const]
+        elif isinstance(c, T.LAllPresent):
+            row = [COND_ALLPRESENT, c.pred, 0, 0, 0]
+        elif isinstance(c, T.LPrevPhaseIn):
+            lo, hi = _mask_words(c.mask)
+            row = [COND_PREVIN, _i32(lo), _i32(hi), 0, 0]
+        elif isinstance(c, T.LAnd):
+            kids = [add_cond(k) for k in c.items]
+            off, n = pool.add(kids)
+            row = [COND_AND, off, n, 0, 0]
+        else:
+            raise TypeError(c)
+        conds.append(row)
+        return len(conds) - 1
+
+    branch_off = [0]
+    branch_rows: list[list[int]] = []
+    for i in range(NP):
+        for cond, nxt in lw.branches[i]:
+            branch_rows.append([add_cond(cond), nxt])
+        branch_off.append(len(branch_rows))
+
+    # -- mechanics -------------------------------------------------------------
+    mech_rows: list[list[int]] = []
+
+    def mech(type_, phase_index, params):
+        row = [type_, phase_index] + [int(p) for p in params]
+        row += [0] * (2 + MECH_PARAMS - len(row))
+        mech_rows.append(row)
+
+    for m in lw.mechanics:
+        if isinstance(m, T.LNightResolve):
+            klo, khi = _mask_words(m.kill_phase_mask)
+            plo, phi = _mask_words(m.protect_phase_mask)
+            rb_off, rb_n = pool.add(m.reset_bool_slots)
+            rbd_off, _ = pool.add(int(d) for d in m.reset_bool_defaults)
+            rn_off, rn_n = pool.add(m.reset_num_slots)
+            rnd_off, _ = pool.add(m.reset_num_defaults)
+            mech(MECH_NIGHT, m.phase_index,
+                 [_i32(klo), _i32(khi), _i32(plo), _i32(phi), m.kill_pred, m.protect_pred,
+                  rb_off, rb_n, rbd_off, rn_off, rn_n, rnd_off])
+        elif isinstance(m, T.LVoteElim):
+            vlo, vhi = _mask_words(m.vote_phase_mask)
+            mech(MECH_VOTE, m.phase_index, [_i32(vlo), _i32(vhi), m.voter_pred])
+        elif isinstance(m, T.LGuessScore):
+            mech(MECH_SCORE, m.phase_index,
+                 [m.speaker_bool, m.lie_num, m.vote_num, m.voted_bool, m.score_num, m.rounds_num])
+        elif isinstance(m, T.LSpeakerRotate):
+            rb_off, rb_n = pool.add(m.reset_bool_slots)
+            rbd_off, _ = pool.add(int(d) for d in m.reset_bool_defaults)
+            rn_off, rn_n = pool.add(m.reset_num_slots)
+            rnd_off, _ = pool.add(m.reset_num_defaults)
+            ro_off, ro_n = pool.add(m.reset_odict_slots)
+            rp_off, rp_n = pool.add(m.reset_pdict_slots)
+            mech(MECH_ROTATE, m.phase_index,
+                 [m.speaker_bool, m.rounds_num, m.can_vote_bool,
+                  rb_off, rb_n, rbd_off, rn_off, rn_n, rnd_off, ro_off, ro_n, rp_off, rp_n])
+        elif isinstance(m, T.LRoleAssign):
+            settings = []
+            for code, triples in m.role_settings:
+                for bank, slot, val in triples:
+                    settings.extend([code, bank, slot, val])
+            s_off, s_n = pool.add(settings)
+            mech(MECH_ROLES, m.phase_index, [m.role_str_slot, s_off, s_n // 4])
+        elif isinstance(m, T.LSetBoolAll):
+            s_off, s_n = pool.add(m.slots)
+            mech(MECH_SETBOOL, m.phase_index, [s_off, s_n])
+        elif isinstance(m, T.LGameOver):
+            mode = {"team": 0, "score": 1, "none": 2}[m.mode]
+            t_off, t_n = pool.add(m.team_codes)
+            mech(MECH_OVER, m.phase_index,
+                 [mode, m.team_str_slot, t_off, t_n, m.alive_bool, m.score_num])
+        else:
+            raise TypeError(m)
+
+    # -- preds CSR ---------------------------------------------------------------
+    pred_off = [0]
+    term_off = [0]
+    lits: list[int] = []
+    for terms in lw.preds:
+        for term in terms:
+            lits.extend(term)
+            term_off.append(len(lits))
+        pred_off.append(len(term_off) - 1)
+
+    atoms = []
+    for a in lw.atoms:
+        const_code = -1 if a.const is None else (1 if a.const else 0)
+        atoms.extend([a.bank, a.slot, a.op, _i32(a.value), const_code])
+
+    # per-phase row
+    phase_rows = []
+    for i in range(NP):
+        phase_rows.extend([
+            int(lw.phase_is_action[i]), int(lw.phase_target_pred[i]),
+            int(lw.phase_terminal[i]), int(lw.phase_static_next[i]),
+            int(lw.choice_kind[i]), int(lw.choice_max[i]),
+            int(lw.rec_num_slot[i]), int(lw.rec_pdict_slot[i]),
+            int(lw.rec_pdict_src[i]), int(lw.rec_odict_slot[i]),
+            int(lw.phase_dsl_id[i]),
+        ])
+
+    maxv = lw.rec_pdict_trans.shape[1]
+    NB = lw.bool_defaults.shape[0]
+    NN = lw.num_defaults.shape[0]
+    NS = lw.str_defaults.shape[0]
+
+    header = [
+        P, NP, NB, NN, NS, lay.n_pdict, lay.n_odict,
+        lw.alive_bool, lw.game.start_index, lw.name_str_slot,
+        len(lw.atoms), len(lw.preds), maxv,
+    ]
+
+    roletab: list[int] = []
+    for m in lw.mechanics:
+        if isinstance(m, T.LRoleAssign):
+            roletab = [int(x) for x in m.role_codes_by_n.flatten()]
+            break
+
+    def sec(sid, data):
+        data = [int(x) for x in data]
+        return [sid, len(data)] + data
+
+    blob: list[int] = [MAGIC]
+    blob += sec(SEC_HEADER, header)
+    blob += sec(SEC_ATOMS, atoms)
+    blob += sec(SEC_PRED_OFF, pred_off)
+    blob += sec(SEC_TERM_OFF, term_off)
+    blob += sec(SEC_LITS, lits)
+    blob += sec(SEC_PHASE, phase_rows)
+    blob += sec(SEC_RECTRUE, lw.rec_bool_true.astype(np.int32).flatten())
+    blob += sec(SEC_RECFALSE, lw.rec_bool_false.astype(np.int32).flatten())
+    blob += sec(SEC_PDTRANS, lw.rec_pdict_trans.flatten())
+    blob += sec(SEC_CONDS, [v for row in conds for v in row])
+    blob += sec(SEC_BRANCH_OFF, branch_off)
+    blob += sec(SEC_BRANCHES, [v for row in branch_rows for v in row])
+    blob += sec(SEC_MECHS, [v for row in mech_rows for v in row])
+    blob += sec(SEC_POOL, pool.data)
+    blob += sec(
+        SEC_DEFAULTS,
+        list(lw.bool_defaults.astype(np.int32)) + list(lw.num_defaults) + list(lw.str_defaults),
+    )
+    blob += sec(SEC_ROLETAB, roletab)
+    return np.asarray(blob, dtype=np.int32)

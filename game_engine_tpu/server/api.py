@@ -35,9 +35,10 @@ from game_engine_tpu.server.storage import MemoryStorage
 
 
 class AppContext:
-    def __init__(self, storage_path: Optional[str] = None, games_path: Optional[str] = None):
+    def __init__(self, storage_path: Optional[str] = None, games_path: Optional[str] = None,
+                 backend: str = "jax"):
         self.storage = MemoryStorage(storage_path)
-        self.host = GameHost(games_path)
+        self.host = GameHost(games_path, backend=backend)
 
     # -- handlers -------------------------------------------------------------
 
@@ -139,8 +140,8 @@ class AppContext:
 
 
 def make_server(port: int = 0, storage_path: Optional[str] = None,
-                games_path: Optional[str] = None) -> ThreadingHTTPServer:
-    ctx = AppContext(storage_path, games_path)
+                games_path: Optional[str] = None, backend: str = "jax") -> ThreadingHTTPServer:
+    ctx = AppContext(storage_path, games_path, backend=backend)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -180,8 +181,9 @@ def main():  # pragma: no cover
     ap = argparse.ArgumentParser()
     ap.add_argument("--port", type=int, default=8123)
     ap.add_argument("--storage", default="temp-rooms.json")
+    ap.add_argument("--backend", default="jax", choices=["jax", "native"])
     args = ap.parse_args()
-    srv = make_server(args.port, args.storage)
+    srv = make_server(args.port, args.storage, backend=args.backend)
     print(f"game host listening on :{srv.server_address[1]}")
     srv.serve_forever()
 

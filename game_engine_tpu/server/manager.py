@@ -91,12 +91,121 @@ class _GameSlots:
             self.state,
         )
 
+    # backend-agnostic accessors used by GameHost
+    def snapshot_raw(self, slot: int, names) -> dict[str, Any]:
+        return decode_room(self.lowered, self.state, slot, names)
+
+    def is_done(self, slot: int) -> bool:
+        return bool(self.state.done[slot])
+
+    def phase_index(self, slot: int) -> int:
+        return int(self.state.phase[slot])
+
+    def alive_ids(self, slot: int) -> list[int]:
+        present = np.asarray(self.state.present[slot])
+        if self.lowered.alive_bool >= 0:
+            alive = np.asarray(self.state.bools[slot, :, self.lowered.alive_bool]) & present
+        else:
+            alive = present
+        return [p + 1 for p in range(len(alive)) if alive[p]]
+
+    def human_must_act(self, slot: int) -> bool:
+        from game_engine_tpu.core.step import PredEval
+
+        lowered = self.lowered
+        phase = self.phase_index(slot)
+        if not bool(lowered.phase_is_action[phase]):
+            return False
+        pe = PredEval(lowered, self.state)
+        tgt = np.asarray(pe.pred(int(lowered.phase_target_pred[phase])))[slot]
+        acted = np.asarray(self.state.acted[slot])
+        return bool(tgt[0] and not acted[0])
+
+
+class _NativeRooms:
+    """Native (C++) backend: one CppRoom per slot — sub-microsecond steps
+    for the interactive path, no device dispatch. Bit-identical semantics
+    (tests/test_native.py)."""
+
+    def __init__(self, lowered: Lowered, capacity: int = SLOTS_PER_GAME):
+        from game_engine_tpu.native import CppGame
+
+        self.lowered = lowered
+        self.game = CppGame(lowered)
+        self.capacity = capacity
+        self.free = list(range(capacity))
+        self.rooms: dict[int, Any] = {}
+        self.n_players: dict[int, int] = {}
+        self.projectors: dict[int, Projector] = {}
+        self.items: dict[int, list] = {}
+        self.prev_dead: dict[int, list] = {}
+
+    def alloc(self, n_players: int, seed: int) -> int:
+        slot = self.free.pop(0)
+        self.rooms[slot] = self.game.room(n_players, seed)
+        self.n_players[slot] = n_players
+        self.projectors[slot] = Projector(self.lowered.game)
+        self.items[slot] = []
+        self.prev_dead[slot] = []
+        return slot
+
+    def release(self, slot: int) -> None:
+        self.free.append(slot)
+        for d in (self.rooms, self.n_players, self.projectors, self.items, self.prev_dead):
+            d.pop(slot, None)
+
+    def step_slot(self, slot: int, human_actions: dict[int, int],
+                  include_bots: bool = True) -> None:
+        room = self.rooms[slot]
+        actions = room.policy_actions() if include_bots else {}
+        actions.pop(1, None)  # human exclusion
+        actions.update(human_actions)
+        room.step(actions)
+
+    def snapshot_raw(self, slot: int, names) -> dict[str, Any]:
+        from game_engine_tpu.view.decode import decode_native
+
+        return decode_native(self.lowered, self.rooms[slot].read(),
+                             self.n_players[slot], names)
+
+    def is_done(self, slot: int) -> bool:
+        return bool(self.rooms[slot].read()["done"])
+
+    def phase_index(self, slot: int) -> int:
+        return int(self.rooms[slot].read()["phase_index"])
+
+    def alive_ids(self, slot: int) -> list[int]:
+        r = self.rooms[slot].read()
+        n = self.n_players[slot]
+        if self.lowered.alive_bool >= 0:
+            return [p + 1 for p in range(n) if r["bools"][p, self.lowered.alive_bool]]
+        return list(range(1, n + 1))
+
+    def human_must_act(self, slot: int) -> bool:
+        room = self.rooms[slot]
+        r = room.read()
+        phase = r["phase_index"]
+        if not bool(self.lowered.phase_is_action[phase]):
+            return False
+        if r["acted"][0]:
+            return False
+        # targeted iff the scripted policy would emit for player 1
+        from game_engine_tpu.gamespec.expr import eval_predicate
+        from game_engine_tpu.view.decode import decode_native
+
+        snap = decode_native(self.lowered, r, self.n_players[slot])
+        cp = self.lowered.game.phases[phase]
+        return eval_predicate(cp.target_pred, snap["player_states"]["1"])
+
 
 class GameHost:
     """Rooms -> engine slots; human action queues; state/items projection."""
 
-    def __init__(self, games_path: Optional[str] = None):
+    def __init__(self, games_path: Optional[str] = None, backend: str = "jax"):
+        """backend: 'jax' (batched device engine) or 'native' (C++ per-room
+        simulator — lowest interactive latency, identical semantics)."""
         self._lock = threading.RLock()
+        self._backend = backend
         self._games_path = games_path or games_dir()
         self._slots: dict[str, _GameSlots] = {}
         self._rooms: dict[str, tuple[str, int]] = {}  # roomId -> (game, slot)
@@ -138,7 +247,9 @@ class GameHost:
                         break
             if spec is None:
                 raise KeyError(f"unknown game {game_name!r}")
-            self._slots[game_name] = _GameSlots(lower(compile_game(spec, GameConfig())))
+            lowered = lower(compile_game(spec, GameConfig()))
+            cls = _NativeRooms if self._backend == "native" else _GameSlots
+            self._slots[game_name] = cls(lowered)
         return self._slots[game_name]
 
     # -- room lifecycle ---------------------------------------------------------
@@ -178,7 +289,7 @@ class GameHost:
             msg = chat.post(player_id, sender_name, text)
             game_name, slot = self._rooms[room_id]
             gs = self._game_slots(game_name)
-            snap = decode_room(gs.lowered, gs.state, slot, names)
+            snap = gs.snapshot_raw(slot, names)
             reply = chat.bot_reply(player_id, sender_name, text, snap)
             out = [msg.to_json()]
             if reply is not None:
@@ -206,19 +317,10 @@ class GameHost:
         with self._lock:
             game_name, slot = self._rooms[room_id]
             gs = self._game_slots(game_name)
-            lowered = gs.lowered
-            phase = int(gs.state.phase[slot])
-            kind = int(lowered.choice_kind[phase])
+            kind = int(gs.lowered.choice_kind[gs.phase_index(slot)])
             if kind == ChoiceKind.TARGET.value:
-                alive_slot = lowered.alive_bool
-                bools = np.asarray(gs.state.bools[slot])
-                present = np.asarray(gs.state.present[slot])
-                alive = present if alive_slot < 0 else (bools[:, alive_slot] & present)
-                ids = [p + 1 for p in range(len(alive)) if alive[p]]
-                if 1 <= option_index <= len(ids):
-                    choice = ids[option_index - 1]
-                else:
-                    choice = 0
+                ids = gs.alive_ids(slot)
+                choice = ids[option_index - 1] if 1 <= option_index <= len(ids) else 0
             else:
                 choice = option_index
             self._queues.setdefault(room_id, {})[int(player_id)] = int(choice)
@@ -244,23 +346,9 @@ class GameHost:
                 q = self._queues.get(room_id, {})
                 self._queues[room_id] = {}
                 gs.step_slot(slot, q)
-                if bool(gs.state.done[slot]):
-                    break
-                if self._human_must_act(gs, slot):
+                if gs.is_done(slot) or gs.human_must_act(slot):
                     break
             return self.snapshot(room_id)
-
-    def _human_must_act(self, gs: _GameSlots, slot: int) -> bool:
-        from game_engine_tpu.core.step import PredEval
-
-        lowered = gs.lowered
-        phase = int(gs.state.phase[slot])
-        if not bool(lowered.phase_is_action[phase]):
-            return False
-        pe = PredEval(lowered, gs.state)
-        tgt = np.asarray(pe.pred(int(lowered.phase_target_pred[phase])))[slot]
-        acted = np.asarray(gs.state.acted[slot])
-        return bool(tgt[0] and not acted[0])
 
     # -- projection ---------------------------------------------------------------
 
@@ -268,7 +356,7 @@ class GameHost:
         with self._lock:
             game_name, slot = self._rooms[room_id]
             gs = self._game_slots(game_name)
-            snap = decode_room(gs.lowered, gs.state, slot, player_names)
+            snap = gs.snapshot_raw(slot, player_names)
             snap["roomId"] = room_id
             proj = gs.projectors[slot]
             gs.items[slot] = proj.project(

@@ -24,6 +24,61 @@ from game_engine_tpu.gamespec.layout import (
 from game_engine_tpu.gamespec.tables import Lowered
 
 
+def decode_native(
+    lowered: Lowered,
+    read: dict[str, Any],
+    n_players: int,
+    player_names: Optional[dict[int, str]] = None,
+) -> dict[str, Any]:
+    """AgentState-shaped snapshot from a native CppRoom.read() dict."""
+    game = lowered.game
+    layout = game.layout
+    names = player_names or {}
+    n = n_players
+    player_states: dict[str, Any] = {}
+    for p in range(n):
+        row: dict[str, Any] = {}
+        for f in game.spec.declaration.fields:
+            slot = layout.slot(f.name)
+            if slot.bank == BANK_BOOL:
+                row[f.name] = bool(read["bools"][p, slot.index])
+            elif slot.bank == BANK_NUM:
+                row[f.name] = int(read["nums"][p, slot.index])
+            elif slot.bank == BANK_STR:
+                row[f.name] = (
+                    names.get(p + 1, f"Player {p + 1}")
+                    if f.name == "name"
+                    else slot.decode(int(read["strs"][p, slot.index]))
+                )
+            elif slot.bank == BANK_PDICT:
+                row[f.name] = {
+                    str(q + 1): slot.decode(int(read["pdict"][p, slot.index, q]))
+                    for q in range(n)
+                    if int(read["pdict"][p, slot.index, q]) != 0
+                }
+            elif slot.bank == BANK_ODICT:
+                row[f.name] = {"1": "submitted"} if int(read["odict"][p, slot.index]) else {}
+            elif slot.bank == BANK_ARR:
+                row[f.name] = []
+        player_states[str(p + 1)] = row
+    cp = game.phases[read["phase_index"]]
+    dead = [
+        str(p + 1)
+        for p in range(n)
+        if lowered.alive_bool >= 0 and not read["bools"][p, lowered.alive_bool]
+    ]
+    return {
+        "player_states": player_states,
+        "current_phase_id": cp.dsl_id,
+        "current_phase_name": cp.name,
+        "gameName": game.spec.name,
+        "deadPlayers": dead,
+        "done": bool(read["done"]),
+        "winner": int(read["winner"]),
+        "stateVersion": int(read["t"]),
+    }
+
+
 def decode_room(
     lowered: Lowered,
     state: GameState,

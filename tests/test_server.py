@@ -94,6 +94,36 @@ def test_full_lobby_and_game_flow(server):
         assert item["data"]["audience_type"] or "1" in item["data"]["audience_ids"]
 
 
+def test_native_backend_full_game():
+    """Same interactive flow on the C++ backend (skipped without g++)."""
+    from game_engine_tpu.native import available
+
+    if not available():
+        pytest.skip("native backend unavailable")
+    srv = make_server(port=0, backend="native")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        code, data = req(srv, "POST", "/api/rooms/create",
+                         {"gameName": "two-truths", "playerName": "Nat"})
+        assert code == 200, data
+        room_id = data["room"]["roomId"]
+        code, data = req(srv, "POST", "/api/rooms/add-bot", {"roomId": room_id})
+        assert code == 200
+        code, snap = req(srv, "POST", f"/api/rooms/{room_id}/start", {"seed": 3})
+        assert code == 200, snap
+        for _ in range(120):
+            code, snap = req(srv, "POST", f"/api/rooms/{room_id}/continue")
+            assert code == 200, snap
+            if snap["done"]:
+                break
+            req(srv, "POST", f"/api/rooms/{room_id}/vote", {"playerId": 1, "option": 1})
+        assert snap["done"]
+        assert snap["winner"] >= 1
+    finally:
+        srv.shutdown()
+
+
 def test_room_errors(server):
     code, _ = req(server, "GET", "/api/rooms/nonexistent")
     assert code == 404
