@@ -45,6 +45,10 @@ class AppContext:
     def handle(self, method: str, path: str, query: dict, body: dict) -> tuple[int, Any]:
         route = (method, path)
         try:
+            if route == ("GET", "/") or route == ("GET", "/index.html"):
+                from game_engine_tpu.server.viewer import VIEWER_HTML
+
+                return 200, VIEWER_HTML  # handled as HTML below
             if route == ("GET", "/api/games"):
                 return 200, {"games": self.host.list_games()}
             if route == ("POST", "/api/rooms/create"):
@@ -105,19 +109,20 @@ class AppContext:
                     self.storage.set_thread(room_id, thread)
                     self.storage.set_status(room_id, "playing")
                     return 200, self.host.snapshot(room_id, names)
-                if method == "GET" and action == "state" and room.status in ("playing", "finished"):
-                    viewer = int(query.get("playerId", ["1"])[0])
-                    return 200, self.host.visible_state(room_id, viewer, names)
+                if room.status in ("playing", "finished"):
+                    if method == "GET" and action == "state":
+                        viewer = int(query.get("playerId", ["1"])[0])
+                        return 200, self.host.visible_state(room_id, viewer, names)
+                    if method == "POST" and action == "chat":
+                        msgs = self.host.post_chat(
+                            room_id, int(body["playerId"]), str(body["message"]), names
+                        )
+                        return 200, {"messages": msgs}
+                    if method == "GET" and action == "chat":
+                        viewer = int(query.get("playerId", ["1"])[0])
+                        return 200, {"messages": self.host.chat_messages(room_id, viewer)}
                 if room.status != "playing":
                     return 409, {"error": "room not started"}
-                if method == "POST" and action == "chat":
-                    msgs = self.host.post_chat(
-                        room_id, int(body["playerId"]), str(body["message"]), names
-                    )
-                    return 200, {"messages": msgs}
-                if method == "GET" and action == "chat":
-                    viewer = int(query.get("playerId", ["1"])[0])
-                    return 200, {"messages": self.host.chat_messages(room_id, viewer)}
                 if method == "POST" and action == "action":
                     self.host.queue_action(room_id, int(body["playerId"]), int(body["choice"]))
                     return 200, {"queued": True}
@@ -160,9 +165,14 @@ def make_server(port: int = 0, storage_path: Optional[str] = None,
             code, payload = ctx.handle(
                 self.command, parsed.path, parse_qs(parsed.query), body
             )
-            data = json.dumps(payload).encode()
+            if isinstance(payload, str):  # HTML page (the embedded viewer)
+                data = payload.encode()
+                ctype = "text/html; charset=utf-8"
+            else:
+                data = json.dumps(payload).encode()
+                ctype = "application/json"
             self.send_response(code)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)

@@ -1,0 +1,155 @@
+"""League self-play: checkpoint pool + opponent sampling (BASELINE config 5).
+
+The learner trains against a pool of frozen past snapshots instead of pure
+mirror self-play — the standard league recipe to avoid strategy collapse.
+Per update: an opponent is sampled from the pool (uniform over recent K),
+rooms are split so the learner controls the minority team in even rooms and
+the majority team in odd rooms (so both sides are learned), and only
+learner-controlled seats contribute to the policy loss. Snapshots join the
+pool on a fixed cadence; a win-rate EMA per snapshot drives prioritized
+sampling (losing opponents are sampled more).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from game_engine_tpu.core.engine import init_state_like
+from game_engine_tpu.core.state import GameState
+from game_engine_tpu.core.step import make_step
+from game_engine_tpu.gamespec.tables import Lowered
+from game_engine_tpu.policies import net as N
+from game_engine_tpu.train.ppo import (
+    PPOConfig,
+    Rollout,
+    actor_mask,
+    gae,
+    terminal_rewards,
+)
+from game_engine_tpu.train.run import team_masks
+
+
+@dataclasses.dataclass
+class League:
+    """Host-side snapshot pool with prioritized opponent sampling."""
+
+    max_size: int = 8
+    snapshot_every: int = 50
+    params_pool: list = dataclasses.field(default_factory=list)
+    # EMA of learner win-rate against each snapshot (sample losers more)
+    learner_winrate: list = dataclasses.field(default_factory=list)
+    _updates: int = 0
+
+    def maybe_snapshot(self, params) -> bool:
+        self._updates += 1
+        if (self._updates - 1) % self.snapshot_every == 0:
+            self.params_pool.append(jax.tree_util.tree_map(jnp.copy, params))
+            self.learner_winrate.append(0.5)
+            if len(self.params_pool) > self.max_size:
+                self.params_pool.pop(0)
+                self.learner_winrate.pop(0)
+            return True
+        return False
+
+    def sample_opponent(self, rng: np.random.Generator) -> tuple[int, Any]:
+        assert self.params_pool, "snapshot before sampling"
+        # prioritize opponents the learner loses to
+        w = np.asarray([max(1e-3, 1.0 - r) for r in self.learner_winrate])
+        idx = int(rng.choice(len(self.params_pool), p=w / w.sum()))
+        return idx, self.params_pool[idx]
+
+    def record_result(self, idx: int, learner_win_rate: float, ema: float = 0.1) -> None:
+        self.learner_winrate[idx] = (
+            (1 - ema) * self.learner_winrate[idx] + ema * learner_win_rate
+        )
+
+
+def make_league_train_step(lowered: Lowered, cfg: PPOConfig, tx: optax.GradientTransformation):
+    """One league update: unroll vs a frozen opponent, PPO on learner seats.
+
+    Returns train_step(params, opp_params, opt_state, state, key) ->
+    (params, opt_state, state, key, metrics) — metrics include the
+    learner's episode win-rate for pool bookkeeping.
+    """
+    step = make_step(lowered)
+
+    def learner_controls(state: GameState) -> jax.Array:
+        """(B, P): even rooms -> learner plays the minority side."""
+        B = state.present.shape[0]
+        side = team_masks(lowered, state)  # (B, P) minority-team members
+        even = (jnp.arange(B, dtype=jnp.int32) % 2 == 0)[:, None]
+        return jnp.where(even, side, ~side) & state.present
+
+    def unroll(params, opp_params, state, key):
+        def body(carry, _):
+            st, k = carry
+            k, sk1, sk2 = jax.random.split(k, 3)
+            obs = N.observe(lowered, st)
+            a, logp, v, legal = N.sample_actions(lowered, params, st, sk1, cfg.net)
+            oa, _, _, _ = N.sample_actions(lowered, opp_params, st, sk2, cfg.net)
+            ctrl = learner_controls(st)
+            am = actor_mask(lowered, st)
+            actions = jnp.where(am & ctrl, a, jnp.where(am, oa, 0))
+            nxt = step(st, actions)
+            ended = nxt.done & ~st.done
+            reward = terminal_rewards(lowered, nxt, ended)
+            # learner's win: any learner-controlled seat got +1 at episode end
+            learner_won = ended & jnp.any(ctrl & (reward > 0), axis=1)
+            fresh = init_state_like(lowered, nxt)
+            nxt = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    nxt.done.reshape((-1,) + (1,) * (old.ndim - 1)), new, old
+                ),
+                fresh,
+                nxt,
+            )
+            traj = Rollout(obs, actions, logp, v, reward, ended, am & ctrl, legal)
+            return (nxt, k), (traj, learner_won)
+
+        (state, key), (traj, won) = jax.lax.scan(body, (state, key), None, length=cfg.horizon)
+        return state, key, traj, won
+
+    def loss_fn(params, traj: Rollout, adv, ret):
+        logits, value = N.apply_net(params, traj.obs, cfg.net)
+        logits = jnp.where(traj.legal, logits, jnp.float32(-1e9))
+        logp_all = jax.nn.log_softmax(logits, axis=-1)
+        a_idx = jnp.clip(traj.actions - 1, 0, logits.shape[-1] - 1)
+        logp = jnp.take_along_axis(logp_all, a_idx[..., None], axis=-1)[..., 0]
+        ratio = jnp.exp(logp - traj.logp)
+        m = traj.mask.astype(jnp.float32)
+        msum = jnp.maximum(jnp.sum(m), 1.0)
+        mean = jnp.sum(adv * m) / msum
+        std = jnp.sqrt(jnp.sum(m * (adv - mean) ** 2) / msum) + 1e-8
+        adv_n = (adv - mean) / std
+        pg = -jnp.minimum(ratio * adv_n, jnp.clip(ratio, 1 - cfg.clip, 1 + cfg.clip) * adv_n)
+        v_loss = 0.5 * jnp.mean((value - ret) ** 2)
+        return jnp.sum(pg * m) / msum + cfg.vf_coef * v_loss, v_loss
+
+    def train_step(params, opp_params, opt_state, state, key):
+        state, key, traj, won = unroll(params, opp_params, state, key)
+        _, last_v = N.apply_net(params, N.observe(lowered, state), cfg.net)
+        adv, ret = gae(traj, last_v, cfg)
+        loss = v_loss = jnp.float32(0)
+        for _ in range(cfg.epochs):
+            (loss, v_loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, traj, adv, ret
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+        episodes = jnp.sum(traj.done.astype(jnp.int32))
+        wins = jnp.sum(won.astype(jnp.int32))
+        metrics = {
+            "loss": loss,
+            "v_loss": v_loss,
+            "episodes": episodes,
+            "learner_win_rate": wins / jnp.maximum(episodes, 1),
+        }
+        return params, opt_state, state, key, metrics
+
+    return train_step
