@@ -28,14 +28,26 @@ from game_engine_tpu.core.step import _alive
 from game_engine_tpu.gamespec.tables import Lowered
 
 
-def obs_dim(lowered: Lowered) -> int:
+def _per_player_dim(lowered: Lowered) -> int:
     lay = lowered.game.layout
     str_onehot = sum(max(2, len(s.vocab)) for s in lay.slots.values() if s.bank == "str")
-    return lay.n_bool + lay.n_num + str_onehot + lowered.NP + 3
+    return lay.n_bool + lay.n_num + str_onehot + 2  # + acted + alive
+
+
+def obs_dim(lowered: Lowered) -> int:
+    P = lowered.P
+    # full-room view (centralized self-play) + viewer one-hot + phase + count
+    return P * _per_player_dim(lowered) + P + lowered.NP + 1
 
 
 def observe(lowered: Lowered, state: GameState) -> jax.Array:
-    """(B, P, F) float32 observation tensor."""
+    """(B, P, F) float32 — each player sees the FULL room state plus their
+    own identity one-hot (centralized-training self-play observation).
+
+    Without the full-room view a policy cannot express even basic play
+    (a werewolf can't see which target is a teammate); hidden-information
+    variants can mask columns via the audience rules later.
+    """
     B, P = state.present.shape
     lay = lowered.game.layout
     parts = [state.bools.astype(jnp.float32), state.nums.astype(jnp.float32) / float(P)]
@@ -43,14 +55,22 @@ def observe(lowered: Lowered, state: GameState) -> jax.Array:
         if s.bank == "str":
             width = max(2, len(s.vocab))
             parts.append(jax.nn.one_hot(state.strs[..., s.index], width, dtype=jnp.float32))
-    phase_oh = jax.nn.one_hot(state.phase, lowered.NP, dtype=jnp.float32)  # (B, NP)
-    parts.append(jnp.broadcast_to(phase_oh[:, None, :], (B, P, lowered.NP)))
     alive = _alive(lowered, state)
-    n_alive = jnp.sum(alive, axis=1, keepdims=True).astype(jnp.float32) / P
     parts.append(state.acted.astype(jnp.float32)[..., None])
     parts.append(alive.astype(jnp.float32)[..., None])
-    parts.append(jnp.broadcast_to(n_alive[:, :, None], (B, P, 1)))
-    return jnp.concatenate(parts, axis=-1)
+    per_player = jnp.concatenate(parts, axis=-1)  # (B, P, F0)
+    room = jnp.broadcast_to(
+        per_player.reshape(B, 1, -1), (B, P, P * per_player.shape[-1])
+    )
+    viewer = jnp.broadcast_to(jnp.eye(P, dtype=jnp.float32)[None], (B, P, P))
+    phase_oh = jnp.broadcast_to(
+        jax.nn.one_hot(state.phase, lowered.NP, dtype=jnp.float32)[:, None, :],
+        (B, P, lowered.NP),
+    )
+    n_alive = jnp.broadcast_to(
+        (jnp.sum(alive, axis=1).astype(jnp.float32) / P)[:, None, None], (B, P, 1)
+    )
+    return jnp.concatenate([room, viewer, phase_oh, n_alive], axis=-1)
 
 
 def action_space(lowered: Lowered) -> int:
