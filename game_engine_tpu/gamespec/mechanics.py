@@ -512,6 +512,28 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
             if isinstance(t, str) and t:
                 team_counts[t.lower()] = team_counts.get(t.lower(), 0) + 1
     team_order = tuple(sorted(team_counts, key=lambda t: (team_counts[t], t)))
+    if team_field and not team_order:
+        # no players_example: mine team values from audience criteria /
+        # field examples; minority-first = teams whose name matches a
+        # declared role (the 'evil' faction convention)
+        vals: list[str] = []
+        ex = decl.field(team_field).example
+        if isinstance(ex, str) and ex:
+            vals.append(ex.lower())
+        for g in decl.audience_groups:
+            if re.search(rf"\b{team_field}\b", g.selection_criteria):
+                for m in re.findall(r"'([^']+)'|\"([^\"]+)\"", g.selection_criteria):
+                    v = (m[0] or m[1]).lower()
+                    if v and v not in vals:
+                        vals.append(v)
+        role_names = {r.name.lower() for r in decl.roles}
+
+        def is_rolelike(team: str) -> bool:
+            s = team[:-1] if team.endswith("s") else team
+            s = s[:-3] + "f" if team.endswith("ves") else s
+            return s in role_names or team in role_names
+
+        team_order = tuple(sorted(vals, key=lambda t: (not is_rolelike(t), t)))
     score_field = ""
     for cand in ("total_score", "score", "points"):
         if cand in fields and layout.slot(cand).bank == BANK_NUM:
