@@ -122,7 +122,8 @@ class AppContext:
                         viewer = int(query.get("playerId", ["1"])[0])
                         return 200, {"messages": self.host.chat_messages(room_id, viewer)}
                 if room.status != "playing":
-                    return 409, {"error": "room not started"}
+                    msg = "game already finished" if room.status == "finished" else "room not started"
+                    return 409, {"error": msg}
                 if method == "POST" and action == "action":
                     self.host.queue_action(room_id, int(body["playerId"]), int(body["choice"]))
                     return 200, {"queued": True}
@@ -140,7 +141,9 @@ class AppContext:
                     viewer = int(query.get("playerId", ["1"])[0])
                     return 200, self.host.visible_state(room_id, viewer, names)
             return 404, {"error": f"no route {method} {path}"}
-        except (KeyError, ValueError, TypeError) as e:
+        except KeyError as e:
+            return 400, {"error": f"missing or unknown field: {e}"}
+        except (ValueError, TypeError) as e:
             return 400, {"error": str(e)}
 
 
@@ -179,6 +182,18 @@ def make_server(port: int = 0, storage_path: Optional[str] = None,
 
         do_GET = _respond
         do_POST = _respond
+
+        def _method_not_allowed(self):
+            data = json.dumps({"error": "method not allowed"}).encode()
+            self.send_response(405)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        do_PUT = _method_not_allowed
+        do_DELETE = _method_not_allowed
+        do_PATCH = _method_not_allowed
 
     server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
     server.ctx = ctx  # type: ignore[attr-defined]

@@ -131,3 +131,25 @@ def test_room_errors(server):
     assert code == 404
     code, _ = req(server, "POST", "/api/rooms/nonexistent/step")
     assert code == 404
+    code, data = req(server, "DELETE", "/api/rooms/nonexistent")
+    assert code == 405 and "error" in data
+
+
+def test_two_games_hosted_concurrently(server):
+    """Two different game DSLs live side-by-side in the same host."""
+    rooms = {}
+    for game, n_req in (("werewolf", None), ("two-truths", None)):
+        code, data = req(server, "POST", "/api/rooms/create",
+                         {"gameName": game, "playerName": f"host-{game}"})
+        assert code == 200, data
+        rid = data["room"]["roomId"]
+        req(server, "POST", "/api/rooms/add-bot", {"roomId": rid})
+        code, snap = req(server, "POST", f"/api/rooms/{rid}/start", {"seed": 1})
+        assert code == 200, snap
+        rooms[game] = rid
+    # stepping one room must not advance the other
+    code, s1 = req(server, "POST", f"/api/rooms/{rooms['werewolf']}/step")
+    code, s2 = req(server, "GET", f"/api/rooms/{rooms['two-truths']}/state?playerId=1")
+    assert s1["current_phase_id"] == 1  # werewolf advanced 0 -> 1
+    assert s2["current_phase_id"] == 0  # two-truths untouched
+    assert s2["gameName"].startswith("two-truths")
