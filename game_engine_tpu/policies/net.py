@@ -28,40 +28,124 @@ from game_engine_tpu.core.step import _alive
 from game_engine_tpu.gamespec.tables import Lowered
 
 
+import re as _re
+
+_PRIVATE_RE = _re.compile(r"\bprivate\b|\bhidden\b|\bsecret\b", _re.IGNORECASE)
+
+VIS_PUBLIC, VIS_SELF, VIS_TEAM = 0, 1, 2
+
+
+def field_visibility(lowered: Lowered) -> dict[str, int]:
+    """Per-field observation visibility, derived from the DSL itself.
+
+    Fields whose declaration description says private/hidden/secret are
+    SELF-only. The team field (and role, which determines it) is TEAM —
+    visible to same-team viewers — when an audience group selects by team
+    (the reference's werewolves-coordinate-secretly contract,
+    games/werewolf-(mafia).yaml:138-143). Everything else is PUBLIC.
+    """
+    decl = lowered.game.spec.declaration
+    team_grouped = any(
+        _re.search(r"\bteam\b", g.selection_criteria) for g in decl.audience_groups
+    )
+    out: dict[str, int] = {}
+    for f in decl.fields:
+        if _PRIVATE_RE.search(f.description) or _PRIVATE_RE.search(f.name):
+            out[f.name] = VIS_SELF
+        else:
+            out[f.name] = VIS_PUBLIC
+    # action bookkeeping written in phases that target a strict subset of
+    # players is the actors' own information (a public night_action flag
+    # would leak who holds a night role)
+    from game_engine_tpu.gamespec.expr import Const
+
+    for cp in lowered.game.phases:
+        if isinstance(cp.target_pred, Const):
+            continue  # everyone acts: the writes are public (day votes)
+        rp = cp.program.record
+        for name in rp.set_bool_true + rp.set_bool_false:
+            out[name] = VIS_SELF
+        for name in (rp.write_choice_num, rp.mark_odict):
+            if name:
+                out[name] = VIS_SELF
+        if rp.write_pdict:
+            out[rp.write_pdict[0]] = VIS_SELF
+    if team_grouped:
+        for name in ("team", "role"):
+            if name in out:
+                out[name] = VIS_TEAM
+    return out
+
+
 def _per_player_dim(lowered: Lowered) -> int:
     lay = lowered.game.layout
-    str_onehot = sum(max(2, len(s.vocab)) for s in lay.slots.values() if s.bank == "str")
-    return lay.n_bool + lay.n_num + str_onehot + 2  # + acted + alive
+    d = 2  # acted + alive
+    for f in lowered.game.spec.declaration.fields:
+        s = lay.slot(f.name)
+        if s.bank in ("bool", "num"):
+            d += 1
+        elif s.bank == "str":
+            d += max(2, len(s.vocab))
+    return d
 
 
 def obs_dim(lowered: Lowered) -> int:
     P = lowered.P
-    # full-room view (centralized self-play) + viewer one-hot + phase + count
+    # full-room view + viewer one-hot + phase + count
     return P * _per_player_dim(lowered) + P + lowered.NP + 1
 
 
-def observe(lowered: Lowered, state: GameState) -> jax.Array:
-    """(B, P, F) float32 — each player sees the FULL room state plus their
-    own identity one-hot (centralized-training self-play observation).
+def observe(lowered: Lowered, state: GameState, masked: bool = True) -> jax.Array:
+    """(B, P, F) float32 — each viewer sees the room through the game's
+    information rules.
 
-    Without the full-room view a policy cannot express even basic play
-    (a werewolf can't see which target is a teammate); hidden-information
-    variants can mask columns via the audience rules later.
+    masked=True (default): hidden-role observation — SELF fields are zeroed
+    on other players' rows, TEAM fields visible only when the viewer shares
+    the target's team (wolves see each other; villagers see nothing).
+    masked=False: the full-information centralized view (debug/ablation).
     """
     B, P = state.present.shape
     lay = lowered.game.layout
-    parts = [state.bools.astype(jnp.float32), state.nums.astype(jnp.float32) / float(P)]
-    for s in lay.slots.values():
-        if s.bank == "str":
+    vis = field_visibility(lowered)
+    team_slot = lay.get("team")
+    if masked and team_slot is not None and team_slot.bank == "str":
+        team = state.strs[..., team_slot.index]
+        same_team = (team[:, :, None] == team[:, None, :]) & (team[:, :, None] != 0)
+    else:
+        same_team = jnp.zeros((B, P, P), bool)
+    is_self = jnp.broadcast_to(jnp.eye(P, dtype=bool)[None], (B, P, P))
+
+    def mask_for(field: str) -> jax.Array:
+        """(B, viewer P, target P) — may the viewer see this field?"""
+        if not masked:
+            return jnp.ones((B, P, P), bool)
+        v = vis.get(field, VIS_PUBLIC)
+        if v == VIS_SELF:
+            return is_self
+        if v == VIS_TEAM:
+            return is_self | same_team
+        return jnp.ones((B, P, P), bool)
+
+    # per-field feature blocks, expanded to (B, viewer, target, width)
+    blocks = []
+    for f in lowered.game.spec.declaration.fields:
+        s = lay.slot(f.name)
+        if s.bank == "bool":
+            feat = state.bools[..., s.index, None].astype(jnp.float32)
+        elif s.bank == "num":
+            feat = state.nums[..., s.index, None].astype(jnp.float32) / float(P)
+        elif s.bank == "str":
             width = max(2, len(s.vocab))
-            parts.append(jax.nn.one_hot(state.strs[..., s.index], width, dtype=jnp.float32))
+            feat = jax.nn.one_hot(state.strs[..., s.index], width, dtype=jnp.float32)
+        else:
+            continue  # dict banks enter via their recorded scalar effects
+        m = mask_for(f.name)[..., None]  # (B, V, T, 1)
+        blocks.append(jnp.where(m, feat[:, None, :, :], 0.0))
     alive = _alive(lowered, state)
-    parts.append(state.acted.astype(jnp.float32)[..., None])
-    parts.append(alive.astype(jnp.float32)[..., None])
-    per_player = jnp.concatenate(parts, axis=-1)  # (B, P, F0)
-    room = jnp.broadcast_to(
-        per_player.reshape(B, 1, -1), (B, P, P * per_player.shape[-1])
-    )
+    blocks.append(jnp.broadcast_to(state.acted.astype(jnp.float32)[:, None, :, None], (B, P, P, 1)))
+    blocks.append(jnp.broadcast_to(alive.astype(jnp.float32)[:, None, :, None], (B, P, P, 1)))
+    room = jnp.concatenate(blocks, axis=-1).reshape(B, P, -1)  # (B, V, T*F0)
+
     viewer = jnp.broadcast_to(jnp.eye(P, dtype=jnp.float32)[None], (B, P, P))
     phase_oh = jnp.broadcast_to(
         jax.nn.one_hot(state.phase, lowered.NP, dtype=jnp.float32)[:, None, :],
