@@ -69,6 +69,28 @@ def replicate(mesh: Mesh, tree):
     )
 
 
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host (DCN) initialization for slices larger than one host.
+
+    Call once per process before any jax op; afterwards jax.devices() spans
+    the whole slice and the same pjit programs shard over ICI within hosts
+    and DCN across them (SURVEY.md §2.5 'distributed communication backend'
+    row). On single-host TPU or CPU this is a no-op. Returns process count.
+    """
+    if num_processes is None or num_processes <= 1:
+        return 1
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_count()
+
+
 def psum_metrics(metrics: dict, mesh: Mesh) -> dict:
     """Cross-chip metric reduction for logging (already handled inside jit
     by GSPMD for sharded reductions; this is for explicit host-side sums)."""
