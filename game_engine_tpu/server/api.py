@@ -24,6 +24,7 @@ on-device in the batched engine (server/manager.py).
 from __future__ import annotations
 
 import json
+import os
 import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -84,6 +85,36 @@ class AppContext:
                     added.append(p.__dict__)
                     players = self.storage.get_players(room.roomId)
                 return 200, {"added": added, "playerCount": len(players)}
+            if route == ("POST", "/api/generate-dsl"):
+                # reference: 3 gpt-5 calls, ~10 min, 900s poll ceiling
+                # (src/app/api/generate-dsl/route.ts); here: deterministic
+                # generation + programmatic validation, milliseconds.
+                import re as _re
+
+                import yaml as _yaml
+
+                from game_engine_tpu.dslgen.generate import generate_from_description
+                from game_engine_tpu.dslgen.validate import errors as _errors, validate_doc
+
+                name = _re.sub(r"[^a-z0-9-]+", "-", str(body["gameName"]).lower()).strip("-")
+                if not name:
+                    return 400, {"error": "gameName required"}
+                doc = generate_from_description(name, str(body.get("gameDescription", "")))
+                issues, spec = validate_doc(doc, name=name)
+                errs = _errors(issues)
+                if errs or spec is None:
+                    # keep-original-on-failure: nothing is written
+                    return 422, {"error": "generated DSL failed validation",
+                                 "issues": [str(i) for i in issues]}
+                path = os.path.join(self.host._games_path, f"{name}.yaml")
+                with open(path, "w", encoding="utf-8") as f:
+                    _yaml.safe_dump(doc, f, sort_keys=False, allow_unicode=True)
+                return 200, {
+                    "name": name,
+                    "filename": f"{name}.yaml",
+                    "warnings": [str(i) for i in issues],
+                    "yaml": _yaml.safe_dump(doc, sort_keys=False, allow_unicode=True),
+                }
             if route == ("GET", "/api/rooms/list"):
                 game = query.get("game", [None])[0]
                 return 200, {"rooms": self.storage.list_rooms(game)}
@@ -121,6 +152,8 @@ class AppContext:
                     if method == "GET" and action == "chat":
                         viewer = int(query.get("playerId", ["1"])[0])
                         return 200, {"messages": self.host.chat_messages(room_id, viewer)}
+                    if method == "GET" and action == "notes":
+                        return 200, {"game_notes": self.host.game_notes(room_id)}
                 if room.status != "playing":
                     msg = "game already finished" if room.status == "finished" else "room not started"
                     return 409, {"error": msg}

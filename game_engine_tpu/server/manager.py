@@ -211,6 +211,7 @@ class GameHost:
         self._rooms: dict[str, tuple[str, int]] = {}  # roomId -> (game, slot)
         self._queues: dict[str, dict[int, int]] = {}  # roomId -> {pid: choice}
         self._chats: dict[str, Any] = {}
+        self._notes: dict[str, Any] = {}
         self._seeds = 0
 
     # -- game catalog ----------------------------------------------------------
@@ -264,8 +265,10 @@ class GameHost:
             self._rooms[room_id] = (game_name, slot)
             self._queues[room_id] = {}
             from game_engine_tpu.server.chat import ChatRoom
+            from game_engine_tpu.view.notes import NotesLog
 
             self._chats[room_id] = ChatRoom(room_id, seed=real_seed)
+            self._notes[room_id] = NotesLog()
             return f"{game_name}:{slot}"
 
     def end_room(self, room_id: str) -> None:
@@ -273,6 +276,7 @@ class GameHost:
             game_name, slot = self._rooms.pop(room_id, (None, None))
             self._queues.pop(room_id, None)
             self._chats.pop(room_id, None)
+            self._notes.pop(room_id, None)
             if game_name is not None:
                 self._slots[game_name].release(slot)
 
@@ -300,6 +304,11 @@ class GameHost:
         with self._lock:
             chat = self._chats.get(room_id)
             return [m.to_json() for m in chat.visible(viewer_id)] if chat else []
+
+    def game_notes(self, room_id: str, n: int = 50) -> list[dict[str, Any]]:
+        with self._lock:
+            log = self._notes.get(room_id)
+            return log.recent(n) if log else []
 
     # -- play -------------------------------------------------------------------
 
@@ -358,6 +367,10 @@ class GameHost:
             gs = self._game_slots(game_name)
             snap = gs.snapshot_raw(slot, player_names)
             snap["roomId"] = room_id
+            log = self._notes.get(room_id)
+            if log is not None:
+                log.observe(snap)
+                snap["game_notes"] = log.recent(10)
             proj = gs.projectors[slot]
             gs.items[slot] = proj.project(
                 snap, prev_items=gs.items[slot], prev_dead=gs.prev_dead[slot]

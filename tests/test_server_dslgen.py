@@ -1,0 +1,68 @@
+"""Generate-DSL endpoint + game-notes endpoint: generate a brand-new game
+over HTTP, then create a room of it and play it to completion."""
+
+import json
+import shutil
+import threading
+from http.client import HTTPConnection
+
+import pytest
+
+from game_engine_tpu.gamespec.parser import games_dir
+from game_engine_tpu.server.api import make_server
+from tests.test_server import req
+
+
+@pytest.fixture()
+def server(tmp_path):
+    gdir = tmp_path / "games"
+    shutil.copytree(games_dir(), gdir)
+    srv = make_server(port=0, games_path=str(gdir))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+def test_generate_dsl_and_play(server):
+    code, data = req(server, "POST", "/api/generate-dsl",
+                     {"gameName": "Shadow Council",
+                      "gameDescription": "A hidden-role night elimination deduction game "
+                                         "where assassins secretly kill."})
+    assert code == 200, data
+    assert data["name"] == "shadow-council"
+    assert "declaration" in data["yaml"]
+
+    # catalog now lists it
+    code, cat = req(server, "GET", "/api/games")
+    names = [g["name"] for g in cat["games"]]
+    assert "shadow-council" in names
+
+    # play the generated game end-to-end
+    code, d = req(server, "POST", "/api/rooms/create",
+                  {"gameName": "shadow-council", "playerName": "Gen"})
+    assert code == 200, d
+    room_id = d["room"]["roomId"]
+    req(server, "POST", "/api/rooms/add-bot", {"roomId": room_id})
+    code, snap = req(server, "POST", f"/api/rooms/{room_id}/start", {"seed": 4})
+    assert code == 200, snap
+    for _ in range(60):
+        code, snap = req(server, "POST", f"/api/rooms/{room_id}/continue")
+        if snap["done"]:
+            break
+        req(server, "POST", f"/api/rooms/{room_id}/vote", {"playerId": 1, "option": 1})
+    assert snap["done"] and snap["winner"] >= 1
+
+    # game notes accumulated a narrative
+    code, notes = req(server, "GET", f"/api/rooms/{room_id}/notes")
+    assert code == 200
+    kinds = {n["type"] for n in notes["game_notes"]}
+    assert "phase" in kinds
+    assert "win" in kinds
+    texts = " | ".join(n["text"] for n in notes["game_notes"])
+    assert "winner" in texts
+
+
+def test_generate_dsl_requires_name(server):
+    code, data = req(server, "POST", "/api/generate-dsl", {"gameName": "///"})
+    assert code == 400
