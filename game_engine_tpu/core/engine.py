@@ -75,8 +75,6 @@ def make_rollout(lowered: Lowered, num_steps: int, auto_reset: bool = True):
     benchmarks measure sustained env-steps/sec.
     """
     step = make_step(lowered)
-    P = lowered.P
-    reset_template = None  # built lazily inside to capture batch/n
 
     def rollout(state: GameState):
         def body(st: GameState, _):
@@ -106,11 +104,6 @@ def init_state_like(lowered: Lowered, state: GameState) -> GameState:
     n = jnp.sum(state.present, axis=1, dtype=jnp.int32)
     new_seed = splitmix32_jax(state.seed ^ _U32(0xDECAF000))
     return init_state(lowered, B, n, new_seed)
-
-
-@functools.partial(jax.jit, static_argnums=(0, 2, 3))
-def _rollout_jit(lowered_id, state, num_steps, auto_reset):  # pragma: no cover
-    raise RuntimeError("use compiled_rollout")
 
 
 def compiled_rollout(lowered: Lowered, num_steps: int, auto_reset: bool = True):

@@ -563,15 +563,12 @@ def make_step(lowered: Lowered):
     return step
 
 
-@functools.lru_cache(maxsize=None)
-def _jitted_cache():  # pragma: no cover
-    return {}
+_jit_cache: dict[int, object] = {}
 
 
 def jit_step(lowered: Lowered):
     """jit-compiled step for a lowered game (cached per Lowered identity)."""
-    cache = _jitted_cache()
     key = id(lowered)
-    if key not in cache:
-        cache[key] = jax.jit(make_step(lowered), donate_argnums=(0,))
-    return cache[key]
+    if key not in _jit_cache:
+        _jit_cache[key] = jax.jit(make_step(lowered), donate_argnums=(0,))
+    return _jit_cache[key]

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from game_engine_tpu.gamespec.compile import CompiledGame
+
 from game_engine_tpu.gamespec.mechanics import ChoiceKind, splitmix32
 
 _GOLDEN = 0x9E3779B9
@@ -65,10 +65,6 @@ def oracle_policy(room, step_idx: int, seed: int) -> dict[int, int]:
     return out
 
 
-def jax_policy(game: CompiledGame):
-    """Vectorized equivalent: (tables, state, step, seed) -> (B, P) choices.
-
-    Built lazily in core/engine.py to avoid importing jax here; see
-    core/engine.scripted_actions.
-    """
-    raise NotImplementedError("use game_engine_tpu.core.engine.scripted_actions")
+# The vectorized jax twin of oracle_policy lives in
+# game_engine_tpu.core.engine.scripted_actions (same splitmix32 stream);
+# the in-kernel twin lives in core/pallas_rollout.py.
