@@ -8,15 +8,12 @@ same splitmix32 stream as policies/scripted.py (bit-identical to the oracle).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from game_engine_tpu.core.state import GameState, init_state
-from game_engine_tpu.core.step import PredEval, _alive, make_step, splitmix32_jax
+from game_engine_tpu.core.step import _alive, make_step, splitmix32_jax
 from game_engine_tpu.gamespec.mechanics import ChoiceKind
 from game_engine_tpu.gamespec.tables import Lowered
 

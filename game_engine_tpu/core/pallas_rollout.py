@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 from game_engine_tpu.core.state import GameState
 from game_engine_tpu.gamespec import tables as T
 from game_engine_tpu.gamespec.mechanics import ChoiceKind
-from game_engine_tpu.gamespec.tables import AB_BOOL, AB_CONST, AB_NUM, AB_STR, Lowered
+from game_engine_tpu.gamespec.tables import AB_BOOL, AB_CONST, AB_NUM, Lowered
 from game_engine_tpu.gamespec.tables import OP_EQ, OP_GE, OP_GT, OP_LE, OP_LT, OP_NE
 
 _U32 = jnp.uint32

@@ -17,9 +17,6 @@ a handful of VPU kernels. Semantics are pinned P1..P11
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -31,13 +28,11 @@ from game_engine_tpu.gamespec.tables import (
     AB_BOOL,
     AB_CONST,
     AB_NUM,
-    AB_STR,
     Lowered,
     OP_EQ,
     OP_GE,
     OP_GT,
     OP_LE,
-    OP_LT,
     OP_NE,
 )
 

@@ -28,15 +28,7 @@ from game_engine_tpu.gamespec import conditions as C
 from game_engine_tpu.gamespec import mechanics as M
 from game_engine_tpu.gamespec.compile import CompiledGame
 from game_engine_tpu.gamespec.expr import Pred, to_dnf
-from game_engine_tpu.gamespec.layout import (
-    BANK_BOOL,
-    BANK_NUM,
-    BANK_ODICT,
-    BANK_PDICT,
-    BANK_STR,
-    StateLayout,
-)
-from game_engine_tpu.gamespec.mechanics import ChoiceKind
+from game_engine_tpu.gamespec.layout import BANK_BOOL, BANK_NUM, BANK_STR, StateLayout
 from game_engine_tpu.gamespec.schema import CompletionType
 
 # atom ops

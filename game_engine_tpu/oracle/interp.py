@@ -22,7 +22,6 @@ from game_engine_tpu.gamespec import conditions as C
 from game_engine_tpu.gamespec import mechanics as M
 from game_engine_tpu.gamespec.compile import CompiledGame, CompiledPhase
 from game_engine_tpu.gamespec.expr import eval_predicate
-from game_engine_tpu.gamespec.layout import BANK_ODICT, BANK_PDICT
 from game_engine_tpu.gamespec.mechanics import ChoiceKind
 from game_engine_tpu.gamespec.schema import CompletionType, FieldType
 

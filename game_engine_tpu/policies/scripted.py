@@ -11,9 +11,6 @@ bit-identical actions — this is what makes golden-parity tests exact.
 
 from __future__ import annotations
 
-from typing import Optional
-
-
 from game_engine_tpu.gamespec.mechanics import ChoiceKind, splitmix32
 
 _GOLDEN = 0x9E3779B9

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from game_engine_tpu.core.engine import BatchedEngine, scripted_actions
+from game_engine_tpu.core.engine import BatchedEngine
 from game_engine_tpu.core.state import init_state
 from game_engine_tpu.gamespec.compile import GameConfig, compile_game
 from game_engine_tpu.gamespec.mechanics import ChoiceKind

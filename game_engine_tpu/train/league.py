@@ -13,7 +13,7 @@ sampling (losing opponents are sampled more).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -91,12 +91,24 @@ def main(argv=None):
     ap.add_argument("--eval-batch", type=int, default=1024)
     ap.add_argument("--checkpoint", default="")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--league", action="store_true",
+                    help="train against a pool of frozen snapshots "
+                         "(prioritized opponent sampling) instead of mirror self-play")
+    ap.add_argument("--league-snapshot-every", type=int, default=50)
     args = ap.parse_args(argv)
 
     lowered = lower(compile_game(load_builtin(args.game)))
     cfg = PPOConfig(horizon=args.horizon, lr=args.lr, net=N.NetConfig(hidden=args.hidden))
     key = jax.random.PRNGKey(args.seed)
     params, opt_state, tx = init_training(lowered, cfg, key)
+    league = rng = league_step = None
+    if args.league:
+        from game_engine_tpu.train.league import League, make_league_train_step
+
+        league = League(snapshot_every=args.league_snapshot_every)
+        league.maybe_snapshot(params)
+        league_step = jax.jit(make_league_train_step(lowered, cfg, tx))
+        rng = np.random.default_rng(args.seed)
     train_step = jax.jit(make_train_step(lowered, cfg, tx))
     state = init_state(lowered, args.batch, args.players,
                        np.arange(args.batch, dtype=np.uint32))
@@ -118,7 +130,18 @@ def main(argv=None):
     print(json.dumps({"event": "eval", "update": 0, **run_evals()}))
     t0 = time.time()
     for u in range(1, args.updates + 1):
-        params, opt_state, state, key, metrics = train_step(params, opt_state, state, key)
+        if league is not None:
+            opp_idx, opp = league.sample_opponent(rng)
+            params, opt_state, state, key, metrics = league_step(
+                params, opp, opt_state, state, key
+            )
+            league.record_result(opp_idx, float(metrics["learner_win_rate"]))
+            league.maybe_snapshot(params)
+            metrics = dict(metrics)
+            metrics["opponent"] = opp_idx
+            metrics["pool_size"] = len(league.params_pool)
+        else:
+            params, opt_state, state, key, metrics = train_step(params, opt_state, state, key)
         if u % 10 == 0 or u == args.updates:
             m = {k: round(float(v), 4) for k, v in metrics.items()}
             m.update(event="train", update=u,
