@@ -77,6 +77,16 @@ def field_visibility(lowered: Lowered) -> dict[str, int]:
     return out
 
 
+def minority_team_code(lowered: Lowered):
+    """String code of the coordinating (minority/'evil') team, or None."""
+    from game_engine_tpu.gamespec.tables import LGameOver
+
+    for m in lowered.mechanics:
+        if isinstance(m, LGameOver) and m.mode == "team" and m.team_codes:
+            return int(m.team_codes[0])
+    return None
+
+
 def _per_player_dim(lowered: Lowered) -> int:
     lay = lowered.game.layout
     d = 2  # acted + alive
@@ -111,6 +121,12 @@ def observe(lowered: Lowered, state: GameState, masked: bool = True) -> jax.Arra
     if masked and team_slot is not None and team_slot.bank == "str":
         team = state.strs[..., team_slot.index]
         same_team = (team[:, :, None] == team[:, None, :]) & (team[:, :, None] != 0)
+        # only the coordinating (minority) team sees its teammates — the
+        # reference reveals wolves to wolves via the werewolves audience
+        # group, but villagers never learn who else is a villager
+        code = minority_team_code(lowered)
+        if code is not None:
+            same_team = same_team & (team[:, :, None] == code)
     else:
         same_team = jnp.zeros((B, P, P), bool)
     is_self = jnp.broadcast_to(jnp.eye(P, dtype=bool)[None], (B, P, P))

@@ -380,8 +380,12 @@ class GameHost:
             return snap
 
     def visible_state(self, room_id: str, viewer_id: int,
-                      player_names: Optional[dict[int, str]] = None) -> dict[str, Any]:
-        """AgentState filtered by the audience gate for one viewer."""
+                      player_names: Optional[dict[int, str]] = None,
+                      mask_private: bool = True) -> dict[str, Any]:
+        """AgentState filtered for one viewer: items by the audience gate,
+        and (an upgrade over the reference, which syncs full player_states
+        to every client) private fields masked by the game's information
+        rules — hidden roles stay hidden from the other seats."""
         from game_engine_tpu.view.cards import visible_to, Item
 
         snap = self.snapshot(room_id, player_names)
@@ -391,4 +395,32 @@ class GameHost:
                                subtitle=it.get("subtitle", ""), data=it["data"]),
                           str(viewer_id))
         ]
+        if mask_private:
+            from game_engine_tpu.policies.net import (
+                VIS_SELF,
+                VIS_TEAM,
+                field_visibility,
+                minority_team_code,
+            )
+
+            game_name, slot = self._rooms[room_id]
+            lowered = self._game_slots(game_name).lowered
+            vis = field_visibility(lowered)
+            code = minority_team_code(lowered)
+            team_slot = lowered.game.layout.get("team")
+            minority = team_slot.decode(code) if (code is not None and team_slot) else None
+            players = snap.get("player_states", {})
+            my_team = players.get(str(viewer_id), {}).get("team")
+            for pid, row in players.items():
+                if pid == str(viewer_id):
+                    continue
+                # only the coordinating minority team sees its teammates
+                coordinated = (
+                    bool(my_team) and row.get("team") == my_team and my_team == minority
+                )
+                for field, v in vis.items():
+                    if field not in row:
+                        continue
+                    if v == VIS_SELF or (v == VIS_TEAM and not coordinated):
+                        row[field] = None
         return snap

@@ -135,6 +135,31 @@ def test_room_errors(server):
     assert code == 405 and "error" in data
 
 
+def test_viewer_state_masks_hidden_roles(server):
+    """GET state hides other players' private fields (roles, night flags)."""
+    code, d = req(server, "POST", "/api/rooms/create",
+                  {"gameName": "werewolf", "playerName": "Maskie"})
+    room_id = d["room"]["roomId"]
+    req(server, "POST", "/api/rooms/add-bot", {"roomId": room_id})
+    code, snap = req(server, "POST", f"/api/rooms/{room_id}/start", {"seed": 2})
+    code, snap = req(server, "POST", f"/api/rooms/{room_id}/step")  # roles assigned
+    assert snap["current_phase_id"] == 1
+    true_roles = {p: r["role"] for p, r in snap["player_states"].items()}
+
+    code, view = req(server, "GET", f"/api/rooms/{room_id}/state?playerId=1")
+    ps = view["player_states"]
+    assert ps["1"]["role"] == true_roles["1"]  # own role visible
+    my_team = snap["player_states"]["1"]["team"]
+    for pid, row in ps.items():
+        if pid == "1":
+            continue
+        if snap["player_states"][pid]["team"] == my_team and my_team == "werewolves":
+            assert row["role"] == true_roles[pid]  # teammates see each other
+        else:
+            assert row["role"] is None, f"role of p{pid} leaked to viewer 1"
+            assert row["team"] is None
+
+
 def test_two_games_hosted_concurrently(server):
     """Two different game DSLs live side-by-side in the same host."""
     rooms = {}
