@@ -15,7 +15,11 @@ Routes (reference: SURVEY.md §2.4, src/app/api/*):
   POST /api/rooms/<roomId>/step        advance one turn
   POST /api/rooms/<roomId>/continue    advance until human input needed
   GET  /api/rooms/<roomId>/state?playerId=N  -> AgentState + visible items
+                                       (items audience-gated, private fields masked)
+  GET  /api/rooms/<roomId>/notes       game_notes narrative log
+  POST /api/generate-dsl               {gameName, gameDescription} -> new game YAML
   GET  /api/debug/rooms                storage dump
+  GET  /                               embedded HTML viewer
 
 Plain stdlib http.server — the host service is IO-thin; all compute stays
 on-device in the batched engine (server/manager.py).

@@ -90,6 +90,7 @@ def main(argv=None):
     ap.add_argument("--eval-every", type=int, default=25)
     ap.add_argument("--eval-batch", type=int, default=1024)
     ap.add_argument("--checkpoint", default="")
+    ap.add_argument("--resume", default="", help="checkpoint path to resume params from")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--league", action="store_true",
                     help="train against a pool of frozen snapshots "
@@ -101,6 +102,11 @@ def main(argv=None):
     cfg = PPOConfig(horizon=args.horizon, lr=args.lr, net=N.NetConfig(hidden=args.hidden))
     key = jax.random.PRNGKey(args.seed)
     params, opt_state, tx = init_training(lowered, cfg, key)
+    if args.resume:
+        from game_engine_tpu.utils.checkpoint import load_tree
+
+        params = load_tree(args.resume, params)
+        print(json.dumps({"event": "resume", "from": args.resume}))
     league = rng = league_step = None
     if args.league:
         from game_engine_tpu.train.league import League, make_league_train_step
@@ -118,6 +124,8 @@ def main(argv=None):
     }
 
     def run_evals():
+        if args.eval_batch <= 0:
+            return {}
         out = {}
         for name, ev in evals.items():
             es = init_state(lowered, args.eval_batch, args.players,
