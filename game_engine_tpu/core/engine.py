@@ -76,13 +76,17 @@ def make_rollout(lowered: Lowered, num_steps: int, auto_reset: bool = True):
     def rollout(state: GameState):
         def body(st: GameState, _):
             actions = scripted_actions(lowered, st)
-            st = step(st, actions)
-            episodes = jnp.sum(st.done.astype(jnp.int32))
+            new = step(st, actions)
+            # completions this step (under auto-reset st.done is always
+            # False here, so this equals sum(new.done) — bit-compatible
+            # with the pallas kernel's counter)
+            episodes = jnp.sum((new.done & ~st.done).astype(jnp.int32))
+            st = new
             if auto_reset:
                 fresh = init_state_like(lowered, st)
                 st = jax.tree_util.tree_map(
-                    lambda new, old: jnp.where(
-                        st.done.reshape((-1,) + (1,) * (old.ndim - 1)), new, old
+                    lambda n, old: jnp.where(
+                        st.done.reshape((-1,) + (1,) * (old.ndim - 1)), n, old
                     ),
                     fresh,
                     st,

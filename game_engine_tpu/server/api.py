@@ -138,7 +138,8 @@ class AppContext:
                     if len(players) < room.minPlayers:
                         return 409, {"error": f"need {room.minPlayers} players"}
                     thread = self.host.start_room(
-                        room_id, room.gameName, len(players), seed=body.get("seed")
+                        room_id, room.gameName, len(players), seed=body.get("seed"),
+                        rounds_per_player=int(body.get("roundsPerPlayer", 1)),
                     )
                     self.storage.set_thread(room_id, thread)
                     self.storage.set_status(room_id, "playing")

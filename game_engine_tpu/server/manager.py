@@ -237,8 +237,9 @@ class GameHost:
             )
         return out
 
-    def _game_slots(self, game_name: str) -> _GameSlots:
-        if game_name not in self._slots:
+    def _game_slots(self, game_name: str, rounds_per_player: int = 1) -> _GameSlots:
+        key = f"{game_name}#r{rounds_per_player}"
+        if key not in self._slots:
             spec = None
             for fn in sorted(os.listdir(self._games_path)):
                 if fn.endswith((".yaml", ".yml")):
@@ -248,21 +249,21 @@ class GameHost:
                         break
             if spec is None:
                 raise KeyError(f"unknown game {game_name!r}")
-            lowered = lower(compile_game(spec, GameConfig()))
+            lowered = lower(compile_game(spec, GameConfig(rounds_per_player=rounds_per_player)))
             cls = _NativeRooms if self._backend == "native" else _GameSlots
-            self._slots[game_name] = cls(lowered)
-        return self._slots[game_name]
+            self._slots[key] = cls(lowered)
+        return self._slots[key]
 
     # -- room lifecycle ---------------------------------------------------------
 
     def start_room(self, room_id: str, game_name: str, n_players: int,
-                   seed: Optional[int] = None) -> str:
+                   seed: Optional[int] = None, rounds_per_player: int = 1) -> str:
         with self._lock:
-            gs = self._game_slots(game_name)
+            gs = self._game_slots(game_name, rounds_per_player)
             self._seeds += 1
             real_seed = seed if seed is not None else self._seeds
             slot = gs.alloc(n_players, real_seed)
-            self._rooms[room_id] = (game_name, slot)
+            self._rooms[room_id] = (f"{game_name}#r{rounds_per_player}", slot)
             self._queues[room_id] = {}
             from game_engine_tpu.server.chat import ChatRoom
             from game_engine_tpu.view.notes import NotesLog
@@ -273,12 +274,12 @@ class GameHost:
 
     def end_room(self, room_id: str) -> None:
         with self._lock:
-            game_name, slot = self._rooms.pop(room_id, (None, None))
+            slots_key, slot = self._rooms.pop(room_id, (None, None))
             self._queues.pop(room_id, None)
             self._chats.pop(room_id, None)
             self._notes.pop(room_id, None)
-            if game_name is not None:
-                self._slots[game_name].release(slot)
+            if slots_key is not None:
+                self._slots[slots_key].release(slot)
 
     # -- chat ---------------------------------------------------------------------
 
@@ -291,8 +292,8 @@ class GameHost:
             names = player_names or {}
             sender_name = names.get(player_id, f"Player {player_id}")
             msg = chat.post(player_id, sender_name, text)
-            game_name, slot = self._rooms[room_id]
-            gs = self._game_slots(game_name)
+            slots_key, slot = self._rooms[room_id]
+            gs = self._slots[slots_key]
             snap = gs.snapshot_raw(slot, names)
             reply = chat.bot_reply(player_id, sender_name, text, snap)
             out = [msg.to_json()]
@@ -324,8 +325,8 @@ class GameHost:
         k-th alive player; OPTION panels map straight through.
         """
         with self._lock:
-            game_name, slot = self._rooms[room_id]
-            gs = self._game_slots(game_name)
+            slots_key, slot = self._rooms[room_id]
+            gs = self._slots[slots_key]
             kind = int(gs.lowered.choice_kind[gs.phase_index(slot)])
             if kind == ChoiceKind.TARGET.value:
                 ids = gs.alive_ids(slot)
@@ -337,8 +338,8 @@ class GameHost:
     def step(self, room_id: str) -> dict[str, Any]:
         """One game turn: merge queued human actions + bot policy, advance."""
         with self._lock:
-            game_name, slot = self._rooms[room_id]
-            gs = self._game_slots(game_name)
+            slots_key, slot = self._rooms[room_id]
+            gs = self._slots[slots_key]
             q = self._queues.get(room_id, {})
             self._queues[room_id] = {}
             gs.step_slot(slot, q)
@@ -349,8 +350,8 @@ class GameHost:
         the 'Continue' button semantics without manual clicking through
         bot-only phases."""
         with self._lock:
-            game_name, slot = self._rooms[room_id]
-            gs = self._game_slots(game_name)
+            slots_key, slot = self._rooms[room_id]
+            gs = self._slots[slots_key]
             for _ in range(max_steps):
                 q = self._queues.get(room_id, {})
                 self._queues[room_id] = {}
@@ -363,8 +364,8 @@ class GameHost:
 
     def snapshot(self, room_id: str, player_names: Optional[dict[int, str]] = None) -> dict[str, Any]:
         with self._lock:
-            game_name, slot = self._rooms[room_id]
-            gs = self._game_slots(game_name)
+            slots_key, slot = self._rooms[room_id]
+            gs = self._slots[slots_key]
             snap = gs.snapshot_raw(slot, player_names)
             snap["roomId"] = room_id
             log = self._notes.get(room_id)
@@ -403,8 +404,8 @@ class GameHost:
                 minority_team_code,
             )
 
-            game_name, slot = self._rooms[room_id]
-            lowered = self._game_slots(game_name).lowered
+            slots_key, slot = self._rooms[room_id]
+            lowered = self._slots[slots_key].lowered
             vis = field_visibility(lowered)
             code = minority_team_code(lowered)
             team_slot = lowered.game.layout.get("team")
