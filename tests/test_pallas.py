@@ -42,6 +42,36 @@ def test_pallas_matches_engine_rollout(ww, steps):
     _states_equal(out_p, out_r)
 
 
+def test_pallas_twotruths_parity():
+    """Rotation/scoring mechanics through the kernel (two-truths)."""
+    from game_engine_tpu.gamespec.compile import GameConfig
+
+    lw = lower(compile_game(load_builtin("two-truths-and-a-lie"), GameConfig()))
+    steps = 90
+    pall = make_pallas_rollout(lw, steps, block_rooms=8, interpret=True)
+    ref = jax.jit(make_rollout(lw, steps, auto_reset=True))
+    out_p, eps_p = pall(init_state(lw, 8, 4, np.arange(8, dtype=np.uint32)))
+    out_r, eps_r = ref(init_state(lw, 8, 4, np.arange(8, dtype=np.uint32)))
+    assert int(eps_p) == int(eps_r) and int(eps_p) > 0
+    _states_equal(out_p, out_r)
+
+
+def test_pallas_generated_game_parity():
+    """A generated DSL (different phase graph) through the kernel."""
+    from game_engine_tpu.dslgen.generate import generate_from_description
+    from game_engine_tpu.gamespec.parser import parse_game_spec
+
+    doc = generate_from_description("assassins", "hidden-role night elimination game")
+    lw = lower(compile_game(parse_game_spec(doc, name="assassins")))
+    steps = 80
+    pall = make_pallas_rollout(lw, steps, block_rooms=8, interpret=True)
+    ref = jax.jit(make_rollout(lw, steps, auto_reset=True))
+    out_p, eps_p = pall(init_state(lw, 8, 5, np.arange(8, dtype=np.uint32)))
+    out_r, eps_r = ref(init_state(lw, 8, 5, np.arange(8, dtype=np.uint32)))
+    assert int(eps_p) == int(eps_r)
+    _states_equal(out_p, out_r)
+
+
 def test_pallas_blocks_are_independent(ww):
     """Two blocks of rooms must equal one bigger block reshaped."""
     steps = 60
