@@ -232,11 +232,14 @@ class Projector:
         # team games: winner indexes the minority-first team order
         from game_engine_tpu.gamespec.mechanics import GameOver
 
-        for mech in self.game.phases[self.game.id_to_index[99]].program.on_enter if 99 in self.game.id_to_index else []:
-            if isinstance(mech, GameOver):
-                if mech.mode == "team" and winner <= len(mech.team_order):
-                    return mech.team_order[winner - 1]
-                if mech.mode == "score":
-                    row = snapshot["player_states"].get(str(winner), {})
-                    return row.get("name", f"Player {winner}")
+        for phase in self.game.phases:
+            if not phase.terminal:
+                continue
+            for mech in phase.program.on_enter:
+                if isinstance(mech, GameOver):
+                    if mech.mode == "team" and winner <= len(mech.team_order):
+                        return mech.team_order[winner - 1]
+                    if mech.mode == "score":
+                        row = snapshot["player_states"].get(str(winner), {})
+                        return row.get("name", f"Player {winner}")
         return f"Player {winner}"
