@@ -212,6 +212,7 @@ class GameHost:
         self._queues: dict[str, dict[int, int]] = {}  # roomId -> {pid: choice}
         self._chats: dict[str, Any] = {}
         self._notes: dict[str, Any] = {}
+        self._phase_history: dict[str, list] = {}
         self._seeds = 0
 
     # -- game catalog ----------------------------------------------------------
@@ -270,6 +271,7 @@ class GameHost:
 
             self._chats[room_id] = ChatRoom(room_id, seed=real_seed)
             self._notes[room_id] = NotesLog()
+            self._phase_history[room_id] = []
             return f"{game_name}:{slot}"
 
     def end_room(self, room_id: str) -> None:
@@ -278,6 +280,7 @@ class GameHost:
             self._queues.pop(room_id, None)
             self._chats.pop(room_id, None)
             self._notes.pop(room_id, None)
+            self._phase_history.pop(room_id, None)
             if slots_key is not None:
                 self._slots[slots_key].release(slot)
 
@@ -368,6 +371,18 @@ class GameHost:
             gs = self._slots[slots_key]
             snap = gs.snapshot_raw(slot, player_names)
             snap["roomId"] = room_id
+            # phase_history entries {phase_id, phase_name, timestamp}
+            # (reference: agent/game_agent_v2.py:1206-1215)
+            hist = self._phase_history.setdefault(room_id, [])
+            if not hist or hist[-1]["phase_id"] != snap["current_phase_id"]:
+                import time as _time
+
+                hist.append({
+                    "phase_id": snap["current_phase_id"],
+                    "phase_name": snap["current_phase_name"],
+                    "timestamp": _time.time(),
+                })
+            snap["phase_history"] = hist[-20:]
             log = self._notes.get(room_id)
             if log is not None:
                 log.observe(snap)

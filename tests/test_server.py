@@ -93,6 +93,11 @@ def test_full_lobby_and_game_flow(server):
     for item in view1["items"]:
         assert item["data"]["audience_type"] or "1" in item["data"]["audience_ids"]
 
+    # phase_history accumulated {phase_id, phase_name, timestamp} entries
+    hist = view1["phase_history"]
+    assert hist[-1]["phase_id"] == 99
+    assert all("phase_name" in h and "timestamp" in h for h in hist)
+
 
 def test_native_backend_full_game():
     """Same interactive flow on the C++ backend (skipped without g++)."""
