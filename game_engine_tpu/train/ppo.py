@@ -95,7 +95,9 @@ def make_unroll(lowered: Lowered, cfg: PPOConfig):
         def body(carry, _):
             st, k = carry
             k, sk = jax.random.split(k)
-            obs = N.observe(lowered, st)
+            # bf16 storage: apply_net consumes bf16 anyway; halves the
+            # rollout buffer (the dominant HBM cost at 16k+ rooms)
+            obs = N.observe(lowered, st).astype(jnp.bfloat16)
             a, logp, v, legal = N.sample_actions(lowered, params, st, sk, cfg.net)
             mask = actor_mask(lowered, st)
             actions = jnp.where(mask, a, 0)
