@@ -42,12 +42,8 @@ from game_engine_tpu.gamespec.tables import OP_EQ, OP_GE, OP_GT, OP_LE, OP_LT, O
 _U32 = jnp.uint32
 _GOLDEN = 0x9E3779B9
 _MIX = 0x85EBCA6B
-def _mix(x):
-    x = (x + _U32(0x9E3779B9)).astype(_U32)
-    z = x
-    z = (z ^ (z >> 16)) * _U32(0x85EBCA6B)
-    z = (z ^ (z >> 13)) * _U32(0xC2B2AE35)
-    return z ^ (z >> 16)
+# the shared splitmix32 mixer — one definition for all executors' RNG contract
+from game_engine_tpu.core.step import splitmix32_jax as _mix  # noqa: E402
 
 
 def _b2i(x):

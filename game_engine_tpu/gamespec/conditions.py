@@ -272,14 +272,6 @@ _RE_GAME_CONTINUES = re.compile(
 )
 
 
-@dataclasses.dataclass(frozen=True)
-class CompiledBranch:
-    condition_text: str
-    cond: Cond
-    phase_id: int
-    recognized: bool  # False => fell back to AlwaysTrue
-
-
 def _compile_clause(clause: str, ctx: ConditionContext) -> tuple[Optional[Cond], bool]:
     """Compile one clause. Returns (cond | None, recognized)."""
     clause = clause.strip().rstrip(".:;")
