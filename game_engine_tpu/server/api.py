@@ -135,6 +135,8 @@ class AppContext:
                 if method == "GET" and action is None:
                     return 200, {"room": room.__dict__, "players": [p.__dict__ for p in players]}
                 if method == "POST" and action == "start":
+                    if room.status != "waiting":
+                        return 409, {"error": f"room already {room.status}"}
                     if len(players) < room.minPlayers:
                         return 409, {"error": f"need {room.minPlayers} players"}
                     thread = self.host.start_room(
@@ -158,6 +160,10 @@ class AppContext:
                         return 200, {"messages": self.host.chat_messages(room_id, viewer)}
                     if method == "GET" and action == "notes":
                         return 200, {"game_notes": self.host.game_notes(room_id)}
+                if method == "POST" and action == "close":
+                    self.host.end_room(room_id)
+                    self.storage.set_status(room_id, "finished")
+                    return 200, {"closed": True}
                 if room.status != "playing":
                     msg = "game already finished" if room.status == "finished" else "room not started"
                     return 409, {"error": msg}
@@ -174,9 +180,6 @@ class AppContext:
                     if snap.get("done"):
                         self.storage.set_status(room_id, "finished")
                     return 200, snap
-                if method == "GET" and action == "state":
-                    viewer = int(query.get("playerId", ["1"])[0])
-                    return 200, self.host.visible_state(room_id, viewer, names)
             return 404, {"error": f"no route {method} {path}"}
         except KeyError as e:
             return 400, {"error": f"missing or unknown field: {e}"}

@@ -260,11 +260,22 @@ class GameHost:
     def start_room(self, room_id: str, game_name: str, n_players: int,
                    seed: Optional[int] = None, rounds_per_player: int = 1) -> str:
         with self._lock:
+            key = f"{game_name}#r{rounds_per_player}"
             gs = self._game_slots(game_name, rounds_per_player)
+            if not gs.free:
+                # pool exhausted: reclaim slots of finished rooms (viewing a
+                # finished game is best-effort once capacity is needed)
+                for rid, (k, s) in list(self._rooms.items()):
+                    if k == key and gs.is_done(s):
+                        self.end_room(rid)
+                        if gs.free:
+                            break
+                if not gs.free:
+                    raise ValueError(f"no free game slots for {game_name!r}")
             self._seeds += 1
             real_seed = seed if seed is not None else self._seeds
             slot = gs.alloc(n_players, real_seed)
-            self._rooms[room_id] = (f"{game_name}#r{rounds_per_player}", slot)
+            self._rooms[room_id] = (key, slot)
             self._queues[room_id] = {}
             from game_engine_tpu.server.chat import ChatRoom
             from game_engine_tpu.view.notes import NotesLog

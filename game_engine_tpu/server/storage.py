@@ -93,18 +93,25 @@ class MemoryStorage:
             self._save()
             return room, host
 
+    def _refresh(self) -> None:
+        """Reload-on-read so concurrent processes see each other's writes
+        (reference: memory.ts getRoom calls loadFromFile)."""
+        if self._path:
+            self._load()
+
     def get_room(self, room_id: str) -> Optional[Room]:
         with self._lock:
-            if self._path:
-                self._load()  # reload-on-read (reference: memory.ts getRoom)
+            self._refresh()
             return self._rooms.get(room_id)
 
     def get_players(self, room_id: str) -> list[Player]:
         with self._lock:
+            self._refresh()
             return list(self._players.get(room_id, []))
 
     def add_player(self, room_id: str, name: str, is_bot: bool = False) -> Player:
         with self._lock:
+            self._refresh()
             room = self._rooms[room_id]
             players = self._players[room_id]
             if len(players) >= room.maxPlayers:
@@ -131,6 +138,7 @@ class MemoryStorage:
     def list_rooms(self, game_name: Optional[str] = None,
                    joinable_only: bool = True) -> list[dict[str, Any]]:
         with self._lock:
+            self._refresh()
             out = []
             for room in self._rooms.values():
                 if game_name and room.gameName != game_name:

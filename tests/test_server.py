@@ -129,6 +129,21 @@ def test_native_backend_full_game():
         srv.shutdown()
 
 
+def test_double_start_rejected_and_close_frees_slot(server):
+    code, d = req(server, "POST", "/api/rooms/create",
+                  {"gameName": "werewolf", "playerName": "Dbl"})
+    room_id = d["room"]["roomId"]
+    req(server, "POST", "/api/rooms/add-bot", {"roomId": room_id})
+    code, _ = req(server, "POST", f"/api/rooms/{room_id}/start", {"seed": 1})
+    assert code == 200
+    code, data = req(server, "POST", f"/api/rooms/{room_id}/start", {"seed": 2})
+    assert code == 409, data  # re-start must not reset the game / leak a slot
+    code, data = req(server, "POST", f"/api/rooms/{room_id}/close")
+    assert code == 200 and data["closed"]
+    code, _ = req(server, "POST", f"/api/rooms/{room_id}/step")
+    assert code == 409  # closed rooms are finished
+
+
 def test_room_errors(server):
     code, _ = req(server, "GET", "/api/rooms/nonexistent")
     assert code == 404
