@@ -109,10 +109,15 @@ def _timer_phase(name: str, description: str, actions: list[dict], next_phase) -
 
 def _gen_elimination(bp: Blueprint) -> dict[str, Any]:
     roles = bp.roles or WEREWOLF_LIKE_ROLES
-    killer = next(r for r in roles if r.night_action == "kill")
+    killer = next((r for r in roles if r.night_action == "kill"), None)
+    filler = next((r for r in roles if not r.night_action), None)
+    if killer is None or filler is None:
+        raise ValueError(
+            "elimination blueprints need one role with night_action='kill' "
+            "and one action-less filler role"
+        )
     protector = next((r for r in roles if r.night_action == "protect"), None)
     investigator = next((r for r in roles if r.night_action == "investigate"), None)
-    filler = next(r for r in roles if not r.night_action)
     evil_team, good_team = killer.team, filler.team
 
     fields = {

@@ -90,24 +90,19 @@ def validate_spec(spec: GameSpec) -> list[Issue]:
                             Issue(WARNING, where, f"tool {t!r} missing from tools manifest")
                         )
         comp = ph.completion
-        if comp.type is CompletionType.PLAYER_ACTION:
-            if comp.wait_for is None:
-                issues.append(Issue(WARNING, where, "player_action phase without wait_for"))
-            if not comp.target_condition:
-                issues.append(
-                    Issue(ERROR, where, "player_action phase without target_players.condition")
-                )
-            else:
-                try:
-                    parse_predicate(comp.target_condition)
-                except PredicateError as e:
-                    issues.append(Issue(ERROR, where, f"bad target condition: {e}"))
-        # field references in target conditions must exist
+        if comp.type is CompletionType.PLAYER_ACTION and comp.wait_for is None:
+            issues.append(Issue(WARNING, where, "player_action phase without wait_for"))
+        if comp.type is CompletionType.PLAYER_ACTION and not comp.target_condition:
+            issues.append(
+                Issue(ERROR, where, "player_action phase without target_players.condition")
+            )
         if comp.target_condition:
+            # parse once: syntax errors + undeclared field references
             try:
                 from game_engine_tpu.gamespec.expr import collect_atoms
 
-                for atom in collect_atoms(parse_predicate(comp.target_condition)):
+                pred = parse_predicate(comp.target_condition)
+                for atom in collect_atoms(pred):
                     if atom.field not in decl.field_names():
                         issues.append(
                             Issue(
@@ -116,8 +111,8 @@ def validate_spec(spec: GameSpec) -> list[Issue]:
                                 f"target condition references undeclared field {atom.field!r}",
                             )
                         )
-            except PredicateError:
-                pass
+            except PredicateError as e:
+                issues.append(Issue(ERROR, where, f"bad target condition: {e}"))
 
     # -- graph: reachability + termination ---------------------------------------
     succ: dict[int, list[int]] = {}

@@ -440,6 +440,10 @@ void* gs_create(const int32_t* blob, int64_t len) {
   int64_t i = 1;
   while (i + 2 <= len) {
     int sid = blob[i], n = blob[i + 1];
+    if (n < 0 || i + 2 + n > len) {  // truncated/corrupt section
+      delete g;
+      return nullptr;
+    }
     const int32_t* d = blob + i + 2;
     std::vector<int32_t> v(d, d + n);
     switch (sid) {
