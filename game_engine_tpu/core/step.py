@@ -222,8 +222,14 @@ def _mech_role_assign(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LRo
     pids = jnp.arange(P, dtype=jnp.uint32)[None, :]
     keys = splitmix32_jax(st.seed[:, None] * _U32(0x100) + pids)
     keys = jnp.where(st.present, keys, jnp.uint32(0xFFFFFFFF))
-    order = jnp.argsort(keys, axis=1, stable=True)
-    rank = jnp.argsort(order, axis=1, stable=True).astype(jnp.int32)  # perm[player]
+    # stable rank via O(P^2) comparisons — equals argsort-of-stable-argsort
+    # but stays elementwise (TPU sorts cost ~50us/step even when masked out);
+    # identical math in the pallas kernel and the C++ sim
+    lt = keys[:, None, :] < keys[:, :, None]  # (B, q, p): key_q < key_p
+    tie = (keys[:, None, :] == keys[:, :, None]) & (
+        jnp.arange(P)[None, :, None] > jnp.arange(P)[None, None, :]
+    )
+    rank = jnp.sum((lt | tie).astype(jnp.int32), axis=2)  # (B, P)
     n = jnp.sum(st.present, axis=1, dtype=jnp.int32)
     codes_rows = _table_select(m.role_codes_by_n, n)  # (B, P)
     role_code = _gather_by_choice(codes_rows, rank + 1)  # (B, P)
