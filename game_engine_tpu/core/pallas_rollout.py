@@ -299,6 +299,10 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
                     idx = jax.lax.broadcasted_iota(jnp.int32, cstack.shape, 0)
                     win = jnp.min(jnp.where(cstack == best, idx, len(m.team_codes)),
                                   axis=0, keepdims=True) + 1
+                elif m.mode == "survivor":
+                    alv = alive_mask()
+                    any_alive = jnp.any(alv, axis=0, keepdims=True)
+                    win = jnp.where(any_alive, first_true_row(alv) + 1, 0)
                 elif m.mode == "score" and m.score_num >= 0:
                     sc = jnp.where(present, nlist[m.score_num], jnp.int32(-(2**31) + 1))
                     best = jnp.max(sc, axis=0, keepdims=True)

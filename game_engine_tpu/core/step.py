@@ -363,6 +363,10 @@ def _mech_game_over(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LGame
         )  # (B, NT) minority-first
         best = jnp.max(counts, axis=1, keepdims=True)
         win = jnp.argmax(counts == best, axis=1).astype(jnp.int32) + 1
+    elif m.mode == "survivor":
+        alive = _alive(lw, st)
+        any_alive = jnp.any(alive, axis=1)
+        win = jnp.where(any_alive, jnp.argmax(alive, axis=1).astype(jnp.int32) + 1, 0)
     elif m.mode == "score" and m.score_num >= 0:
         score = jnp.where(st.present, st.nums[..., m.score_num], jnp.int32(-(2**31) + 1))
         win = jnp.argmax(score, axis=1).astype(jnp.int32) + 1  # first max = lowest id

@@ -554,6 +554,110 @@ def _gen_rounds(bp: Blueprint) -> dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------
+# battle archetype: last-survivor voting (no hidden roles, no scores)
+# ---------------------------------------------------------------------------
+
+
+def _gen_battle(bp: Blueprint) -> dict[str, Any]:
+    fields = {
+        "name": {"type": "string", "example": "Player A", "description": "Public display name."},
+        "is_alive": {"type": "boolean", "example": True,
+                     "description": "Whether the player is still in the game."},
+        "can_vote": {"type": "boolean", "example": True,
+                     "description": "Whether the player may vote this round."},
+    }
+    template = {"name": "", "is_alive": True, "can_vote": True}
+    tools = ["clearCanvas", "createPhaseIndicator", "createTextDisplay", "createAvatarSet",
+             "createVotingPanel", "createResultDisplay", "createTimer", "markPlayerDead",
+             "createDeathMarker"]
+    phases = {
+        0: _ui_phase(
+            "Game Introduction", "Introduce the elimination-voting rules to all players.",
+            [
+                _tool_action("Clear all previous UI elements", "clearCanvas"),
+                _tool_action("Create public phase indicator", "createPhaseIndicator"),
+                _tool_action("Display rules: vote someone out each round; last one standing wins",
+                             "createTextDisplay"),
+                _tool_action("Create avatar set overlay", "createAvatarSet"),
+            ],
+            {"id": 1, "name": "Discussion"},
+        ),
+        1: _timer_phase(
+            "Discussion", "Open discussion before the elimination vote.",
+            [
+                _tool_action("Clear previous UI; exempt death markers", "clearCanvas"),
+                _tool_action("Create discussion phase indicator", "createPhaseIndicator"),
+                _tool_action("Start a discussion timer", "createTimer"),
+            ],
+            {"id": 2, "name": "Elimination Vote"},
+        ),
+        2: _action_phase(
+            "Elimination Vote", "All alive players vote to eliminate one player.",
+            [
+                _tool_action("Clear discussion UI; exempt death markers", "clearCanvas"),
+                _tool_action("Create voting phase indicator", "createPhaseIndicator"),
+                _tool_action("Create voting panel for all alive voters", "createVotingPanel"),
+            ],
+            "All eligible voters have cast their votes and relevant player state "
+            "(player_states) has been updated with voting selections.",
+            "multiple_players_action", "All alive voters",
+            "player.can_vote == true and player.is_alive == true",
+            {"id": 3, "name": "Announce Results"},
+        ),
+        3: _ui_phase(
+            "Announce Vote Results",
+            "Announce the player selected for elimination by the vote and update their status.",
+            [
+                _tool_action("Clear voting UI; exempt death markers", "clearCanvas"),
+                _tool_action("Display the eliminated player", "createResultDisplay"),
+                _tool_action("Mark the eliminated player dead", "markPlayerDead", "createDeathMarker"),
+            ],
+            {"id": 4, "name": "Check Survivors"},
+        ),
+        4: {
+            "name": "Check Survivors",
+            "description": "Evaluate whether only one player remains.",
+            "actions": [
+                _tool_action("Clear results UI; exempt death markers", "clearCanvas"),
+                _tool_action("Display remaining player count", "createTextDisplay"),
+            ],
+            "completion_criteria": {"type": "UI_displayed",
+                                    "description": "Survivor count evaluated."},
+            "next_phase": {
+                "If only one player remains alive": {"id": 99, "name": "Game Over"},
+                "If two or more players remain alive, continue": {"id": 1, "name": "Discussion"},
+            },
+        },
+        99: _ui_phase(
+            "Game Over — Final Results", "Congratulate the last player standing.",
+            [
+                _tool_action("Clear non-persistent UI; exempt death markers", "clearCanvas"),
+                _tool_action("Display the surviving winner", "createResultDisplay"),
+            ],
+            None,
+        ),
+    }
+    return {
+        "declaration": {
+            "description": bp.description,
+            "is_multiplayer": True,
+            "min_players": max(bp.min_players, 3),
+            "player_states": fields,
+            "player_states_template": {"player_states": {"1": template}},
+            "players_example": {"tools": tools,
+                                "player_states": {"1": {**template, "name": "Alpha"}}},
+            "audience_groups": {
+                "alive_players": {
+                    "description": "All players who are alive.",
+                    "selection_criteria": "player.is_alive == true",
+                },
+            },
+        },
+        "phases": phases,
+    }
+
+
+# ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
 
@@ -563,11 +667,17 @@ def generate(bp: Blueprint) -> dict[str, Any]:
         return _gen_elimination(bp)
     if bp.archetype == "rounds":
         return _gen_rounds(bp)
+    if bp.archetype == "battle":
+        return _gen_battle(bp)
     raise ValueError(f"unknown archetype {bp.archetype!r}")
 
 
-_ELIM_WORDS = re.compile(
-    r"\b(eliminat\w+|kill|night|hidden role|mafia|impostor|assassin|deduction|werewol\w+)\b",
+_NIGHT_WORDS = re.compile(
+    r"\b(night|hidden role|mafia|impostor|assassin|deduction|werewol\w+|secret(?:ly)? kill)\b",
+    re.IGNORECASE,
+)
+_BATTLE_WORDS = re.compile(
+    r"\b(last (?:one|player|man) standing|battle royale|survivor|sole survivor|vote.{0,20}out)\b",
     re.IGNORECASE,
 )
 
@@ -582,5 +692,10 @@ def generate_from_description(
     gpt-5); the built-in path is keyword archetype selection."""
     if llm_hook is not None:
         return llm_hook(name, description)
-    archetype = "elimination" if _ELIM_WORDS.search(description) else "rounds"
+    if _NIGHT_WORDS.search(description):
+        archetype = "elimination"
+    elif _BATTLE_WORDS.search(description):
+        archetype = "battle"
+    else:
+        archetype = "rounds"
     return generate(Blueprint(name=name, description=description, archetype=archetype))

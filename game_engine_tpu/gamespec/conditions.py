@@ -270,6 +270,15 @@ _RE_ALL_COMPLETED = re.compile(
 _RE_GAME_CONTINUES = re.compile(
     r"^\s*(?:and\s+)?(?:the\s+)?game\s+continues?\s*$|^\s*no\s+one\s+has\s+won\s*$", re.IGNORECASE
 )
+_RE_LAST_ONE = re.compile(
+    r"\bonly\s+one\s+player\s+(?:remains|is left|remains alive|is alive)\b"
+    r"|\bone\s+player\s+(?:remains|is left)(?:\s+alive|\s+standing)?\b",
+    re.IGNORECASE,
+)
+_RE_MULTIPLE_REMAIN = re.compile(
+    r"\b(?:two or more|more than one|multiple)\s+players?\s+(?:remain|are left|are still alive|are alive)\b",
+    re.IGNORECASE,
+)
 
 
 def _compile_clause(clause: str, ctx: ConditionContext) -> tuple[Optional[Cond], bool]:
@@ -279,6 +288,12 @@ def _compile_clause(clause: str, ctx: ConditionContext) -> tuple[Optional[Cond],
         return None, True
     if _RE_OTHERWISE.match(clause) or _RE_GAME_CONTINUES.match(clause):
         return AlwaysTrue(), True
+
+    if ctx.has_alive:
+        if _RE_LAST_ONE.search(clause):
+            return CountCmp(left=Atom("is_alive", "eq", True), op="le", right=1), True
+        if _RE_MULTIPLE_REMAIN.search(clause):
+            return CountCmp(left=Atom("is_alive", "eq", True), op="gt", right=1), True
 
     m = _RE_NONE_REMAIN.search(clause)
     if m:

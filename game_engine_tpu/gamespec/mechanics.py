@@ -163,7 +163,7 @@ class SetBoolAll:
 class GameOver:
     """P11."""
 
-    mode: str  # 'team' | 'score' | 'none'
+    mode: str  # 'team' | 'survivor' | 'score' | 'none'
     team_field: str = ""
     # minority-first team ordering for tie-breaks
     team_order: tuple[str, ...] = ()
@@ -539,8 +539,13 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
         if cand in fields and layout.slot(cand).bank == BANK_NUM:
             score_field = cand
             break
+    # P11 mode precedence: team > survivor (alive field, eliminations, no
+    # teams) > score > none. Survivor = last player standing wins.
+    has_elimination = "is_alive" in fields
     if team_field and team_order:
         game_over = GameOver(mode="team", team_field=team_field, team_order=team_order)
+    elif has_elimination and not score_field:
+        game_over = GameOver(mode="survivor")
     elif score_field:
         game_over = GameOver(mode="score", score_field=score_field)
     else:

@@ -293,6 +293,11 @@ void apply_on_enter(const Game& g, Room& r) {
             if (c > best) { best = c; win = ti + 1; }
           }
           r.winner = win;
+        } else if (q[0] == 3) {  // survivor: last one standing (lowest id)
+          int win = 0;
+          for (int p = 0; p < r.n; ++p)
+            if (alive(g, r, p)) { win = p + 1; break; }
+          r.winner = win;
         } else if (q[0] == 1 && q[5] >= 0) {  // score mode
           int best = INT32_MIN, win = 0;
           for (int p = 0; p < r.n; ++p) {

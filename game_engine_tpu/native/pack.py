@@ -146,7 +146,7 @@ def pack(lowered: Lowered) -> np.ndarray:
             s_off, s_n = pool.add(m.slots)
             mech(MECH_SETBOOL, m.phase_index, [s_off, s_n])
         elif isinstance(m, T.LGameOver):
-            mode = {"team": 0, "score": 1, "none": 2}[m.mode]
+            mode = {"team": 0, "score": 1, "none": 2, "survivor": 3}[m.mode]
             t_off, t_n = pool.add(m.team_codes)
             mech(MECH_OVER, m.phase_index,
                  [mode, m.team_str_slot, t_off, t_n, m.alive_bool, m.score_num])

@@ -252,6 +252,9 @@ class OracleRoom:
                 if c == best:
                     self.winner = ti + 1
                     break
+        elif go.mode == "survivor":
+            alive = [p for p in range(1, self.n + 1) if self.players[p].get("is_alive", True)]
+            self.winner = alive[0] if alive else 0  # last one standing (lowest id)
         elif go.mode == "score":
             scores = [(-self.players[p].get(go.score_field, 0), p) for p in range(1, self.n + 1)]
             self.winner = min(scores)[1]

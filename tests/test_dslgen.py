@@ -56,7 +56,42 @@ def test_validator_flags_bad_predicates():
     assert any("selection_criteria" in str(i) for i in errors(issues))
 
 
-@pytest.mark.parametrize("archetype", ["elimination", "rounds"])
+def test_battle_archetype_survivor_parity():
+    """Last-survivor voting: survivor winner mode across oracle/engine/C++."""
+    doc = generate_from_description(
+        "royale", "A battle royale where players vote each other out; last one standing wins."
+    )
+    spec = parse_game_spec(doc, name="royale")
+    issues, _ = validate_doc(doc, name="royale")
+    assert not errors(issues), [str(i) for i in errors(issues)]
+    lowered = lower(compile_game(spec))
+    from game_engine_tpu.gamespec.tables import LGameOver
+
+    go = next(m for m in lowered.mechanics if isinstance(m, LGameOver))
+    assert go.mode == "survivor"
+    eng = BatchedEngine(lowered)
+    for seed in (0, 5):
+        room = OracleRoom(lowered.game, n_players=5, seed=seed)
+        state = init_state(lowered, 1, 5, np.uint32(seed))
+        for t in range(200):
+            room.step(oracle_policy(room, t, seed))
+            state = eng.step(state, scripted_actions(lowered, state))
+            assert_state_matches(lowered, room, state, 0, t)
+            if room.done:
+                break
+        assert room.done
+        alive = [p for p in range(1, 6) if room.players[p]["is_alive"]]
+        assert len(alive) == 1 and room.winner == alive[0]
+    # native executor agrees too
+    from game_engine_tpu.native import available
+
+    if available():
+        from tests.test_native import run_differential
+
+        run_differential(lowered, n_players=5, seed=2, max_steps=200)
+
+
+@pytest.mark.parametrize("archetype", ["elimination", "rounds", "battle"])
 def test_generated_game_validates_and_compiles(archetype):
     doc = generate(Blueprint(name=f"gen-{archetype}", description="x", archetype=archetype))
     issues, spec = validate_doc(doc, name=f"gen-{archetype}")
