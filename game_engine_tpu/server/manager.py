@@ -404,6 +404,10 @@ class GameHost:
             )
             gs.prev_dead[slot] = list(snap.get("deadPlayers", []))
             snap["items"] = [i.to_json() for i in gs.items[slot]]
+            snap["itemsCreated"] = len(snap["items"])
+            snap["lastAction"] = (
+                snap["game_notes"][-1]["text"] if snap.get("game_notes") else ""
+            )
             return snap
 
     def visible_state(self, room_id: str, viewer_id: int,
