@@ -23,14 +23,36 @@ from tests.test_parity import assert_state_matches
 def _mutate(doc, rng):
     """Structural noise the parser must tolerate (reference defensive rules)."""
     doc = dict(doc)
-    phases = {str(k) if rng.random() < 0.5 else k: v for k, v in doc["phases"].items()}
+    phases = {str(k) if rng.random() < 0.5 else k: dict(v) for k, v in doc["phases"].items()}
+    if rng.random() < 0.4:  # shuffled phase-key insertion order
+        keys = list(phases)
+        rng.shuffle(keys)
+        phases = {k: phases[k] for k in keys}
+    if rng.random() < 0.3:  # unknown extra keys in a phase
+        k = list(phases)[0]
+        phases[k] = {**phases[k], "x_custom_meta": {"anything": [1, 2]}}
+    if rng.random() < 0.3:  # completion type casing variants
+        for v in phases.values():
+            cc = v.get("completion_criteria")
+            if isinstance(cc, dict) and str(cc.get("type", "")).lower() == "ui_displayed":
+                v["completion_criteria"] = {**cc, "type": "ui_displayed"}
+                break
     doc["phases"] = phases
     decl = dict(doc["declaration"])
     if rng.random() < 0.5:
         decl["min_players"] = str(decl.get("min_players", 3))  # stringly-typed
     if rng.random() < 0.3:
         decl.pop("players_example", None)  # template-only fallback path
+    if rng.random() < 0.3:
+        decl["x_unknown_decl_key"] = "ignored"
+    if rng.random() < 0.3 and "roles" in decl:  # unicode role descriptions
+        decl["roles"] = [
+            {**r, "description": r.get("description", "") + " — 夜行动 🎭"}
+            for r in decl["roles"]
+        ]
     doc["declaration"] = decl
+    if rng.random() < 0.2:
+        doc["x_unknown_root"] = [1, 2, 3]
     return doc
 
 
@@ -52,10 +74,16 @@ def _random_blueprint(rng):
             name=f"fuzz-elim-{suffix}", description="night elimination deduction game",
             archetype="elimination", min_players=len(roles), roles=tuple(roles),
         )
+    if rng.random() < 0.5:
+        return Blueprint(
+            name=f"fuzz-rounds-{rng.integers(100)}",
+            description="turn-based guessing rounds game",
+            archetype="rounds", min_players=3,
+        )
     return Blueprint(
-        name=f"fuzz-rounds-{rng.integers(100)}",
-        description="turn-based guessing rounds game",
-        archetype="rounds", min_players=3,
+        name=f"fuzz-battle-{rng.integers(100)}",
+        description="vote-out battle royale, last one standing",
+        archetype="battle", min_players=3,
     )
 
 
