@@ -357,6 +357,7 @@ class GameHost:
             q = self._queues.get(room_id, {})
             self._queues[room_id] = {}
             gs.step_slot(slot, q)
+            self._record_phase(room_id, gs, slot)
             return self.snapshot(room_id)
 
     def run_until_input_needed(self, room_id: str, max_steps: int = 64) -> dict[str, Any]:
@@ -370,9 +371,22 @@ class GameHost:
                 q = self._queues.get(room_id, {})
                 self._queues[room_id] = {}
                 gs.step_slot(slot, q)
+                self._record_phase(room_id, gs, slot)
                 if gs.is_done(slot) or gs.human_must_act(slot):
                     break
             return self.snapshot(room_id)
+
+    def _record_phase(self, room_id: str, gs, slot: int) -> None:
+        """Lightweight phase_history tracking for phases crossed inside a
+        multi-step 'continue' (reference: phase_history is appended on every
+        PhaseNode transition, game_agent_v2.py:1206-1215)."""
+        import time as _time
+
+        hist = self._phase_history.setdefault(room_id, [])
+        cp = gs.lowered.game.phases[gs.phase_index(slot)]
+        if not hist or hist[-1]["phase_id"] != cp.dsl_id:
+            hist.append({"phase_id": cp.dsl_id, "phase_name": cp.name,
+                         "timestamp": _time.time()})
 
     # -- projection ---------------------------------------------------------------
 
