@@ -330,7 +330,7 @@ def build_record_program(ph: PhaseSpec, spec: GameSpec, layout: StateLayout) -> 
                 kind = ChoiceKind.TARGET
             elif write_num is not None:
                 kind = ChoiceKind.OPTION
-                cmax = 0  # 0 => engine uses MAX_PLAYERS as bound
+                cmax = 0  # 0 => engines bound the option by room size (P2)
             else:
                 kind = ChoiceKind.SUBMIT
 
@@ -491,11 +491,12 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
 
     rs_bools, rs_nums, rs_odicts, rs_pdicts = _round_scoped_fields(spec, layout, records, cumulative)
 
-    # guess-score field resolution
+    # guess-score field resolution (requires a speaker flag: the mechanic is
+    # speaker-centric, and lowering a missing field would fail)
     gs: Optional[GuessScore] = None
-    if {"lie_index", "vote_choice", "total_score"} <= fields:
+    if {"lie_index", "vote_choice", "total_score", "is_speaker"} <= fields:
         gs = GuessScore(
-            speaker_field="is_speaker" if "is_speaker" in fields else "",
+            speaker_field="is_speaker",
             lie_field="lie_index",
             vote_field="vote_choice",
             voted_field="has_voted" if "has_voted" in fields else "",
@@ -529,8 +530,12 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
         role_names = {r.name.lower() for r in decl.roles}
 
         def is_rolelike(team: str) -> bool:
-            s = team[:-1] if team.endswith("s") else team
-            s = s[:-3] + "f" if team.endswith("ves") else s
+            if team.endswith("ves"):
+                s = team[:-3] + "f"  # werewolves -> werewolf
+            elif team.endswith("s"):
+                s = team[:-1]
+            else:
+                s = team
             return s in role_names or team in role_names
 
         team_order = tuple(sorted(vals, key=lambda t: (not is_rolelike(t), t)))

@@ -328,9 +328,15 @@ class GameHost:
     # -- play -------------------------------------------------------------------
 
     def queue_action(self, room_id: str, player_id: int, choice: int) -> None:
-        """Async human input (vote click, text submit, chat-driven action)."""
+        """Async human input (vote click, text submit, chat-driven action).
+
+        Out-of-int32 choices become 0 (= no action) instead of overflowing
+        the engine's int32 action arrays."""
         with self._lock:
-            self._queues.setdefault(room_id, {})[int(player_id)] = int(choice)
+            c = int(choice)
+            if not (-(2**31) <= c < 2**31):
+                c = 0
+            self._queues.setdefault(room_id, {})[int(player_id)] = c
 
     def queue_vote(self, room_id: str, player_id: int, option_index: int) -> None:
         """Vote by option index (1-based position in the rendered panel).
@@ -347,7 +353,7 @@ class GameHost:
                 choice = ids[option_index - 1] if 1 <= option_index <= len(ids) else 0
             else:
                 choice = option_index
-            self._queues.setdefault(room_id, {})[int(player_id)] = int(choice)
+            self.queue_action(room_id, player_id, choice)
 
     def step(self, room_id: str) -> dict[str, Any]:
         """One game turn: merge queued human actions + bot policy, advance."""
@@ -398,16 +404,8 @@ class GameHost:
             snap["roomId"] = room_id
             # phase_history entries {phase_id, phase_name, timestamp}
             # (reference: agent/game_agent_v2.py:1206-1215)
-            hist = self._phase_history.setdefault(room_id, [])
-            if not hist or hist[-1]["phase_id"] != snap["current_phase_id"]:
-                import time as _time
-
-                hist.append({
-                    "phase_id": snap["current_phase_id"],
-                    "phase_name": snap["current_phase_name"],
-                    "timestamp": _time.time(),
-                })
-            snap["phase_history"] = hist[-20:]
+            self._record_phase(room_id, gs, slot)
+            snap["phase_history"] = list(self._phase_history.get(room_id, []))
             log = self._notes.get(room_id)
             if log is not None:
                 log.observe(snap)

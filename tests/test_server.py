@@ -129,6 +129,20 @@ def test_native_backend_full_game():
         srv.shutdown()
 
 
+def test_overflow_action_is_ignored(server):
+    """An out-of-int32 choice must not crash the step (review finding)."""
+    code, d = req(server, "POST", "/api/rooms/create",
+                  {"gameName": "werewolf", "playerName": "Ovf"})
+    room_id = d["room"]["roomId"]
+    req(server, "POST", "/api/rooms/add-bot", {"roomId": room_id})
+    req(server, "POST", f"/api/rooms/{room_id}/start", {"seed": 1})
+    code, _ = req(server, "POST", f"/api/rooms/{room_id}/action",
+                  {"playerId": 1, "choice": 2**40})
+    assert code == 200
+    code, snap = req(server, "POST", f"/api/rooms/{room_id}/step")
+    assert code == 200 and snap["current_phase_id"] == 1  # advanced normally
+
+
 def test_double_start_rejected_and_close_frees_slot(server):
     code, d = req(server, "POST", "/api/rooms/create",
                   {"gameName": "werewolf", "playerName": "Dbl"})
