@@ -222,12 +222,13 @@ def apply_net(params: dict[str, Any], obs: jax.Array, cfg: NetConfig):
 def legal_action_mask(lowered: Lowered, state: GameState) -> jax.Array:
     """(B, P, A) bool — which choices the engine would accept (P2), so the
     policy never wastes probability mass on rejected actions."""
+    from game_engine_tpu.core.step import _table_select
     from game_engine_tpu.gamespec.mechanics import ChoiceKind
 
     B, P = state.present.shape
     A = action_space(lowered)
-    kind = jnp.take(jnp.asarray(lowered.choice_kind), state.phase)[:, None, None]  # (B,1,1)
-    kmax = jnp.take(jnp.asarray(lowered.choice_max), state.phase)[:, None, None]
+    kind = _table_select(lowered.choice_kind, state.phase)[:, None, None]  # (B,1,1)
+    kmax = _table_select(lowered.choice_max, state.phase)[:, None, None]
     n_present = jnp.sum(state.present, axis=1, dtype=jnp.int32)[:, None, None]
     cidx = jnp.arange(1, A + 1, dtype=jnp.int32)[None, None, :]
 
@@ -245,9 +246,15 @@ def legal_action_mask(lowered: Lowered, state: GameState) -> jax.Array:
     return jnp.broadcast_to(mask, (B, P, A))
 
 
-def sample_actions(lowered: Lowered, params, state: GameState, key, cfg: NetConfig):
-    """Sample per-player choices; returns (actions (B,P), logp, value, logits)."""
-    obs = observe(lowered, state)
+def sample_actions(lowered: Lowered, params, state: GameState, key, cfg: NetConfig,
+                   obs=None):
+    """Sample per-player choices.
+
+    Returns (actions (B,P) 1-based, logp (B,P), value (B,P),
+    legal-action mask (B,P,A)). Pass a precomputed ``obs`` to avoid
+    rebuilding the (expensive) masked observation tensor."""
+    if obs is None:
+        obs = observe(lowered, state)
     logits, value = apply_net(params, obs, cfg)
     mask = legal_action_mask(lowered, state)
     neg = jnp.float32(-1e9)

@@ -90,9 +90,9 @@ def make_league_train_step(lowered: Lowered, cfg: PPOConfig, tx: optax.GradientT
         def body(carry, _):
             st, k = carry
             k, sk1, sk2 = jax.random.split(k, 3)
-            obs = N.observe(lowered, st)
-            a, logp, v, legal = N.sample_actions(lowered, params, st, sk1, cfg.net)
-            oa, _, _, _ = N.sample_actions(lowered, opp_params, st, sk2, cfg.net)
+            obs = N.observe(lowered, st).astype(jnp.bfloat16)
+            a, logp, v, legal = N.sample_actions(lowered, params, st, sk1, cfg.net, obs=obs)
+            oa, _, _, _ = N.sample_actions(lowered, opp_params, st, sk2, cfg.net, obs=obs)
             ctrl = learner_controls(st)
             am = actor_mask(lowered, st)
             actions = jnp.where(am & ctrl, a, jnp.where(am, oa, 0))
@@ -116,20 +116,10 @@ def make_league_train_step(lowered: Lowered, cfg: PPOConfig, tx: optax.GradientT
         return state, key, traj, won
 
     def loss_fn(params, traj: Rollout, adv, ret):
-        logits, value = N.apply_net(params, traj.obs, cfg.net)
-        logits = jnp.where(traj.legal, logits, jnp.float32(-1e9))
-        logp_all = jax.nn.log_softmax(logits, axis=-1)
-        a_idx = jnp.clip(traj.actions - 1, 0, logits.shape[-1] - 1)
-        logp = jnp.take_along_axis(logp_all, a_idx[..., None], axis=-1)[..., 0]
-        ratio = jnp.exp(logp - traj.logp)
-        m = traj.mask.astype(jnp.float32)
-        msum = jnp.maximum(jnp.sum(m), 1.0)
-        mean = jnp.sum(adv * m) / msum
-        std = jnp.sqrt(jnp.sum(m * (adv - mean) ** 2) / msum) + 1e-8
-        adv_n = (adv - mean) / std
-        pg = -jnp.minimum(ratio * adv_n, jnp.clip(ratio, 1 - cfg.clip, 1 + cfg.clip) * adv_n)
-        v_loss = 0.5 * jnp.mean((value - ret) ** 2)
-        return jnp.sum(pg * m) / msum + cfg.vf_coef * v_loss, v_loss
+        from game_engine_tpu.train.ppo import ppo_loss
+
+        total, metrics = ppo_loss(params, traj, adv, ret, cfg)
+        return total, metrics["v_loss"]
 
     def train_step(params, opp_params, opt_state, state, key):
         state, key, traj, won = unroll(params, opp_params, state, key)

@@ -62,7 +62,9 @@ def terminal_rewards(lowered: Lowered, state: GameState, ended: jax.Array) -> ja
         r = jnp.where(team == win_code[:, None], 1.0, -1.0)
     elif go.mode == "score":
         pidx = jnp.arange(1, P + 1, dtype=jnp.int32)[None, :]
-        r = jnp.where(pidx == state.winner[:, None], 1.0, -1.0 / jnp.maximum(P - 1, 1))
+        # zero-sum per room: losers split -1 across the room's actual seats
+        n = jnp.sum(state.present, axis=1, dtype=jnp.float32)[:, None]
+        r = jnp.where(pidx == state.winner[:, None], 1.0, -1.0 / jnp.maximum(n - 1, 1))
     else:
         r = jnp.zeros((B, P), jnp.float32)
     return jnp.where(ended[:, None] & state.present, r, 0.0)
@@ -70,10 +72,19 @@ def terminal_rewards(lowered: Lowered, state: GameState, ended: jax.Array) -> ja
 
 def actor_mask(lowered: Lowered, state: GameState) -> jax.Array:
     """(B, P) — players whose decision this step is policy-relevant."""
+    from game_engine_tpu.core.step import _table_select
+
     pe = PredEval(lowered, state)
-    tgt_all = jnp.stack([pe.pred(int(pi)) for pi in lowered.phase_target_pred], axis=-1)
-    target = jnp.take_along_axis(tgt_all, state.phase[:, None, None], axis=2)[..., 0]
-    is_action = jnp.take(jnp.asarray(lowered.phase_is_action), state.phase)[:, None]
+    target = jnp.zeros(state.present.shape, bool)
+    by_pred: dict[int, list[int]] = {}
+    for i, pi in enumerate(lowered.phase_target_pred):
+        by_pred.setdefault(int(pi), []).append(i)
+    for pi, phase_idxs in by_pred.items():
+        hit = jnp.zeros(state.phase.shape, bool)
+        for i in phase_idxs:
+            hit = hit | (state.phase == i)
+        target = jnp.where(hit[:, None], pe.pred(pi), target)
+    is_action = _table_select(lowered.phase_is_action.astype(int), state.phase)[:, None] != 0
     return target & state.present & is_action & ~state.acted & ~state.done[:, None]
 
 
@@ -98,7 +109,7 @@ def make_unroll(lowered: Lowered, cfg: PPOConfig):
             # bf16 storage: apply_net consumes bf16 anyway; halves the
             # rollout buffer (the dominant HBM cost at 16k+ rooms)
             obs = N.observe(lowered, st).astype(jnp.bfloat16)
-            a, logp, v, legal = N.sample_actions(lowered, params, st, sk, cfg.net)
+            a, logp, v, legal = N.sample_actions(lowered, params, st, sk, cfg.net, obs=obs)
             mask = actor_mask(lowered, st)
             actions = jnp.where(mask, a, 0)
             nxt = step(st, actions)
@@ -140,38 +151,42 @@ def gae(traj: Rollout, last_value: jax.Array, cfg: PPOConfig):
     return advs, advs + traj.value
 
 
+def ppo_loss(params, traj: Rollout, adv, ret, cfg: PPOConfig):
+    """Clipped-PPO loss shared by mirror self-play and league training."""
+    logits, value = N.apply_net(params, traj.obs, cfg.net)
+    # the same legal-action masking as at sampling time — without it the
+    # recomputed log-probs (and hence PPO ratios) are wrong
+    logits = jnp.where(traj.legal, logits, jnp.float32(-1e9))
+    logp_all = jax.nn.log_softmax(logits, axis=-1)
+    a_idx = jnp.clip(traj.actions - 1, 0, logits.shape[-1] - 1)
+    logp = jnp.take_along_axis(logp_all, a_idx[..., None], axis=-1)[..., 0]
+    ratio = jnp.exp(logp - traj.logp)
+
+    m = traj.mask.astype(jnp.float32)
+    msum = jnp.maximum(jnp.sum(m), 1.0)
+    mean = jnp.sum(adv * m) / msum
+    adv_n = (adv - mean) / (jnp.sqrt(jnp.sum(m * (adv - mean) ** 2) / msum) + 1e-8)
+    pg = -jnp.minimum(
+        ratio * adv_n, jnp.clip(ratio, 1 - cfg.clip, 1 + cfg.clip) * adv_n
+    )
+    pg_loss = jnp.sum(pg * m) / msum
+    v_loss = 0.5 * jnp.mean((value - ret) ** 2)
+    ent = -jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1)
+    ent_loss = -jnp.sum(ent * m) / msum
+    total = pg_loss + cfg.vf_coef * v_loss + cfg.ent_coef * ent_loss
+    return total, {
+        "pg_loss": pg_loss,
+        "v_loss": v_loss,
+        "entropy": -ent_loss,
+        "ratio_mean": jnp.sum(ratio * m) / msum,
+    }
+
+
 def make_train_step(lowered: Lowered, cfg: PPOConfig, tx: optax.GradientTransformation):
     unroll = make_unroll(lowered, cfg)
 
-    def loss_fn(params, traj: Rollout, adv, ret):
-        logits, value = N.apply_net(params, traj.obs, cfg.net)
-        # the same legal-action masking as at sampling time — without it the
-        # recomputed log-probs (and hence PPO ratios) are wrong
-        logits = jnp.where(traj.legal, logits, jnp.float32(-1e9))
-        logp_all = jax.nn.log_softmax(logits, axis=-1)
-        a_idx = jnp.clip(traj.actions - 1, 0, logits.shape[-1] - 1)
-        logp = jnp.take_along_axis(logp_all, a_idx[..., None], axis=-1)[..., 0]
-        ratio = jnp.exp(logp - traj.logp)
-
-        m = traj.mask.astype(jnp.float32)
-        msum = jnp.maximum(jnp.sum(m), 1.0)
-        adv_n = (adv - jnp.sum(adv * m) / msum) / (
-            jnp.sqrt(jnp.sum(m * (adv - jnp.sum(adv * m) / msum) ** 2) / msum) + 1e-8
-        )
-        pg = -jnp.minimum(
-            ratio * adv_n, jnp.clip(ratio, 1 - cfg.clip, 1 + cfg.clip) * adv_n
-        )
-        pg_loss = jnp.sum(pg * m) / msum
-        v_loss = 0.5 * jnp.mean((value - ret) ** 2)
-        ent = -jnp.sum(jnp.exp(logp_all) * logp_all, axis=-1)
-        ent_loss = -jnp.sum(ent * m) / msum
-        total = pg_loss + cfg.vf_coef * v_loss + cfg.ent_coef * ent_loss
-        return total, {
-            "pg_loss": pg_loss,
-            "v_loss": v_loss,
-            "entropy": -ent_loss,
-            "ratio_mean": jnp.sum(ratio * m) / msum,
-        }
+    def loss_fn(params, traj, adv, ret):
+        return ppo_loss(params, traj, adv, ret, cfg)
 
     def train_step(params, opt_state, state: GameState, key):
         state, key, traj = unroll(params, state, key)

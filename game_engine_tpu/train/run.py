@@ -143,7 +143,8 @@ def main(argv=None):
             params, opt_state, state, key, metrics = league_step(
                 params, opp, opt_state, state, key
             )
-            league.record_result(opp_idx, float(metrics["learner_win_rate"]))
+            if float(metrics["episodes"]) > 0:  # no-episode updates carry no signal
+                league.record_result(opp_idx, float(metrics["learner_win_rate"]))
             league.maybe_snapshot(params)
             metrics = dict(metrics)
             metrics["opponent"] = opp_idx
