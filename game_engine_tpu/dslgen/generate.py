@@ -37,10 +37,13 @@ class RoleDef:
 class Blueprint:
     name: str
     description: str
-    archetype: str  # 'elimination' | 'rounds'
+    archetype: str  # 'elimination' | 'rounds' | 'battle'
     min_players: int = 4
     roles: tuple[RoleDef, ...] = ()
-    rounds_per_player: int = 1
+    # Note: the "agreed number of speaking turns" is engine configuration
+    # (GameConfig.rounds_per_player / the server's roundsPerPlayer start
+    # option), not part of the generated DSL — the DSL's branch sentence
+    # intentionally says "the agreed number".
 
 
 WEREWOLF_LIKE_ROLES = (

@@ -44,8 +44,9 @@ def validate_doc(doc: Any, name: str = "game") -> tuple[list[Issue], GameSpec | 
         return issues, None
     try:
         spec = parse_game_spec(doc, name=name)
-    except (ValueError, TypeError) as e:
-        return issues + [Issue(ERROR, "parse", str(e))], None
+    except Exception as e:  # noqa: BLE001 — malformed docs must become Issues,
+        # not crashes (the generation pipeline auto-repairs or rejects on them)
+        return issues + [Issue(ERROR, "parse", f"{type(e).__name__}: {e}")], None
     issues.extend(validate_spec(spec))
     return issues, spec
 

@@ -85,59 +85,17 @@ def decode_room(
     b: int = 0,
     player_names: Optional[dict[int, str]] = None,
 ) -> dict[str, Any]:
-    """AgentState-shaped snapshot of room b."""
-    game = lowered.game
-    layout = game.layout
-    bools = np.asarray(state.bools[b])
-    nums = np.asarray(state.nums[b])
-    strs = np.asarray(state.strs[b])
-    pdict = np.asarray(state.pdict[b])
-    odict = np.asarray(state.odict[b])
-    present = np.asarray(state.present[b])
-    n = int(present.sum())
-    names = player_names or {}
-
-    player_states: dict[str, dict[str, Any]] = {}
-    for p in range(n):
-        row: dict[str, Any] = {}
-        for f in game.spec.declaration.fields:
-            slot = layout.slot(f.name)
-            if slot.bank == BANK_BOOL:
-                row[f.name] = bool(bools[p, slot.index])
-            elif slot.bank == BANK_NUM:
-                row[f.name] = int(nums[p, slot.index])
-            elif slot.bank == BANK_STR:
-                if f.name == "name":
-                    row[f.name] = names.get(p + 1, f"Player {p + 1}")
-                else:
-                    row[f.name] = slot.decode(int(strs[p, slot.index]))
-            elif slot.bank == BANK_PDICT:
-                d = {}
-                for q in range(n):
-                    code = int(pdict[p, slot.index, q])
-                    if code != 0:
-                        d[str(q + 1)] = slot.decode(code)
-                row[f.name] = d
-            elif slot.bank == BANK_ODICT:
-                row[f.name] = {"1": "submitted"} if int(odict[p, slot.index]) else {}
-            elif slot.bank == BANK_ARR:
-                row[f.name] = []
-        player_states[str(p + 1)] = row
-
-    phase_idx = int(state.phase[b])
-    cp = game.phases[phase_idx]
-    dead = [
-        str(p + 1)
-        for p in range(n)
-        if lowered.alive_bool >= 0 and not bools[p, lowered.alive_bool]
-    ]
-    return {
-        "player_states": player_states,
-        "current_phase_id": cp.dsl_id,
-        "current_phase_name": cp.name,
-        "gameName": game.spec.name,
-        "deadPlayers": dead,
+    """AgentState-shaped snapshot of room b (delegates to decode_native)."""
+    read = {
+        "bools": np.asarray(state.bools[b]),
+        "nums": np.asarray(state.nums[b]),
+        "strs": np.asarray(state.strs[b]),
+        "pdict": np.asarray(state.pdict[b]),
+        "odict": np.asarray(state.odict[b]),
+        "phase_index": int(state.phase[b]),
         "done": bool(state.done[b]),
         "winner": int(state.winner[b]),
-        "stateVersion": int(state.t[b]),
+        "t": int(state.t[b]),
     }
+    n = int(np.asarray(state.present[b]).sum())
+    return decode_native(lowered, read, n, player_names)

@@ -23,6 +23,20 @@ from game_engine_tpu.view.cards import Item, TOOL_TO_CARD, clear_canvas, make_it
 _TIER_RE = re.compile(r"TIER\s*(\d)", re.IGNORECASE)
 _EXCEPT_RE = re.compile(r"\bexcept\b|\bwaiting\b|\bnon-|\bother players\b", re.IGNORECASE)
 _EXEMPT_DEATH_RE = re.compile(r"exempt[^.]*death|death markers?[^.]*(persist|remain|exempt)", re.IGNORECASE)
+# clearCanvas exemptions named in action descriptions ("exempt persistent
+# scoreboard", "preserving scoreboard", ... — reference: clearCanvas
+# exemptList semantics, src/app/page.tsx:2426-2443)
+_EXEMPT_WORDS = {
+    "score_board": re.compile(r"(exempt|preserv\w*|keep\w*)[^.]*score\s*board|score\s*board[^.]*(persist|remain|exempt)", re.IGNORECASE),
+    "death_marker": _EXEMPT_DEATH_RE,
+}
+# singleton card types: re-creating one replaces the existing item instead of
+# stacking duplicates (reference: name-based idempotency in the create
+# handlers, src/app/page.tsx:1177-1185)
+_SINGLETON_TYPES = frozenset(
+    {"avatar_set", "score_board", "turn_indicator", "statement_board",
+     "night_overlay", "phase_indicator"}
+)
 
 
 def _phase_targets(phase: CompiledPhase, snapshot: dict[str, Any]) -> list[str]:
@@ -93,7 +107,12 @@ class Projector:
             tier = int(m.group(1)) if m else None
             for tool in action.tools:
                 if tool == "clearCanvas":
-                    exempt = ["death_marker"] if (_EXEMPT_DEATH_RE.search(action.description) or dead) else []
+                    exempt = [
+                        t for t, rx in _EXEMPT_WORDS.items()
+                        if rx.search(action.description)
+                    ]
+                    if dead and "death_marker" not in exempt:
+                        exempt.append("death_marker")
                     items = clear_canvas(items, exempt=exempt)
                     continue
                 if tool == "markPlayerDead":
@@ -102,10 +121,11 @@ class Projector:
                 if card is None:
                     continue
                 aud_type, aud_ids = _audience(tier, action.description, targets, all_ids)
-                items.extend(
-                    self._make(card, tool, action.description, phase, snapshot,
-                               aud_type, aud_ids, targets, all_ids, newly_dead, items)
-                )
+                new_items = self._make(card, tool, action.description, phase, snapshot,
+                                       aud_type, aud_ids, targets, all_ids, newly_dead, items)
+                if card in _SINGLETON_TYPES and new_items:
+                    items = [i for i in items if i.type != card]
+                items.extend(new_items)
         return items
 
     # -- per-card synthesis -------------------------------------------------

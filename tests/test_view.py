@@ -133,6 +133,39 @@ def test_projection_twotruths_statements(ttal):
     assert {"score_board", "statement_board", "turn_indicator"} <= seen_types
 
 
+def test_singletons_do_not_duplicate_on_reprojection(ttal):
+    """Polling GET /state re-projects; avatar sets / scoreboards must not
+    stack duplicates (review finding)."""
+    room = OracleRoom(ttal.game, n_players=3, seed=0)
+    proj = Projector(ttal.game)
+    snap = room.snapshot()
+    snap["stateVersion"] = 0
+    items = proj.project(snap)  # phase 0: avatar set + scoreboard created
+    for _ in range(5):
+        items = proj.project(snap, prev_items=items)
+    assert sum(1 for i in items if i.type == "avatar_set") == 1
+    assert sum(1 for i in items if i.type == "score_board") == 1
+
+
+def test_scoreboard_persists_through_exempting_clears(ttal):
+    """'Clear previous UI, exempt persistent scoreboard' must keep the
+    scoreboard across round phases (review finding)."""
+    room = OracleRoom(ttal.game, n_players=3, seed=0)
+    proj = Projector(ttal.game)
+    snap = room.snapshot()
+    snap["stateVersion"] = -1
+    items = proj.project(snap)
+    assert any(i.type == "score_board" for i in items)
+    for t in range(6):  # through Round Start / Collection / Selection ...
+        room.step(oracle_policy(room, t, 0))
+        snap = room.snapshot()
+        snap["stateVersion"] = t
+        items = proj.project(snap, prev_items=items)
+        assert any(i.type == "score_board" for i in items), (
+            f"scoreboard wiped at phase {snap['current_phase_id']}"
+        )
+
+
 def test_item_ids_unique_and_numeric(ww):
     room = OracleRoom(ww.game, n_players=4, seed=1)
     proj = Projector(ww.game)
