@@ -165,17 +165,20 @@ class ConditionContext:
         # team vocabulary: every distinct string value of a field named/typed
         # like a team, mined from players_example + audience criteria literals
         self.team_field = "team" if "team" in self.field_names else None
-        self.teams: set[str] = set()
+        # lowercase lookup -> original-case value: predicates must carry the
+        # stored spelling or the oracle's case-sensitive compare diverges
+        # from the table path's case-insensitive vocab encoding
+        self.teams: dict[str, str] = {}
         if self.team_field:
             for row in decl.players_example.values():
                 v = row.get(self.team_field)
                 if isinstance(v, str) and v:
-                    self.teams.add(v.lower())
+                    self.teams.setdefault(v.lower(), v)
             for g in decl.audience_groups:
                 for m in re.findall(r"'([^']+)'|\"([^\"]+)\"", g.selection_criteria):
-                    s = (m[0] or m[1]).lower()
+                    s = m[0] or m[1]
                     if "team" in g.selection_criteria and s:
-                        self.teams.add(s)
+                        self.teams.setdefault(s.lower(), s)
 
         self.role_field = "role" if "role" in self.field_names else None
         self.roles = {r.name.lower(): r.name for r in decl.roles}
@@ -196,11 +199,11 @@ class ConditionContext:
                 base = self.groups[c]
                 living = False  # group criteria already handle aliveness
                 break
-        # 2. team value
+        # 2. team value (original-case spelling for oracle parity)
         if base is None and self.team_field:
             for c in candidates:
                 if c in self.teams:
-                    base = Atom(self.team_field, "eq", c)
+                    base = Atom(self.team_field, "eq", self.teams[c])
                     break
         # 3. role name
         if base is None and self.role_field:

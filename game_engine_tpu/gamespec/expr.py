@@ -94,8 +94,17 @@ class PredicateError(ValueError):
     pass
 
 
+_QUOTED = re.compile(r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")")
+
+
 def _normalize(src: str) -> str:
-    return _BOOL_WORD.sub(lambda m: _PY_BOOL[m.group(0).lower()], src)
+    """YAML booleans -> Python, but never inside quoted string literals
+    (a value like 'none' or 'true-believer' must survive verbatim)."""
+    parts = _QUOTED.split(src)
+    return "".join(
+        p if i % 2 else _BOOL_WORD.sub(lambda m: _PY_BOOL[m.group(0).lower()], p)
+        for i, p in enumerate(parts)
+    )
 
 
 def _literal(node: ast.AST) -> Any:

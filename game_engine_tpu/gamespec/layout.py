@@ -102,16 +102,21 @@ def _string_vocab(decl: Declaration, field: FieldSpec) -> list[str]:
 
 def _dict_value_vocab(decl: Declaration, field: FieldSpec) -> list[str]:
     vocab: list[str] = [""]
+
+    def add(v) -> None:
+        # case-insensitive dedup, matching Slot.encode's case-insensitive
+        # lookup (two case variants would make the second unreachable)
+        if isinstance(v, str) and v and v.lower() not in [x.lower() for x in vocab]:
+            vocab.append(v)
+
     ex = field.example if isinstance(field.example, dict) else {}
     for v in ex.values():
-        if isinstance(v, str) and v and v not in vocab:
-            vocab.append(v)
+        add(v)
     for row in decl.players_example.values():
         rv = row.get(field.name)
         if isinstance(rv, dict):
             for v in rv.values():
-                if isinstance(v, str) and v and v not in vocab:
-                    vocab.append(v)
+                add(v)
     return vocab
 
 

@@ -109,8 +109,10 @@ def _parse_fields(decl: dict[str, Any]) -> list[FieldSpec]:
 
 def _parse_players_example(decl: dict[str, Any]) -> tuple[dict[int, dict[str, Any]], tuple[str, ...]]:
     pe = decl.get("players_example") or {}
+    if not isinstance(pe, dict):  # tolerate list-/string-shaped authoring mistakes
+        return {}, ()
     tools = tuple(str(t) for t in pe.get("tools", []) or [])
-    rows = pe.get("player_states", pe if isinstance(pe, dict) else {}) or {}
+    rows = pe.get("player_states", pe) or {}
     out: dict[int, dict[str, Any]] = {}
     if isinstance(rows, dict):
         for key, row in rows.items():

@@ -79,6 +79,8 @@ class MemoryStorage:
     def create_room(self, game_name: str, host_name: str, min_players: int,
                     max_players: int = 8) -> tuple[Room, Player]:
         with self._lock:
+            self._refresh()  # mutators refresh first so _save() doesn't
+            # clobber other processes' writes with stale in-memory state
             room = Room(
                 roomId=str(uuid.uuid4()),
                 gameName=game_name,
@@ -127,13 +129,17 @@ class MemoryStorage:
 
     def set_status(self, room_id: str, status: str) -> None:
         with self._lock:
-            self._rooms[room_id].status = status
-            self._save()
+            self._refresh()
+            if room_id in self._rooms:
+                self._rooms[room_id].status = status
+                self._save()
 
     def set_thread(self, room_id: str, thread_id: str) -> None:
         with self._lock:
-            self._rooms[room_id].threadId = thread_id
-            self._save()
+            self._refresh()
+            if room_id in self._rooms:
+                self._rooms[room_id].threadId = thread_id
+                self._save()
 
     def list_rooms(self, game_name: Optional[str] = None,
                    joinable_only: bool = True) -> list[dict[str, Any]]:

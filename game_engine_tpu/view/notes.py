@@ -84,13 +84,17 @@ def diff_notes(prev: Optional[dict[str, Any]], cur: dict[str, Any]) -> list[dict
                                  f"({'+' if new >= old else ''}{new - old}).")
                 break
 
-    # reveals
-    for pid, row in cp.items():
-        if row.get("lie_revealed") and not pp.get(pid, {}).get("lie_revealed"):
-            lie = row.get("lie_index")
-            if row.get("is_speaker") and lie:
-                add("reveal", f"{_name(cur, pid)}'s secret was statement {lie}.")
-            break
+    # reveals: the flag flips for everyone at once (SetBoolAll); attribute
+    # the note to the speaker's statement
+    revealed_now = any(
+        row.get("lie_revealed") and not pp.get(pid, {}).get("lie_revealed")
+        for pid, row in cp.items()
+    )
+    if revealed_now:
+        for pid, row in cp.items():
+            if row.get("is_speaker") and row.get("lie_index"):
+                add("reveal", f"{_name(cur, pid)}'s secret was statement {row['lie_index']}.")
+                break
 
     # votes recorded this turn
     for pid, row in cp.items():
