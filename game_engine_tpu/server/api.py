@@ -42,7 +42,23 @@ class AppContext:
     def __init__(self, storage_path: Optional[str] = None, games_path: Optional[str] = None,
                  backend: str = "jax"):
         self.storage = MemoryStorage(storage_path)
-        self.host = GameHost(games_path, backend=backend)
+        persist_dir = (storage_path + ".rooms") if storage_path else None
+        self.host = GameHost(games_path, backend=backend, persist_dir=persist_dir)
+        self._restore_playing_rooms()
+
+    def _restore_playing_rooms(self) -> None:
+        """Crash recovery: replay journals for rooms persisted as 'playing';
+        rooms whose journal is missing/corrupt are marked finished so clients
+        get a clear 409 instead of a KeyError-shaped 400."""
+        for room_id, room in list(self.storage.dump()["rooms"].items()):
+            if room["status"] != "playing":
+                continue
+            try:
+                ok = self.host.restore_room(room_id)
+            except Exception:
+                ok = False
+            if not ok:
+                self.storage.set_status(room_id, "finished")
 
     # -- handlers -------------------------------------------------------------
 
@@ -84,7 +100,9 @@ class AppContext:
                 players = self.storage.get_players(room.roomId)
                 while len(players) < room.minPlayers:
                     # bots named player2..N (reference: add-bot/route.ts:58-96)
-                    p = self.storage.add_player(room.roomId, f"player{len(players) + 1}")
+                    p = self.storage.add_player(
+                        room.roomId, f"player{len(players) + 1}", is_bot=True
+                    )
                     added.append(p.__dict__)
                     players = self.storage.get_players(room.roomId)
                 return 200, {"added": added, "playerCount": len(players)}
@@ -142,11 +160,22 @@ class AppContext:
                     thread = self.host.start_room(
                         room_id, room.gameName, len(players), seed=body.get("seed"),
                         rounds_per_player=int(body.get("roundsPerPlayer", 1)),
+                        human_seats=[p.id for p in players if not p.isBot],
+                        player_names=names,
                     )
                     self.storage.set_thread(room_id, thread)
                     self.storage.set_status(room_id, "playing")
                     return 200, self.host.snapshot(room_id, names)
+                if room.status == "playing" and action is not None and not self.host.has_room(room_id):
+                    # persisted as playing but no live/restorable engine slot
+                    # (e.g. journal lost) — a clear 410, not a KeyError 400
+                    self.storage.set_status(room_id, "finished")
+                    return 410, {"error": "room state lost; game marked finished"}
                 if room.status in ("playing", "finished"):
+                    if (action in ("state", "chat", "notes")
+                            and not self.host.has_room(room_id)):
+                        # finished room from a prior process / already closed
+                        return 410, {"error": "room state no longer available"}
                     if method == "GET" and action == "state":
                         viewer = int(query.get("playerId", ["1"])[0])
                         return 200, self.host.visible_state(room_id, viewer, names)
@@ -168,7 +197,12 @@ class AppContext:
                     msg = "game already finished" if room.status == "finished" else "room not started"
                     return 409, {"error": msg}
                 if method == "POST" and action == "action":
-                    self.host.queue_action(room_id, int(body["playerId"]), int(body["choice"]))
+                    # optional free-text content rides along with the choice;
+                    # a text-only submit defaults to the SUBMIT marker (1)
+                    text = body.get("text")
+                    choice = int(body.get("choice", 1 if text is not None else 0))
+                    self.host.queue_action(room_id, int(body["playerId"]), choice,
+                                           text=text)
                     return 200, {"queued": True}
                 if method == "POST" and action == "vote":
                     self.host.queue_vote(room_id, int(body["playerId"]), int(body["option"]))
@@ -246,7 +280,9 @@ def main():  # pragma: no cover
     ap = argparse.ArgumentParser()
     ap.add_argument("--port", type=int, default=8123)
     ap.add_argument("--storage", default="temp-rooms.json")
-    ap.add_argument("--backend", default="jax", choices=["jax", "native"])
+    # native is the interactive default: per-room C++ stepping avoids a full
+    # batched device dispatch per turn (identical semantics, test_native.py)
+    ap.add_argument("--backend", default="native", choices=["jax", "native"])
     args = ap.parse_args()
     srv = make_server(args.port, args.storage, backend=args.backend)
     print(f"game host listening on :{srv.server_address[1]}")

@@ -38,35 +38,17 @@ class ChatMessage:
         return dataclasses.asdict(self)
 
 
-_REPLIES = {
-    "greeting": [
-        "Hey {sender}! Ready when you are.",
-        "Hello {sender} — let's play.",
-        "Hi {sender}!",
-    ],
-    "vote": [
-        "I'm still weighing the votes, {sender}.",
-        "My vote stays with my read of the discussion.",
-        "Let's see how the votes land.",
-    ],
-    "suspicion": [
-        "Interesting theory, {sender} — but what's your evidence?",
-        "I'm not the one you should worry about, {sender}.",
-        "Accusations need proof, {sender}.",
-    ],
-    "default": [
-        "Noted, {sender}.",
-        "Let's focus on the current phase.",
-        "We'll see soon enough, {sender}.",
-        "Good point — keep talking.",
-    ],
-}
-
 _KEYWORDS = [
     (re.compile(r"\b(hi|hello|hey)\b", re.IGNORECASE), "greeting"),
-    (re.compile(r"\bvote|voting|eliminate\b", re.IGNORECASE), "vote"),
-    (re.compile(r"\b(suspect|suspicious|liar|werewolf|assassin|accuse)\b", re.IGNORECASE), "suspicion"),
+    (re.compile(r"\b(status|phase|alive|who(?:'s| is)? (?:left|remaining|dead)|happening)\b", re.IGNORECASE), "status"),
+    (re.compile(r"\b(score|points|standings|winning)\b", re.IGNORECASE), "score"),
+    (re.compile(r"\b(statements?|lie|truth)\b", re.IGNORECASE), "statements"),
+    (re.compile(r"\bvote|voting|eliminate|lynch\b", re.IGNORECASE), "vote"),
+    (re.compile(r"\b(suspect|suspicious|liar|werewolf|assassin|accuse|guilty)\b", re.IGNORECASE), "suspicion"),
 ]
+
+# "player 3" / "@3" mentions, for the accusation tracker
+_MENTION = re.compile(r"(?:player\s*|@)(\d+)", re.IGNORECASE)
 
 
 class ChatRoom:
@@ -114,11 +96,18 @@ class ChatRoom:
 
     def bot_reply(self, sender_id: int, sender_name: str, text: str,
                   snapshot: dict[str, Any]) -> Optional[ChatMessage]:
-        """Generate a deterministic bot reply to a chat message.
+        """Generate a deterministic, state-grounded bot reply.
 
         Addressing: 'to Bot N:' / '@N' selects bot N; otherwise a stable
         hash picks an alive bot (never player 1, never dead players).
         Private messages to a bot get a private reply back.
+
+        Unlike canned keyword pools, replies are composed from actual game
+        state — phase, alive/dead roster, the bot's own private knowledge
+        (investigation results, vote choices, scores) and the accusation
+        history of this chat — the deterministic twin of the reference's
+        roleplaying ChatBotNode (reference: agent/game_agent_v2.py:351-466,
+        full-game-context prompt; dead players silent :438-441).
         """
         players = snapshot.get("player_states", {})
         m = _TO_BOT.match(text)
@@ -145,12 +134,152 @@ class ChatRoom:
             if rx.search(text):
                 kind = k
                 break
-        pool = _REPLIES[kind]
         h2 = splitmix32((self.seed + len(self.messages) * 7 + bot) & 0xFFFFFFFF)
-        reply = pool[h2 % len(pool)].format(sender=sender_name)
+        reply = self._compose(kind, bot, sender_id, sender_name, text,
+                              snapshot, h2)
         bot_name = players.get(str(bot), {}).get("name") or f"Player {bot}"
         return self.post(
             bot, bot_name, reply,
             visibility="private" if private else "public",
             target_audience=[str(sender_id)] if private else None,
         )
+
+    # -- state-grounded composition ---------------------------------------
+
+    def _name(self, players: dict, pid) -> str:
+        return players.get(str(pid), {}).get("name") or f"Player {pid}"
+
+    def _accusation_counts(self, players: dict) -> dict[int, int]:
+        """Who has been accused in this chat (mentions near suspicion words)."""
+        counts: dict[int, int] = {}
+        suspicious = _KEYWORDS[-1][0]
+        name_to_pid = {
+            str(row.get("name", "")).lower(): int(pid)
+            for pid, row in players.items() if row.get("name")
+        }
+        for msg in self.messages:
+            if msg.type != "message" or not suspicious.search(msg.message):
+                continue
+            low = msg.message.lower()
+            for mm in _MENTION.finditer(msg.message):
+                counts[int(mm.group(1))] = counts.get(int(mm.group(1)), 0) + 1
+            for nm, pid in name_to_pid.items():
+                if nm and nm in low:
+                    counts[pid] = counts.get(pid, 0) + 1
+        return counts
+
+    def _pick_suspect(self, bot: int, sender_id: int, players: dict,
+                      h: int) -> Optional[int]:
+        """The bot's current read: most-accused alive player, else hash pick
+        (never itself, never the sender, never the dead)."""
+        candidates = [
+            int(pid) for pid, row in players.items()
+            if row.get("is_alive", True) and int(pid) not in (bot, sender_id)
+        ]
+        if not candidates:
+            return None
+        counts = self._accusation_counts(players)
+        accused = [c for c in candidates if counts.get(c)]
+        if accused:
+            return max(accused, key=lambda c: (counts[c], -c))
+        return candidates[h % len(candidates)]
+
+    def _compose(self, kind: str, bot: int, sender_id: int, sender_name: str,
+                 text: str, snapshot: dict[str, Any], h: int) -> str:
+        players = snapshot.get("player_states", {})
+        me = players.get(str(bot), {})
+        phase = snapshot.get("current_phase_name") or "the game"
+        dead = [str(d) for d in snapshot.get("deadPlayers", [])]
+        alive = [pid for pid, row in players.items() if row.get("is_alive", True)]
+        suspect = self._pick_suspect(bot, sender_id, players, h)
+        sus_name = self._name(players, suspect) if suspect else None
+
+        if kind == "greeting":
+            pool = [
+                f"Hey {sender_name}! We're in {phase} — {len(alive)} of us still in it.",
+                f"Hello {sender_name}. Eyes on {phase}.",
+                f"Hi {sender_name} — let's get through {phase}.",
+            ]
+        elif kind == "status":
+            names = ", ".join(self._name(players, p) for p in sorted(alive, key=int))
+            fallen = (
+                " Fallen: " + ", ".join(self._name(players, d) for d in dead) + "."
+                if dead else ""
+            )
+            pool = [f"We're in {phase}. Still standing: {names}.{fallen}"]
+        elif kind == "score":
+            rows = [
+                (self._name(players, pid),
+                 int(row.get("total_score", row.get("score", 0)) or 0))
+                for pid, row in players.items()
+            ]
+            if any(s for _, s in rows):
+                rows.sort(key=lambda r: -r[1])
+                board = ", ".join(f"{n} {s}" for n, s in rows[:3])
+                pool = [f"Standings: {board}.",
+                        f"{rows[0][0]} leads with {rows[0][1]} — for now."]
+            else:
+                pool = [f"No points on the board yet — {phase} first."]
+        elif kind == "statements":
+            speaker = next(
+                (pid for pid, row in players.items() if row.get("is_speaker")), None
+            )
+            stmts = (players.get(speaker, {}).get("statements") or {}) if speaker else {}
+            if speaker and stmts:
+                pool = [
+                    f"{self._name(players, speaker)} gave us {len(stmts)} statements — one smells off to me.",
+                    f"Read {self._name(players, speaker)}'s statements again; the lie is in the details.",
+                ]
+            else:
+                pool = [f"No statements on the board yet — we're in {phase}."]
+        elif kind == "vote":
+            my_vote = int(me.get("vote_choice", 0) or 0)
+            if my_vote:
+                pool = [
+                    f"I've locked my vote on statement {my_vote}.",
+                    f"My read says {my_vote} — I'm sticking with it.",
+                ]
+            elif sus_name:
+                pool = [
+                    f"When the vote comes, I'm looking at {sus_name}.",
+                    f"My vote goes where the evidence points — right now that's {sus_name}.",
+                    f"I'm still weighing it, {sender_name}, but {sus_name} worries me.",
+                ]
+            else:
+                pool = [f"Let's see how the votes land in {phase}."]
+        elif kind == "suspicion":
+            accused_me = bool(
+                re.search(rf"\byou\b|player\s*{bot}\b", text, re.IGNORECASE)
+                or (me.get("name") and str(me["name"]).lower() in text.lower())
+            )
+            investigations = {
+                k: v for k, v in (me.get("investigated_alignments") or {}).items()
+            }
+            if accused_me and investigations:
+                k, v = sorted(investigations.items())[h % len(investigations)]
+                pool = [
+                    f"Wrong target, {sender_name}. I checked {self._name(players, k)} — they read as {v}.",
+                    f"I've been doing the work: {self._name(players, k)} came back {v}. I'm not your problem.",
+                ]
+            elif accused_me:
+                fallen = f"{len(dead)} of us are already gone" if dead else "nobody's fallen yet"
+                pool = [
+                    f"Bold claim, {sender_name} — {fallen} and you point at me? Where's the proof?",
+                    f"I'm not the one you should worry about, {sender_name}. Watch {sus_name or 'the quiet ones'}.",
+                ]
+            elif sus_name:
+                pool = [
+                    f"I've had my eye on {sus_name} too.",
+                    f"{sus_name} has been too quiet for my taste.",
+                    f"Interesting theory, {sender_name} — but {sus_name} fits better.",
+                ]
+            else:
+                pool = [f"Accusations need proof, {sender_name}."]
+        else:
+            pool = [
+                f"Noted, {sender_name}. Back to {phase}.",
+                f"Let's focus — we're in {phase}.",
+                f"We'll see soon enough, {sender_name}.",
+                f"Keep talking; {phase} won't wait.",
+            ]
+        return pool[h % len(pool)]

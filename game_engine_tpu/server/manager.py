@@ -7,14 +7,22 @@ batched GameState; a turn is one fused engine step applied only to the
 requesting room (other slots are frozen via masked select). Human actions
 arrive asynchronously into a host-side queue and are merged with on-device
 bot-policy actions on the next step — the host/device action-queue design
-from SURVEY.md §7. Player 1 is the human: the bot policy never emits for
-them (reference: agent/prompt/bot_behavior_system_prompt.txt, ABSOLUTE
-HUMAN EXCLUSION).
+from SURVEY.md §7. Any subset of seats can be human (the reference admits
+multi-human broadcasting is unfinished, /root/reference/README.md:22; here
+it is first-class): the bot policy never emits for human seats (reference:
+agent/prompt/bot_behavior_system_prompt.txt, ABSOLUTE HUMAN EXCLUSION),
+and snapshots carry ``waiting_on`` — the human seats that must act.
+
+Durability: every state-mutating host event (engine step with merged human
+actions, chat post, free-text submit) is appended to a per-room JSONL
+journal (server/journal.py); on restart, replaying the journal through the
+same code paths restores live rooms bit-identically.
 """
 
 from __future__ import annotations
 
 import threading
+import time
 from typing import Any, Optional
 
 import jax
@@ -33,6 +41,51 @@ from game_engine_tpu.view.project import Projector
 import os
 
 SLOTS_PER_GAME = 64
+
+
+_BOT_SUBMISSIONS = (
+    "I once won a local chess tournament.",
+    "I have never been on an airplane.",
+    "I can cook a five-course meal from memory.",
+    "I met my best friend in a lost-luggage line.",
+    "I've read the same book eleven times.",
+    "I once walked thirty kilometres in one day.",
+    "I'm secretly afraid of escalators.",
+    "I learned to juggle before I learned to swim.",
+    "I've never tasted coffee.",
+    "I once slept through an earthquake.",
+    "I can name every country in South America.",
+    "I keep a diary written entirely in code.",
+)
+
+
+def _bot_submission(seed: int, pid: int, field: str, example: Any) -> dict[str, str]:
+    """Deterministic stand-in content for a bot's text submit (the reference's
+    bots generate statements via LLM; here a seeded pick from a fixed pool)."""
+    from game_engine_tpu.gamespec.mechanics import splitmix32
+
+    n = len(example) if isinstance(example, dict) and example else 3
+    out: dict[str, str] = {}
+    used: set[int] = set()
+    for i in range(n):
+        h = splitmix32((seed * 977 + pid * 131 + i * 7 + len(field)) & 0xFFFFFFFF)
+        k = h % len(_BOT_SUBMISSIONS)
+        while k in used:  # distinct statements within one submission
+            k = (k + 1) % len(_BOT_SUBMISSIONS)
+        used.add(k)
+        out[str(i + 1)] = _BOT_SUBMISSIONS[k]
+    return out
+
+
+def _normalize_text(text: Any) -> dict[str, str]:
+    """Free text -> {"1": line, "2": line, ...} matching the reference's
+    statements-dict shape (games/two-truths-and-a-lie.yaml:21-27)."""
+    if isinstance(text, dict):
+        return {str(k): str(v) for k, v in text.items() if str(v).strip()}
+    if isinstance(text, (list, tuple)):
+        return {str(i + 1): str(v) for i, v in enumerate(text) if str(v).strip()}
+    lines = [ln.strip() for ln in str(text).split("\n") if ln.strip()]
+    return {str(i + 1): ln for i, ln in enumerate(lines)}
 
 
 class _GameSlots:
@@ -68,14 +121,17 @@ class _GameSlots:
         self.prev_dead.pop(slot, None)
 
     def step_slot(self, slot: int, human_actions: dict[int, int],
-                  include_bots: bool = True) -> None:
+                  include_bots: bool = True,
+                  human_seats: tuple[int, ...] = (1,)) -> None:
         """Advance only this slot by one engine step (others frozen)."""
         bots = self.engine.bot_actions(self.state) if include_bots else jnp.zeros(
             (self.capacity, self.lowered.P), jnp.int32
         )
-        # human exclusion: policy never acts for player 1
+        # human exclusion: policy never acts for human seats
         actions = np.asarray(bots).copy()
-        actions[:, 0] = 0
+        for pid in human_seats:
+            if 1 <= pid <= self.lowered.P:
+                actions[slot, pid - 1] = 0
         for pid, choice in human_actions.items():
             if 1 <= pid <= self.lowered.P:
                 actions[slot, pid - 1] = int(choice)
@@ -109,17 +165,23 @@ class _GameSlots:
             alive = present
         return [p + 1 for p in range(len(alive)) if alive[p]]
 
-    def human_must_act(self, slot: int) -> bool:
+    def must_act_seats(self, slot: int, seats) -> list[int]:
+        """Human seats the current phase is waiting on (targeted, not acted)."""
         from game_engine_tpu.core.step import PredEval
 
         lowered = self.lowered
         phase = self.phase_index(slot)
         if not bool(lowered.phase_is_action[phase]):
-            return False
+            return []
         pe = PredEval(lowered, self.state)
         tgt = np.asarray(pe.pred(int(lowered.phase_target_pred[phase])))[slot]
         acted = np.asarray(self.state.acted[slot])
-        return bool(tgt[0] and not acted[0])
+        present = np.asarray(self.state.present[slot])
+        return [
+            pid for pid in seats
+            if 1 <= pid <= lowered.P
+            and present[pid - 1] and tgt[pid - 1] and not acted[pid - 1]
+        ]
 
 
 class _NativeRooms:
@@ -155,10 +217,12 @@ class _NativeRooms:
             d.pop(slot, None)
 
     def step_slot(self, slot: int, human_actions: dict[int, int],
-                  include_bots: bool = True) -> None:
+                  include_bots: bool = True,
+                  human_seats: tuple[int, ...] = (1,)) -> None:
         room = self.rooms[slot]
         actions = room.policy_actions() if include_bots else {}
-        actions.pop(1, None)  # human exclusion
+        for pid in human_seats:  # human exclusion
+            actions.pop(pid, None)
         actions.update(human_actions)
         room.step(actions)
 
@@ -181,38 +245,53 @@ class _NativeRooms:
             return [p + 1 for p in range(n) if r["bools"][p, self.lowered.alive_bool]]
         return list(range(1, n + 1))
 
-    def human_must_act(self, slot: int) -> bool:
+    def must_act_seats(self, slot: int, seats) -> list[int]:
         room = self.rooms[slot]
         r = room.read()
         phase = r["phase_index"]
         if not bool(self.lowered.phase_is_action[phase]):
-            return False
-        if r["acted"][0]:
-            return False
-        # targeted iff the scripted policy would emit for player 1
+            return []
+        # targeted iff the scripted policy would emit for that seat
         from game_engine_tpu.gamespec.expr import eval_predicate
         from game_engine_tpu.view.decode import decode_native
 
         snap = decode_native(self.lowered, r, self.n_players[slot])
         cp = self.lowered.game.phases[phase]
-        return eval_predicate(cp.target_pred, snap["player_states"]["1"])
+        return [
+            pid for pid in seats
+            if 1 <= pid <= self.n_players[slot]
+            and not r["acted"][pid - 1]
+            and eval_predicate(cp.target_pred, snap["player_states"][str(pid)])
+        ]
 
 
 class GameHost:
     """Rooms -> engine slots; human action queues; state/items projection."""
 
-    def __init__(self, games_path: Optional[str] = None, backend: str = "jax"):
+    def __init__(self, games_path: Optional[str] = None, backend: str = "jax",
+                 persist_dir: Optional[str] = None):
         """backend: 'jax' (batched device engine) or 'native' (C++ per-room
-        simulator — lowest interactive latency, identical semantics)."""
+        simulator — lowest interactive latency, identical semantics).
+        persist_dir: directory for per-room crash-recovery journals; None
+        disables durability (tests, throwaway hosts)."""
         self._lock = threading.RLock()
         self._backend = backend
         self._games_path = games_path or games_dir()
+        self._persist_dir = persist_dir
         self._slots: dict[str, _GameSlots] = {}
         self._rooms: dict[str, tuple[str, int]] = {}  # roomId -> (game, slot)
         self._queues: dict[str, dict[int, int]] = {}  # roomId -> {pid: choice}
         self._chats: dict[str, Any] = {}
         self._notes: dict[str, Any] = {}
         self._phase_history: dict[str, list] = {}
+        self._humans: dict[str, tuple[int, ...]] = {}  # roomId -> human seats
+        self._room_seed: dict[str, int] = {}
+        self._names: dict[str, dict[int, str]] = {}
+        # roomId -> {pid: {field: {key: text}}} free-text action content
+        self._texts: dict[str, dict[int, dict[str, dict[str, str]]]] = {}
+        self._journals: dict[str, Any] = {}
+        self._replaying = False
+        self._replay_ts: Optional[float] = None
         self._seeds = 0
 
     # -- game catalog ----------------------------------------------------------
@@ -258,7 +337,9 @@ class GameHost:
     # -- room lifecycle ---------------------------------------------------------
 
     def start_room(self, room_id: str, game_name: str, n_players: int,
-                   seed: Optional[int] = None, rounds_per_player: int = 1) -> str:
+                   seed: Optional[int] = None, rounds_per_player: int = 1,
+                   human_seats: Optional[list[int]] = None,
+                   player_names: Optional[dict[int, str]] = None) -> str:
         with self._lock:
             key = f"{game_name}#r{rounds_per_player}"
             gs = self._game_slots(game_name, rounds_per_player)
@@ -280,10 +361,47 @@ class GameHost:
             from game_engine_tpu.server.chat import ChatRoom
             from game_engine_tpu.view.notes import NotesLog
 
+            seats = tuple(sorted(human_seats)) if human_seats else (1,)
+            self._humans[room_id] = seats
+            self._room_seed[room_id] = int(real_seed)
+            self._names[room_id] = dict(player_names or {})
+            self._texts[room_id] = {}
             self._chats[room_id] = ChatRoom(room_id, seed=real_seed)
             self._notes[room_id] = NotesLog()
             self._phase_history[room_id] = []
+            ts0 = self._replay_ts if self._replay_ts is not None else time.time()
+            self._open_journal(room_id, {
+                "game": game_name, "n_players": n_players, "seed": real_seed,
+                "rounds_per_player": rounds_per_player,
+                "human_seats": list(seats),
+                "names": {str(k): v for k, v in (player_names or {}).items()},
+                "ts": ts0,
+            })
+            self._record_phase(room_id, gs, slot, ts=ts0)  # phase 0 entry
             return f"{game_name}:{slot}"
+
+    def _open_journal(self, room_id: str, header: dict[str, Any]) -> None:
+        if self._persist_dir is None or self._replaying:
+            return
+        from game_engine_tpu.server.journal import RoomJournal
+
+        j = RoomJournal(self._journal_path(room_id))
+        j.create(header)
+        self._journals[room_id] = j
+
+    def _journal_path(self, room_id: str) -> str:
+        return os.path.join(self._persist_dir, f"{room_id}.jsonl")
+
+    def _log_event(self, room_id: str, event: dict[str, Any]) -> None:
+        if self._replaying:
+            return
+        j = self._journals.get(room_id)
+        if j is not None:
+            j.append(event)
+
+    def has_room(self, room_id: str) -> bool:
+        with self._lock:
+            return room_id in self._rooms
 
     def end_room(self, room_id: str) -> None:
         with self._lock:
@@ -292,8 +410,62 @@ class GameHost:
             self._chats.pop(room_id, None)
             self._notes.pop(room_id, None)
             self._phase_history.pop(room_id, None)
+            self._humans.pop(room_id, None)
+            self._room_seed.pop(room_id, None)
+            self._names.pop(room_id, None)
+            self._texts.pop(room_id, None)
+            j = self._journals.pop(room_id, None)
+            if j is not None:
+                j.delete()
             if slots_key is not None:
                 self._slots[slots_key].release(slot)
+
+    def restore_room(self, room_id: str) -> bool:
+        """Replay a room's journal through the normal host paths, restoring
+        engine state, chat, notes, free-text and phase history bit-identically
+        (the reference analogue: LangGraph thread persistence + temp-rooms
+        reload-on-read, src/lib/storage/memory.ts:48-127). Returns False when
+        no (valid) journal exists."""
+        if self._persist_dir is None:
+            return False
+        from game_engine_tpu.server.journal import RoomJournal
+
+        path = self._journal_path(room_id)
+        loaded = RoomJournal.load(path)
+        if loaded is None:
+            return False
+        header, events = loaded
+        names = {int(k): v for k, v in (header.get("names") or {}).items()}
+        with self._lock:
+            self._replaying = True
+            try:
+                self._replay_ts = header.get("ts")
+                self.start_room(
+                    room_id, header["game"], int(header["n_players"]),
+                    seed=int(header["seed"]),
+                    rounds_per_player=int(header.get("rounds_per_player", 1)),
+                    human_seats=[int(s) for s in header.get("human_seats", [1])],
+                    player_names=names,
+                )
+                for ev in events:
+                    kind = ev.get("e")
+                    if kind == "step":
+                        self._replay_ts = ev.get("ts")
+                        q = {int(k): int(v) for k, v in (ev.get("a") or {}).items()}
+                        self._step_once(room_id, q)
+                    elif kind == "chat":
+                        self.post_chat(room_id, int(ev["pid"]), str(ev["text"]), names)
+                    elif kind == "text":
+                        self._texts[room_id].setdefault(int(ev["pid"]), {})[
+                            str(ev["field"])
+                        ] = {str(k): str(v) for k, v in (ev.get("content") or {}).items()}
+            finally:
+                self._replaying = False
+                self._replay_ts = None
+            # reattach the journal in append mode for new events
+            j = RoomJournal(path)
+            self._journals[room_id] = j
+            return True
 
     # -- chat ---------------------------------------------------------------------
 
@@ -306,6 +478,7 @@ class GameHost:
             names = player_names or {}
             sender_name = names.get(player_id, f"Player {player_id}")
             msg = chat.post(player_id, sender_name, text)
+            self._log_event(room_id, {"e": "chat", "pid": player_id, "text": text})
             slots_key, slot = self._rooms[room_id]
             gs = self._slots[slots_key]
             snap = gs.snapshot_raw(slot, names)
@@ -327,16 +500,42 @@ class GameHost:
 
     # -- play -------------------------------------------------------------------
 
-    def queue_action(self, room_id: str, player_id: int, choice: int) -> None:
+    def queue_action(self, room_id: str, player_id: int, choice: int,
+                     text: Any = None) -> None:
         """Async human input (vote click, text submit, chat-driven action).
 
         Out-of-int32 choices become 0 (= no action) instead of overflowing
-        the engine's int32 action arrays."""
+        the engine's int32 action arrays.
+
+        ``text`` carries free-form content for SUBMIT phases (statements,
+        written answers). The FSM records only the submit marker; the real
+        text is stored host-side keyed by (player, odict field) and overlaid
+        onto player_states in snapshots — matching the reference, where
+        statements live in player_states and render on the statement board
+        (reference: games/two-truths-and-a-lie.yaml:21-60 statements dict,
+        src/app/page.tsx:2492-2507 promptUserText/createTextInputPanel)."""
         with self._lock:
             c = int(choice)
             if not (-(2**31) <= c < 2**31):
                 c = 0
             self._queues.setdefault(room_id, {})[int(player_id)] = c
+            if text is not None:
+                self._store_text(room_id, int(player_id), text)
+
+    def _store_text(self, room_id: str, player_id: int, text: Any) -> None:
+        """Attach free-text content to the current phase's odict field."""
+        slots_key, slot = self._rooms[room_id]
+        gs = self._slots[slots_key]
+        phase = gs.lowered.game.phases[gs.phase_index(slot)]
+        field = phase.program.record.mark_odict
+        if field is None:
+            return  # not a text-submission phase; content has nowhere to land
+        content = _normalize_text(text)
+        if not content:
+            return
+        self._texts.setdefault(room_id, {}).setdefault(player_id, {})[field] = content
+        self._log_event(room_id, {"e": "text", "pid": player_id,
+                                  "field": field, "content": content})
 
     def queue_vote(self, room_id: str, player_id: int, option_index: int) -> None:
         """Vote by option index (1-based position in the rendered panel).
@@ -355,44 +554,61 @@ class GameHost:
                 choice = option_index
             self.queue_action(room_id, player_id, choice)
 
+    def _step_once(self, room_id: str, q: dict[int, int]) -> None:
+        """One engine step with the given merged human actions (journaled)."""
+        slots_key, slot = self._rooms[room_id]
+        gs = self._slots[slots_key]
+        ts = self._replay_ts if self._replay_ts is not None else time.time()
+        self._log_event(room_id, {"e": "step", "ts": ts,
+                                  "a": {str(k): v for k, v in q.items()}})
+        gs.step_slot(slot, q, human_seats=self._humans.get(room_id, (1,)))
+        self._record_phase(room_id, gs, slot, ts=ts)
+
     def step(self, room_id: str) -> dict[str, Any]:
         """One game turn: merge queued human actions + bot policy, advance."""
         with self._lock:
-            slots_key, slot = self._rooms[room_id]
-            gs = self._slots[slots_key]
             q = self._queues.get(room_id, {})
             self._queues[room_id] = {}
-            gs.step_slot(slot, q)
-            self._record_phase(room_id, gs, slot)
+            self._step_once(room_id, q)
             return self.snapshot(room_id)
 
-    def run_until_input_needed(self, room_id: str, max_steps: int = 64) -> dict[str, Any]:
-        """Advance until the human (player 1) must act or the game ends —
-        the 'Continue' button semantics without manual clicking through
-        bot-only phases."""
+    def run_until_input_needed(self, room_id: str, max_steps: int = 4096) -> dict[str, Any]:
+        """Advance until a human seat must act or the game ends — the
+        'Continue' button semantics without manual clicking through bot-only
+        phases. The engine guarantees progress on every non-human-gated step,
+        so the loop always reaches a stop condition; max_steps is a pure
+        safety bound and tripping it sets ``truncated`` in the snapshot so
+        the client can re-invoke instead of mistaking it for 'your move'."""
         with self._lock:
             slots_key, slot = self._rooms[room_id]
             gs = self._slots[slots_key]
+            seats = self._humans.get(room_id, (1,))
+            truncated = True
             for _ in range(max_steps):
                 q = self._queues.get(room_id, {})
                 self._queues[room_id] = {}
-                gs.step_slot(slot, q)
-                self._record_phase(room_id, gs, slot)
-                if gs.is_done(slot) or gs.human_must_act(slot):
+                self._step_once(room_id, q)
+                if gs.is_done(slot) or gs.must_act_seats(slot, seats):
+                    truncated = False
                     break
-            return self.snapshot(room_id)
+            snap = self.snapshot(room_id)
+            snap["truncated"] = truncated
+            return snap
 
-    def _record_phase(self, room_id: str, gs, slot: int) -> None:
+    def _record_phase(self, room_id: str, gs, slot: int,
+                      ts: Optional[float] = None) -> None:
         """Lightweight phase_history tracking for phases crossed inside a
         multi-step 'continue' (reference: phase_history is appended on every
         PhaseNode transition, game_agent_v2.py:1206-1215)."""
-        import time as _time
-
         hist = self._phase_history.setdefault(room_id, [])
         cp = gs.lowered.game.phases[gs.phase_index(slot)]
         if not hist or hist[-1]["phase_id"] != cp.dsl_id:
+            # during journal replay, use the original event's wall clock so
+            # restored phase_history matches the pre-crash one exactly
+            if ts is None:
+                ts = self._replay_ts if self._replay_ts is not None else time.time()
             hist.append({"phase_id": cp.dsl_id, "phase_name": cp.name,
-                         "timestamp": _time.time()})
+                         "timestamp": ts})
 
     # -- projection ---------------------------------------------------------------
 
@@ -400,8 +616,32 @@ class GameHost:
         with self._lock:
             slots_key, slot = self._rooms[room_id]
             gs = self._slots[slots_key]
-            snap = gs.snapshot_raw(slot, player_names)
+            snap = gs.snapshot_raw(slot, player_names or self._names.get(room_id))
             snap["roomId"] = room_id
+            # free-text overlay: submitted content replaces the FSM's odict
+            # markers (content is cosmetic to the engine; see queue_action);
+            # bots, which type nothing, get deterministic seeded stand-ins
+            seats = self._humans.get(room_id, (1,))
+            texts = self._texts.get(room_id, {})
+            decl = {f.name: f for f in gs.lowered.game.spec.declaration.fields}
+            for pid_str, row in snap["player_states"].items():
+                pid = int(pid_str)
+                for field in list(row):
+                    if row[field] != {"1": "submitted"}:
+                        continue  # not an engine submit marker
+                    stored = texts.get(pid, {}).get(field)
+                    if stored is not None:
+                        row[field] = dict(stored)
+                    elif pid not in seats:
+                        f = decl.get(field)
+                        row[field] = _bot_submission(
+                            self._room_seed.get(room_id, 0), pid, field,
+                            f.example if f else None,
+                        )
+            snap["human_seats"] = list(seats)
+            snap["waiting_on"] = (
+                [] if gs.is_done(slot) else gs.must_act_seats(slot, seats)
+            )
             # phase_history entries {phase_id, phase_name, timestamp}
             # (reference: agent/game_agent_v2.py:1206-1215)
             self._record_phase(room_id, gs, slot)

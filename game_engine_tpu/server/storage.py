@@ -23,6 +23,7 @@ class Player:
     name: str
     isHost: bool
     gamePlayerId: str
+    isBot: bool = False
 
 
 @dataclass
@@ -122,7 +123,8 @@ class MemoryStorage:
                 raise ValueError("duplicate player name")
             pid = self._next_pid[room_id]
             self._next_pid[room_id] = pid + 1
-            p = Player(id=pid, name=name, isHost=False, gamePlayerId=str(pid))
+            p = Player(id=pid, name=name, isHost=False, gamePlayerId=str(pid),
+                       isBot=is_bot)
             players.append(p)
             self._save()
             return p

@@ -73,17 +73,22 @@ def test_full_lobby_and_game_flow(server):
     code, data = req(server, "GET", "/api/rooms/list?game=werewolf-(mafia)")
     assert not any(r["roomId"] == room_id for r in data["rooms"])
 
-    # drive the game: continue until the human must act, then act, repeat
+    # drive the game: continue until a human must act, then act, repeat.
+    # Alice (seat 1) and Bob (seat 2) are both human seats — multi-human
+    # rooms are first-class (the reference admits broadcasting is missing,
+    # /root/reference/README.md:22); waiting_on lists who must act.
+    assert snap["human_seats"] == [1, 2]
     for _ in range(80):
         code, snap = req(server, "POST", f"/api/rooms/{room_id}/continue")
         assert code == 200, snap
+        assert snap.get("truncated") is False
         if snap["done"]:
             break
-        # the human (player 1) must act: pick the first legal option
-        phase = snap["current_phase_id"]
-        code, _ = req(server, "POST", f"/api/rooms/{room_id}/vote",
-                      {"playerId": 1, "option": 1})
-        assert code == 200
+        assert snap["waiting_on"], "continue stopped without a human to act"
+        for pid in snap["waiting_on"]:
+            code, _ = req(server, "POST", f"/api/rooms/{room_id}/vote",
+                          {"playerId": pid, "option": 1})
+            assert code == 200
     assert snap["done"], f"game did not finish: stuck at phase {snap['current_phase_id']}"
     assert snap["winner"] in (1, 2)
 
@@ -192,6 +197,123 @@ def test_viewer_state_masks_hidden_roles(server):
         else:
             assert row["role"] is None, f"role of p{pid} leaked to viewer 1"
             assert row["team"] is None
+
+
+def test_crash_resume_restores_room_bit_identically(tmp_path):
+    """Kill the server mid-game (drop the process state), restart on the
+    same storage, and the room resumes bit-identically from its journal
+    (VERDICT r1 item 5; reference analogue: LangGraph thread persistence +
+    temp-rooms.json reload-on-read, src/lib/storage/memory.ts:48-127)."""
+    from game_engine_tpu.server.api import AppContext
+
+    sp = str(tmp_path / "rooms.json")
+    ctx = AppContext(sp)
+    _, d = ctx.handle("POST", "/api/rooms/create", {},
+                      {"gameName": "werewolf", "playerName": "Alice"})
+    rid = d["room"]["roomId"]
+    ctx.handle("POST", "/api/rooms/add-bot", {}, {"roomId": rid})
+    _, snap = ctx.handle("POST", f"/api/rooms/{rid}/start", {}, {"seed": 11})
+    for _ in range(2):
+        _, snap = ctx.handle("POST", f"/api/rooms/{rid}/continue", {}, {})
+        assert not snap["done"]
+        for pid in snap["waiting_on"]:
+            ctx.handle("POST", f"/api/rooms/{rid}/vote", {},
+                       {"playerId": pid, "option": 2})
+    ctx.handle("POST", f"/api/rooms/{rid}/chat", {},
+               {"playerId": 1, "message": "who do you suspect?"})
+    ref = ctx.host.snapshot(rid)
+    _, ref_chat = ctx.handle("GET", f"/api/rooms/{rid}/chat", {"playerId": ["1"]}, {})
+    del ctx  # kill -9: all in-memory state gone
+
+    ctx2 = AppContext(sp)  # restart replays the journal
+    code, _ = ctx2.handle("GET", f"/api/rooms/{rid}/state", {"playerId": ["1"]}, {})
+    assert code == 200
+    snap2 = ctx2.host.snapshot(rid)
+    assert snap2["stateVersion"] == ref["stateVersion"]
+    assert snap2["current_phase_id"] == ref["current_phase_id"]
+    assert snap2["player_states"] == ref["player_states"]
+    assert snap2["phase_history"] == ref["phase_history"]
+    _, chat2 = ctx2.handle("GET", f"/api/rooms/{rid}/chat", {"playerId": ["1"]}, {})
+    assert [m["message"] for m in chat2["messages"]] == \
+        [m["message"] for m in ref_chat["messages"]]
+    # the restored room plays on to completion
+    for _ in range(200):
+        code, snap = ctx2.handle("POST", f"/api/rooms/{rid}/continue", {}, {})
+        assert code == 200, snap
+        if snap["done"]:
+            break
+        for pid in snap["waiting_on"]:
+            ctx2.handle("POST", f"/api/rooms/{rid}/vote", {},
+                        {"playerId": pid, "option": 1})
+    assert snap["done"]
+
+
+def test_orphaned_playing_room_marked_finished(tmp_path):
+    """A 'playing' room whose journal is gone gets a clear 410, not a
+    KeyError-shaped 400 (ADVICE r1 manager.py:210)."""
+    import os
+
+    from game_engine_tpu.server.api import AppContext
+
+    sp = str(tmp_path / "rooms.json")
+    ctx = AppContext(sp)
+    _, d = ctx.handle("POST", "/api/rooms/create", {},
+                      {"gameName": "two-truths", "playerName": "Orp"})
+    rid = d["room"]["roomId"]
+    ctx.handle("POST", "/api/rooms/add-bot", {}, {"roomId": rid})
+    _, _ = ctx.handle("POST", f"/api/rooms/{rid}/start", {}, {"seed": 1})
+    os.remove(sp + ".rooms/" + rid + ".jsonl")
+    del ctx
+
+    ctx2 = AppContext(sp)
+    code, data = ctx2.handle("POST", f"/api/rooms/{rid}/step", {}, {})
+    assert code in (409, 410), data
+    assert "error" in data
+    _, room = ctx2.handle("GET", f"/api/rooms/{rid}", {}, {})
+    assert room["room"]["status"] == "finished"
+
+
+def test_free_text_statements_surface_in_state(server):
+    """Two-truths: real submitted statements appear in player_states and on
+    the statement board; bots get deterministic stand-ins (VERDICT r1
+    item 2; reference: games/two-truths-and-a-lie.yaml statements dict)."""
+    code, d = req(server, "POST", "/api/rooms/create",
+                  {"gameName": "two-truths", "playerName": "Stmt"})
+    room_id = d["room"]["roomId"]
+    req(server, "POST", "/api/rooms/add-bot", {"roomId": room_id})
+    code, snap = req(server, "POST", f"/api/rooms/{room_id}/start", {"seed": 5})
+    assert code == 200, snap
+    my_statements = ["I own a boat", "I hate pizza", "I ran a marathon"]
+    seen_mine = seen_bot = False
+    for _ in range(80):
+        code, snap = req(server, "POST", f"/api/rooms/{room_id}/continue")
+        assert code == 200, snap
+        if snap["done"]:
+            break
+        for pid in snap["waiting_on"]:
+            # submit with free text; non-submit phases ignore the text
+            code, _ = req(server, "POST", f"/api/rooms/{room_id}/action",
+                          {"playerId": pid, "choice": 1,
+                           "text": "\n".join(my_statements)})
+            assert code == 200
+        for p, row in snap["player_states"].items():
+            stmts = row.get("statements") or {}
+            if not stmts:
+                continue
+            assert stmts != {"1": "submitted"}, "marker leaked to the client"
+            if p == "1" and list(stmts.values()) == my_statements:
+                seen_mine = True
+            if p != "1" and len(stmts) == 3:
+                seen_bot = True
+                # statement board shows the real text
+                boards = [i for i in snap["items"] if i["type"] == "statement_board"]
+                if boards and boards[-1]["data"].get("statements"):
+                    assert boards[-1]["data"]["statements"][0] in (
+                        list(stmts.values()) + my_statements
+                    )
+    assert snap["done"]
+    assert seen_mine, "human statements never surfaced"
+    assert seen_bot, "bot statements never synthesized"
 
 
 def test_two_games_hosted_concurrently(server):
