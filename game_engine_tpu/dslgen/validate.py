@@ -165,9 +165,166 @@ def validate_spec(spec: GameSpec) -> list[Issue]:
 
     # -- engine compile smoke --------------------------------------------------------
     try:
-        compile_game(spec)
+        game = compile_game(spec)
     except Exception as e:  # noqa: BLE001 — anything here is a validator finding
         issues.append(Issue(ERROR, "compile", f"engine compilation failed: {e}"))
+        return issues
+    issues.extend(_semantic_gap_issues(spec, game))
+    return issues
+
+
+# -- silent-no-op detection -------------------------------------------------------
+#
+# Mechanic attachment is keyword-driven (gamespec/mechanics.py); a DSL using
+# synonyms outside the analyzer's vocabulary ("expel" for vote-elimination,
+# "ritual" for night resolution) would compile into a game where all four
+# executors agree on silently missing semantics — parity tests can't catch
+# it. These checks make the gap loud (VERDICT/ADVICE round 1).
+
+import re as _re
+
+# verbs that claim a state change in a phase description
+_STATE_CHANGE_RE = _re.compile(
+    r"\b(eliminat\w*|expel\w*|banish\w*|exil\w*|execut\w*|lynch\w*|kill\w*|"
+    r"murder\w*|dies?|death|reviv\w*|resolv\w*|tall\w*|scor\w*|award\w*|"
+    r"assign\w*|rotat\w*|swap\w*|transfer\w*|steal\w*|deduct\w*|increment\w*|"
+    r"gains?\b|loses?\b|points? (?:are|go)|update\w* [a-z_]+ state)",
+    _re.IGNORECASE,
+)
+# fields the engine itself reads/writes regardless of phase programs
+_IMPLICIT_FIELDS = frozenset({"name", "is_alive", "role", "team"})
+
+# phases that *describe* mechanics rather than perform them: rule
+# introductions and pure evaluation/branch hubs ("Check Win Conditions")
+_DESCRIBES_ONLY_RE = _re.compile(
+    r"^\s*(check\w*|evaluat\w*|determin\w*|decid\w*|review\w*|announc\w*|"
+    r"display\w*|show\w*|introduc\w*|explain\w*)\b",
+    _re.IGNORECASE,
+)
+
+
+def _pred_fields(pred) -> set[str]:
+    from game_engine_tpu.gamespec.expr import collect_atoms
+
+    try:
+        return {a.field for a in collect_atoms(pred)}
+    except Exception:  # noqa: BLE001 — defensive: malformed pred ≠ crash
+        return set()
+
+
+def _cond_fields(cond) -> set[str]:
+    if isinstance(cond, C.CondAnd):
+        return set().union(*(_cond_fields(c) for c in cond.items))
+    if isinstance(cond, C.CountCmp):
+        out = _pred_fields(cond.left)
+        if not isinstance(cond.right, int):
+            out |= _pred_fields(cond.right)
+        return out
+    if isinstance(cond, C.AllPresent):
+        return _pred_fields(cond.pred)
+    return set()
+
+
+def _semantic_gap_issues(spec: GameSpec, game) -> list[Issue]:
+    from game_engine_tpu.gamespec import mechanics as M
+
+    issues: list[Issue] = []
+    decl = spec.declaration
+
+    # phase-id registers consumed by later resolution mechanics: an action
+    # phase that only feeds a register legitimately writes no fields
+    consumed: set[int] = set()
+    touched: set[str] = set(_IMPLICIT_FIELDS)
+    for g in decl.audience_groups:
+        try:
+            touched |= _pred_fields(parse_predicate(g.selection_criteria))
+        except PredicateError:
+            pass
+
+    for cp in game.phases:
+        touched |= _pred_fields(cp.target_pred)
+        for b in cp.branches:
+            touched |= _cond_fields(b.cond)
+        rp = cp.program.record
+        touched |= set(rp.set_bool_true) | set(rp.set_bool_false)
+        for f in (rp.write_choice_num, rp.mark_odict):
+            if f:
+                touched.add(f)
+        if rp.write_pdict:
+            touched |= {x for x in rp.write_pdict if x}
+        for mech in cp.program.on_enter:
+            if isinstance(mech, M.NightResolve):
+                consumed |= set(mech.kill_phases) | set(mech.protect_phases)
+                touched |= set(mech.reset_bools) | set(mech.reset_nums)
+            elif isinstance(mech, M.VoteElim):
+                consumed |= set(mech.vote_phases)
+                touched |= _pred_fields(mech.voter_pred)
+            elif isinstance(mech, M.GuessScore):
+                touched |= {mech.speaker_field, mech.lie_field, mech.vote_field,
+                            mech.score_field}
+                touched |= {f for f in (mech.voted_field, mech.rounds_field) if f}
+            elif isinstance(mech, M.SpeakerRotate):
+                touched |= {mech.speaker_field, mech.rounds_field}
+                touched |= {f for f in (mech.can_vote_field,) if f}
+                touched |= set(mech.reset_bools) | set(mech.reset_nums)
+                touched |= set(mech.reset_odicts) | set(mech.reset_pdicts)
+            elif isinstance(mech, M.RoleAssign):
+                touched.add(mech.role_field)
+                for _, settings in mech.role_fields:
+                    touched |= {f for f, _ in settings}
+            elif isinstance(mech, M.SetBoolAll):
+                touched |= set(mech.fields)
+            elif isinstance(mech, M.GameOver):
+                touched |= {f for f in (mech.team_field, mech.score_field) if f}
+
+    for cp in game.phases:
+        ph = spec.phases[cp.dsl_id]
+        where = f"phases.{cp.dsl_id}"
+        rp = cp.program.record
+        writes = bool(rp.set_bool_true or rp.set_bool_false or rp.write_choice_num
+                      or rp.write_pdict or rp.mark_odict)
+        text = " ".join([ph.name, ph.description, ph.completion.description])
+        if (ph.completion.type is CompletionType.PLAYER_ACTION
+                and not writes and cp.dsl_id not in consumed):
+            issues.append(Issue(
+                WARNING, where,
+                "player action is never recorded: no state field is written "
+                "and no resolution mechanic consumes this phase's choices "
+                "(unrecognized completion vocabulary?)",
+            ))
+        if (not cp.terminal and not cp.program.on_enter
+                and cp.index != game.start_index  # rule intros describe, not do
+                and not _DESCRIBES_ONLY_RE.match(ph.name)
+                and not _DESCRIBES_ONLY_RE.match(ph.description)
+                and ph.completion.type is not CompletionType.PLAYER_ACTION
+                and _STATE_CHANGE_RE.search(text)):
+            issues.append(Issue(
+                WARNING, where,
+                "description implies a state change but no mechanic was "
+                "attached — likely a synonym outside the analyzer vocabulary "
+                f"(matched {_STATE_CHANGE_RE.search(text).group(0)!r})",
+            ))
+        # a conditional-looking branch that compiled to unconditional True
+        # shadows every branch after it (first-match-wins, P5)
+        for i, b in enumerate(cp.branches):
+            if (isinstance(b.cond, C.AlwaysTrue)
+                    and i < len(cp.branches) - 1
+                    and not b.condition_text.startswith("<")  # synthesized fallback
+                    and not _re.match(r"\s*(otherwise|else)\b",
+                                      b.condition_text, _re.IGNORECASE)):
+                issues.append(Issue(
+                    WARNING, f"{where}.next_phase",
+                    f"branch {b.condition_text!r} compiled to 'always' but is "
+                    "not last — later branches are unreachable",
+                ))
+
+    for f in decl.fields:
+        if f.name not in touched:
+            issues.append(Issue(
+                WARNING, f"declaration.player_states.{f.name}",
+                "field is never read or written by any phase, predicate, "
+                "mechanic or branch condition",
+            ))
     return issues
 
 
