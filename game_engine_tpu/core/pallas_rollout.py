@@ -242,6 +242,8 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
                 if lw.alive_bool >= 0:
                     death = do_kill & (prow() == kill - 1)
                     blist[lw.alive_bool] = jnp.where(death, 0, blist[lw.alive_bool])
+                    for slot in m.reveal_bool_slots:  # P15
+                        blist[slot] = jnp.where(death, 1, blist[slot])
                 for slot, d in zip(m.reset_bool_slots, m.reset_bool_defaults):
                     blist[slot] = jnp.where(active, int(bool(d)), blist[slot])
                 for slot, d in zip(m.reset_num_slots, m.reset_num_defaults):
@@ -254,6 +256,74 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
                 if lw.alive_bool >= 0:
                     death = do & (prow() == tgt - 1)
                     blist[lw.alive_bool] = jnp.where(death, 0, blist[lw.alive_bool])
+                    for slot in m.reveal_bool_slots:  # P15
+                        blist[slot] = jnp.where(death, 1, blist[slot])
+            elif isinstance(m, T.LResourceIncome):  # P12
+                gmask = active & alive_mask()
+                for slot, amount in m.gains:
+                    nlist[slot] = nlist[slot] + jnp.where(gmask, int(amount), 0)
+            elif isinstance(m, T.LResourceRaid):  # P13
+                alv = alive_mask()
+                rmask = (phase_in(m.raid_phase_mask, st["chphase"])
+                         & pred_eval(m.raider_pred, blist, nlist, slist)
+                         & present & alv)
+                tgt = jnp.where(rmask & (st["choice"] != prow() + 1),
+                                st["choice"], 0)  # (P, R) i32; self-raid void
+                res = nlist[m.res_num]
+                nraid = jnp.concatenate(
+                    [count_mask(tgt == t + 1) for t in range(P)], axis=0)
+                loss = jnp.minimum(jnp.maximum(res, 0), nraid)
+                rank_rows = []
+                for q in range(P):
+                    rr = jnp.zeros((1, R), jnp.int32)
+                    for q2 in range(q):
+                        rr = rr + _b2i((tgt[q2:q2 + 1] == tgt[q:q + 1])
+                                       & (tgt[q:q + 1] > 0))
+                    rank_rows.append(rr)
+                rank = jnp.concatenate(rank_rows, axis=0)
+                loss_at = gather_by_choice_i(loss, tgt)
+                gain = _b2i((tgt > 0) & (rank < loss_at))
+                nlist[m.res_num] = res + jnp.where(active, gain - loss, 0)
+            elif isinstance(m, T.LBluffChallenge):  # P14
+                alv = alive_mask()
+                cm = (pred_eval(m.claimant_pred, blist, nlist, slist)
+                      & present & alv)
+                claim = jnp.where(cm, nlist[m.claim_num], 0)
+                hm = (phase_in(m.challenge_phase_mask, st["chphase"])
+                      & pred_eval(m.challenger_pred, blist, nlist, slist)
+                      & present & alv)
+                tgt = jnp.where(hm & (st["choice"] != prow() + 1),
+                                st["choice"], 0)
+                chal_rows, first_rows = [], []
+                for t in range(P):
+                    hit = tgt == t + 1  # (P, R) over challengers
+                    chal_rows.append(_b2i(jnp.any(hit, axis=0, keepdims=True)))
+                    first_rows.append(first_true_row(hit))
+                challenged = jnp.concatenate(chal_rows, axis=0) != 0
+                first_chal = jnp.concatenate(first_rows, axis=0)  # (P,R) i32
+                claim_code = jnp.full((P, R), -1, jnp.int32)
+                for k, code in enumerate(m.role_codes):
+                    claim_code = jnp.where(claim == k + 1, int(code), claim_code)
+                truth = slist[m.role_str_slot] == claim_code
+                contested = challenged & (claim > 0)
+                honest_i = _b2i(contested & truth)
+                loss = _b2i(contested & ~truth)
+                chal_loss_rows = []
+                for q in range(P):
+                    s = jnp.zeros((1, R), jnp.int32)
+                    for t in range(P):
+                        s = s + _b2i((honest_i[t:t + 1] != 0)
+                                     & (first_chal[t:t + 1] == q))
+                    chal_loss_rows.append(s)
+                loss = loss + jnp.concatenate(chal_loss_rows, axis=0)
+                lives = nlist[m.lives_num]
+                new_lives = jnp.maximum(lives - loss, 0)
+                nlist[m.lives_num] = jnp.where(active, new_lives, lives)
+                death = active & (loss > 0) & (new_lives == 0) & alv
+                if lw.alive_bool >= 0:
+                    blist[lw.alive_bool] = jnp.where(death, 0, blist[lw.alive_bool])
+                for slot in m.reveal_bool_slots:  # P15
+                    blist[slot] = jnp.where(death, 1, blist[slot])
             elif isinstance(m, T.LGuessScore):
                 sp_mask = (blist[m.speaker_bool] != 0) & present
                 has_sp = jnp.any(sp_mask, axis=0, keepdims=True)

@@ -11,7 +11,7 @@ agent/game_agent_v2.py:468-1241) — with branch-free data flow:
 Everything is elementwise ops and tiny reductions over the player axis,
 batched over rooms on axis 0. No lax.switch / lax.cond: per-phase structure
 is folded at trace time (compute-all, select-by-phase), which XLA fuses into
-a handful of VPU kernels. Semantics are pinned P1..P11
+a handful of VPU kernels. Semantics are pinned P1..P15
 (gamespec/mechanics.py) and must stay bit-identical to oracle/interp.py.
 """
 
@@ -261,6 +261,16 @@ def _reset_fields(st: GameState, active, bool_slots, bool_defs, num_slots, num_d
     return st._replace(bools=bools, nums=nums)
 
 
+def _apply_death(lw: Lowered, bools: jax.Array, death: jax.Array,
+                 reveal_slots) -> jax.Array:
+    """death: (B, P) mask — clear is_alive and set P15 reveal flags."""
+    if lw.alive_bool >= 0:
+        bools = bools.at[..., lw.alive_bool].set(bools[..., lw.alive_bool] & ~death)
+    for slot in reveal_slots:
+        bools = bools.at[..., slot].set(bools[..., slot] | death)
+    return bools
+
+
 def _mech_night_resolve(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LNightResolve) -> GameState:
     P = st.present.shape[1]
     kmask = _phase_mask_lookup(m.kill_phase_mask, st.choice_phase) & pe.pred(m.kill_pred) & st.present
@@ -275,7 +285,7 @@ def _mech_night_resolve(lw: Lowered, st: GameState, pe: PredEval, active, m: T.L
     bools = st.bools
     if lw.alive_bool >= 0:
         death = _player_onehot(kill - 1, P) & do_kill[:, None]
-        bools = bools.at[..., lw.alive_bool].set(bools[..., lw.alive_bool] & ~death)
+        bools = _apply_death(lw, bools, death, m.reveal_bool_slots)
     st = st._replace(bools=bools)
     return _reset_fields(
         st, active, m.reset_bool_slots, m.reset_bool_defaults, m.reset_num_slots, m.reset_num_defaults
@@ -290,8 +300,86 @@ def _mech_vote_elim(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LVote
     bools = st.bools
     if lw.alive_bool >= 0:
         death = _player_onehot(tgt - 1, P) & do[:, None]
-        bools = bools.at[..., lw.alive_bool].set(bools[..., lw.alive_bool] & ~death)
+        bools = _apply_death(lw, bools, death, m.reveal_bool_slots)
     return st._replace(bools=bools)
+
+
+def _mech_resource_income(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LResourceIncome) -> GameState:
+    """P12: alive players gain fixed amounts of resource fields."""
+    gain_mask = active[:, None] & _alive(lw, st)
+    nums = st.nums
+    for slot, amount in m.gains:
+        nums = nums.at[..., slot].set(
+            nums[..., slot] + jnp.where(gain_mask, jnp.int32(amount), 0)
+        )
+    return st._replace(nums=nums)
+
+
+def _mech_resource_raid(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LResourceRaid) -> GameState:
+    """P13: simultaneous raids — target t loses min(res[t], #raiders(t)),
+    distributed 1 apiece to its lowest-id raiders; all from pre-phase values."""
+    B, P = st.present.shape
+    pid1 = jnp.arange(1, P + 1, dtype=jnp.int32)[None, :]
+    rmask = (
+        _phase_mask_lookup(m.raid_phase_mask, st.choice_phase)
+        & pe.pred(m.raider_pred) & st.present & _alive(lw, st)
+    )
+    tgt = jnp.where(rmask & (st.choice != pid1), st.choice, 0)  # self-raid = no-op
+    oh = _player_onehot(tgt - 1, P)  # (B, raider, target)
+    n_raiders = jnp.sum(oh.astype(jnp.int32), axis=1)  # (B, P) per target
+    res = st.nums[..., m.res_num]
+    loss = jnp.minimum(jnp.maximum(res, 0), n_raiders)  # (B, P) per target
+    # raider rank among same-target raiders (ascending id)
+    same = (tgt[:, :, None] == tgt[:, None, :]) & (tgt[:, :, None] > 0)  # (B,q,q')
+    earlier = jnp.arange(P)[None, None, :] < jnp.arange(P)[None, :, None]
+    rank = jnp.sum((same & earlier).astype(jnp.int32), axis=2)  # (B, P)
+    loss_at_tgt = _gather_by_choice(loss, tgt)  # (B, P) raider's target's loss
+    gain = ((tgt > 0) & (rank < loss_at_tgt)).astype(jnp.int32)
+    delta = gain - loss
+    nums = st.nums.at[..., m.res_num].set(
+        res + jnp.where(active[:, None], delta, 0)
+    )
+    return st._replace(nums=nums)
+
+
+def _mech_bluff_challenge(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LBluffChallenge) -> GameState:
+    """P14: Coup-style claim/challenge resolution (see SEMANTICS.md)."""
+    B, P = st.present.shape
+    pid1 = jnp.arange(1, P + 1, dtype=jnp.int32)[None, :]
+    alive = _alive(lw, st)
+    claim_mask = pe.pred(m.claimant_pred) & st.present & alive
+    claim = jnp.where(claim_mask, st.nums[..., m.claim_num], 0)  # 1-based role idx
+    chal_mask = (
+        _phase_mask_lookup(m.challenge_phase_mask, st.choice_phase)
+        & pe.pred(m.challenger_pred) & st.present & alive
+    )
+    tgt = jnp.where(chal_mask & (st.choice != pid1), st.choice, 0)
+    oh = _player_onehot(tgt - 1, P)  # (B, challenger, target)
+    challenged = jnp.any(oh, axis=1)  # (B, P) per target
+    # lowest-id challenger per target (P if none)
+    qidx = jnp.arange(P, dtype=jnp.int32)[None, :, None]
+    first_chal = jnp.min(jnp.where(oh, qidx, P), axis=1)  # (B, P)
+    # claimed role code: claims outside the catalogue are lies
+    claim_code = jnp.full((B, P), -1, jnp.int32)
+    for k, code in enumerate(m.role_codes):
+        claim_code = jnp.where(claim == k + 1, jnp.int32(code), claim_code)
+    truth = st.strs[..., m.role_str_slot] == claim_code
+    contested = challenged & (claim > 0)
+    lying = contested & ~truth
+    honest = contested & truth
+    loss = lying.astype(jnp.int32)
+    # each honest contested claim costs its lowest-id challenger one life
+    chal_hit = honest[:, None, :] & (
+        first_chal[:, None, :] == jnp.arange(P)[None, :, None]
+    )  # (B, q, target)
+    loss = loss + jnp.sum(chal_hit.astype(jnp.int32), axis=2)
+    lives = st.nums[..., m.lives_num]
+    new_lives = jnp.maximum(lives - loss, 0)
+    act = active[:, None]
+    nums = st.nums.at[..., m.lives_num].set(jnp.where(act, new_lives, lives))
+    death = act & (loss > 0) & (new_lives == 0) & alive
+    bools = _apply_death(lw, st.bools, death, m.reveal_bool_slots)
+    return st._replace(nums=nums, bools=bools)
 
 
 def _mech_guess_score(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LGuessScore) -> GameState:
@@ -386,6 +474,9 @@ _MECH_FNS = {
     T.LSpeakerRotate: _mech_speaker_rotate,
     T.LSetBoolAll: _mech_set_bool_all,
     T.LGameOver: _mech_game_over,
+    T.LResourceIncome: _mech_resource_income,
+    T.LResourceRaid: _mech_resource_raid,
+    T.LBluffChallenge: _mech_bluff_challenge,
 }
 
 

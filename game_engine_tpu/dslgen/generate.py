@@ -661,6 +661,258 @@ def _gen_battle(bp: Blueprint) -> dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------
+# bluff archetype: Coup-style claim/challenge over hidden court roles (P14)
+# ---------------------------------------------------------------------------
+
+COURT_ROLES = (
+    RoleDef("Duke", "court", "", "Commands taxes; a favourite claim."),
+    RoleDef("Assassin", "court", "", "Strikes from the shadows."),
+    RoleDef("Contessa", "court", "", "Blocks assassinations."),
+)
+
+
+def _gen_bluff(bp: Blueprint) -> dict[str, Any]:
+    roles = bp.roles or COURT_ROLES
+    nr = len(roles)
+    fields = {
+        "name": {"type": "string", "example": "Player A", "description": "Public display name."},
+        "role": {"type": "string", "example": roles[0].name,
+                 "description": "The player's hidden court role."},
+        "is_alive": {"type": "boolean", "example": True,
+                     "description": "Whether the player still holds influence."},
+        "influence": {"type": "num", "example": 2,
+                      "description": "Remaining influence; at zero the player is out."},
+        "claim_choice": {"type": "num", "example": 1,
+                         "description": f"The court role (1-{nr}) this player claims to hold; 0 if none."},
+    }
+    template = {"name": "", "role": "", "is_alive": True, "influence": 2,
+                "claim_choice": 0}
+    n_ex = max(bp.min_players, 4)
+    example_states = {}
+    for i in range(n_ex):
+        example_states[str(i + 1)] = {
+            **template, "name": f"Courtier {i + 1}",
+            "role": roles[i % nr].name,
+        }
+    tools = ["clearCanvas", "createPhaseIndicator", "createTextDisplay", "createAvatarSet",
+             "createCharacterCard", "createVotingPanel", "createResultDisplay",
+             "createInfluenceSet", "markPlayerDead", "createDeathMarker", "createTimer"]
+    phases = {
+        0: _ui_phase(
+            "Game Introduction",
+            "Introduce the court: claim a role each round, challenge suspected bluffs, "
+            "survive with your influence intact.",
+            [
+                _tool_action("Clear all previous UI elements", "clearCanvas"),
+                _tool_action("Create public phase indicator", "createPhaseIndicator"),
+                _tool_action("Display the rules of the court", "createTextDisplay"),
+                _tool_action("Create avatar set overlay", "createAvatarSet"),
+            ],
+            {"id": 1, "name": "Role Assignment"},
+        ),
+        1: _ui_phase(
+            "Role Assignment",
+            "Secretly assign each player a hidden court role.",
+            [
+                _tool_action("Clear introduction UI", "clearCanvas"),
+                _tool_action("TIER 3: privately show each player their role card",
+                             "createCharacterCard"),
+                _tool_action("Show influence counters", "createInfluenceSet"),
+            ],
+            {"id": 2, "name": "Declarations"},
+        ),
+        2: _action_phase(
+            "Declarations",
+            f"Each living player declares which court role (1-{nr}) they claim to hold "
+            "this round.",
+            [
+                _tool_action("Clear previous UI; exempt death markers", "clearCanvas"),
+                _tool_action("Create declaration phase indicator", "createPhaseIndicator"),
+                _tool_action("Create the claim selection panel", "createVotingPanel"),
+            ],
+            "All living players have declared and claim_choice set to the chosen "
+            f"option (1-{nr}).",
+            "all_players_action", "All living players",
+            "player.is_alive == true",
+            {"id": 3, "name": "Challenges"},
+        ),
+        3: _action_phase(
+            "Challenges",
+            "Each living player chooses one player to challenge over their declaration.",
+            [
+                _tool_action("Clear declaration UI; exempt death markers", "clearCanvas"),
+                _tool_action("Create challenge phase indicator", "createPhaseIndicator"),
+                _tool_action("Create the challenge target panel", "createVotingPanel"),
+            ],
+            "All living players have chosen a challenge target.",
+            "all_players_action", "All living players",
+            "player.is_alive == true",
+            {"id": 4, "name": "Showdown"},
+        ),
+        4: _ui_phase(
+            "Showdown",
+            "Resolve the challenges: a caught bluffer loses 1 influence; a failed "
+            "challenger loses 1 influence; players at zero influence are out.",
+            [
+                _tool_action("Clear challenge UI; exempt death markers", "clearCanvas"),
+                _tool_action("Display the showdown results", "createResultDisplay"),
+                _tool_action("Mark players who lost their last influence",
+                             "markPlayerDead", "createDeathMarker"),
+                _tool_action("Update influence counters", "createInfluenceSet"),
+            ],
+            {"id": 5, "name": "Check the Court"},
+        ),
+        5: {
+            "name": "Check the Court",
+            "description": "Evaluate whether only one player still holds influence.",
+            "actions": [
+                _tool_action("Clear showdown UI; exempt death markers", "clearCanvas"),
+                _tool_action("Display remaining players", "createTextDisplay"),
+            ],
+            "completion_criteria": {"type": "UI_displayed",
+                                    "description": "Court status evaluated."},
+            "next_phase": {
+                "If only one player remains alive": {"id": 99, "name": "Game Over"},
+                "If two or more players remain alive, the court continues":
+                    {"id": 2, "name": "Declarations"},
+            },
+        },
+        99: _ui_phase(
+            "Game Over — The Court Falls",
+            "Congratulate the last courtier standing (a court with no survivors is a draw).",
+            [
+                _tool_action("Clear non-persistent UI; exempt death markers", "clearCanvas"),
+                _tool_action("Display the surviving winner", "createResultDisplay"),
+            ],
+            None,
+        ),
+    }
+    return {
+        "declaration": {
+            "description": bp.description,
+            "is_multiplayer": True,
+            "min_players": max(bp.min_players, 3),
+            "roles": [{"name": r.name, "description": r.description} for r in roles],
+            "player_states": fields,
+            "player_states_template": {"player_states": {"1": template}},
+            "players_example": {"tools": tools, "player_states": example_states},
+            "audience_groups": {
+                "living_players": {
+                    "description": "All players still holding influence.",
+                    "selection_criteria": "player.is_alive == true",
+                },
+            },
+        },
+        "phases": phases,
+    }
+
+
+# ---------------------------------------------------------------------------
+# market archetype: resource income + simultaneous raids (P12/P13)
+# ---------------------------------------------------------------------------
+
+
+def _gen_market(bp: Blueprint, win_coins: int = 10) -> dict[str, Any]:
+    fields = {
+        "name": {"type": "string", "example": "Player A", "description": "Public display name."},
+        "coins": {"type": "num", "example": 3,
+                  "description": "The player's coin purse; first to "
+                                 f"{win_coins} wins."},
+    }
+    template = {"name": "", "coins": 3}
+    tools = ["clearCanvas", "createPhaseIndicator", "createTextDisplay", "createAvatarSet",
+             "createCoinDisplay", "createVotingPanel", "createResultDisplay",
+             "createScoreBoard", "createTimer"]
+    phases = {
+        0: _ui_phase(
+            "Game Introduction",
+            "Introduce the market: collect income, raid rivals, first to "
+            f"{win_coins} coins wins.",
+            [
+                _tool_action("Clear all previous UI elements", "clearCanvas"),
+                _tool_action("Create public phase indicator", "createPhaseIndicator"),
+                _tool_action("Display the market rules", "createTextDisplay"),
+                _tool_action("Create avatar set overlay", "createAvatarSet"),
+            ],
+            {"id": 1, "name": "Market Income"},
+        ),
+        1: _ui_phase(
+            "Market Income",
+            "Each player collects 1 coin from the market stall.",
+            [
+                _tool_action("Clear previous UI", "clearCanvas"),
+                _tool_action("Create income phase indicator", "createPhaseIndicator"),
+                _tool_action("Show each purse", "createCoinDisplay"),
+            ],
+            {"id": 2, "name": "Raid Selection"},
+        ),
+        2: _action_phase(
+            "Raid Selection",
+            "Each player chooses one rival to raid at nightfall.",
+            [
+                _tool_action("Clear income UI", "clearCanvas"),
+                _tool_action("Create raid phase indicator", "createPhaseIndicator"),
+                _tool_action("Create the raid target panel", "createVotingPanel"),
+            ],
+            "All players have chosen a raid target.",
+            "all_players_action", "All players",
+            "player.coins >= 0",
+            {"id": 3, "name": "Raid Resolution"},
+        ),
+        3: _ui_phase(
+            "Raid Resolution",
+            "Resolve the raids: each raided player loses coins to the raiders, one "
+            "coin per successful raider.",
+            [
+                _tool_action("Clear raid UI", "clearCanvas"),
+                _tool_action("Display the raid results", "createResultDisplay"),
+                _tool_action("Update the scoreboard; exempt persistent scoreboard",
+                             "createScoreBoard"),
+            ],
+            {"id": 4, "name": "Check Fortunes"},
+        ),
+        4: {
+            "name": "Check Fortunes",
+            "description": "Evaluate whether any purse has reached the target.",
+            "actions": [
+                _tool_action("Clear results UI; exempt persistent scoreboard", "clearCanvas"),
+                _tool_action("Display the leading purse", "createTextDisplay"),
+            ],
+            "completion_criteria": {"type": "UI_displayed",
+                                    "description": "Fortunes evaluated."},
+            "next_phase": {
+                f"If any player has {win_coins} or more coins":
+                    {"id": 99, "name": "Game Over"},
+                "Otherwise, the game continues": {"id": 1, "name": "Market Income"},
+            },
+        },
+        99: _ui_phase(
+            "Game Over — Richest Trader",
+            "Congratulate the richest trader.",
+            [
+                _tool_action("Clear non-persistent UI; exempt persistent scoreboard",
+                             "clearCanvas"),
+                _tool_action("Display the winner and final purses", "createResultDisplay"),
+            ],
+            None,
+        ),
+    }
+    return {
+        "declaration": {
+            "description": bp.description,
+            "is_multiplayer": True,
+            "min_players": max(bp.min_players, 3),
+            "player_states": fields,
+            "player_states_template": {"player_states": {"1": template}},
+            "players_example": {"tools": tools,
+                                "player_states": {"1": {**template, "name": "Alpha"}}},
+            "audience_groups": {},
+        },
+        "phases": phases,
+    }
+
+
+# ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
 
@@ -672,9 +924,21 @@ def generate(bp: Blueprint) -> dict[str, Any]:
         return _gen_rounds(bp)
     if bp.archetype == "battle":
         return _gen_battle(bp)
+    if bp.archetype == "bluff":
+        return _gen_bluff(bp)
+    if bp.archetype == "market":
+        return _gen_market(bp)
     raise ValueError(f"unknown archetype {bp.archetype!r}")
 
 
+_BLUFF_WORDS = re.compile(
+    r"\b(bluff\w*|coup|challeng\w*|call(?:ing)? (?:a|their|the) bluff|influence)\b",
+    re.IGNORECASE,
+)
+_MARKET_WORDS = re.compile(
+    r"\b(coin\w*|gold|trad\w*|market|raid\w*|steal\w*|loot\w*|resourc\w*|econom\w*|bidding)\b",
+    re.IGNORECASE,
+)
 _NIGHT_WORDS = re.compile(
     r"\b(night|hidden role|mafia|impostor|assassin|deduction|werewol\w+|secret(?:ly)? kill)\b",
     re.IGNORECASE,
@@ -695,7 +959,11 @@ def generate_from_description(
     gpt-5); the built-in path is keyword archetype selection."""
     if llm_hook is not None:
         return llm_hook(name, description)
-    if _NIGHT_WORDS.search(description):
+    if _BLUFF_WORDS.search(description):
+        archetype = "bluff"
+    elif _MARKET_WORDS.search(description):
+        archetype = "market"
+    elif _NIGHT_WORDS.search(description):
         archetype = "elimination"
     elif _BATTLE_WORDS.search(description):
         archetype = "battle"

@@ -256,9 +256,20 @@ def _semantic_gap_issues(spec: GameSpec, game) -> list[Issue]:
             if isinstance(mech, M.NightResolve):
                 consumed |= set(mech.kill_phases) | set(mech.protect_phases)
                 touched |= set(mech.reset_bools) | set(mech.reset_nums)
+                touched |= set(mech.reveal_bools)
             elif isinstance(mech, M.VoteElim):
                 consumed |= set(mech.vote_phases)
                 touched |= _pred_fields(mech.voter_pred)
+                touched |= set(mech.reveal_bools)
+            elif isinstance(mech, M.ResourceIncome):
+                touched |= {f for f, _ in mech.gains}
+            elif isinstance(mech, M.ResourceRaid):
+                consumed |= set(mech.raid_phases)
+                touched.add(mech.res_field)
+                touched |= _pred_fields(mech.raider_pred)
+            elif isinstance(mech, M.BluffChallenge):
+                consumed |= set(mech.challenge_phases)
+                touched |= {mech.role_field, mech.lives_field, mech.claim_field}
             elif isinstance(mech, M.GuessScore):
                 touched |= {mech.speaker_field, mech.lie_field, mech.vote_field,
                             mech.score_field}

@@ -270,6 +270,12 @@ _RE_FOLLOWS = re.compile(r"\bfollows\s+(?:a\s+|an\s+|the\s+)?(.+)$", re.IGNORECA
 _RE_ALL_COMPLETED = re.compile(
     r"\b(?:all|every|each)\s+players?\s+(?:has\s+|have\s+)?completed\b(.*)$", re.IGNORECASE
 )
+# "any player has/reaches/holds N or more <field>" -> count(field >= N) > 0
+_RE_ANY_HAS = re.compile(
+    r"\b(?:any|a|some|one)\s+player\s+(?:has|holds|reaches|owns|collects)\s+"
+    r"(\d+)\s+or\s+more\s+([A-Za-z_ ]+?)\s*$",
+    re.IGNORECASE,
+)
 _RE_GAME_CONTINUES = re.compile(
     r"^\s*(?:and\s+)?(?:the\s+)?game\s+continues?\s*$|^\s*no\s+one\s+has\s+won\s*$", re.IGNORECASE
 )
@@ -324,6 +330,12 @@ def _compile_clause(clause: str, ctx: ConditionContext) -> tuple[Optional[Cond],
         field = ctx.resolve_field(_tokens(m.group(1)))
         if field is not None:
             return AllPresent(Atom(field, "ge", ctx.rounds_per_player)), True
+
+    m = _RE_ANY_HAS.search(clause)
+    if m:
+        field = ctx.resolve_field(_tokens(m.group(2)))
+        if field is not None:
+            return CountCmp(left=Atom(field, "ge", int(m.group(1))), op="gt", right=0), True
 
     m = _RE_FOLLOWS.search(clause)
     if m:

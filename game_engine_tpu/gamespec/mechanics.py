@@ -107,6 +107,7 @@ class NightResolve:
     protect_pred: Pred
     reset_bools: tuple[str, ...] = ()
     reset_nums: tuple[str, ...] = ()
+    reveal_bools: tuple[str, ...] = ()  # P15: set true on the killed player
 
 
 @dataclasses.dataclass(frozen=True)
@@ -115,6 +116,42 @@ class VoteElim:
 
     vote_phases: frozenset[int]
     voter_pred: Pred
+    reveal_bools: tuple[str, ...] = ()  # P15
+
+
+@dataclasses.dataclass(frozen=True)
+class ResourceIncome:
+    """P12. On phase entry, every present living player gains fixed amounts
+    of numeric resource fields ("each alive player collects 1 coin")."""
+
+    gains: tuple[tuple[str, int], ...]  # (num field, amount)
+
+
+@dataclasses.dataclass(frozen=True)
+class ResourceRaid:
+    """P13. Simultaneous resource raids resolved from TARGET choices."""
+
+    raid_phases: frozenset[int]
+    raider_pred: Pred  # must still hold for the raider at resolve time
+    res_field: str  # num resource field
+
+
+@dataclasses.dataclass(frozen=True)
+class BluffChallenge:
+    """P14. Coup-style claim/challenge resolution against hidden roles.
+
+    Claims are read from the num FIELD the claim phase records (the choice
+    register is shared per player, and the same player acts again in the
+    challenge phase, overwriting it); challenges come from the TARGET
+    register of the challenge phase."""
+
+    claim_field: str  # num field: claimed role index (1-based), 0 = none
+    challenge_phases: frozenset[int]  # TARGET register: challenged player
+    claimant_pred: Pred
+    challenger_pred: Pred
+    role_field: str  # hidden identity (string field, claims index its roles)
+    lives_field: str  # num field decremented on a lost claim/challenge
+    reveal_bools: tuple[str, ...] = ()  # P15
 
 
 @dataclasses.dataclass(frozen=True)
@@ -192,7 +229,8 @@ _RE_FIELD_SET = re.compile(
 _RE_RANGE = re.compile(r"\(\s*1\s*[-–]\s*(\d+)\s*\)|options?\s+1\s*(?:,\s*\d+)*\s*,\s*(\d+)")
 
 _TARGET_WORDS = re.compile(
-    r"\b(eliminat\w*|protect\w*|investigat\w*|target\w*|kill\w*)\b", re.IGNORECASE
+    r"\b(eliminat\w*|protect\w*|investigat\w*|target\w*|kill\w*|challeng\w*|raid\w*|steal\w*|rob\w*)\b",
+    re.IGNORECASE,
 )
 _NIGHT_RESOLVE_RE = re.compile(
     r"(resolve|apply)[^.]*night|night[^.]*(resolution|resolve)|kill attempt[^.]*protection",
@@ -209,6 +247,18 @@ _ROTATE_RE = re.compile(
     re.IGNORECASE,
 )
 _ROLE_ASSIGN_RE = re.compile(r"\b(assign\w*)\b[^.]*\brole|role assignment", re.IGNORECASE)
+_INCOME_RE = re.compile(
+    r"\b(?:gain|collect|receive|earn)s?\s+(\d+)\s+([A-Za-z_]+)", re.IGNORECASE
+)
+_RAID_RE = re.compile(
+    r"\b(raid\w*|steal\w*|rob(?:s|bed|bing)?|plunder\w*|loot\w*)\b", re.IGNORECASE
+)
+_CHALLENGE_RE = re.compile(r"\bchalleng", re.IGNORECASE)
+_RESOURCE_NAME_RE = re.compile(
+    r"coin|gold|credit|money|chip|resource|token", re.IGNORECASE
+)
+_LIVES_NAME_RE = re.compile(r"influence|lives|hearts?|health|credibility", re.IGNORECASE)
+_ROLE_REVEAL_RE = re.compile(r"role.*reveal|reveal.*role", re.IGNORECASE)
 _REVEAL_TRUE_RE = re.compile(r"\(\s*([A-Za-z_][A-Za-z0-9_]*)\s+set to true\s*\)", re.IGNORECASE)
 
 
@@ -491,6 +541,34 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
 
     rs_bools, rs_nums, rs_odicts, rs_pdicts = _round_scoped_fields(spec, layout, records, cumulative)
 
+    # P15: role-reveal-on-death fields (e.g. werewolf's role_revealed — the
+    # reference referee reveals roles on elimination); matched by name only,
+    # never lie_revealed-style round flags
+    reveal_bools = tuple(
+        f.name for f in decl.fields
+        if layout.slot(f.name).bank == BANK_BOOL and _ROLE_REVEAL_RE.search(f.name)
+    )
+
+    def _num_field_for(word: str) -> Optional[str]:
+        """Exact-ish num-field resolution: word, word+'s', word-'s'."""
+        w = word.lower()
+        for cand in (w, w + "s", w[:-1] if w.endswith("s") else w):
+            if cand in fields and layout.slot(cand).bank == BANK_NUM:
+                return cand
+        return None
+
+    # resource / lives fields for P13/P14 (by-name conventions)
+    resource_field = next(
+        (f.name for f in decl.fields
+         if layout.slot(f.name).bank == BANK_NUM and _RESOURCE_NAME_RE.search(f.name)),
+        None,
+    )
+    lives_field = next(
+        (f.name for f in decl.fields
+         if layout.slot(f.name).bank == BANK_NUM and _LIVES_NAME_RE.search(f.name)),
+        None,
+    )
+
     # guess-score field resolution (requires a speaker flag: the mechanic is
     # speaker-centric, and lowering a missing field would fail)
     gs: Optional[GuessScore] = None
@@ -544,6 +622,9 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
         if cand in fields and layout.slot(cand).bank == BANK_NUM:
             score_field = cand
             break
+    if not score_field and resource_field and not lives_field:
+        # resource games (P12/P13) are won on the resource count
+        score_field = resource_field
     # P11 mode precedence: team > survivor (alive field, eliminations, no
     # teams) > score > none. Survivor = last player standing wins.
     has_elimination = "is_alive" in fields
@@ -611,6 +692,7 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
                         protect_pred=protect_pred,
                         reset_bools=tuple(dict.fromkeys(reset_bools)),
                         reset_nums=tuple(dict.fromkeys(reset_nums)),
+                        reveal_bools=reveal_bools,
                     )
                 )
         elif _VOTE_ELIM_RE.search(ph.description + " " + ph.name):
@@ -622,8 +704,58 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
                     VoteElim(
                         vote_phases=frozenset({vp}),
                         voter_pred=_safe_pred(spec.phases[vp].completion.target_condition),
+                        reveal_bools=reveal_bools,
                     )
                 )
+        elif (_CHALLENGE_RE.search(text)
+              and ph.completion.type is not CompletionType.PLAYER_ACTION
+              and lives_field and "role" in fields and decl.roles):
+            # P14: bluff-challenge resolution — claims from the preceding
+            # OPTION phase, challenges from the preceding TARGET phase
+            chain = _action_chain_before(spec, pid, preds_map)
+            claim_ph = [c for c in chain
+                        if records[c].choice_kind is ChoiceKind.OPTION
+                        and records[c].write_choice_num]
+            chal_ph = [c for c in chain if records[c].choice_kind is ChoiceKind.TARGET]
+            if claim_ph and chal_ph:
+                mechanics.append(
+                    BluffChallenge(
+                        claim_field=records[claim_ph[-1]].write_choice_num,
+                        challenge_phases=frozenset({chal_ph[-1]}),
+                        claimant_pred=_safe_pred(
+                            spec.phases[claim_ph[-1]].completion.target_condition),
+                        challenger_pred=_safe_pred(
+                            spec.phases[chal_ph[-1]].completion.target_condition),
+                        role_field="role",
+                        lives_field=lives_field,
+                        reveal_bools=reveal_bools,
+                    )
+                )
+        elif (_RAID_RE.search(text)
+              and ph.completion.type is not CompletionType.PLAYER_ACTION
+              and resource_field):
+            # P13: simultaneous raid resolution from the preceding TARGET phase
+            chain = _action_chain_before(spec, pid, preds_map)
+            raid_ph = [c for c in chain if records[c].choice_kind is ChoiceKind.TARGET]
+            if raid_ph:
+                mechanics.append(
+                    ResourceRaid(
+                        raid_phases=frozenset({raid_ph[-1]}),
+                        raider_pred=_safe_pred(
+                            spec.phases[raid_ph[-1]].completion.target_condition),
+                        res_field=resource_field,
+                    )
+                )
+
+        # P12: fixed income on non-action phases ("each player collects 1 coin")
+        if ph.completion.type is not CompletionType.PLAYER_ACTION:
+            gains: list[tuple[str, int]] = []
+            for mm in _INCOME_RE.finditer(text):
+                f = _num_field_for(mm.group(2))
+                if f is not None and (f, int(mm.group(1))) not in gains:
+                    gains.append((f, int(mm.group(1))))
+            if gains:
+                mechanics.append(ResourceIncome(gains=tuple(gains)))
 
         if gs is not None and _SCORE_RE.search(ph.name) and ph.completion.type is not CompletionType.PLAYER_ACTION:
             mechanics.append(gs)

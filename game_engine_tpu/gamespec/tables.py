@@ -96,6 +96,7 @@ class LNightResolve:
     reset_bool_defaults: tuple[bool, ...]
     reset_num_slots: tuple[int, ...]
     reset_num_defaults: tuple[int, ...]
+    reveal_bool_slots: tuple[int, ...] = ()  # P15
 
 
 @dataclasses.dataclass(frozen=True)
@@ -103,6 +104,34 @@ class LVoteElim:
     phase_index: int
     vote_phase_mask: np.ndarray
     voter_pred: int
+    reveal_bool_slots: tuple[int, ...] = ()  # P15
+
+
+@dataclasses.dataclass(frozen=True)
+class LResourceIncome:
+    phase_index: int
+    gains: tuple[tuple[int, int], ...]  # (num slot, amount)
+
+
+@dataclasses.dataclass(frozen=True)
+class LResourceRaid:
+    phase_index: int
+    raid_phase_mask: np.ndarray
+    raider_pred: int
+    res_num: int
+
+
+@dataclasses.dataclass(frozen=True)
+class LBluffChallenge:
+    phase_index: int
+    claim_num: int  # num slot holding the claimed role index
+    challenge_phase_mask: np.ndarray
+    claimant_pred: int
+    challenger_pred: int
+    role_str_slot: int
+    role_codes: tuple[int, ...]  # claim k -> role_codes[k-1]
+    lives_num: int
+    reveal_bool_slots: tuple[int, ...] = ()  # P15
 
 
 @dataclasses.dataclass(frozen=True)
@@ -157,7 +186,8 @@ class LGameOver:
 
 
 LoweredMech = Union[
-    LNightResolve, LVoteElim, LGuessScore, LSpeakerRotate, LRoleAssign, LSetBoolAll, LGameOver
+    LNightResolve, LVoteElim, LGuessScore, LSpeakerRotate, LRoleAssign, LSetBoolAll,
+    LGameOver, LResourceIncome, LResourceRaid, LBluffChallenge,
 ]
 
 
@@ -358,6 +388,7 @@ def lower(game: CompiledGame) -> Lowered:
                         reset_bool_defaults=tuple(bool_default(f) for f in mech.reset_bools),
                         reset_num_slots=tuple(layout.num_index(f) for f in mech.reset_nums),
                         reset_num_defaults=tuple(num_default(f) for f in mech.reset_nums),
+                        reveal_bool_slots=tuple(layout.bool_index(f) for f in mech.reveal_bools),
                     )
                 )
             elif isinstance(mech, M.VoteElim):
@@ -366,6 +397,40 @@ def lower(game: CompiledGame) -> Lowered:
                         phase_index=i,
                         vote_phase_mask=_phase_mask(game, mech.vote_phases),
                         voter_pred=pool.add_pred(mech.voter_pred),
+                        reveal_bool_slots=tuple(layout.bool_index(f) for f in mech.reveal_bools),
+                    )
+                )
+            elif isinstance(mech, M.ResourceIncome):
+                mechanics.append(
+                    LResourceIncome(
+                        phase_index=i,
+                        gains=tuple((layout.num_index(f), int(a)) for f, a in mech.gains),
+                    )
+                )
+            elif isinstance(mech, M.ResourceRaid):
+                mechanics.append(
+                    LResourceRaid(
+                        phase_index=i,
+                        raid_phase_mask=_phase_mask(game, mech.raid_phases),
+                        raider_pred=pool.add_pred(mech.raider_pred),
+                        res_num=layout.num_index(mech.res_field),
+                    )
+                )
+            elif isinstance(mech, M.BluffChallenge):
+                role_slot = layout.slot(mech.role_field)
+                mechanics.append(
+                    LBluffChallenge(
+                        phase_index=i,
+                        claim_num=layout.num_index(mech.claim_field),
+                        challenge_phase_mask=_phase_mask(game, mech.challenge_phases),
+                        claimant_pred=pool.add_pred(mech.claimant_pred),
+                        challenger_pred=pool.add_pred(mech.challenger_pred),
+                        role_str_slot=role_slot.index,
+                        role_codes=tuple(
+                            role_slot.encode(r.name) for r in decl.roles
+                        ),
+                        lives_num=layout.num_index(mech.lives_field),
+                        reveal_bool_slots=tuple(layout.bool_index(f) for f in mech.reveal_bools),
                     )
                 )
             elif isinstance(mech, M.GuessScore):

@@ -25,7 +25,7 @@ enum Sections {
 };
 enum CondType { COND_ALWAYS, COND_COUNTCMP, COND_ALLPRESENT, COND_PREVIN, COND_AND };
 enum MechType { MECH_NIGHT, MECH_VOTE, MECH_SCORE, MECH_ROTATE, MECH_ROLES,
-                MECH_SETBOOL, MECH_OVER };
+                MECH_SETBOOL, MECH_OVER, MECH_INCOME, MECH_RAID, MECH_BLUFF };
 enum Bank { AB_BOOL, AB_NUM, AB_STR, AB_CONST };
 enum Op { OP_EQ, OP_NE, OP_GE, OP_LE, OP_GT, OP_LT };
 enum Kind { K_NONE = 0, K_TARGET = 1, K_OPTION = 2, K_SUBMIT = 3 };
@@ -173,9 +173,13 @@ int plurality(const Game& g, const Room& r, int32_t mask_lo, int32_t mask_hi, in
   return best > 0 ? tgt : 0;
 }
 
-void kill_player(const Game& g, Room& r, int target) {
-  if (g.alive_slot >= 0 && target >= 1 && target <= r.n)
+// P15: death clears is_alive and sets the reveal flags (pool slice).
+void kill_player(const Game& g, Room& r, int target, int rv_off = 0, int rv_n = 0) {
+  if (target < 1 || target > r.n) return;
+  if (g.alive_slot >= 0)
     r.bools[(target - 1) * g.NB + g.alive_slot] = 0;
+  for (int k = 0; k < rv_n; ++k)
+    r.bools[(target - 1) * g.NB + g.pool[rv_off + k]] = 1;
 }
 
 void reset_fields(const Game& g, Room& r, int rb_off, int rb_n, int rbd_off,
@@ -231,13 +235,78 @@ void apply_on_enter(const Game& g, Room& r) {
       case MECH_NIGHT: {  // P7
         int kill = plurality(g, r, q[0], q[1], q[4]);
         int prot = plurality(g, r, q[2], q[3], q[5]);
-        if (kill && kill != prot && alive(g, r, kill - 1)) kill_player(g, r, kill);
+        if (kill && kill != prot && alive(g, r, kill - 1))
+          kill_player(g, r, kill, q[12], q[13]);
         reset_fields(g, r, q[6], q[7], q[8], q[9], q[10], q[11]);
         break;
       }
       case MECH_VOTE: {  // P6
         int tgt = plurality(g, r, q[0], q[1], q[2]);
-        if (tgt && alive(g, r, tgt - 1)) kill_player(g, r, tgt);
+        if (tgt && alive(g, r, tgt - 1)) kill_player(g, r, tgt, q[3], q[4]);
+        break;
+      }
+      case MECH_INCOME: {  // P12
+        for (int p = 0; p < r.n; ++p) {
+          if (!alive(g, r, p)) continue;
+          for (int k = 0; k < q[1]; ++k)
+            r.nums[p * g.NN + g.pool[q[0] + k * 2]] += g.pool[q[0] + k * 2 + 1];
+        }
+        break;
+      }
+      case MECH_RAID: {  // P13
+        int res_slot = q[3];
+        std::vector<int> tgt(r.n, 0), res0(r.n), delta(r.n, 0), nraid(r.n, 0);
+        for (int p = 0; p < r.n; ++p) res0[p] = r.nums[p * g.NN + res_slot];
+        for (int p = 0; p < r.n; ++p) {
+          if (!alive(g, r, p)) continue;
+          if (!mask64_has(q[0], q[1], r.choice_phase[p] + 1)) continue;
+          if (!pred_eval(g, r, q[2], p)) continue;
+          int t = r.choice[p];
+          if (t >= 1 && t <= r.n && t != p + 1) { tgt[p] = t; nraid[t - 1]++; }
+        }
+        for (int t = 0; t < r.n; ++t) {
+          int loss = std::min(std::max(res0[t], 0), nraid[t]);
+          delta[t] -= loss;
+          int given = 0;
+          for (int p = 0; p < r.n && given < loss; ++p)
+            if (tgt[p] == t + 1) { delta[p] += 1; given++; }  // lowest-id raiders
+        }
+        for (int p = 0; p < r.n; ++p)
+          r.nums[p * g.NN + res_slot] = res0[p] + delta[p];
+        break;
+      }
+      case MECH_BLUFF: {  // P14
+        int claim_slot = q[0], role_slot = q[5], codes_off = q[6],
+            codes_n = q[7], lives_slot = q[8];
+        std::vector<int> claim(r.n, 0), chal(r.n, 0), loss(r.n, 0);
+        for (int p = 0; p < r.n; ++p) {
+          if (!alive(g, r, p)) continue;
+          if (pred_eval(g, r, q[3], p))
+            claim[p] = r.nums[p * g.NN + claim_slot];
+          if (mask64_has(q[1], q[2], r.choice_phase[p] + 1) && pred_eval(g, r, q[4], p)) {
+            int t = r.choice[p];
+            if (t >= 1 && t <= r.n && t != p + 1) chal[p] = t;
+          }
+        }
+        for (int p = 0; p < r.n; ++p) {
+          if (claim[p] <= 0) continue;
+          int first_q = -1;
+          for (int qq = 0; qq < r.n; ++qq)
+            if (chal[qq] == p + 1) { first_q = qq; break; }
+          if (first_q < 0) continue;  // unchallenged
+          // claims outside the role catalogue are lies
+          bool truthful = claim[p] >= 1 && claim[p] <= codes_n &&
+              r.strs[p * g.NS + role_slot] == g.pool[codes_off + claim[p] - 1];
+          if (truthful) loss[first_q] += 1;
+          else loss[p] += 1;
+        }
+        for (int p = 0; p < r.n; ++p) {
+          if (loss[p] == 0) continue;
+          int lives = r.nums[p * g.NN + lives_slot];
+          int nl = std::max(lives - loss[p], 0);
+          r.nums[p * g.NN + lives_slot] = nl;
+          if (nl == 0 && alive(g, r, p)) kill_player(g, r, p + 1, q[9], q[10]);
+        }
         break;
       }
       case MECH_SCORE: {  // P8

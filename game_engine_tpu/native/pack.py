@@ -35,7 +35,8 @@ SEC_DEFAULTS = 15
 SEC_ROLETAB = 16
 
 COND_ALWAYS, COND_COUNTCMP, COND_ALLPRESENT, COND_PREVIN, COND_AND = range(5)
-MECH_NIGHT, MECH_VOTE, MECH_SCORE, MECH_ROTATE, MECH_ROLES, MECH_SETBOOL, MECH_OVER = range(7)
+(MECH_NIGHT, MECH_VOTE, MECH_SCORE, MECH_ROTATE, MECH_ROLES, MECH_SETBOOL,
+ MECH_OVER, MECH_INCOME, MECH_RAID, MECH_BLUFF) = range(10)
 OP_CODES = {"eq": 0, "ne": 1, "ge": 2, "le": 3, "gt": 4, "lt": 5}
 MECH_PARAMS = 16
 
@@ -116,12 +117,30 @@ def pack(lowered: Lowered) -> np.ndarray:
             rbd_off, _ = pool.add(int(d) for d in m.reset_bool_defaults)
             rn_off, rn_n = pool.add(m.reset_num_slots)
             rnd_off, _ = pool.add(m.reset_num_defaults)
+            rv_off, rv_n = pool.add(m.reveal_bool_slots)
             mech(MECH_NIGHT, m.phase_index,
                  [_i32(klo), _i32(khi), _i32(plo), _i32(phi), m.kill_pred, m.protect_pred,
-                  rb_off, rb_n, rbd_off, rn_off, rn_n, rnd_off])
+                  rb_off, rb_n, rbd_off, rn_off, rn_n, rnd_off, rv_off, rv_n])
         elif isinstance(m, T.LVoteElim):
             vlo, vhi = _mask_words(m.vote_phase_mask)
-            mech(MECH_VOTE, m.phase_index, [_i32(vlo), _i32(vhi), m.voter_pred])
+            rv_off, rv_n = pool.add(m.reveal_bool_slots)
+            mech(MECH_VOTE, m.phase_index, [_i32(vlo), _i32(vhi), m.voter_pred,
+                                            rv_off, rv_n])
+        elif isinstance(m, T.LResourceIncome):
+            g_off, g_n = pool.add(v for pair in m.gains for v in pair)
+            mech(MECH_INCOME, m.phase_index, [g_off, g_n // 2])
+        elif isinstance(m, T.LResourceRaid):
+            rlo, rhi = _mask_words(m.raid_phase_mask)
+            mech(MECH_RAID, m.phase_index,
+                 [_i32(rlo), _i32(rhi), m.raider_pred, m.res_num])
+        elif isinstance(m, T.LBluffChallenge):
+            hlo, hhi = _mask_words(m.challenge_phase_mask)
+            codes_off, codes_n = pool.add(m.role_codes)
+            rv_off, rv_n = pool.add(m.reveal_bool_slots)
+            mech(MECH_BLUFF, m.phase_index,
+                 [m.claim_num, _i32(hlo), _i32(hhi),
+                  m.claimant_pred, m.challenger_pred, m.role_str_slot,
+                  codes_off, codes_n, m.lives_num, rv_off, rv_n])
         elif isinstance(m, T.LGuessScore):
             mech(MECH_SCORE, m.phase_index,
                  [m.speaker_bool, m.lie_num, m.vote_num, m.voted_bool, m.score_num, m.rounds_num])

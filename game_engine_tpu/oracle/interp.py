@@ -156,6 +156,12 @@ class OracleRoom:
                 self._night_resolve(mech)
             elif isinstance(mech, M.VoteElim):
                 self._vote_elim(mech)
+            elif isinstance(mech, M.ResourceIncome):
+                self._resource_income(mech)
+            elif isinstance(mech, M.ResourceRaid):
+                self._resource_raid(mech)
+            elif isinstance(mech, M.BluffChallenge):
+                self._bluff_challenge(mech)
             elif isinstance(mech, M.GuessScore):
                 self._guess_score(mech)
             elif isinstance(mech, M.SpeakerRotate):
@@ -178,11 +184,19 @@ class OracleRoom:
             for fname, val in settings.get(role, ()):
                 row[fname] = val
 
+    def _kill(self, pid: int, reveal_bools) -> None:
+        """P15: death clears is_alive and reveals the role flags."""
+        row = self.players[pid]
+        if "is_alive" in row:
+            row["is_alive"] = False
+        for f in reveal_bools:
+            row[f] = True
+
     def _night_resolve(self, nr: M.NightResolve) -> None:
         kill = self._plurality(self._choices_from(nr.kill_phases, nr.kill_pred))
         protect = self._plurality(self._choices_from(nr.protect_phases, nr.protect_pred))
         if kill and kill != protect and self.players[kill].get("is_alive", True):
-            self.players[kill]["is_alive"] = False
+            self._kill(kill, nr.reveal_bools)
         decl = self.game.spec.declaration
         for pid in self.players:
             for f in nr.reset_bools:
@@ -193,7 +207,77 @@ class OracleRoom:
     def _vote_elim(self, ve: M.VoteElim) -> None:
         target = self._plurality(self._choices_from(ve.vote_phases, ve.voter_pred))
         if target and self.players[target].get("is_alive", True):
-            self.players[target]["is_alive"] = False
+            self._kill(target, ve.reveal_bools)
+
+    def _resource_income(self, ri: M.ResourceIncome) -> None:
+        """P12: every present living player gains the fixed amounts."""
+        for p in range(1, self.n + 1):
+            row = self.players[p]
+            if not row.get("is_alive", True):
+                continue
+            for f, amount in ri.gains:
+                row[f] = int(row.get(f, 0) or 0) + amount
+
+    def _resource_raid(self, rr: M.ResourceRaid) -> None:
+        """P13: simultaneous raids from the TARGET register (SEMANTICS.md)."""
+        raiders: dict[int, list[int]] = {}  # target -> raiders (ascending id)
+        for q in range(1, self.n + 1):
+            row = self.players[q]
+            if not row.get("is_alive", True):
+                continue
+            if self.choice_phase.get(q) in rr.raid_phases and self._match(rr.raider_pred, q):
+                t = self.choice.get(q, 0)
+                if 1 <= t <= self.n and t != q:  # self-raid is a no-op
+                    raiders.setdefault(t, []).append(q)
+        res0 = {p: int(self.players[p].get(rr.res_field, 0) or 0)
+                for p in range(1, self.n + 1)}
+        delta = {p: 0 for p in range(1, self.n + 1)}
+        for t, qs in raiders.items():
+            loss = min(max(res0[t], 0), len(qs))
+            delta[t] -= loss
+            for r in sorted(qs)[:loss]:  # lowest-id raiders gain 1 apiece
+                delta[r] += 1
+        for p in range(1, self.n + 1):
+            self.players[p][rr.res_field] = res0[p] + delta[p]
+
+    def _bluff_challenge(self, bc: M.BluffChallenge) -> None:
+        """P14: Coup-style claim/challenge resolution (SEMANTICS.md)."""
+        roles = [r.name for r in self.game.spec.declaration.roles]
+        claim: dict[int, int] = {}
+        for p in range(1, self.n + 1):
+            row = self.players[p]
+            if not row.get("is_alive", True):
+                continue
+            if self._match(bc.claimant_pred, p):
+                claim[p] = int(row.get(bc.claim_field, 0) or 0)
+        challengers: dict[int, list[int]] = {}  # target -> challengers
+        for q in range(1, self.n + 1):
+            row = self.players[q]
+            if not row.get("is_alive", True):
+                continue
+            if self.choice_phase.get(q) in bc.challenge_phases and self._match(bc.challenger_pred, q):
+                t = self.choice.get(q, 0)
+                if 1 <= t <= self.n and t != q:  # self-challenge void
+                    challengers.setdefault(t, []).append(q)
+        loss = {p: 0 for p in range(1, self.n + 1)}
+        for p, k in claim.items():
+            if p not in challengers or k <= 0:
+                continue  # unchallenged or no claim: nothing happens
+            # claims outside the role catalogue are lies
+            truthful = 1 <= k <= len(roles) and \
+                str(self.players[p].get(bc.role_field, "")) == roles[k - 1]
+            if truthful:
+                loss[min(challengers[p])] += 1  # lowest-id challenger pays
+            else:
+                loss[p] += 1
+        for p in range(1, self.n + 1):
+            if loss[p] == 0:
+                continue
+            lives = int(self.players[p].get(bc.lives_field, 0) or 0)
+            new_lives = max(lives - loss[p], 0)
+            self.players[p][bc.lives_field] = new_lives
+            if new_lives == 0 and self.players[p].get("is_alive", True):
+                self._kill(p, bc.reveal_bools)
 
     def _guess_score(self, gs: M.GuessScore) -> None:
         speakers = [p for p in range(1, self.n + 1) if gs.speaker_field and self.players[p].get(gs.speaker_field)]

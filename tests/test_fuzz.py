@@ -74,16 +74,28 @@ def _random_blueprint(rng):
             name=f"fuzz-elim-{suffix}", description="night elimination deduction game",
             archetype="elimination", min_players=len(roles), roles=tuple(roles),
         )
-    if rng.random() < 0.5:
+    if rng.random() < 0.4:
         return Blueprint(
             name=f"fuzz-rounds-{rng.integers(100)}",
             description="turn-based guessing rounds game",
             archetype="rounds", min_players=3,
         )
+    if rng.random() < 0.4:
+        return Blueprint(
+            name=f"fuzz-battle-{rng.integers(100)}",
+            description="vote-out battle royale, last one standing",
+            archetype="battle", min_players=3,
+        )
+    if rng.random() < 0.5:
+        return Blueprint(
+            name=f"fuzz-bluff-{rng.integers(100)}",
+            description="coup-like bluff and challenge game",
+            archetype="bluff", min_players=3 + int(rng.integers(3)),
+        )
     return Blueprint(
-        name=f"fuzz-battle-{rng.integers(100)}",
-        description="vote-out battle royale, last one standing",
-        archetype="battle", min_players=3,
+        name=f"fuzz-market-{rng.integers(100)}",
+        description="coin trading and raiding game",
+        archetype="market", min_players=3 + int(rng.integers(3)),
     )
 
 
