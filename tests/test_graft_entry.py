@@ -25,4 +25,5 @@ def test_dryrun_multichip_8():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as g
 
-    g.dryrun_multichip(8)  # raises on failure
+    out = g.dryrun_multichip(8)  # raises on failure
+    assert out["episodes"] > 0  # whole games complete under the sharded program
