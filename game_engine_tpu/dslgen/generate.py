@@ -726,7 +726,7 @@ def _gen_bluff(bp: Blueprint) -> dict[str, Any]:
             f"Each living player declares which court role (1-{nr}) they claim to hold "
             "this round.",
             [
-                _tool_action("Clear previous UI; exempt death markers", "clearCanvas"),
+                _tool_action("Clear previous UI; exempt death markers and influence counters", "clearCanvas"),
                 _tool_action("Create declaration phase indicator", "createPhaseIndicator"),
                 _tool_action("Create the claim selection panel", "createVotingPanel"),
             ],
@@ -740,7 +740,7 @@ def _gen_bluff(bp: Blueprint) -> dict[str, Any]:
             "Challenges",
             "Each living player chooses one player to challenge over their declaration.",
             [
-                _tool_action("Clear declaration UI; exempt death markers", "clearCanvas"),
+                _tool_action("Clear declaration UI; exempt death markers and influence counters", "clearCanvas"),
                 _tool_action("Create challenge phase indicator", "createPhaseIndicator"),
                 _tool_action("Create the challenge target panel", "createVotingPanel"),
             ],
@@ -754,7 +754,7 @@ def _gen_bluff(bp: Blueprint) -> dict[str, Any]:
             "Resolve the challenges: a caught bluffer loses 1 influence; a failed "
             "challenger loses 1 influence; players at zero influence are out.",
             [
-                _tool_action("Clear challenge UI; exempt death markers", "clearCanvas"),
+                _tool_action("Clear challenge UI; exempt death markers and influence counters", "clearCanvas"),
                 _tool_action("Display the showdown results", "createResultDisplay"),
                 _tool_action("Mark players who lost their last influence",
                              "markPlayerDead", "createDeathMarker"),
@@ -766,7 +766,7 @@ def _gen_bluff(bp: Blueprint) -> dict[str, Any]:
             "name": "Check the Court",
             "description": "Evaluate whether only one player still holds influence.",
             "actions": [
-                _tool_action("Clear showdown UI; exempt death markers", "clearCanvas"),
+                _tool_action("Clear showdown UI; exempt death markers and influence counters", "clearCanvas"),
                 _tool_action("Display remaining players", "createTextDisplay"),
             ],
             "completion_criteria": {"type": "UI_displayed",

@@ -19,7 +19,8 @@ Routes (reference: SURVEY.md §2.4, src/app/api/*):
   GET  /api/rooms/<roomId>/notes       game_notes narrative log
   POST /api/generate-dsl               {gameName, gameDescription} -> new game YAML
   GET  /api/debug/rooms                storage dump
-  GET  /                               embedded HTML viewer
+  GET  /, /register, /library, /room, /play   web client pages
+  GET  /static/<asset>                 client js/css (server/web/)
 
 Plain stdlib http.server — the host service is IO-thin; all compute stays
 on-device in the batched engine (server/manager.py).
@@ -36,6 +37,16 @@ from urllib.parse import parse_qs, urlparse
 
 from game_engine_tpu.server.manager import GameHost
 from game_engine_tpu.server.storage import MemoryStorage
+
+
+class StaticAsset(str):
+    """A served file body carrying its content type (str subclass so the
+    HTTP layer's string/JSON switch stays trivial)."""
+
+    def __new__(cls, body: str, ctype: str):
+        s = super().__new__(cls, body)
+        s.ctype = ctype
+        return s
 
 
 class AppContext:
@@ -60,15 +71,49 @@ class AppContext:
             if not ok:
                 self.storage.set_status(room_id, "finished")
 
+    # -- web client (lobby flow + play canvas) ----------------------------------
+
+    _PAGES = {
+        "/": "library.html",  # registered users land in the library
+        "/index.html": "library.html",
+        "/register": "register.html",
+        "/library": "library.html",
+        "/room": "room.html",
+        "/play": "play.html",
+    }
+    _STATIC_TYPES = {
+        ".html": "text/html; charset=utf-8",
+        ".js": "text/javascript; charset=utf-8",
+        ".css": "text/css; charset=utf-8",
+    }
+
+    def _page_for(self, method: str, path: str) -> Optional[tuple[int, Any]]:
+        """Serve the web client: lobby pages + /static assets (reference
+        pages: register/game-library/room/play, SURVEY.md §2.4)."""
+        if method != "GET":
+            return None
+        web = os.path.join(os.path.dirname(__file__), "web")
+        name = self._PAGES.get(path)
+        if name is None and path.startswith("/static/"):
+            name = os.path.basename(path[len("/static/"):])
+        if name is None:
+            return None
+        ext = os.path.splitext(name)[1]
+        ctype = self._STATIC_TYPES.get(ext)
+        full = os.path.join(web, name)
+        if ctype is None or not os.path.isfile(full):
+            return 404, {"error": f"no such asset {name!r}"}
+        with open(full, "r", encoding="utf-8") as f:
+            return 200, StaticAsset(f.read(), ctype)
+
     # -- handlers -------------------------------------------------------------
 
     def handle(self, method: str, path: str, query: dict, body: dict) -> tuple[int, Any]:
         route = (method, path)
         try:
-            if route == ("GET", "/") or route == ("GET", "/index.html"):
-                from game_engine_tpu.server.viewer import VIEWER_HTML
-
-                return 200, VIEWER_HTML  # handled as HTML below
+            page = self._page_for(method, path)
+            if page is not None:
+                return page
             if route == ("GET", "/api/games"):
                 return 200, {"games": self.host.list_games()}
             if route == ("POST", "/api/rooms/create"):
@@ -208,11 +253,25 @@ class AppContext:
                     self.host.queue_vote(room_id, int(body["playerId"]), int(body["option"]))
                     return 200, {"queued": True}
                 if method == "POST" and action == "step":
-                    return 200, self.host.step(room_id)
+                    # with playerId, the response is the viewer-filtered
+                    # state (clients must never receive other players'
+                    # hidden fields just because they pressed step)
+                    snap = self.host.step(room_id)
+                    if snap.get("done"):
+                        self.storage.set_status(room_id, "finished")
+                    if "playerId" in body:
+                        snap = self.host.visible_state(
+                            room_id, int(body["playerId"]), names)
+                    return 200, snap
                 if method == "POST" and action == "continue":
                     snap = self.host.run_until_input_needed(room_id)
                     if snap.get("done"):
                         self.storage.set_status(room_id, "finished")
+                    if "playerId" in body:
+                        truncated = snap.get("truncated", False)
+                        snap = self.host.visible_state(
+                            room_id, int(body["playerId"]), names)
+                        snap["truncated"] = truncated
                     return 200, snap
             return 404, {"error": f"no route {method} {path}"}
         except KeyError as e:
@@ -242,9 +301,9 @@ def make_server(port: int = 0, storage_path: Optional[str] = None,
             code, payload = ctx.handle(
                 self.command, parsed.path, parse_qs(parsed.query), body
             )
-            if isinstance(payload, str):  # HTML page (the embedded viewer)
+            if isinstance(payload, str):  # web-client page / static asset
                 data = payload.encode()
-                ctype = "text/html; charset=utf-8"
+                ctype = getattr(payload, "ctype", "text/html; charset=utf-8")
             else:
                 data = json.dumps(payload).encode()
                 ctype = "application/json"

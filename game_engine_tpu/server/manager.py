@@ -563,6 +563,11 @@ class GameHost:
                                   "a": {str(k): v for k, v in q.items()}})
         gs.step_slot(slot, q, human_seats=self._humans.get(room_id, (1,)))
         self._record_phase(room_id, gs, slot, ts=ts)
+        # project every crossed phase: transient cards (role cards, death
+        # markers, night overlays) and notes must reflect phases a
+        # multi-step 'continue' jumps through, exactly as if a viewer had
+        # watched each one
+        self._project_now(room_id, gs, slot)
 
     def step(self, room_id: str) -> dict[str, Any]:
         """One game turn: merge queued human actions + bot policy, advance."""
@@ -612,32 +617,53 @@ class GameHost:
 
     # -- projection ---------------------------------------------------------------
 
+    def _project_now(self, room_id: str, gs, slot: int,
+                     player_names: Optional[dict[int, str]] = None) -> dict[str, Any]:
+        """Decode + free-text overlay + notes diff + item projection.
+
+        Called after EVERY engine step (not just at poll points) so items
+        and game_notes reflect each crossed phase — transient cards like
+        role cards, death markers and night overlays are created exactly as
+        if a viewer had watched each phase; journal replay reproduces the
+        same item/notes state."""
+        snap = gs.snapshot_raw(slot, player_names or self._names.get(room_id))
+        # free-text overlay: submitted content replaces the FSM's odict
+        # markers (content is cosmetic to the engine; see queue_action);
+        # bots, which type nothing, get deterministic seeded stand-ins
+        seats = self._humans.get(room_id, (1,))
+        texts = self._texts.get(room_id, {})
+        decl = {f.name: f for f in gs.lowered.game.spec.declaration.fields}
+        for pid_str, row in snap["player_states"].items():
+            pid = int(pid_str)
+            for field in list(row):
+                if row[field] != {"1": "submitted"}:
+                    continue  # not an engine submit marker
+                stored = texts.get(pid, {}).get(field)
+                if stored is not None:
+                    row[field] = dict(stored)
+                elif pid not in seats:
+                    f = decl.get(field)
+                    row[field] = _bot_submission(
+                        self._room_seed.get(room_id, 0), pid, field,
+                        f.example if f else None,
+                    )
+        log = self._notes.get(room_id)
+        if log is not None:
+            log.observe(snap)
+        proj = gs.projectors[slot]
+        gs.items[slot] = proj.project(
+            snap, prev_items=gs.items[slot], prev_dead=gs.prev_dead[slot]
+        )
+        gs.prev_dead[slot] = list(snap.get("deadPlayers", []))
+        return snap
+
     def snapshot(self, room_id: str, player_names: Optional[dict[int, str]] = None) -> dict[str, Any]:
         with self._lock:
             slots_key, slot = self._rooms[room_id]
             gs = self._slots[slots_key]
-            snap = gs.snapshot_raw(slot, player_names or self._names.get(room_id))
+            snap = self._project_now(room_id, gs, slot, player_names)
             snap["roomId"] = room_id
-            # free-text overlay: submitted content replaces the FSM's odict
-            # markers (content is cosmetic to the engine; see queue_action);
-            # bots, which type nothing, get deterministic seeded stand-ins
             seats = self._humans.get(room_id, (1,))
-            texts = self._texts.get(room_id, {})
-            decl = {f.name: f for f in gs.lowered.game.spec.declaration.fields}
-            for pid_str, row in snap["player_states"].items():
-                pid = int(pid_str)
-                for field in list(row):
-                    if row[field] != {"1": "submitted"}:
-                        continue  # not an engine submit marker
-                    stored = texts.get(pid, {}).get(field)
-                    if stored is not None:
-                        row[field] = dict(stored)
-                    elif pid not in seats:
-                        f = decl.get(field)
-                        row[field] = _bot_submission(
-                            self._room_seed.get(room_id, 0), pid, field,
-                            f.example if f else None,
-                        )
             snap["human_seats"] = list(seats)
             snap["waiting_on"] = (
                 [] if gs.is_done(slot) else gs.must_act_seats(slot, seats)
@@ -648,13 +674,7 @@ class GameHost:
             snap["phase_history"] = list(self._phase_history.get(room_id, []))
             log = self._notes.get(room_id)
             if log is not None:
-                log.observe(snap)
                 snap["game_notes"] = log.recent(10)
-            proj = gs.projectors[slot]
-            gs.items[slot] = proj.project(
-                snap, prev_items=gs.items[slot], prev_dead=gs.prev_dead[slot]
-            )
-            gs.prev_dead[slot] = list(snap.get("deadPlayers", []))
             snap["items"] = [i.to_json() for i in gs.items[slot]]
             snap["itemsCreated"] = len(snap["items"])
             snap["lastAction"] = (

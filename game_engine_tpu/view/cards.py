@@ -162,13 +162,20 @@ def visible_to(item: Item, viewer_id: str) -> bool:
 
 
 def clear_canvas(items: list[Item], exempt: Optional[list[str]] = None) -> list[Item]:
-    """clearCanvas semantics: remove everything except avatar sets and
-    explicitly exempted item ids/types (reference: src/app/page.tsx:2418-2455,
-    tests/test_clearcanvas.js semantics)."""
+    """clearCanvas semantics: remove everything except avatar sets,
+    character (role) cards, and explicitly exempted item ids/types
+    (reference: src/app/page.tsx:2418-2455, tests/test_clearcanvas.js).
+
+    character_card and statement_board persist like avatar_set: the
+    player's hidden-role card and the current round's statements must
+    survive phase clears — the reference DM re-creates them on demand, but
+    with multi-phase Continue jumps they would otherwise only ever exist
+    between two clears and no human would see them. Singleton replacement
+    in the projector prevents stacking on re-creation."""
     exempt = exempt or []
     kept = []
     for it in items:
-        if it.type == "avatar_set":
+        if it.type in ("avatar_set", "character_card", "statement_board"):
             kept.append(it)
         elif it.id in exempt or it.type in exempt:
             kept.append(it)

@@ -21,6 +21,7 @@ from game_engine_tpu.gamespec.mechanics import ChoiceKind
 from game_engine_tpu.view.cards import Item, TOOL_TO_CARD, clear_canvas, make_item
 
 _TIER_RE = re.compile(r"TIER\s*(\d)", re.IGNORECASE)
+_NIGHT_NAME_RE = re.compile(r"(?:first\s+)?night\b", re.IGNORECASE)
 _EXCEPT_RE = re.compile(r"\bexcept\b|\bwaiting\b|\bnon-|\bother players\b", re.IGNORECASE)
 _EXEMPT_DEATH_RE = re.compile(r"exempt[^.]*death|death markers?[^.]*(persist|remain|exempt)", re.IGNORECASE)
 # clearCanvas exemptions named in action descriptions ("exempt persistent
@@ -29,13 +30,16 @@ _EXEMPT_DEATH_RE = re.compile(r"exempt[^.]*death|death markers?[^.]*(persist|rem
 _EXEMPT_WORDS = {
     "score_board": re.compile(r"(exempt|preserv\w*|keep\w*)[^.]*score\s*board|score\s*board[^.]*(persist|remain|exempt)", re.IGNORECASE),
     "death_marker": _EXEMPT_DEATH_RE,
+    "influence_set": re.compile(r"(exempt|preserv\w*|keep\w*)[^.]*influence|influence[^.]*(persist|remain|exempt)", re.IGNORECASE),
+    "coin_display": re.compile(r"(exempt|preserv\w*|keep\w*)[^.]*(coin|purse)|(coin|purse)s?[^.]*(persist|remain|exempt)", re.IGNORECASE),
+    "health_display": re.compile(r"(exempt|preserv\w*|keep\w*)[^.]*health|health[^.]*(persist|remain|exempt)", re.IGNORECASE),
 }
 # singleton card types: re-creating one replaces the existing item instead of
 # stacking duplicates (reference: name-based idempotency in the create
 # handlers, src/app/page.tsx:1177-1185)
 _SINGLETON_TYPES = frozenset(
     {"avatar_set", "score_board", "turn_indicator", "statement_board",
-     "night_overlay", "phase_indicator"}
+     "night_overlay", "phase_indicator", "character_card"}
 )
 
 
@@ -126,6 +130,13 @@ class Projector:
                 if card in _SINGLETON_TYPES and new_items:
                     items = [i for i in items if i.type != card]
                 items.extend(new_items)
+        # DM habit: night phases dim the canvas even when the DSL doesn't
+        # list createNightOverlay (phase names beginning 'Night'/'First
+        # Night'); the overlay clears with the next phase's clearCanvas
+        if (_NIGHT_NAME_RE.match(phase.name)
+                and not any(i.type == "night_overlay" for i in items)):
+            items.append(make_item(self._next_id(items), "night_overlay", "Night",
+                                   visible=True, title=phase.name, opacity=0.5))
         return items
 
     # -- per-card synthesis -------------------------------------------------
@@ -151,6 +162,12 @@ class Projector:
             else:
                 hi = rp.choice_max if rp.choice_max > 0 else len(all_ids)
                 options = [str(i) for i in range(1, hi + 1)]
+                # guess votes read better as the actual statements (the
+                # reference voters pick among the speaker's statements)
+                sp = next((p for p in all_ids if players[p].get("is_speaker")), None)
+                stmts = (players.get(sp, {}).get("statements") or {}) if sp else {}
+                if len(stmts) == hi:
+                    options = [str(stmts.get(str(i + 1), i + 1)) for i in range(hi)]
             out.append(make_item(
                 nid(), card, phase.name,
                 audience_type=False, audience_ids=targets or all_ids,
