@@ -20,12 +20,87 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def policy_rollout_bench(batch: int, inner_steps: int, iters: int):
+    """Learned-policy self-play hot loop: masked observation -> net forward
+    -> legal-masked sampling -> engine step -> auto-reset, fused in one
+    scan. The realistic serving/self-play rate (VERDICT r1: bench the
+    policy-in-the-loop path, not just scripted rollouts)."""
+    from game_engine_tpu.core.engine import init_state_like
+    from game_engine_tpu.core.state import init_state
+    from game_engine_tpu.core.step import make_step
+    from game_engine_tpu.gamespec.compile import compile_game
+    from game_engine_tpu.gamespec.parser import load_builtin
+    from game_engine_tpu.gamespec.tables import lower
+    from game_engine_tpu.policies import net as N
+    from game_engine_tpu.train.ppo import actor_mask
+
+    lowered = lower(compile_game(load_builtin("werewolf")))
+    cfg = N.NetConfig(hidden=256, layers=2)
+    params = N.init_params(
+        jax.random.PRNGKey(0), N.obs_dim(lowered), N.action_space(lowered), cfg
+    )
+    step = make_step(lowered)
+
+    def rollout(state, key):
+        def body(carry, _):
+            st, k = carry
+            k, sk = jax.random.split(k)
+            a, _, _, _ = N.sample_actions(lowered, params, st, sk, cfg)
+            actions = jnp.where(actor_mask(lowered, st), a, 0)
+            nxt = step(st, actions)
+            eps = jnp.sum((nxt.done & ~st.done).astype(jnp.int32))
+            fresh = init_state_like(lowered, nxt)
+            nxt = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(
+                    nxt.done.reshape((-1,) + (1,) * (old.ndim - 1)), new, old
+                ),
+                fresh,
+                nxt,
+            )
+            return (nxt, k), eps
+
+        (state, key), eps = jax.lax.scan(body, (state, key), None, length=inner_steps)
+        return state, key, jnp.sum(eps)
+
+    roll = jax.jit(rollout, donate_argnums=(0,))
+    state = init_state(lowered, batch, 8, np.arange(batch, dtype=np.uint32))
+    key = jax.random.PRNGKey(7)
+    state, key, eps = roll(state, key)
+    _ = int(eps)
+    t0 = time.perf_counter()
+    total = 0
+    for _ in range(iters):
+        state, key, eps = roll(state, key)
+        total += int(eps)
+    dt = time.perf_counter() - t0
+    steps = batch * inner_steps * iters
+    print(json.dumps({
+        "metric": "policy_env_steps_per_sec_per_chip_werewolf",
+        "value": round(steps / dt, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(steps / dt / 1_000_000, 3),
+        "detail": {"batch_rooms": batch, "inner_steps": inner_steps,
+                   "iters": iters, "wall_s": round(dt, 3),
+                   "episodes_completed": total,
+                   "hidden": cfg.hidden, "device": str(jax.devices()[0])},
+    }))
+
+
 def main():
     from game_engine_tpu.core.engine import compiled_rollout
     from game_engine_tpu.core.state import init_state
     from game_engine_tpu.gamespec.compile import compile_game
     from game_engine_tpu.gamespec.parser import load_builtin
     from game_engine_tpu.gamespec.tables import lower
+
+    if len(sys.argv) > 1 and sys.argv[1] == "--policy":
+        argv = sys.argv[2:]
+        policy_rollout_bench(
+            int(argv[0]) if len(argv) > 0 else 16384,
+            int(argv[1]) if len(argv) > 1 else 128,
+            int(argv[2]) if len(argv) > 2 else 4,
+        )
+        return
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     inner_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 1024

@@ -591,9 +591,9 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
         return (
             jnp.transpose(state.bools, (2, 1, 0)).astype(jnp.int32),  # (NB,P,B)
             jnp.transpose(state.nums, (2, 1, 0)),
-            jnp.transpose(state.strs, (2, 1, 0)),
-            jnp.transpose(state.pdict, (2, 1, 3, 0)),  # (NPD,P_own,P_tgt,B)
-            jnp.transpose(state.odict, (2, 1, 0)),
+            jnp.transpose(state.strs, (2, 1, 0)).astype(jnp.int32),
+            jnp.transpose(state.pdict, (2, 1, 3, 0)).astype(jnp.int32),  # (NPD,Po,Pt,B)
+            jnp.transpose(state.odict, (2, 1, 0)).astype(jnp.int32),
             jnp.transpose(state.present, (1, 0)).astype(jnp.int32),
             jnp.stack([
                 jnp.transpose(state.acted, (1, 0)).astype(jnp.int32),
@@ -612,9 +612,9 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
         return GameState(
             bools=jnp.transpose(bools, (2, 1, 0)).astype(bool),
             nums=jnp.transpose(nums, (2, 1, 0)),
-            strs=jnp.transpose(strs, (2, 1, 0)),
-            pdict=jnp.transpose(pdict, (3, 1, 0, 2)),
-            odict=jnp.transpose(odict, (2, 1, 0)),
+            strs=jnp.transpose(strs, (2, 1, 0)).astype(jnp.int8),
+            pdict=jnp.transpose(pdict, (3, 1, 0, 2)).astype(jnp.int8),
+            odict=jnp.transpose(odict, (2, 1, 0)).astype(jnp.int8),
             present=jnp.transpose(present, (1, 0)).astype(bool),
             phase=scal[0], prev_phase=scal[1], done=scal[2].astype(bool),
             winner=scal[3], t=scal[4],

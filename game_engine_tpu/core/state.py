@@ -24,9 +24,9 @@ class GameState(NamedTuple):
 
     bools: jax.Array  # (B, P, NB) bool — boolean player fields
     nums: jax.Array  # (B, P, NN) int32 — numeric player fields
-    strs: jax.Array  # (B, P, NS) int32 — categorical (string) player fields
-    pdict: jax.Array  # (B, P, NPD, P) int32 — player-keyed dict fields
-    odict: jax.Array  # (B, P, NOD) int32 — opaque dict mark slots
+    strs: jax.Array  # (B, P, NS) int8 — categorical (string) player fields
+    pdict: jax.Array  # (B, P, NPD, P) int8 — player-keyed dict fields
+    odict: jax.Array  # (B, P, NOD) int8 — opaque dict mark slots
     present: jax.Array  # (B, P) bool — player exists in room
     phase: jax.Array  # (B,) int32 — dense phase index
     prev_phase: jax.Array  # (B,) int32 — previous distinct phase (-1 at start)
@@ -67,11 +67,15 @@ def init_state(
         nums=jnp.broadcast_to(
             jnp.asarray(lowered.num_defaults), (batch, P, lowered.num_defaults.shape[0])
         ),
+        # categorical banks are int8: vocab codes are tiny (< 128, asserted
+        # at lowering) and these banks dominate per-step HBM traffic at
+        # large batch (the pdict bank alone is (B, P, NPD, P))
         strs=jnp.broadcast_to(
-            jnp.asarray(lowered.str_defaults), (batch, P, lowered.str_defaults.shape[0])
+            jnp.asarray(lowered.str_defaults, jnp.int8),
+            (batch, P, lowered.str_defaults.shape[0]),
         ),
-        pdict=jnp.zeros((batch, P, max(1, lowered.game.layout.n_pdict), P), jnp.int32),
-        odict=jnp.zeros((batch, P, max(1, lowered.game.layout.n_odict)), jnp.int32),
+        pdict=jnp.zeros((batch, P, max(1, lowered.game.layout.n_pdict), P), jnp.int8),
+        odict=jnp.zeros((batch, P, max(1, lowered.game.layout.n_odict)), jnp.int8),
         present=present,
         phase=jnp.full((batch,), lowered.game.start_index, jnp.int32),
         prev_phase=jnp.full((batch,), -1, jnp.int32),

@@ -236,7 +236,8 @@ def _mech_role_assign(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LRo
 
     wmask = active[:, None] & st.present
     strs = st.strs.at[..., m.role_str_slot].set(
-        jnp.where(wmask, role_code, st.strs[..., m.role_str_slot])
+        jnp.where(wmask, role_code.astype(st.strs.dtype),
+                  st.strs[..., m.role_str_slot])
     )
     bools, nums = st.bools, st.nums
     for code, triples in m.role_settings:
@@ -247,7 +248,7 @@ def _mech_role_assign(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LRo
             elif bank == AB_NUM:
                 nums = nums.at[..., slot].set(jnp.where(rmask, jnp.int32(val), nums[..., slot]))
             else:
-                strs = strs.at[..., slot].set(jnp.where(rmask, jnp.int32(val), strs[..., slot]))
+                strs = strs.at[..., slot].set(jnp.where(rmask, jnp.asarray(val, strs.dtype), strs[..., slot]))
     return st._replace(bools=bools, nums=nums, strs=strs)
 
 
@@ -616,7 +617,7 @@ def make_step(lowered: Lowered):
         pd_oh = jax.nn.one_hot(pd_slot, NPD, dtype=bool)[:, None, :, None]  # (B,1,NPD,1)
         tgt_oh = _player_onehot(c - 1, P)[:, :, None, :]
         pd_mask = am[..., None] & pd_oh & tgt_oh & (pd_slot >= 0)[:, None, None, None]
-        pdict = jnp.where(pd_mask, src_val[..., None, None], state.pdict)
+        pdict = jnp.where(pd_mask, src_val.astype(state.pdict.dtype)[..., None, None], state.pdict)
 
         NOD = state.odict.shape[2]
         od_oh = jax.nn.one_hot(_table_select(lowered.rec_odict_slot, ph), NOD, dtype=bool)[:, None, :]

@@ -334,6 +334,14 @@ def lower(game: CompiledGame) -> Lowered:
     rec_num_slot = np.full(NP, -1, dtype=np.int32)
     rec_pdict_slot = np.full(NP, -1, dtype=np.int32)
     rec_pdict_src = np.full(NP, -1, dtype=np.int32)
+    # categorical banks are stored int8 on-device (GameState.strs/pdict);
+    # DSL vocabularies are tiny — assert the assumption rather than corrupt
+    for s in layout.slots.values():
+        if s.bank == BANK_STR and len(s.vocab) >= 127:
+            raise ValueError(
+                f"string field {s.field!r} has {len(s.vocab)} vocabulary "
+                "entries; the int8 categorical banks support at most 126"
+            )
     max_vocab = max([len(s.vocab) for s in layout.slots.values() if s.bank == BANK_STR] + [1])
     rec_pdict_trans = np.zeros((NP, max_vocab), dtype=np.int32)
     rec_odict_slot = np.full(NP, -1, dtype=np.int32)

@@ -87,10 +87,17 @@ def minority_team_code(lowered: Lowered):
     return None
 
 
+def _obs_fields(lowered: Lowered):
+    """Declared fields that enter the observation. 'name' is cosmetic
+    (display text, never read by any rule) — its one-hot would waste ~20%
+    of the feature dim on noise."""
+    return [f for f in lowered.game.spec.declaration.fields if f.name != "name"]
+
+
 def _per_player_dim(lowered: Lowered) -> int:
     lay = lowered.game.layout
     d = 2  # acted + alive
-    for f in lowered.game.spec.declaration.fields:
+    for f in _obs_fields(lowered):
         s = lay.slot(f.name)
         if s.bank in ("bool", "num"):
             d += 1
@@ -142,33 +149,36 @@ def observe(lowered: Lowered, state: GameState, masked: bool = True) -> jax.Arra
             return is_self | same_team
         return jnp.ones((B, P, P), bool)
 
-    # per-field feature blocks, expanded to (B, viewer, target, width)
+    # per-field feature blocks, expanded to (B, viewer, target, width) —
+    # computed in bfloat16: the net consumes bf16 and these (B,P,P,F0)
+    # tensors dominate the unroll's HBM traffic at 16k+ rooms
+    dt = jnp.bfloat16
     blocks = []
-    for f in lowered.game.spec.declaration.fields:
+    for f in _obs_fields(lowered):
         s = lay.slot(f.name)
         if s.bank == "bool":
-            feat = state.bools[..., s.index, None].astype(jnp.float32)
+            feat = state.bools[..., s.index, None].astype(dt)
         elif s.bank == "num":
-            feat = state.nums[..., s.index, None].astype(jnp.float32) / float(P)
+            feat = state.nums[..., s.index, None].astype(dt) / dt(P)
         elif s.bank == "str":
             width = max(2, len(s.vocab))
-            feat = jax.nn.one_hot(state.strs[..., s.index], width, dtype=jnp.float32)
+            feat = jax.nn.one_hot(state.strs[..., s.index], width, dtype=dt)
         else:
             continue  # dict banks enter via their recorded scalar effects
         m = mask_for(f.name)[..., None]  # (B, V, T, 1)
-        blocks.append(jnp.where(m, feat[:, None, :, :], 0.0))
+        blocks.append(jnp.where(m, feat[:, None, :, :], dt(0)))
     alive = _alive(lowered, state)
-    blocks.append(jnp.broadcast_to(state.acted.astype(jnp.float32)[:, None, :, None], (B, P, P, 1)))
-    blocks.append(jnp.broadcast_to(alive.astype(jnp.float32)[:, None, :, None], (B, P, P, 1)))
+    blocks.append(jnp.broadcast_to(state.acted.astype(dt)[:, None, :, None], (B, P, P, 1)))
+    blocks.append(jnp.broadcast_to(alive.astype(dt)[:, None, :, None], (B, P, P, 1)))
     room = jnp.concatenate(blocks, axis=-1).reshape(B, P, -1)  # (B, V, T*F0)
 
-    viewer = jnp.broadcast_to(jnp.eye(P, dtype=jnp.float32)[None], (B, P, P))
+    viewer = jnp.broadcast_to(jnp.eye(P, dtype=dt)[None], (B, P, P))
     phase_oh = jnp.broadcast_to(
-        jax.nn.one_hot(state.phase, lowered.NP, dtype=jnp.float32)[:, None, :],
+        jax.nn.one_hot(state.phase, lowered.NP, dtype=dt)[:, None, :],
         (B, P, lowered.NP),
     )
     n_alive = jnp.broadcast_to(
-        (jnp.sum(alive, axis=1).astype(jnp.float32) / P)[:, None, None], (B, P, 1)
+        (jnp.sum(alive, axis=1).astype(dt) / dt(P))[:, None, None], (B, P, 1)
     )
     return jnp.concatenate([room, viewer, phase_oh, n_alive], axis=-1)
 
@@ -260,5 +270,9 @@ def sample_actions(lowered: Lowered, params, state: GameState, key, cfg: NetConf
     neg = jnp.float32(-1e9)
     logits = jnp.where(mask, logits, neg)
     a = jax.random.categorical(key, logits, axis=-1)  # (B, P) in [0, A)
-    logp = jnp.take_along_axis(jax.nn.log_softmax(logits, axis=-1), a[..., None], axis=-1)[..., 0]
+    # one-hot contraction instead of take_along_axis (tiny-axis gathers are
+    # a TPU perf cliff; see ppo_loss)
+    logp_all = jax.nn.log_softmax(logits, axis=-1)
+    aoh = jax.nn.one_hot(a, logits.shape[-1], dtype=logp_all.dtype)
+    logp = jnp.sum(logp_all * aoh, axis=-1)
     return (a + 1).astype(jnp.int32), logp, value, mask

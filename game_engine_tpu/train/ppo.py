@@ -159,7 +159,12 @@ def ppo_loss(params, traj: Rollout, adv, ret, cfg: PPOConfig):
     logits = jnp.where(traj.legal, logits, jnp.float32(-1e9))
     logp_all = jax.nn.log_softmax(logits, axis=-1)
     a_idx = jnp.clip(traj.actions - 1, 0, logits.shape[-1] - 1)
-    logp = jnp.take_along_axis(logp_all, a_idx[..., None], axis=-1)[..., 0]
+    # one-hot contraction, NOT take_along_axis: TPU lowers the per-element
+    # gather over the tiny action axis to a pathological kCustom kernel
+    # (~25 ms per epoch at 16k rooms — the same cliff as the engine's
+    # player-axis gathers, see CLAUDE.md invariant 3)
+    aoh = jax.nn.one_hot(a_idx, logits.shape[-1], dtype=logp_all.dtype)
+    logp = jnp.sum(logp_all * aoh, axis=-1)
     ratio = jnp.exp(logp - traj.logp)
 
     m = traj.mask.astype(jnp.float32)

@@ -85,6 +85,7 @@ def main(argv=None):
     ap.add_argument("--players", type=int, default=6)
     ap.add_argument("--updates", type=int, default=100)
     ap.add_argument("--horizon", type=int, default=32)
+    ap.add_argument("--epochs", type=int, default=4, help="PPO epochs per rollout")
     ap.add_argument("--hidden", type=int, default=256)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--eval-every", type=int, default=25)
@@ -96,10 +97,14 @@ def main(argv=None):
                     help="train against a pool of frozen snapshots "
                          "(prioritized opponent sampling) instead of mirror self-play")
     ap.add_argument("--league-snapshot-every", type=int, default=50)
+    ap.add_argument("--league-dir", default="",
+                    help="also save each league snapshot here (for the "
+                         "evaluate --matchup win-rate matrix)")
     args = ap.parse_args(argv)
 
     lowered = lower(compile_game(load_builtin(args.game)))
-    cfg = PPOConfig(horizon=args.horizon, lr=args.lr, net=N.NetConfig(hidden=args.hidden))
+    cfg = PPOConfig(horizon=args.horizon, epochs=args.epochs, lr=args.lr,
+                    net=N.NetConfig(hidden=args.hidden))
     key = jax.random.PRNGKey(args.seed)
     params, opt_state, tx = init_training(lowered, cfg, key)
     if args.resume:
@@ -115,7 +120,8 @@ def main(argv=None):
         league.maybe_snapshot(params)
         league_step = jax.jit(make_league_train_step(lowered, cfg, tx))
         rng = np.random.default_rng(args.seed)
-    train_step = jax.jit(make_train_step(lowered, cfg, tx))
+    # donation keeps params/opt/state/key in place across updates
+    train_step = jax.jit(make_train_step(lowered, cfg, tx), donate_argnums=(0, 1, 2, 3))
     state = init_state(lowered, args.batch, args.players,
                        np.arange(args.batch, dtype=np.uint32))
     evals = {
@@ -145,7 +151,11 @@ def main(argv=None):
             )
             if float(metrics["episodes"]) > 0:  # no-episode updates carry no signal
                 league.record_result(opp_idx, float(metrics["learner_win_rate"]))
-            league.maybe_snapshot(params)
+            if league.maybe_snapshot(params) and args.league_dir:
+                import os
+
+                os.makedirs(args.league_dir, exist_ok=True)
+                save_tree(os.path.join(args.league_dir, f"snap_u{u:05d}"), params)
             metrics = dict(metrics)
             metrics["opponent"] = opp_idx
             metrics["pool_size"] = len(league.params_pool)
