@@ -307,7 +307,10 @@ def _semantic_gap_issues(spec: GameSpec, game) -> list[Issue]:
                 and cp.index != game.start_index  # rule intros describe, not do
                 and not _DESCRIBES_ONLY_RE.match(ph.name)
                 and not _DESCRIBES_ONLY_RE.match(ph.description)
-                and ph.completion.type is not CompletionType.PLAYER_ACTION
+                # timer phases are pure pacing (discussion before a vote
+                # naturally *mentions* the upcoming elimination)
+                and ph.completion.type not in (CompletionType.PLAYER_ACTION,
+                                               CompletionType.TIMER)
                 and _STATE_CHANGE_RE.search(text)):
             issues.append(Issue(
                 WARNING, where,

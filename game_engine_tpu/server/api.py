@@ -290,6 +290,9 @@ def make_server(port: int = 0, storage_path: Optional[str] = None,
 
         def _respond(self):
             parsed = urlparse(self.path)
+            m = re.match(r"^/api/rooms/([^/]+)/events$", parsed.path)
+            if self.command == "GET" and m:
+                return self._stream_events(m.group(1), parse_qs(parsed.query))
             body = {}
             if self.command == "POST":
                 length = int(self.headers.get("Content-Length") or 0)
@@ -312,6 +315,37 @@ def make_server(port: int = 0, storage_path: Optional[str] = None,
             self.send_header("Content-Length", str(len(data)))
             self.end_headers()
             self.wfile.write(data)
+
+        def _stream_events(self, room_id: str, query: dict):
+            """Server-sent events: push the viewer-filtered state whenever
+            stateVersion moves — the push half of the reference's useCoAgent
+            bidirectional sync (reference: SURVEY.md §2.5 cross-process
+            transport row; the round-1 client could only poll)."""
+            import time as _time
+
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.end_headers()
+            last = None
+            try:
+                for _ in range(2400):  # ~12 min per connection; clients reconnect
+                    code, snap = ctx.handle(
+                        "GET", f"/api/rooms/{room_id}/state", query, {}
+                    )
+                    if code != 200:
+                        self.wfile.write(
+                            f"event: gone\ndata: {json.dumps(snap)}\n\n".encode()
+                        )
+                        self.wfile.flush()
+                        return
+                    if snap.get("stateVersion") != last:
+                        last = snap.get("stateVersion")
+                        self.wfile.write(f"data: {json.dumps(snap)}\n\n".encode())
+                        self.wfile.flush()
+                    _time.sleep(0.3)
+            except (BrokenPipeError, ConnectionResetError, OSError):
+                return
 
         do_GET = _respond
         do_POST = _respond

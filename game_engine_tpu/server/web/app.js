@@ -207,6 +207,54 @@ const App = (() => {
     location.href = "/library";
   }
 
+  // ---- HITL prompt dialog (the reference's promptUserText modal) ----------
+
+  function maybePromptDialog(snap) {
+    if (document.getElementById("hitl")) return;
+    if (!(snap.waiting_on || []).includes(playerId)) return;
+    const input = (snap.items || []).find((i) => i.type === "broadcast_input");
+    if (!input) return;
+    const phaseKey = `p${snap.current_phase_id}`;
+    if (S.submitted[phaseKey] === "dismissed") return;
+    const ta = h("textarea", { placeholder: input.data.placeholder || "Type here..." });
+    const dlg = h("div", { class: "overlaybg", id: "hitl" },
+      h("div", { class: "dialog" },
+        h("h3", {}, input.data.title || "Your input is needed"),
+        ta,
+        h("div", { class: "row", style: "margin-top:10px" },
+          h("button", {
+            onclick: () => { dlg.remove(); onSubmitText(ta.value); },
+          }, input.data.confirmLabel || "Submit"),
+          h("button", {
+            class: "secondary",
+            onclick: () => { S.submitted[phaseKey] = "dismissed"; dlg.remove(); },
+          }, "Write on the canvas instead"))));
+    document.body.append(dlg);
+    ta.focus();
+  }
+
+  // ---- transport: SSE push with polling fallback ---------------------------
+
+  function startStream() {
+    if (!window.EventSource) {
+      S.pollTimer = setInterval(() => refresh(false), 1500);
+      return;
+    }
+    const es = new EventSource(`/api/rooms/${roomId}/events?playerId=${playerId}`);
+    es.onmessage = (e) => {
+      const snap = JSON.parse(e.data);
+      S.lastVersion = snap.stateVersion;
+      S.snap = snap;
+      render(snap);
+      maybePromptDialog(snap);
+    };
+    es.addEventListener("gone", () => es.close());
+    es.onerror = () => {
+      es.close();
+      setTimeout(startStream, 2000);  // reconnect; server caps stream length
+    };
+  }
+
   function start() {
     if (!roomId) { location.href = "/library"; return; }
     document.getElementById("contBtn").addEventListener("click", doContinue);
@@ -216,7 +264,7 @@ const App = (() => {
       sendChat();
     });
     refresh(true);
-    S.pollTimer = setInterval(() => refresh(false), 1500);
+    startStream();
   }
 
   return { start, onVote, onSubmitText, onAction, doContinue, _state: S };

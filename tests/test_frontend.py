@@ -77,6 +77,7 @@ def test_js_dom_contract(server):
         ids = set(re.findall(r"""getElementById\(["']([\w-]+)["']\)""", js))
         ids |= set(re.findall(r"""\bel\(["']([\w-]+)["']\)""", js))
         declared = set(re.findall(r"""id=["']([\w-]+)["']""", html))
+        declared |= set(re.findall(r"""\bid:\s*["']([\w-]+)["']""", js))  # js-created
         missing = ids - declared
         assert not missing, f"{script} touches ids missing from HTML: {missing}"
     # play.html loads both scripts it needs
@@ -244,6 +245,42 @@ def test_two_browsers_play_werewolf_through_the_ui(server):
     # chat through the UI
     msgs = alice.chat("to Bot 3: who do you suspect?")["messages"]
     assert len(msgs) >= 1
+
+
+def test_sse_state_push(server):
+    """/events streams viewer-filtered state snapshots whenever stateVersion
+    moves — the push half of the reference's useCoAgent sync."""
+    h = HeadlessClient(server, "Streamer")
+    h.create_room("werewolf")
+    h.add_bots()
+    h.start(seed=4)
+
+    conn = HTTPConnection("127.0.0.1", server.server_address[1], timeout=10)
+    conn.request("GET", f"/api/rooms/{h.room_id}/events?playerId=1")
+    resp = conn.getresponse()
+    assert resp.status == 200
+    assert "text/event-stream" in (resp.getheader("Content-Type") or "")
+
+    def next_event():
+        buf = b""
+        while b"\n\n" not in buf:
+            chunk = resp.read1(4096)
+            assert chunk, "stream closed early"
+            buf += chunk
+        line = [ln for ln in buf.split(b"\n") if ln.startswith(b"data: ")][0]
+        return json.loads(line[len(b"data: "):])
+
+    first = next_event()  # initial snapshot pushes immediately
+    assert first["current_phase_id"] == 0
+    # advance the game from a different connection -> a push arrives
+    h.continue_()
+    nxt = next_event()
+    assert nxt["stateVersion"] > first["stateVersion"]
+    assert nxt["current_phase_id"] != 0 or nxt["stateVersion"] >= 1
+    # the stream is viewer-filtered: no other player's private card
+    for it in nxt.get("items", []):
+        assert it["data"]["audience_type"] or "1" in it["data"]["audience_ids"]
+    conn.close()
 
 
 def test_two_truths_statement_board_through_the_ui(server):
