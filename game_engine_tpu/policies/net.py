@@ -192,41 +192,99 @@ def action_space(lowered: Lowered) -> int:
 class NetConfig:
     hidden: int = 256
     layers: int = 2
+    # 'mlp': flat trunk over the whole room observation;
+    # 'deepsets': a shared per-seat encoder phi pooled over targets, with a
+    # pointer head scoring each seat — the trunk width stays constant as
+    # rooms grow (the MLP's input scales as P * per-player features), and
+    # target actions are scored by the target's own embedding.
+    arch: str = "mlp"
 
 
-def init_params(key, in_dim: int, n_actions: int, cfg: NetConfig) -> dict[str, Any]:
-    """Plain-pytree MLP params; hidden layers sized for tensor-parallel
-    sharding over a 'model' mesh axis (see parallel/mesh.py)."""
+def _bf16_dot(x, w):
+    return jnp.dot(x.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+
+
+def init_params(key, in_dim: int, n_actions: int, cfg: NetConfig,
+                lowered: Lowered | None = None) -> dict[str, Any]:
+    """Plain-pytree params; hidden layers sized for tensor-parallel sharding
+    over a 'model' mesh axis (see parallel/mesh.py). The deepsets arch needs
+    ``lowered`` for the static seat/feature dims."""
     params = {}
-    dims = [in_dim] + [cfg.hidden] * cfg.layers
-    keys = jax.random.split(key, cfg.layers + 2)
+    keys = jax.random.split(key, cfg.layers + 6)
+
+    def lin(k, i, o):
+        return jax.random.normal(k, (i, o), jnp.float32) / np.sqrt(i)
+
+    if cfg.arch == "deepsets":
+        assert lowered is not None, "deepsets init needs the lowered game"
+        P, F0, NP = lowered.P, _per_player_dim(lowered), lowered.NP
+        hp = max(32, cfg.hidden // 2)
+        params["w_phi0"] = lin(keys[-3], F0, hp)
+        params["b_phi0"] = jnp.zeros((hp,), jnp.float32)
+        params["w_phi1"] = lin(keys[-4], hp, hp)
+        params["b_phi1"] = jnp.zeros((hp,), jnp.float32)
+        params["w_ptr"] = lin(keys[-5], cfg.hidden, hp)
+        trunk_in = 2 * hp + P + NP + 1  # pooled + self embedding + globals
+        dims = [trunk_in] + [cfg.hidden] * cfg.layers
+    else:
+        dims = [in_dim] + [cfg.hidden] * cfg.layers
     for i in range(cfg.layers):
-        scale = 1.0 / np.sqrt(dims[i])
-        params[f"w{i}"] = jax.random.normal(keys[i], (dims[i], dims[i + 1]), jnp.float32) * scale
+        params[f"w{i}"] = lin(keys[i], dims[i], dims[i + 1])
         params[f"b{i}"] = jnp.zeros((dims[i + 1],), jnp.float32)
-    scale = 1.0 / np.sqrt(cfg.hidden)
-    params["w_pi"] = jax.random.normal(keys[-2], (cfg.hidden, n_actions), jnp.float32) * scale
+    params["w_pi"] = lin(keys[-2], cfg.hidden, n_actions)
     params["b_pi"] = jnp.zeros((n_actions,), jnp.float32)
-    params["w_v"] = jax.random.normal(keys[-1], (cfg.hidden, 1), jnp.float32) * scale
+    params["w_v"] = lin(keys[-1], cfg.hidden, 1)
     params["b_v"] = jnp.zeros((1,), jnp.float32)
     return params
 
 
-def apply_net(params: dict[str, Any], obs: jax.Array, cfg: NetConfig):
-    """obs (..., F) -> (logits (..., A), value (...,)). bfloat16 matmuls on
-    the MXU with float32 accumulation (preferred_element_type)."""
-    x = obs.astype(jnp.bfloat16)
+def _trunk_and_heads(params, x, n_targets: int, ptr=None):
     i = 0
     while f"w{i}" in params:
-        x = jnp.dot(x, params[f"w{i}"].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
-        x = jax.nn.gelu(x + params[f"b{i}"])
+        x = jax.nn.gelu(_bf16_dot(x, params[f"w{i}"]) + params[f"b{i}"])
         x = x.astype(jnp.bfloat16)
         i += 1
-    logits = jnp.dot(x, params["w_pi"].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
-    logits = logits + params["b_pi"]
-    value = jnp.dot(x, params["w_v"].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
-    value = (value + params["b_v"])[..., 0]
+    logits = _bf16_dot(x, params["w_pi"]) + params["b_pi"]
+    if ptr is not None:
+        # pointer scores for the first P (target) actions come from the
+        # target seats' own embeddings
+        g = _bf16_dot(x, params["w_ptr"]).astype(jnp.bfloat16)
+        scores = jnp.sum(ptr * g[..., None, :], axis=-1,
+                         dtype=jnp.float32)  # (..., P)
+        pad = logits.shape[-1] - n_targets
+        if pad > 0:
+            scores = jnp.concatenate(
+                [scores, jnp.zeros(scores.shape[:-1] + (pad,), jnp.float32)], -1)
+        logits = logits + scores
+    value = (_bf16_dot(x, params["w_v"]) + params["b_v"])[..., 0]
     return logits, value
+
+
+def apply_net(params: dict[str, Any], obs: jax.Array, cfg: NetConfig,
+              lowered: Lowered | None = None):
+    """obs (..., F) -> (logits (..., A), value (...,)). bfloat16 matmuls on
+    the MXU with float32 accumulation (preferred_element_type)."""
+    if cfg.arch != "deepsets":
+        return _trunk_and_heads(params, obs.astype(jnp.bfloat16),
+                                obs.shape[-1])
+    assert lowered is not None, "deepsets apply needs the lowered game"
+    P, F0, NP = lowered.P, _per_player_dim(lowered), lowered.NP
+    x = obs.astype(jnp.bfloat16)
+    lead = x.shape[:-1]
+    room = x[..., : P * F0].reshape(lead + (P, F0))  # (..., target, F0)
+    rest = x[..., P * F0:]  # viewer one-hot + phase one-hot + n_alive
+    viewer_oh = rest[..., :P]
+    phi = jax.nn.gelu(_bf16_dot(room, params["w_phi0"]) + params["b_phi0"])
+    phi = jax.nn.gelu(_bf16_dot(phi.astype(jnp.bfloat16), params["w_phi1"])
+                      + params["b_phi1"]).astype(jnp.bfloat16)  # (..., P, hp)
+    pooled = jnp.mean(phi.astype(jnp.float32), axis=-2)
+    self_phi = jnp.sum(phi * viewer_oh[..., None].astype(jnp.bfloat16),
+                       axis=-2, dtype=jnp.float32)
+    trunk_in = jnp.concatenate(
+        [pooled, self_phi, rest.astype(jnp.float32)], axis=-1
+    ).astype(jnp.bfloat16)
+    return _trunk_and_heads(params, trunk_in, P, ptr=phi)
 
 
 def legal_action_mask(lowered: Lowered, state: GameState) -> jax.Array:
@@ -265,7 +323,7 @@ def sample_actions(lowered: Lowered, params, state: GameState, key, cfg: NetConf
     rebuilding the (expensive) masked observation tensor."""
     if obs is None:
         obs = observe(lowered, state)
-    logits, value = apply_net(params, obs, cfg)
+    logits, value = apply_net(params, obs, cfg, lowered)
     mask = legal_action_mask(lowered, state)
     neg = jnp.float32(-1e9)
     logits = jnp.where(mask, logits, neg)

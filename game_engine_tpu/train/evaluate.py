@@ -102,13 +102,14 @@ def main(argv=None):
     ap.add_argument("--players", type=int, default=6)
     ap.add_argument("--steps", type=int, default=256)
     ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--arch", default="mlp", choices=["mlp", "deepsets"])
     ap.add_argument("--seed", type=int, default=777)
     ap.add_argument("--matchup", nargs="*", default=None,
                     help="checkpoint paths: head-to-head win-rate matrix")
     args = ap.parse_args(argv)
 
     lowered = lower(compile_game(load_builtin(args.game)))
-    cfg = PPOConfig(net=N.NetConfig(hidden=args.hidden))
+    cfg = PPOConfig(net=N.NetConfig(hidden=args.hidden, arch=args.arch))
     if args.matchup:
         table = matchup_table(lowered, cfg, args.matchup, args.batch,
                               args.steps, args.players, args.seed)

@@ -118,12 +118,12 @@ def make_league_train_step(lowered: Lowered, cfg: PPOConfig, tx: optax.GradientT
     def loss_fn(params, traj: Rollout, adv, ret):
         from game_engine_tpu.train.ppo import ppo_loss
 
-        total, metrics = ppo_loss(params, traj, adv, ret, cfg)
+        total, metrics = ppo_loss(params, traj, adv, ret, cfg, lowered)
         return total, metrics["v_loss"]
 
     def train_step(params, opp_params, opt_state, state, key):
         state, key, traj, won = unroll(params, opp_params, state, key)
-        _, last_v = N.apply_net(params, N.observe(lowered, state), cfg.net)
+        _, last_v = N.apply_net(params, N.observe(lowered, state), cfg.net, lowered)
         adv, ret = gae(traj, last_v, cfg)
         loss = v_loss = jnp.float32(0)
         for _ in range(cfg.epochs):

@@ -151,9 +151,18 @@ def gae(traj: Rollout, last_value: jax.Array, cfg: PPOConfig):
     return advs, advs + traj.value
 
 
-def ppo_loss(params, traj: Rollout, adv, ret, cfg: PPOConfig):
+def ppo_loss(params, traj: Rollout, adv, ret, cfg: PPOConfig,
+             lowered: Lowered | None = None):
     """Clipped-PPO loss shared by mirror self-play and league training."""
-    logits, value = N.apply_net(params, traj.obs, cfg.net)
+    if cfg.net.arch == "deepsets":
+        # chunk the recompute over T with remat inside: the set encoder's
+        # (T, B, P, P, hp) phi activations would otherwise be held (or
+        # rematerialized whole) for the backward pass — 8 GB at 16k rooms.
+        # lax.map + checkpoint keeps the peak at one timestep's worth.
+        inner = jax.checkpoint(lambda o: N.apply_net(params, o, cfg.net, lowered))
+        logits, value = jax.lax.map(inner, traj.obs)
+    else:
+        logits, value = N.apply_net(params, traj.obs, cfg.net, lowered)
     # the same legal-action masking as at sampling time — without it the
     # recomputed log-probs (and hence PPO ratios) are wrong
     logits = jnp.where(traj.legal, logits, jnp.float32(-1e9))
@@ -191,11 +200,11 @@ def make_train_step(lowered: Lowered, cfg: PPOConfig, tx: optax.GradientTransfor
     unroll = make_unroll(lowered, cfg)
 
     def loss_fn(params, traj, adv, ret):
-        return ppo_loss(params, traj, adv, ret, cfg)
+        return ppo_loss(params, traj, adv, ret, cfg, lowered)
 
     def train_step(params, opt_state, state: GameState, key):
         state, key, traj = unroll(params, state, key)
-        _, last_v = N.apply_net(params, N.observe(lowered, state), cfg.net)
+        _, last_v = N.apply_net(params, N.observe(lowered, state), cfg.net, lowered)
         adv, ret = gae(traj, last_v, cfg)
         for _ in range(cfg.epochs):
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -215,7 +224,7 @@ def make_train_step(lowered: Lowered, cfg: PPOConfig, tx: optax.GradientTransfor
 def init_training(lowered: Lowered, cfg: PPOConfig, key):
     in_dim = N.obs_dim(lowered)
     n_actions = N.action_space(lowered)
-    params = N.init_params(key, in_dim, n_actions, cfg.net)
+    params = N.init_params(key, in_dim, n_actions, cfg.net, lowered)
     tx = optax.adam(cfg.lr)
     opt_state = tx.init(params)
     return params, opt_state, tx
