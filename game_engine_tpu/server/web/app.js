@@ -187,6 +187,10 @@ const App = (() => {
       S.finishedShown = true;
       cells.center.push(null); // banner handled in header
     }
+    const pre = document.getElementById("inspector");
+    if (pre && pre.style.display !== "none") {
+      pre.textContent = JSON.stringify(snap, null, 1);
+    }
     refreshChat();
   }
 
@@ -259,6 +263,13 @@ const App = (() => {
     if (!roomId) { location.href = "/library"; return; }
     document.getElementById("contBtn").addEventListener("click", doContinue);
     document.getElementById("exitBtn").addEventListener("click", exitGame);
+    // JSON state inspector (reference: page.tsx:2784-2791 debug toggle)
+    document.getElementById("debugBtn").addEventListener("click", () => {
+      const pre = document.getElementById("inspector");
+      const on = pre.style.display === "none";
+      pre.style.display = on ? "block" : "none";
+      if (on && S.snap) pre.textContent = JSON.stringify(S.snap, null, 1);
+    });
     document.getElementById("chatform").addEventListener("submit", (e) => {
       e.preventDefault();
       sendChat();
