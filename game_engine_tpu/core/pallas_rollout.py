@@ -239,11 +239,11 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
                 alive_i = _b2i(alive_mask())
                 kill_alive = take_row_i(alive_i, kill - 1) != 0
                 do_kill = active & any_k & (kill != prot) & kill_alive
+                death = do_kill & (prow() == kill - 1)
                 if lw.alive_bool >= 0:
-                    death = do_kill & (prow() == kill - 1)
                     blist[lw.alive_bool] = jnp.where(death, 0, blist[lw.alive_bool])
-                    for slot in m.reveal_bool_slots:  # P15
-                        blist[slot] = jnp.where(death, 1, blist[slot])
+                for slot in m.reveal_bool_slots:  # P15 (even without is_alive)
+                    blist[slot] = jnp.where(death, 1, blist[slot])
                 for slot, d in zip(m.reset_bool_slots, m.reset_bool_defaults):
                     blist[slot] = jnp.where(active, int(bool(d)), blist[slot])
                 for slot, d in zip(m.reset_num_slots, m.reset_num_defaults):
@@ -252,12 +252,13 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
                 vmask = (phase_in(m.vote_phase_mask, st["chphase"])
                          & pred_eval(m.voter_pred, blist, nlist, slist) & present)
                 tgt, any_v = plurality(st["choice"], vmask)
-                do = active & any_v
+                tgt_alive = take_row_i(_b2i(alive_mask()), tgt - 1) != 0
+                do = active & any_v & tgt_alive  # oracle gates on target alive
+                death = do & (prow() == tgt - 1)
                 if lw.alive_bool >= 0:
-                    death = do & (prow() == tgt - 1)
                     blist[lw.alive_bool] = jnp.where(death, 0, blist[lw.alive_bool])
-                    for slot in m.reveal_bool_slots:  # P15
-                        blist[slot] = jnp.where(death, 1, blist[slot])
+                for slot in m.reveal_bool_slots:  # P15 (even without is_alive)
+                    blist[slot] = jnp.where(death, 1, blist[slot])
             elif isinstance(m, T.LResourceIncome):  # P12
                 gmask = active & alive_mask()
                 for slot, amount in m.gains:

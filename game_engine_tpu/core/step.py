@@ -283,11 +283,10 @@ def _mech_night_resolve(lw: Lowered, st: GameState, pe: PredEval, active, m: T.L
     alive = _alive(lw, st)
     kill_alive = _take_player(alive, kill - 1)
     do_kill = active & any_k & (kill != protect) & kill_alive
-    bools = st.bools
-    if lw.alive_bool >= 0:
-        death = _player_onehot(kill - 1, P) & do_kill[:, None]
-        bools = _apply_death(lw, bools, death, m.reveal_bool_slots)
-    st = st._replace(bools=bools)
+    # death effects apply even without an is_alive field (reveal flags,
+    # P15) — the oracle and C++ sim do; skipping here broke 4-way parity
+    death = _player_onehot(kill - 1, P) & do_kill[:, None]
+    st = st._replace(bools=_apply_death(lw, st.bools, death, m.reveal_bool_slots))
     return _reset_fields(
         st, active, m.reset_bool_slots, m.reset_bool_defaults, m.reset_num_slots, m.reset_num_defaults
     )
@@ -297,12 +296,10 @@ def _mech_vote_elim(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LVote
     P = st.present.shape[1]
     vmask = _phase_mask_lookup(m.vote_phase_mask, st.choice_phase) & pe.pred(m.voter_pred) & st.present
     tgt, any_v = _plurality(st.choice, vmask, P)
-    do = active & any_v
-    bools = st.bools
-    if lw.alive_bool >= 0:
-        death = _player_onehot(tgt - 1, P) & do[:, None]
-        bools = _apply_death(lw, bools, death, m.reveal_bool_slots)
-    return st._replace(bools=bools)
+    tgt_alive = _take_player(_alive(lw, st), tgt - 1)
+    do = active & any_v & tgt_alive  # oracle gates the kill on target alive
+    death = _player_onehot(tgt - 1, P) & do[:, None]
+    return st._replace(bools=_apply_death(lw, st.bools, death, m.reveal_bool_slots))
 
 
 def _mech_resource_income(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LResourceIncome) -> GameState:

@@ -247,8 +247,12 @@ _ROTATE_RE = re.compile(
     re.IGNORECASE,
 )
 _ROLE_ASSIGN_RE = re.compile(r"\b(assign\w*)\b[^.]*\brole|role assignment", re.IGNORECASE)
+# P12 requires an everyone-subject ("each/all/every player(s) collects K
+# <field>") — "the winner receives 3 coins" must NOT pay the whole room
 _INCOME_RE = re.compile(
-    r"\b(?:gain|collect|receive|earn)s?\s+(\d+)\s+([A-Za-z_]+)", re.IGNORECASE
+    r"\b(?:each|all|every)\s+(?:alive\s+|living\s+)?players?\s+"
+    r"(?:gain|collect|receive|earn)s?\s+(\d+)\s+([A-Za-z_]+)",
+    re.IGNORECASE,
 )
 _RAID_RE = re.compile(
     r"\b(raid\w*|steal\w*|rob(?:s|bed|bing)?|plunder\w*|loot\w*)\b", re.IGNORECASE

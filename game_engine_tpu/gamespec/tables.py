@@ -336,10 +336,12 @@ def lower(game: CompiledGame) -> Lowered:
     rec_pdict_src = np.full(NP, -1, dtype=np.int32)
     # categorical banks are stored int8 on-device (GameState.strs/pdict);
     # DSL vocabularies are tiny — assert the assumption rather than corrupt
+    from game_engine_tpu.gamespec.layout import BANK_PDICT as _BPD
+
     for s in layout.slots.values():
-        if s.bank == BANK_STR and len(s.vocab) >= 127:
+        if s.bank in (BANK_STR, _BPD) and len(s.vocab) >= 127:
             raise ValueError(
-                f"string field {s.field!r} has {len(s.vocab)} vocabulary "
+                f"categorical field {s.field!r} has {len(s.vocab)} vocabulary "
                 "entries; the int8 categorical banks support at most 126"
             )
     max_vocab = max([len(s.vocab) for s in layout.slots.values() if s.bank == BANK_STR] + [1])

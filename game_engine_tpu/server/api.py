@@ -330,16 +330,19 @@ def make_server(port: int = 0, storage_path: Optional[str] = None,
             last = None
             try:
                 for _ in range(2400):  # ~12 min per connection; clients reconnect
-                    code, snap = ctx.handle(
-                        "GET", f"/api/rooms/{room_id}/state", query, {}
-                    )
-                    if code != 200:
-                        self.wfile.write(
-                            f"event: gone\ndata: {json.dumps(snap)}\n\n".encode()
+                    # cheap change check first: the full snapshot (decode +
+                    # projection + masking) is only built when t moved
+                    ver = ctx.host.state_version(room_id)
+                    if ver is None or ver != last:
+                        code, snap = ctx.handle(
+                            "GET", f"/api/rooms/{room_id}/state", query, {}
                         )
-                        self.wfile.flush()
-                        return
-                    if snap.get("stateVersion") != last:
+                        if code != 200:
+                            self.wfile.write(
+                                f"event: gone\ndata: {json.dumps(snap)}\n\n".encode()
+                            )
+                            self.wfile.flush()
+                            return
                         last = snap.get("stateVersion")
                         self.wfile.write(f"data: {json.dumps(snap)}\n\n".encode())
                         self.wfile.flush()

@@ -65,6 +65,7 @@ def _bot_submission(seed: int, pid: int, field: str, example: Any) -> dict[str, 
     from game_engine_tpu.gamespec.mechanics import splitmix32
 
     n = len(example) if isinstance(example, dict) and example else 3
+    n = min(n, len(_BOT_SUBMISSIONS))  # distinctness loop must terminate
     out: dict[str, str] = {}
     used: set[int] = set()
     for i in range(n):
@@ -154,6 +155,9 @@ class _GameSlots:
     def is_done(self, slot: int) -> bool:
         return bool(self.state.done[slot])
 
+    def version(self, slot: int) -> int:
+        return int(self.state.t[slot])
+
     def phase_index(self, slot: int) -> int:
         return int(self.state.phase[slot])
 
@@ -234,6 +238,9 @@ class _NativeRooms:
 
     def is_done(self, slot: int) -> bool:
         return bool(self.rooms[slot].read()["done"])
+
+    def version(self, slot: int) -> int:
+        return int(self.rooms[slot].read()["t"])
 
     def phase_index(self, slot: int) -> int:
         return int(self.rooms[slot].read()["phase_index"])
@@ -403,6 +410,15 @@ class GameHost:
         with self._lock:
             return room_id in self._rooms
 
+    def state_version(self, room_id: str) -> Optional[int]:
+        """Cheap change detector for the SSE stream — no decode/projection."""
+        with self._lock:
+            entry = self._rooms.get(room_id)
+            if entry is None:
+                return None
+            slots_key, slot = entry
+            return self._slots[slots_key].version(slot)
+
     def end_room(self, room_id: str) -> None:
         with self._lock:
             slots_key, slot = self._rooms.pop(room_id, (None, None))
@@ -459,6 +475,16 @@ class GameHost:
                         self._texts[room_id].setdefault(int(ev["pid"]), {})[
                             str(ev["field"])
                         ] = {str(k): str(v) for k, v in (ev.get("content") or {}).items()}
+            except Exception:
+                # a corrupt mid-journal event must not leave a half-replayed
+                # room registered (it would serve stale state instead of the
+                # caller's clear 410); the journal file itself is preserved
+                # as evidence (no RoomJournal is attached during replay)
+                self._replaying = False
+                self._replay_ts = None
+                if room_id in self._rooms:
+                    self.end_room(room_id)
+                return False
             finally:
                 self._replaying = False
                 self._replay_ts = None

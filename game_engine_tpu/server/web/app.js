@@ -45,7 +45,8 @@ const App = (() => {
     if (S.busy || !text.trim()) return;
     S.busy = true;
     await api("POST", `/api/rooms/${roomId}/action`, { playerId, choice: 1, text });
-    if (S.snap) S.submitted[S.snap.current_phase_id] = true;
+    // same key the HITL dialog checks: never re-prompt for this phase
+    if (S.snap) S.submitted[`p${S.snap.current_phase_id}`] = "submitted";
     await doContinue();
     S.busy = false;
   }
@@ -191,6 +192,7 @@ const App = (() => {
     if (pre && pre.style.display !== "none") {
       pre.textContent = JSON.stringify(snap, null, 1);
     }
+    maybePromptDialog(snap);  // both transports (SSE and polling fallback)
     refreshChat();
   }
 
@@ -219,7 +221,7 @@ const App = (() => {
     const input = (snap.items || []).find((i) => i.type === "broadcast_input");
     if (!input) return;
     const phaseKey = `p${snap.current_phase_id}`;
-    if (S.submitted[phaseKey] === "dismissed") return;
+    if (phaseKey in S.submitted) return;  // submitted or dismissed
     const ta = h("textarea", { placeholder: input.data.placeholder || "Type here..." });
     const dlg = h("div", { class: "overlaybg", id: "hitl" },
       h("div", { class: "dialog" },
@@ -250,7 +252,6 @@ const App = (() => {
       S.lastVersion = snap.stateVersion;
       S.snap = snap;
       render(snap);
-      maybePromptDialog(snap);
     };
     es.addEventListener("gone", () => es.close());
     es.onerror = () => {

@@ -191,3 +191,76 @@ def test_generate_from_description_picks_new_archetypes():
     assert "influence" in doc["declaration"]["player_states"]
     doc = generate_from_description("bazaar", "collect coins and raid your rivals")
     assert "coins" in doc["declaration"]["player_states"]
+
+
+def test_reveal_on_death_without_is_alive_four_way():
+    """P15 with no is_alive field: reveal flags still set on the plurality
+    victim in ALL executors (review finding: the jax/pallas paths skipped
+    them when alive_bool < 0 while oracle/C++ set them)."""
+    from tests.test_fuzz_alien import _council_doc
+
+    doc = _council_doc()
+    # no is_alive: deaths become reveal-only marks
+    del doc["declaration"]["player_states"]["is_alive"]
+    del doc["declaration"]["player_states_template"]["player_states"]["1"]["is_alive"]
+    doc["declaration"]["player_states"]["role_revealed"] = {
+        "type": "boolean", "example": False,
+        "description": "Set when the member's role is revealed on expulsion."}
+    doc["declaration"]["player_states_template"]["player_states"]["1"][
+        "role_revealed"] = False
+    doc["phases"][2]["completion_criteria"]["target_players"]["condition"] = \
+        "player.role_revealed == false"
+    doc["phases"][4]["next_phase"] = {
+        "If no living members remain, the game ends.": {"id": 99, "name": "Game Over"},
+        "Otherwise, the council continues.": {"id": 1, "name": "Council Discussion"},
+    }
+    from game_engine_tpu.dslgen.validate import errors, validate_doc
+
+    issues, spec = validate_doc(doc, name="revealers")
+    assert spec is not None and not errors(issues), [str(i) for i in issues]
+    lowered = lower(compile_game(spec))
+    assert lowered.alive_bool < 0  # the premise of the regression
+    n, seed = 4, 2
+    room = OracleRoom(lowered.game, n_players=n, seed=seed)
+    eng = BatchedEngine(lowered)
+    state = init_state(lowered, 1, n, np.uint32(seed))
+    saw_reveal = False
+    for t in range(60):
+        room.step(oracle_policy(room, t, seed))
+        state = eng.step(state, scripted_actions(lowered, state))
+        assert_state_matches(lowered, room, state, 0, t)
+        if any(room.players[p].get("role_revealed") for p in range(1, n + 1)):
+            saw_reveal = True
+            break
+    assert saw_reveal, "no reveal ever happened — the regression is untested"
+    # C++ parity on the same doc
+    from game_engine_tpu.native import available
+
+    if available():
+        from tests.test_native import run_differential
+
+        run_differential(lowered, n_players=n, seed=seed, max_steps=60)
+
+
+def test_income_requires_everyone_subject():
+    """'The winner receives 3 coins' must NOT pay the whole room (review
+    finding: P12's regex lacked the each/all/every-players gate)."""
+    from game_engine_tpu.dslgen.generate import Blueprint, generate
+    from game_engine_tpu.gamespec import mechanics as M
+
+    doc = generate(Blueprint(name="m", description="m", archetype="market"))
+    doc["phases"][3]["description"] = (
+        "Resolve the raids: the winner receives 3 coins from the losers.")
+    from game_engine_tpu.dslgen.validate import validate_doc
+
+    _, spec = validate_doc(doc, name="m")
+    game = compile_game(spec)
+    for cp in game.phases:
+        if cp.dsl_id == 3:
+            kinds = [type(m).__name__ for m in cp.program.on_enter]
+            assert "ResourceIncome" not in kinds, kinds
+    # the real income phase still attaches
+    for cp in game.phases:
+        if cp.dsl_id == 1:
+            kinds = [type(m).__name__ for m in cp.program.on_enter]
+            assert "ResourceIncome" in kinds, kinds

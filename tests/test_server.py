@@ -334,3 +334,36 @@ def test_two_games_hosted_concurrently(server):
     assert s1["current_phase_id"] == 1  # werewolf advanced 0 -> 1
     assert s2["current_phase_id"] == 0  # two-truths untouched
     assert s2["gameName"].startswith("two-truths")
+
+
+def test_corrupt_journal_event_fails_restore_cleanly(tmp_path):
+    """A corrupt mid-journal event must not leave a half-replayed room
+    serving stale state — restore fails, room marked finished, clear 410
+    (review finding)."""
+    import json as _json
+    import os
+
+    from game_engine_tpu.server.api import AppContext
+
+    sp = str(tmp_path / "rooms.json")
+    ctx = AppContext(sp)
+    _, d = ctx.handle("POST", "/api/rooms/create", {},
+                      {"gameName": "werewolf", "playerName": "Corrupt"})
+    rid = d["room"]["roomId"]
+    ctx.handle("POST", "/api/rooms/add-bot", {}, {"roomId": rid})
+    ctx.handle("POST", f"/api/rooms/{rid}/start", {}, {"seed": 11})
+    ctx.handle("POST", f"/api/rooms/{rid}/continue", {}, {})
+    del ctx
+
+    path = sp + ".rooms/" + rid + ".jsonl"
+    lines = open(path).read().splitlines()
+    assert len(lines) >= 3
+    lines[2] = _json.dumps({"e": "chat", "text": "missing pid"})  # malformed
+    open(path, "w").write("\n".join(lines) + "\n")
+
+    ctx2 = AppContext(sp)
+    assert not ctx2.host.has_room(rid), "half-replayed room left registered"
+    code, data = ctx2.handle("GET", f"/api/rooms/{rid}/state",
+                             {"playerId": ["1"]}, {})
+    assert code == 410, (code, data)
+    assert os.path.exists(path)  # journal preserved as evidence
