@@ -3,7 +3,7 @@
 The reference generates game DSLs with three sequential gpt-5 calls taking
 ~10 minutes (reference: agent/dsl_agent.py:157-371, README.md:48). This
 module generates the same YAML contract deterministically (milliseconds)
-from a structured Blueprint covering the two social-game archetypes the
+from a structured Blueprint covering the five social-game archetypes the
 engine's mechanics library executes:
 
   * 'elimination' — hidden-roles night/day cycle (werewolf-like): an evil
@@ -11,11 +11,19 @@ engine's mechanics library executes:
     plurality voting, team win conditions;
   * 'rounds'      — speaker-rotation guess games (two-truths-like): a
     rotating speaker submits content, others vote, guess scoring, fixed
-    rounds per player.
+    rounds per player;
+  * 'battle'      — last-survivor elimination voting (no hidden roles);
+  * 'bluff'       — Coup-style claim/challenge over hidden court roles and
+    influence (P14);
+  * 'market'      — resource income + simultaneous raids, first purse to
+    the target wins (P12/P13).
 
 ``generate_from_description`` maps a free-text description onto a Blueprint
-by keyword; an external LLM can be plugged at that seam (``llm_hook``) where
-the reference called OpenAI — no network is required for the built-in path.
+by keyword, and additionally MINES the description for the cast: night-role
+names by convention (mafia/vampires kill, healers protect, sheriffs
+investigate), duplicated killers ("two vampires"), and the table size
+("6 players"). An external LLM can be plugged at the ``llm_hook`` seam
+where the reference called OpenAI — no network is required built-in.
 """
 
 from __future__ import annotations
@@ -164,7 +172,9 @@ def _gen_elimination(bp: Blueprint) -> dict[str, Any]:
 
     players_example = {
         str(i + 1): example_row(nm, r)
-        for i, (nm, r) in enumerate(zip(["Alpha", "Beta", "Gamma", "Delta"], roles))
+        for i, (nm, r) in enumerate(zip(
+            ["Alpha", "Beta", "Gamma", "Delta", "Echo", "Foxtrot", "Golf", "Hotel"],
+            roles))
     }
 
     tools = [
@@ -931,6 +941,79 @@ def generate(bp: Blueprint) -> dict[str, Any]:
     raise ValueError(f"unknown archetype {bp.archetype!r}")
 
 
+# -- description mining: roles, counts, player minimums ----------------------
+#
+# The reference's generator is gpt-5 and accepts anything; the built-in path
+# can still go well beyond fixed blueprints by mining the description for
+# the cast: night-action roles by their conventional names, duplicated
+# killers ("two mafia"), and the table size ("6 players").
+
+_KILLER_NAME = r"(assassins?|werewol(?:f|ves)|mafia|killers?|murderers?|impostors?|vampires?|bandits?)"
+_PROTECT_NAME = r"(doctors?|guardians?|bodyguards?|healers?|protectors?|angels?)"
+_INVEST_NAME = r"(detectives?|seers?|sheriffs?|inspectors?|investigators?|oracles?|psychics?)"
+_FILLER_NAME = r"(villagers?|civilians?|townsfolk|crew(?:mates?)?|citizens?)"
+_NUM_WORDS = {"one": 1, "two": 2, "three": 3, "four": 4, "five": 5, "six": 6,
+              "seven": 7, "eight": 8}
+_PLAYERS_RE = re.compile(r"\b(\d+|" + "|".join(_NUM_WORDS) + r")\s+players?\b",
+                         re.IGNORECASE)
+
+
+def _count_before(description: str, match: re.Match) -> int:
+    """'two mafia' / '2 werewolves' -> 2; default 1."""
+    prefix = description[: match.start()].rstrip().rsplit(None, 1)
+    if not prefix:
+        return 1
+    w = prefix[-1].lower()
+    if w.isdigit():
+        return max(1, min(4, int(w)))
+    return max(1, min(4, _NUM_WORDS.get(w, 1)))
+
+
+def _singular_title(name: str) -> str:
+    from game_engine_tpu.gamespec.conditions import _singularize
+
+    s = _singularize(name)
+    return s[:1].upper() + s[1:]
+
+
+def _mine_elimination_roles(description: str) -> tuple[RoleDef, ...]:
+    """Build a custom cast from conventional role names in the description;
+    empty tuple when nothing beyond the defaults is named."""
+    from game_engine_tpu.gamespec.conditions import _pluralize
+
+    roles: list[RoleDef] = []
+    km = re.search(_KILLER_NAME, description, re.IGNORECASE)
+    if km is None:
+        return ()
+    killer = _singular_title(km.group(1))
+    evil_team = _pluralize(killer.lower())
+    fm = re.search(_FILLER_NAME, description, re.IGNORECASE)
+    filler = _singular_title(fm.group(1)) if fm else "Civilian"
+    roles.append(RoleDef(filler, "town", "",
+                         "No night action; votes during the day."))
+    for _ in range(_count_before(description, km)):
+        roles.append(RoleDef(killer, evil_team, "kill",
+                             "At night, chooses one target to eliminate."))
+    pm = re.search(_PROTECT_NAME, description, re.IGNORECASE)
+    if pm:
+        roles.append(RoleDef(_singular_title(pm.group(1)), "town", "protect",
+                             "At night, protects one player from elimination."))
+    im = re.search(_INVEST_NAME, description, re.IGNORECASE)
+    if im:
+        roles.append(RoleDef(_singular_title(im.group(1)), "town", "investigate",
+                             "At night, investigates one player's alignment."))
+    return tuple(roles)
+
+
+def _mine_min_players(description: str, default: int) -> int:
+    m = _PLAYERS_RE.search(description)
+    if not m:
+        return default
+    w = m.group(1).lower()
+    n = int(w) if w.isdigit() else _NUM_WORDS[w]
+    return max(3, min(12, n))
+
+
 _BLUFF_WORDS = re.compile(
     r"\b(bluff\w*|coup|challeng\w*|call(?:ing)? (?:a|their|the) bluff|influence)\b",
     re.IGNORECASE,
@@ -959,14 +1042,20 @@ def generate_from_description(
     gpt-5); the built-in path is keyword archetype selection."""
     if llm_hook is not None:
         return llm_hook(name, description)
+    roles: tuple[RoleDef, ...] = ()
     if _BLUFF_WORDS.search(description):
         archetype = "bluff"
     elif _MARKET_WORDS.search(description):
         archetype = "market"
-    elif _NIGHT_WORDS.search(description):
+    elif _NIGHT_WORDS.search(description) or _mine_elimination_roles(description):
         archetype = "elimination"
+        roles = _mine_elimination_roles(description)
     elif _BATTLE_WORDS.search(description):
         archetype = "battle"
     else:
         archetype = "rounds"
-    return generate(Blueprint(name=name, description=description, archetype=archetype))
+    min_players = _mine_min_players(
+        description, max(4, len(roles)) if archetype == "elimination" else 4)
+    return generate(Blueprint(name=name, description=description,
+                              archetype=archetype, roles=roles,
+                              min_players=min_players))

@@ -133,3 +133,38 @@ def test_generated_rounds_runs_to_completion():
             break
     assert room.done
     assert all(r == 1 for r in room.field_values("rounds_as_speaker"))
+
+
+def test_description_mining_builds_custom_casts():
+    """generate_from_description mines role names, killer counts and table
+    size from free text (round 2: beyond fixed-archetype keywords)."""
+    from game_engine_tpu.dslgen.generate import generate_from_description
+    from game_engine_tpu.dslgen.validate import errors, validate_doc
+
+    doc = generate_from_description(
+        "mined", "a mafia game with a sheriff and a bodyguard, 6 players")
+    issues, spec = validate_doc(doc, name="mined")
+    assert spec is not None and not errors(issues) and not issues
+    names = [r["name"] for r in doc["declaration"]["roles"]]
+    assert {"Mafia", "Sheriff", "Bodyguard"} <= set(names)
+    assert doc["declaration"]["min_players"] == 6
+
+    doc = generate_from_description(
+        "vamp", "two vampires stalk the citizens at night; a psychic investigates")
+    names = [r["name"] for r in doc["declaration"]["roles"]]
+    assert names.count("Vampire") == 2 and "Psychic" in names
+    issues, spec = validate_doc(doc, name="vamp")
+    assert spec is not None and not errors(issues)
+    # the mined game runs to termination with oracle semantics
+    from game_engine_tpu.gamespec.compile import compile_game
+    from game_engine_tpu.gamespec.tables import lower
+    from game_engine_tpu.oracle.interp import OracleRoom
+    from game_engine_tpu.policies.scripted import oracle_policy
+
+    lowered = lower(compile_game(spec))
+    room = OracleRoom(lowered.game, n_players=6, seed=2)
+    for t in range(400):
+        room.step(oracle_policy(room, t, 2))
+        if room.done:
+            break
+    assert room.done
