@@ -1043,13 +1043,16 @@ def generate_from_description(
     if llm_hook is not None:
         return llm_hook(name, description)
     roles: tuple[RoleDef, ...] = ()
-    if _BLUFF_WORDS.search(description):
+    # night/role vocabulary FIRST: "werewolves steal gold at night" is an
+    # elimination game that happens to mention market words, not a market
+    # game (round-1 precedence, kept)
+    if _NIGHT_WORDS.search(description) or _mine_elimination_roles(description):
+        archetype = "elimination"
+        roles = _mine_elimination_roles(description)
+    elif _BLUFF_WORDS.search(description):
         archetype = "bluff"
     elif _MARKET_WORDS.search(description):
         archetype = "market"
-    elif _NIGHT_WORDS.search(description) or _mine_elimination_roles(description):
-        archetype = "elimination"
-        roles = _mine_elimination_roles(description)
     elif _BATTLE_WORDS.search(description):
         archetype = "battle"
     else:

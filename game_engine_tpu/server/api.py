@@ -253,9 +253,13 @@ class AppContext:
                     self.host.queue_vote(room_id, int(body["playerId"]), int(body["option"]))
                     return 200, {"queued": True}
                 if method == "POST" and action == "step":
-                    # with playerId, the response is the viewer-filtered
-                    # state (clients must never receive other players'
-                    # hidden fields just because they pressed step)
+                    # with playerId the response is that viewer's filtered
+                    # state (what the web client uses); the bare variant
+                    # returns the host view. NOTE identity is client-asserted
+                    # throughout this API (the reference has no auth either,
+                    # and useCoAgent syncs FULL state to every client) —
+                    # masking is an information-hygiene upgrade, not a
+                    # security boundary.
                     snap = self.host.step(room_id)
                     if snap.get("done"):
                         self.storage.set_status(room_id, "finished")

@@ -63,13 +63,14 @@ class ChatRoom:
     def post(self, player_id: int, player_name: str, text: str,
              visibility: str = "public",
              target_audience: Optional[list[str]] = None,
-             mtype: str = "message") -> ChatMessage:
+             mtype: str = "message",
+             timestamp: Optional[float] = None) -> ChatMessage:
         msg = ChatMessage(
             id=f"{self.room_id}-{next(self._ids)}",
             playerId=str(player_id),
             playerName=player_name,
             message=text,
-            timestamp=time.time(),
+            timestamp=time.time() if timestamp is None else timestamp,
             type=mtype,
             visibility=visibility,
             target_audience=target_audience,
@@ -138,10 +139,14 @@ class ChatRoom:
         reply = self._compose(kind, bot, sender_id, sender_name, text,
                               snapshot, h2)
         bot_name = players.get(str(bot), {}).get("name") or f"Player {bot}"
+        # the reply inherits the triggering message's clock so journal
+        # replay reproduces timestamps exactly
+        trigger_ts = self.messages[-1].timestamp if self.messages else None
         return self.post(
             bot, bot_name, reply,
             visibility="private" if private else "public",
             target_audience=[str(sender_id)] if private else None,
+            timestamp=trigger_ts,
         )
 
     # -- state-grounded composition ---------------------------------------
@@ -155,7 +160,10 @@ class ChatRoom:
         suspicious = _KEYWORDS[-1][0]
         name_to_pid = {
             str(row.get("name", "")).lower(): int(pid)
-            for pid, row in players.items() if row.get("name")
+            for pid, row in players.items()
+            # whole-word matching below; 1-2 char names collide with
+            # ordinary words ('Al' in 'all') even then, so skip them
+            if row.get("name") and len(str(row["name"])) >= 3
         }
         for msg in self.messages:
             if msg.type != "message" or not suspicious.search(msg.message):
@@ -164,7 +172,7 @@ class ChatRoom:
             for mm in _MENTION.finditer(msg.message):
                 counts[int(mm.group(1))] = counts.get(int(mm.group(1)), 0) + 1
             for nm, pid in name_to_pid.items():
-                if nm and nm in low:
+                if re.search(rf"\b{re.escape(nm)}\b", low):
                     counts[pid] = counts.get(pid, 0) + 1
         return counts
 

@@ -13,9 +13,12 @@ bit-identically (SURVEY.md §2.5 fault-handling row).
 File format (one JSON object per line, flushed per event):
   line 1: {"v": 1, "game": ..., "n_players": N, "seed": S,
            "rounds_per_player": R, "human_seats": [..], "names": {...}}
-  then:   {"e": "step", "a": {"<pid>": choice, ...}}      merged human actions
-          {"e": "chat", "pid": N, "name": ..., "text": ...}
+  then:   {"e": "step", "ts": T, "a": {"<pid>": choice, ...}}   merged human actions
+          {"e": "chat", "pid": N, "text": ..., "ts": T}
           {"e": "text", "pid": N, "field": ..., "content": {...}}
+
+Event timestamps ride along so replay reproduces phase_history and chat
+clocks exactly, not just engine state.
 """
 
 from __future__ import annotations

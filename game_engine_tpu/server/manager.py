@@ -296,6 +296,9 @@ class GameHost:
         self._names: dict[str, dict[int, str]] = {}
         # roomId -> {pid: {field: {key: text}}} free-text action content
         self._texts: dict[str, dict[int, dict[str, dict[str, str]]]] = {}
+        self._text_rev: dict[str, int] = {}  # bumps invalidate _proj_cache
+        # roomId -> ((engine t, text rev), deep-copied projected snapshot)
+        self._proj_cache: dict[str, tuple[tuple[int, int], dict]] = {}
         self._journals: dict[str, Any] = {}
         self._replaying = False
         self._replay_ts: Optional[float] = None
@@ -411,13 +414,19 @@ class GameHost:
             return room_id in self._rooms
 
     def state_version(self, room_id: str) -> Optional[int]:
-        """Cheap change detector for the SSE stream — no decode/projection."""
+        """Cheap change detector for the SSE stream — no decode/projection.
+
+        Combines the engine step counter with the chat length: chat posts
+        don't step the engine, but other humans' clients must still be
+        pushed (they fetch the chat log on every pushed render)."""
         with self._lock:
             entry = self._rooms.get(room_id)
             if entry is None:
                 return None
             slots_key, slot = entry
-            return self._slots[slots_key].version(slot)
+            chat = self._chats.get(room_id)
+            n_msgs = len(chat.messages) if chat else 0
+            return (self._slots[slots_key].version(slot) << 20) | (n_msgs & 0xFFFFF)
 
     def end_room(self, room_id: str) -> None:
         with self._lock:
@@ -430,6 +439,8 @@ class GameHost:
             self._room_seed.pop(room_id, None)
             self._names.pop(room_id, None)
             self._texts.pop(room_id, None)
+            self._text_rev.pop(room_id, None)
+            self._proj_cache.pop(room_id, None)
             j = self._journals.pop(room_id, None)
             if j is not None:
                 j.delete()
@@ -470,6 +481,7 @@ class GameHost:
                         q = {int(k): int(v) for k, v in (ev.get("a") or {}).items()}
                         self._step_once(room_id, q)
                     elif kind == "chat":
+                        self._replay_ts = ev.get("ts")
                         self.post_chat(room_id, int(ev["pid"]), str(ev["text"]), names)
                     elif kind == "text":
                         self._texts[room_id].setdefault(int(ev["pid"]), {})[
@@ -503,8 +515,12 @@ class GameHost:
             chat = self._chats[room_id]
             names = player_names or {}
             sender_name = names.get(player_id, f"Player {player_id}")
-            msg = chat.post(player_id, sender_name, text)
-            self._log_event(room_id, {"e": "chat", "pid": player_id, "text": text})
+            # journal carries the wall clock so replay reproduces chat
+            # timestamps exactly (the bot reply inherits the trigger's)
+            ts = self._replay_ts if self._replay_ts is not None else time.time()
+            msg = chat.post(player_id, sender_name, text, timestamp=ts)
+            self._log_event(room_id, {"e": "chat", "pid": player_id,
+                                      "text": text, "ts": ts})
             slots_key, slot = self._rooms[room_id]
             gs = self._slots[slots_key]
             snap = gs.snapshot_raw(slot, names)
@@ -560,6 +576,7 @@ class GameHost:
         if not content:
             return
         self._texts.setdefault(room_id, {}).setdefault(player_id, {})[field] = content
+        self._text_rev[room_id] = self._text_rev.get(room_id, 0) + 1
         self._log_event(room_id, {"e": "text", "pid": player_id,
                                   "field": field, "content": content})
 
@@ -651,7 +668,17 @@ class GameHost:
         and game_notes reflect each crossed phase — transient cards like
         role cards, death markers and night overlays are created exactly as
         if a viewer had watched each phase; journal replay reproduces the
-        same item/notes state."""
+        same item/notes state.
+
+        Results are cached per (engine t, text revision): the snapshot right
+        after a step and the SSE/poll reads of unchanged state reuse the
+        projection instead of re-decoding (deep-copied — callers mutate)."""
+        import copy as _copy
+
+        ver = (gs.version(slot), self._text_rev.get(room_id, 0))
+        cached = self._proj_cache.get(room_id)
+        if player_names is None and cached is not None and cached[0] == ver:
+            return _copy.deepcopy(cached[1])
         snap = gs.snapshot_raw(slot, player_names or self._names.get(room_id))
         # free-text overlay: submitted content replaces the FSM's odict
         # markers (content is cosmetic to the engine; see queue_action);
@@ -681,6 +708,8 @@ class GameHost:
             snap, prev_items=gs.items[slot], prev_dead=gs.prev_dead[slot]
         )
         gs.prev_dead[slot] = list(snap.get("deadPlayers", []))
+        if player_names is None:
+            self._proj_cache[room_id] = (ver, _copy.deepcopy(snap))
         return snap
 
     def snapshot(self, room_id: str, player_names: Optional[dict[int, str]] = None) -> dict[str, Any]:

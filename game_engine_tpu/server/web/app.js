@@ -97,7 +97,17 @@ const App = (() => {
     render(snap);
   }
 
+  let lastChatFetch = 0;
+
+  function maybeRefreshChat() {
+    // renders arrive per phase step; the chat log doesn't need refetching
+    // more than ~once a second (own posts call refreshChat directly)
+    if (Date.now() - lastChatFetch < 1200) return;
+    refreshChat();
+  }
+
   async function refreshChat() {
+    lastChatFetch = Date.now();
     const d = await api("GET", `/api/rooms/${roomId}/chat?playerId=${playerId}`);
     const box = document.getElementById("chatmsgs");
     box.replaceChildren(...(d.messages || []).map((m) =>
@@ -110,6 +120,12 @@ const App = (() => {
   }
 
   function render(snap) {
+    // leaving a phase clears its submit/dismiss bookkeeping, so looping
+    // games (speaker rounds) re-prompt on the next visit to the same phase
+    const cur = `p${snap.current_phase_id}`;
+    for (const k of Object.keys(S.submitted)) {
+      if (k !== cur) delete S.submitted[k];
+    }
     const ctx = {
       players: snap.player_states || {},
       dead: snap.deadPlayers || [],
@@ -193,7 +209,7 @@ const App = (() => {
       pre.textContent = JSON.stringify(snap, null, 1);
     }
     maybePromptDialog(snap);  // both transports (SSE and polling fallback)
-    refreshChat();
+    maybeRefreshChat();
   }
 
   function name(ctx, pid) {

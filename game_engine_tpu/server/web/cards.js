@@ -108,7 +108,12 @@ const Cards = (() => {
       // wall clock never gates phase flow, P3)
       const face = h("div", { class: "timerface" }, item.data.duration || 10);
       let left = (item.data.duration || 10) * 1000;
+      let started = false;
       const iv = setInterval(() => {
+        // re-renders replace the card's DOM; a detached face must stop
+        // ticking or every state push leaks another live interval
+        if (started && !face.isConnected) { clearInterval(iv); return; }
+        started = started || face.isConnected;
         left -= 250;
         if (left <= 0) { face.textContent = "Time's up!"; clearInterval(iv); }
         else face.textContent = Math.ceil(left / 1000);
@@ -121,7 +126,10 @@ const Cards = (() => {
       const bar = h("div", {});
       const wrap = shell(item, item.data.label || "React!", h("div", { class: "progress" }, bar));
       const started = item.data.startedAt || Date.now();
+      let live = false;
       const iv = setInterval(() => {
+        if (live && !bar.isConnected) { clearInterval(iv); return; }
+        live = live || bar.isConnected;
         const frac = Math.min(1, (Date.now() - started) / total);
         bar.style.width = `${(1 - frac) * 100}%`;
         if (frac >= 1) clearInterval(iv);

@@ -236,6 +236,9 @@ def test_crash_resume_restores_room_bit_identically(tmp_path):
     _, chat2 = ctx2.handle("GET", f"/api/rooms/{rid}/chat", {"playerId": ["1"]}, {})
     assert [m["message"] for m in chat2["messages"]] == \
         [m["message"] for m in ref_chat["messages"]]
+    # journal events carry wall clocks: restored chat keeps its timestamps
+    assert [m["timestamp"] for m in chat2["messages"]] == \
+        [m["timestamp"] for m in ref_chat["messages"]]
     # the restored room plays on to completion
     for _ in range(200):
         code, snap = ctx2.handle("POST", f"/api/rooms/{rid}/continue", {}, {})
