@@ -285,6 +285,31 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
                 loss_at = gather_by_choice_i(loss, tgt)
                 gain = _b2i((tgt > 0) & (rank < loss_at))
                 nlist[m.res_num] = res + jnp.where(active, gain - loss, 0)
+            elif isinstance(m, T.LMinorityScore):  # P16
+                alv = alive_mask()
+                picker = (pred_eval(m.picker_pred, blist, nlist, slist)
+                          & present & alv)
+                pick = jnp.where(picker, nlist[m.pick_num], 0)  # (P, R) i32
+                counts = jnp.concatenate(
+                    [count_mask(pick == c + 1) for c in range(m.n_options)],
+                    axis=0,
+                )  # (C, R) i32
+                nonempty = counts > 0
+                n_distinct = jnp.sum(_b2i(nonempty), axis=0, keepdims=True)
+                valid = n_distinct >= 2
+                big = jnp.int32(2**31 - 1)
+                win_count = jnp.min(jnp.where(nonempty, counts, big),
+                                    axis=0, keepdims=True)
+                cidx = jax.lax.broadcasted_iota(jnp.int32, counts.shape, 0)
+                win_opt = jnp.min(
+                    jnp.where(nonempty & (counts == win_count), cidx,
+                              m.n_options),
+                    axis=0, keepdims=True,
+                ) + 1
+                gain = _b2i(active & valid & (pick == win_opt))
+                nlist[m.score_num] = nlist[m.score_num] + gain
+                nlist[m.pick_num] = jnp.where(active, int(m.pick_default),
+                                              nlist[m.pick_num])
             elif isinstance(m, T.LBluffChallenge):  # P14
                 alv = alive_mask()
                 cm = (pred_eval(m.claimant_pred, blist, nlist, slist)

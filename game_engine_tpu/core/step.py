@@ -340,6 +340,40 @@ def _mech_resource_raid(lw: Lowered, st: GameState, pe: PredEval, active, m: T.L
     return st._replace(nums=nums)
 
 
+def _mech_minority_score(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LMinorityScore) -> GameState:
+    """P16: smallest non-empty pick group scores (see SEMANTICS.md)."""
+    B, P = st.present.shape
+    alive = _alive(lw, st)
+    picker = pe.pred(m.picker_pred) & st.present & alive
+    pick = jnp.where(picker, st.nums[..., m.pick_num], 0)  # (B, P) 1-based
+    counts = jnp.stack(
+        [jnp.sum((pick == c + 1).astype(jnp.int32), axis=1)
+         for c in range(m.n_options)],
+        axis=1,
+    )  # (B, C)
+    nonempty = counts > 0
+    n_distinct = jnp.sum(nonempty.astype(jnp.int32), axis=1)
+    valid = n_distinct >= 2  # a lone group has no minority
+    big = jnp.int32(2**31 - 1)
+    win_count = jnp.min(jnp.where(nonempty, counts, big), axis=1)
+    # lowest option index among the least-picked
+    cidx = jnp.arange(m.n_options, dtype=jnp.int32)[None, :]
+    win_opt = jnp.min(
+        jnp.where(nonempty & (counts == win_count[:, None]), cidx, m.n_options),
+        axis=1,
+    ) + 1  # 1-based
+    gain = (active & valid)[:, None] & (pick == win_opt[:, None])
+    nums = st.nums
+    nums = nums.at[..., m.score_num].set(
+        nums[..., m.score_num] + gain.astype(jnp.int32)
+    )
+    # picks reset so stale values can't score next round
+    nums = nums.at[..., m.pick_num].set(
+        jnp.where(active[:, None], jnp.int32(m.pick_default), nums[..., m.pick_num])
+    )
+    return st._replace(nums=nums)
+
+
 def _mech_bluff_challenge(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LBluffChallenge) -> GameState:
     """P14: Coup-style claim/challenge resolution (see SEMANTICS.md)."""
     B, P = st.present.shape
@@ -475,6 +509,7 @@ _MECH_FNS = {
     T.LResourceIncome: _mech_resource_income,
     T.LResourceRaid: _mech_resource_raid,
     T.LBluffChallenge: _mech_bluff_challenge,
+    T.LMinorityScore: _mech_minority_score,
 }
 
 

@@ -3,7 +3,7 @@
 The reference generates game DSLs with three sequential gpt-5 calls taking
 ~10 minutes (reference: agent/dsl_agent.py:157-371, README.md:48). This
 module generates the same YAML contract deterministically (milliseconds)
-from a structured Blueprint covering the five social-game archetypes the
+from a structured Blueprint covering the six social-game archetypes the
 engine's mechanics library executes:
 
   * 'elimination' — hidden-roles night/day cycle (werewolf-like): an evil
@@ -16,7 +16,9 @@ engine's mechanics library executes:
   * 'bluff'       — Coup-style claim/challenge over hidden court roles and
     influence (P14);
   * 'market'      — resource income + simultaneous raids, first purse to
-    the target wins (P12/P13).
+    the target wins (P12/P13);
+  * 'minority'    — simultaneous-reveal odd-one-out: secret picks, the
+    smallest group scores (P16).
 
 ``generate_from_description`` maps a free-text description onto a Blueprint
 by keyword, and additionally MINES the description for the cast: night-role
@@ -923,6 +925,107 @@ def _gen_market(bp: Blueprint, win_coins: int = 10) -> dict[str, Any]:
 
 
 # ---------------------------------------------------------------------------
+# minority archetype: simultaneous-reveal odd-one-out scoring (P16)
+# ---------------------------------------------------------------------------
+
+
+def _gen_minority(bp: Blueprint, n_options: int = 3, win_points: int = 5) -> dict[str, Any]:
+    fields = {
+        "name": {"type": "string", "example": "Player A", "description": "Public display name."},
+        "pick_choice": {"type": "num", "example": 1,
+                        "description": f"The door (1-{n_options}) this player picked "
+                                       "this round; 0 before picking."},
+        "points": {"type": "num", "example": 0,
+                   "description": f"Cumulative points; first to {win_points} wins."},
+    }
+    template = {"name": "", "pick_choice": 0, "points": 0}
+    tools = ["clearCanvas", "createPhaseIndicator", "createTextDisplay", "createAvatarSet",
+             "createVotingPanel", "createResultDisplay", "createScoreBoard", "createTimer"]
+    phases = {
+        0: _ui_phase(
+            "Game Introduction",
+            f"Introduce the rules: pick one of {n_options} doors in secret; the "
+            "smallest group scores. First to "
+            f"{win_points} points wins.",
+            [
+                _tool_action("Clear all previous UI elements", "clearCanvas"),
+                _tool_action("Create public phase indicator", "createPhaseIndicator"),
+                _tool_action("Display the rules", "createTextDisplay"),
+                _tool_action("Create avatar set overlay", "createAvatarSet"),
+            ],
+            {"id": 1, "name": "Secret Picks"},
+        ),
+        1: _action_phase(
+            "Secret Picks",
+            f"Each player secretly picks one of the {n_options} doors.",
+            [
+                _tool_action("Clear previous UI; exempt persistent scoreboard",
+                             "clearCanvas"),
+                _tool_action("Create pick phase indicator", "createPhaseIndicator"),
+                _tool_action("Create the door pick panel", "createVotingPanel"),
+            ],
+            "All players have picked and pick_choice set to the chosen door "
+            f"(1-{n_options}).",
+            "all_players_action", "All players",
+            "player.points >= 0",
+            {"id": 2, "name": "The Reveal"},
+        ),
+        2: _ui_phase(
+            "The Reveal",
+            "Reveal all picks simultaneously: players in the minority group — "
+            "the smallest group of doors — each score 1 point.",
+            [
+                _tool_action("Clear pick UI; exempt persistent scoreboard",
+                             "clearCanvas"),
+                _tool_action("Display the reveal results", "createResultDisplay"),
+                _tool_action("Update the scoreboard; exempt persistent scoreboard",
+                             "createScoreBoard"),
+            ],
+            {"id": 3, "name": "Check Scores"},
+        ),
+        3: {
+            "name": "Check Scores",
+            "description": "Evaluate whether any player reached the target.",
+            "actions": [
+                _tool_action("Clear results UI; exempt persistent scoreboard",
+                             "clearCanvas"),
+                _tool_action("Display the leading scores", "createTextDisplay"),
+            ],
+            "completion_criteria": {"type": "UI_displayed",
+                                    "description": "Scores evaluated."},
+            "next_phase": {
+                f"If any player has {win_points} or more points":
+                    {"id": 99, "name": "Game Over"},
+                "Otherwise, the game continues": {"id": 1, "name": "Secret Picks"},
+            },
+        },
+        99: _ui_phase(
+            "Game Over — Sharpest Contrarian",
+            "Congratulate the player who read the crowd best.",
+            [
+                _tool_action("Clear non-persistent UI; exempt persistent scoreboard",
+                             "clearCanvas"),
+                _tool_action("Display the winner and final scores", "createResultDisplay"),
+            ],
+            None,
+        ),
+    }
+    return {
+        "declaration": {
+            "description": bp.description,
+            "is_multiplayer": True,
+            "min_players": max(bp.min_players, 3),
+            "player_states": fields,
+            "player_states_template": {"player_states": {"1": template}},
+            "players_example": {"tools": tools,
+                                "player_states": {"1": {**template, "name": "Alpha"}}},
+            "audience_groups": {},
+        },
+        "phases": phases,
+    }
+
+
+# ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
 
@@ -938,6 +1041,8 @@ def generate(bp: Blueprint) -> dict[str, Any]:
         return _gen_bluff(bp)
     if bp.archetype == "market":
         return _gen_market(bp)
+    if bp.archetype == "minority":
+        return _gen_minority(bp)
     raise ValueError(f"unknown archetype {bp.archetype!r}")
 
 
@@ -1014,6 +1119,10 @@ def _mine_min_players(description: str, default: int) -> int:
     return max(3, min(12, n))
 
 
+_MINORITY_WORDS = re.compile(
+    r"\b(minority|odd one out|contrarian|smallest group|blend(?:ing)? in)\b",
+    re.IGNORECASE,
+)
 _BLUFF_WORDS = re.compile(
     r"\b(bluff\w*|coup|challeng\w*|call(?:ing)? (?:a|their|the) bluff|influence)\b",
     re.IGNORECASE,
@@ -1049,6 +1158,8 @@ def generate_from_description(
     if _NIGHT_WORDS.search(description) or _mine_elimination_roles(description):
         archetype = "elimination"
         roles = _mine_elimination_roles(description)
+    elif _MINORITY_WORDS.search(description):
+        archetype = "minority"
     elif _BLUFF_WORDS.search(description):
         archetype = "bluff"
     elif _MARKET_WORDS.search(description):

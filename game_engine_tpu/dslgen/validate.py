@@ -271,6 +271,9 @@ def _semantic_gap_issues(spec: GameSpec, game) -> list[Issue]:
                 consumed |= set(mech.challenge_phases)
                 touched |= {mech.role_field, mech.lives_field, mech.claim_field}
                 touched |= set(mech.reveal_bools)
+            elif isinstance(mech, M.MinorityScore):
+                touched |= {mech.pick_field, mech.score_field}
+                touched |= _pred_fields(mech.picker_pred)
             elif isinstance(mech, M.GuessScore):
                 touched |= {mech.speaker_field, mech.lie_field, mech.vote_field,
                             mech.score_field}

@@ -137,6 +137,23 @@ class ResourceRaid:
 
 
 @dataclasses.dataclass(frozen=True)
+class MinorityScore:
+    """P16. Simultaneous reveal: the smallest non-empty pick group scores.
+
+    Picks are read from the num field the pick phase records (uniform with
+    P14's claims). On entry: count picks per option among living pickers;
+    if at least two distinct options were picked, every living player whose
+    pick equals the least-picked option (ties to the lowest option index)
+    gains +1 on the score field. Picks then reset to the field default so
+    stale picks can't score next round."""
+
+    pick_field: str  # num field holding the option picked (1-based)
+    picker_pred: Pred
+    score_field: str
+    n_options: int  # static option count (the pick phase's choice_max)
+
+
+@dataclasses.dataclass(frozen=True)
 class BluffChallenge:
     """P14. Coup-style claim/challenge resolution against hidden roles.
 
@@ -258,6 +275,9 @@ _RAID_RE = re.compile(
     r"\b(raid\w*|steal\w*|rob(?:s|bed|bing)?|plunder\w*|loot\w*)\b", re.IGNORECASE
 )
 _CHALLENGE_RE = re.compile(r"\bchalleng", re.IGNORECASE)
+_MINORITY_RE = re.compile(
+    r"\b(minority|odd one out|smallest group|least[- ]picked|fewest pick)", re.IGNORECASE
+)
 _RESOURCE_NAME_RE = re.compile(
     r"coin|gold|credit|money|chip|resource|token", re.IGNORECASE
 )
@@ -572,6 +592,12 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
          if layout.slot(f.name).bank == BANK_NUM and _LIVES_NAME_RE.search(f.name)),
         None,
     )
+    score_like_field = next(
+        (f.name for f in decl.fields
+         if layout.slot(f.name).bank == BANK_NUM
+         and re.search(r"total_score|scores?$|points?$", f.name, re.IGNORECASE)),
+        None,
+    )
 
     # guess-score field resolution (requires a speaker flag: the mechanic is
     # speaker-centric, and lowering a missing field would fail)
@@ -733,6 +759,27 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
                         role_field="role",
                         lives_field=lives_field,
                         reveal_bools=reveal_bools,
+                    )
+                )
+        elif (_MINORITY_RE.search(text)
+              and ph.completion.type is not CompletionType.PLAYER_ACTION
+              and score_like_field):
+            # P16: simultaneous reveal — picks from the preceding OPTION
+            # phase's recorded field, smallest non-empty group scores
+            chain = _action_chain_before(spec, pid, preds_map)
+            pick_ph = [c for c in chain
+                       if records[c].choice_kind is ChoiceKind.OPTION
+                       and records[c].write_choice_num
+                       and records[c].choice_max > 0]
+            if pick_ph:
+                rp0 = records[pick_ph[-1]]
+                mechanics.append(
+                    MinorityScore(
+                        pick_field=rp0.write_choice_num,
+                        picker_pred=_safe_pred(
+                            spec.phases[pick_ph[-1]].completion.target_condition),
+                        score_field=score_like_field,
+                        n_options=rp0.choice_max,
                     )
                 )
         elif (_RAID_RE.search(text)

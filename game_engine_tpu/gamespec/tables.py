@@ -122,6 +122,16 @@ class LResourceRaid:
 
 
 @dataclasses.dataclass(frozen=True)
+class LMinorityScore:
+    phase_index: int
+    pick_num: int
+    picker_pred: int
+    score_num: int
+    n_options: int
+    pick_default: int  # picks reset to this after scoring
+
+
+@dataclasses.dataclass(frozen=True)
 class LBluffChallenge:
     phase_index: int
     claim_num: int  # num slot holding the claimed role index
@@ -187,7 +197,7 @@ class LGameOver:
 
 LoweredMech = Union[
     LNightResolve, LVoteElim, LGuessScore, LSpeakerRotate, LRoleAssign, LSetBoolAll,
-    LGameOver, LResourceIncome, LResourceRaid, LBluffChallenge,
+    LGameOver, LResourceIncome, LResourceRaid, LBluffChallenge, LMinorityScore,
 ]
 
 
@@ -424,6 +434,17 @@ def lower(game: CompiledGame) -> Lowered:
                         raid_phase_mask=_phase_mask(game, mech.raid_phases),
                         raider_pred=pool.add_pred(mech.raider_pred),
                         res_num=layout.num_index(mech.res_field),
+                    )
+                )
+            elif isinstance(mech, M.MinorityScore):
+                mechanics.append(
+                    LMinorityScore(
+                        phase_index=i,
+                        pick_num=layout.num_index(mech.pick_field),
+                        picker_pred=pool.add_pred(mech.picker_pred),
+                        score_num=layout.num_index(mech.score_field),
+                        n_options=int(mech.n_options),
+                        pick_default=num_default(mech.pick_field),
                     )
                 )
             elif isinstance(mech, M.BluffChallenge):

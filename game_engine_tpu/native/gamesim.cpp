@@ -25,7 +25,8 @@ enum Sections {
 };
 enum CondType { COND_ALWAYS, COND_COUNTCMP, COND_ALLPRESENT, COND_PREVIN, COND_AND };
 enum MechType { MECH_NIGHT, MECH_VOTE, MECH_SCORE, MECH_ROTATE, MECH_ROLES,
-                MECH_SETBOOL, MECH_OVER, MECH_INCOME, MECH_RAID, MECH_BLUFF };
+                MECH_SETBOOL, MECH_OVER, MECH_INCOME, MECH_RAID, MECH_BLUFF,
+                MECH_MINORITY };
 enum Bank { AB_BOOL, AB_NUM, AB_STR, AB_CONST };
 enum Op { OP_EQ, OP_NE, OP_GE, OP_LE, OP_GT, OP_LT };
 enum Kind { K_NONE = 0, K_TARGET = 1, K_OPTION = 2, K_SUBMIT = 3 };
@@ -273,6 +274,28 @@ void apply_on_enter(const Game& g, Room& r) {
         }
         for (int p = 0; p < r.n; ++p)
           r.nums[p * g.NN + res_slot] = res0[p] + delta[p];
+        break;
+      }
+      case MECH_MINORITY: {  // P16
+        int pick_slot = q[0], pred = q[1], score_slot = q[2];
+        int n_opt = q[3], pick_def = q[4];
+        std::vector<int> pick(r.n, 0), counts(n_opt + 1, 0);
+        for (int p = 0; p < r.n; ++p) {
+          if (!alive(g, r, p) || !pred_eval(g, r, pred, p)) continue;
+          int c = r.nums[p * g.NN + pick_slot];
+          if (c >= 1 && c <= n_opt) { pick[p] = c; counts[c]++; }
+        }
+        int distinct = 0, win_count = INT32_MAX;
+        for (int c = 1; c <= n_opt; ++c)
+          if (counts[c] > 0) { distinct++; win_count = std::min(win_count, counts[c]); }
+        if (distinct >= 2) {
+          int win_opt = 0;
+          for (int c = 1; c <= n_opt; ++c)
+            if (counts[c] == win_count) { win_opt = c; break; }
+          for (int p = 0; p < r.n; ++p)
+            if (pick[p] == win_opt) r.nums[p * g.NN + score_slot] += 1;
+        }
+        for (int p = 0; p < g.P; ++p) r.nums[p * g.NN + pick_slot] = pick_def;
         break;
       }
       case MECH_BLUFF: {  // P14

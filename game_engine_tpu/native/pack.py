@@ -36,7 +36,7 @@ SEC_ROLETAB = 16
 
 COND_ALWAYS, COND_COUNTCMP, COND_ALLPRESENT, COND_PREVIN, COND_AND = range(5)
 (MECH_NIGHT, MECH_VOTE, MECH_SCORE, MECH_ROTATE, MECH_ROLES, MECH_SETBOOL,
- MECH_OVER, MECH_INCOME, MECH_RAID, MECH_BLUFF) = range(10)
+ MECH_OVER, MECH_INCOME, MECH_RAID, MECH_BLUFF, MECH_MINORITY) = range(11)
 OP_CODES = {"eq": 0, "ne": 1, "ge": 2, "le": 3, "gt": 4, "lt": 5}
 MECH_PARAMS = 16
 
@@ -133,6 +133,10 @@ def pack(lowered: Lowered) -> np.ndarray:
             rlo, rhi = _mask_words(m.raid_phase_mask)
             mech(MECH_RAID, m.phase_index,
                  [_i32(rlo), _i32(rhi), m.raider_pred, m.res_num])
+        elif isinstance(m, T.LMinorityScore):
+            mech(MECH_MINORITY, m.phase_index,
+                 [m.pick_num, m.picker_pred, m.score_num, m.n_options,
+                  m.pick_default])
         elif isinstance(m, T.LBluffChallenge):
             hlo, hhi = _mask_words(m.challenge_phase_mask)
             codes_off, codes_n = pool.add(m.role_codes)

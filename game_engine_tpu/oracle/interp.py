@@ -162,6 +162,8 @@ class OracleRoom:
                 self._resource_raid(mech)
             elif isinstance(mech, M.BluffChallenge):
                 self._bluff_challenge(mech)
+            elif isinstance(mech, M.MinorityScore):
+                self._minority_score(mech)
             elif isinstance(mech, M.GuessScore):
                 self._guess_score(mech)
             elif isinstance(mech, M.SpeakerRotate):
@@ -239,6 +241,32 @@ class OracleRoom:
                 delta[r] += 1
         for p in range(1, self.n + 1):
             self.players[p][rr.res_field] = res0[p] + delta[p]
+
+    def _minority_score(self, ms: M.MinorityScore) -> None:
+        """P16: smallest non-empty pick group scores (SEMANTICS.md)."""
+        picks: dict[int, int] = {}
+        for p in range(1, self.n + 1):
+            row = self.players[p]
+            if not row.get("is_alive", True):
+                continue
+            if self._match(ms.picker_pred, p):
+                c = int(row.get(ms.pick_field, 0) or 0)
+                if 1 <= c <= ms.n_options:
+                    picks[p] = c
+        counts: dict[int, int] = {}
+        for c in picks.values():
+            counts[c] = counts.get(c, 0) + 1
+        if len(counts) >= 2:  # a lone group has no minority
+            win_count = min(counts.values())
+            win_opt = min(c for c, n in counts.items() if n == win_count)
+            for p, c in picks.items():
+                if c == win_opt:
+                    self.players[p][ms.score_field] = (
+                        int(self.players[p].get(ms.score_field, 0) or 0) + 1
+                    )
+        default = self.game.spec.declaration.field(ms.pick_field).default
+        for p in range(1, self.n + 1):
+            self.players[p][ms.pick_field] = default
 
     def _bluff_challenge(self, bc: M.BluffChallenge) -> None:
         """P14: Coup-style claim/challenge resolution (SEMANTICS.md)."""

@@ -264,3 +264,66 @@ def test_income_requires_everyone_subject():
         if cp.dsl_id == 1:
             kinds = [type(m).__name__ for m in cp.program.on_enter]
             assert "ResourceIncome" in kinds, kinds
+
+
+@pytest.fixture(scope="module")
+def minority():
+    doc = generate(Blueprint(name="t-minority", description="odd one out",
+                             archetype="minority"))
+    issues, spec = validate_doc(doc, name="t-minority")
+    assert spec is not None and not errors(issues)
+    assert not issues, [str(i) for i in issues]
+    return lower(compile_game(spec))
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_minority_oracle_engine_parity(minority, seed):
+    n = min(3 + seed, minority.P)
+    room = _run_oracle_vs_engine(minority, n, seed)
+    pts = [room.players[p]["points"] for p in range(1, n + 1)]
+    assert max(pts) >= 5 and pts[room.winner - 1] == max(pts)
+
+
+def test_minority_cpp_and_pallas_parity(minority):
+    from game_engine_tpu.native import available
+
+    if available():
+        from tests.test_native import run_differential
+
+        run_differential(minority, n_players=4, seed=1, max_steps=500)
+    from game_engine_tpu.core.pallas_rollout import make_pallas_rollout
+    from tests.test_pallas import _states_equal
+
+    B, steps = 8, 60
+    s0 = init_state(minority, B, 4, np.arange(B, dtype=np.uint32))
+    ref_state, ref_eps = compiled_rollout(minority, steps)(s0)
+    pal = make_pallas_rollout(minority, steps, block_rooms=8, interpret=True)
+    s1 = init_state(minority, B, 4, np.arange(B, dtype=np.uint32))
+    pal_state, pal_eps = pal(s1)
+    _states_equal(ref_state, pal_state)
+    assert int(ref_eps) == int(pal_eps) and int(ref_eps) > 0
+
+
+def test_minority_resolution_pins(minority):
+    """Unit pins for P16: smallest non-empty group scores; ties to lowest
+    option; a lone group has no minority; picks reset after the reveal."""
+    room = OracleRoom(minority.game, n_players=5, seed=0)
+    room.step({})  # intro -> picks
+    assert room.phase.name == "Secret Picks"
+    room.step({1: 1, 2: 1, 3: 2, 4: 2, 5: 3})  # door 3 is the minority
+    pts = {p: room.players[p]["points"] for p in range(1, 6)}
+    assert pts == {1: 0, 2: 0, 3: 0, 4: 0, 5: 1}
+    assert all(room.players[p]["pick_choice"] == 0 for p in range(1, 6))  # reset
+    # tie between two smallest groups -> lowest option index wins
+    while room.phase.name != "Secret Picks":
+        room.step({})
+    room.step({1: 1, 2: 2, 3: 3, 4: 3, 5: 3})  # doors 1 and 2 tie at 1 pick
+    pts = {p: room.players[p]["points"] for p in range(1, 6)}
+    assert pts[1] == 1 and pts[2] == 0  # door 1 (lowest index) scored
+    # everyone on one door: no minority, nobody scores
+    while room.phase.name != "Secret Picks":
+        room.step({})
+    before = {p: room.players[p]["points"] for p in range(1, 6)}
+    room.step({p: 2 for p in range(1, 6)})
+    after = {p: room.players[p]["points"] for p in range(1, 6)}
+    assert after == before
