@@ -218,15 +218,23 @@ def init_params(key, in_dim: int, n_actions: int, cfg: NetConfig,
 
     if cfg.arch == "deepsets":
         assert lowered is not None, "deepsets init needs the lowered game"
-        P, F0, NP = lowered.P, _per_player_dim(lowered), lowered.NP
+        F0, NP = _per_player_dim(lowered), lowered.NP
         hp = max(32, cfg.hidden // 2)
         params["w_phi0"] = lin(keys[-3], F0, hp)
         params["b_phi0"] = jnp.zeros((hp,), jnp.float32)
         params["w_phi1"] = lin(keys[-4], hp, hp)
         params["b_phi1"] = jnp.zeros((hp,), jnp.float32)
         params["w_ptr"] = lin(keys[-5], cfg.hidden, hp)
-        trunk_in = 2 * hp + P + NP + 1  # pooled + self embedding + globals
+        # EVERY param shape is ROOM-SIZE INDEPENDENT: the trunk consumes
+        # pooled + self embedding + phase one-hot + alive fraction (the
+        # viewer one-hot is dropped — self_phi already identifies the
+        # viewer's seat), target-action logits come from the pointer head
+        # (per-seat embeddings), and the option head is sized by the game's
+        # option range only. Params trained at one max_players therefore
+        # load unchanged for a bigger-room compile.
+        trunk_in = 2 * hp + NP + 1
         dims = [trunk_in] + [cfg.hidden] * cfg.layers
+        n_actions = max(1, int(lowered.choice_max.max()))  # option head only
     else:
         dims = [in_dim] + [cfg.hidden] * cfg.layers
     for i in range(cfg.layers):
@@ -248,15 +256,22 @@ def _trunk_and_heads(params, x, n_targets: int, ptr=None):
     logits = _bf16_dot(x, params["w_pi"]) + params["b_pi"]
     if ptr is not None:
         # pointer scores for the first P (target) actions come from the
-        # target seats' own embeddings
+        # target seats' own embeddings; the option head (whose width is
+        # room-size independent) overlays the low action indices. The
+        # combined width is the game's unified action space max(P, options).
         g = _bf16_dot(x, params["w_ptr"]).astype(jnp.bfloat16)
         scores = jnp.sum(ptr * g[..., None, :], axis=-1,
                          dtype=jnp.float32)  # (..., P)
-        pad = logits.shape[-1] - n_targets
-        if pad > 0:
-            scores = jnp.concatenate(
-                [scores, jnp.zeros(scores.shape[:-1] + (pad,), jnp.float32)], -1)
-        logits = logits + scores
+        a = max(n_targets, logits.shape[-1])
+
+        def pad_to(t, width):
+            extra = width - t.shape[-1]
+            if extra <= 0:
+                return t
+            return jnp.concatenate(
+                [t, jnp.zeros(t.shape[:-1] + (extra,), t.dtype)], -1)
+
+        logits = pad_to(logits.astype(jnp.float32), a) + pad_to(scores, a)
     value = (_bf16_dot(x, params["w_v"]) + params["b_v"])[..., 0]
     return logits, value
 
@@ -273,8 +288,8 @@ def apply_net(params: dict[str, Any], obs: jax.Array, cfg: NetConfig,
     x = obs.astype(jnp.bfloat16)
     lead = x.shape[:-1]
     room = x[..., : P * F0].reshape(lead + (P, F0))  # (..., target, F0)
-    rest = x[..., P * F0:]  # viewer one-hot + phase one-hot + n_alive
-    viewer_oh = rest[..., :P]
+    viewer_oh = x[..., P * F0: P * F0 + P]
+    globals_ = x[..., P * F0 + P:]  # phase one-hot + n_alive (P-independent)
     phi = jax.nn.gelu(_bf16_dot(room, params["w_phi0"]) + params["b_phi0"])
     phi = jax.nn.gelu(_bf16_dot(phi.astype(jnp.bfloat16), params["w_phi1"])
                       + params["b_phi1"]).astype(jnp.bfloat16)  # (..., P, hp)
@@ -282,7 +297,7 @@ def apply_net(params: dict[str, Any], obs: jax.Array, cfg: NetConfig,
     self_phi = jnp.sum(phi * viewer_oh[..., None].astype(jnp.bfloat16),
                        axis=-2, dtype=jnp.float32)
     trunk_in = jnp.concatenate(
-        [pooled, self_phi, rest.astype(jnp.float32)], axis=-1
+        [pooled, self_phi, globals_.astype(jnp.float32)], axis=-1
     ).astype(jnp.bfloat16)
     return _trunk_and_heads(params, trunk_in, P, ptr=phi)
 

@@ -167,8 +167,10 @@ def test_deepsets_arch_trains_and_acts(ww_lowered):
     assert moved, "deepsets params never updated"
 
 
-def test_deepsets_large_room_forward():
-    """The set encoder handles a 12-player compile (trunk width unchanged)."""
+def test_deepsets_params_transfer_across_room_sizes():
+    """Every deepsets param shape is room-size independent: params built
+    for the 8-player compile act unchanged on a 12-player compile (the
+    ROADMAP cross-room-size transfer item)."""
     import numpy as np
 
     from game_engine_tpu.core.state import init_state
@@ -177,15 +179,22 @@ def test_deepsets_large_room_forward():
     from game_engine_tpu.gamespec.tables import lower
     from game_engine_tpu.policies import net as N
 
-    lowered = lower(compile_game(load_builtin("werewolf"),
-                                 GameConfig(max_players=12)))
     cfg = N.NetConfig(hidden=64, layers=2, arch="deepsets")
-    params = N.init_params(jax.random.PRNGKey(0), N.obs_dim(lowered),
-                           N.action_space(lowered), cfg, lowered)
-    state = init_state(lowered, 8, 12, np.arange(8, dtype=np.uint32))
-    logits, value = N.apply_net(params, N.observe(lowered, state), cfg, lowered)
-    assert logits.shape == (8, 12, N.action_space(lowered))
+    small = lower(compile_game(load_builtin("werewolf")))  # P=8
+    params = N.init_params(jax.random.PRNGKey(0), N.obs_dim(small),
+                           N.action_space(small), cfg, small)
+    big = lower(compile_game(load_builtin("werewolf"), GameConfig(max_players=12)))
+    big_params = N.init_params(jax.random.PRNGKey(0), N.obs_dim(big),
+                               N.action_space(big), cfg, big)
+    assert jax.tree_util.tree_map(jnp.shape, params) == \
+        jax.tree_util.tree_map(jnp.shape, big_params)
+
+    # the SAME 8-player-trained params act on a 12-player room
+    state = init_state(big, 8, 12, np.arange(8, dtype=np.uint32))
+    logits, value = N.apply_net(params, N.observe(big, state), cfg, big)
+    assert logits.shape == (8, 12, N.action_space(big))
     assert value.shape == (8, 12)
-    # the trunk input dim depends on hp + P + NP only through concat sizes;
-    # phi weights are P-independent (same per-seat feature width)
-    assert params["w_phi0"].shape[0] == N._per_player_dim(lowered)
+    a, logp, v, legal = N.sample_actions(big, params, state,
+                                         jax.random.PRNGKey(1), cfg)
+    aoh = jax.nn.one_hot(a - 1, legal.shape[-1], dtype=bool)
+    assert bool(jnp.all(jnp.any(aoh & legal, axis=-1)))
