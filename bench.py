@@ -116,15 +116,21 @@ def main():
     state, eps = rollout(state)
     _ = int(eps)
 
-    t0 = time.perf_counter()
     total_eps = 0
+    durations = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         state, eps = rollout(state)
         total_eps += int(eps)  # hard host sync each iteration
-    dt = time.perf_counter() - t0
+        durations.append(time.perf_counter() - t0)
 
-    steps = batch * inner_steps * iters
-    sps = steps / dt
+    # the axon relay adds erratic per-dispatch stalls (±10% run to run);
+    # the median iteration is the robust sustained rate
+    durations.sort()
+    med = durations[len(durations) // 2]
+    dt = sum(durations)
+    steps_per_iter = batch * inner_steps
+    sps = steps_per_iter / med
     print(
         json.dumps(
             {
@@ -137,6 +143,7 @@ def main():
                     "inner_steps": inner_steps,
                     "iters": iters,
                     "wall_s": round(dt, 3),
+                    "median_iter_s": round(med, 4),
                     "episodes_completed": total_eps,
                     "episodes_per_sec": round(total_eps / dt, 1),
                     "device": str(jax.devices()[0]),

@@ -236,10 +236,9 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
                          & pred_eval(m.protect_pred, blist, nlist, slist) & present)
                 kill, any_k = plurality(st["choice"], kmask)
                 prot, _ = plurality(st["choice"], pmask)
-                alive_i = _b2i(alive_mask())
-                kill_alive = take_row_i(alive_i, kill - 1) != 0
-                do_kill = active & any_k & (kill != prot) & kill_alive
-                death = do_kill & (prow() == kill - 1)
+                do_kill = active & any_k & (kill != prot)
+                # target-alive gate folded into the victim row (step.py twin)
+                death = do_kill & (prow() == kill - 1) & alive_mask()
                 if lw.alive_bool >= 0:
                     blist[lw.alive_bool] = jnp.where(death, 0, blist[lw.alive_bool])
                 for slot in m.reveal_bool_slots:  # P15 (even without is_alive)
@@ -252,9 +251,9 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
                 vmask = (phase_in(m.vote_phase_mask, st["chphase"])
                          & pred_eval(m.voter_pred, blist, nlist, slist) & present)
                 tgt, any_v = plurality(st["choice"], vmask)
-                tgt_alive = take_row_i(_b2i(alive_mask()), tgt - 1) != 0
-                do = active & any_v & tgt_alive  # oracle gates on target alive
-                death = do & (prow() == tgt - 1)
+                do = active & any_v
+                # target-alive gate folded into the victim row (step.py twin)
+                death = do & (prow() == tgt - 1) & alive_mask()
                 if lw.alive_bool >= 0:
                     blist[lw.alive_bool] = jnp.where(death, 0, blist[lw.alive_bool])
                 for slot in m.reveal_bool_slots:  # P15 (even without is_alive)

@@ -280,12 +280,12 @@ def _mech_night_resolve(lw: Lowered, st: GameState, pe: PredEval, active, m: T.L
     )
     kill, any_k = _plurality(st.choice, kmask, P)
     protect, _ = _plurality(st.choice, pmask, P)
-    alive = _alive(lw, st)
-    kill_alive = _take_player(alive, kill - 1)
-    do_kill = active & any_k & (kill != protect) & kill_alive
-    # death effects apply even without an is_alive field (reveal flags,
-    # P15) — the oracle and C++ sim do; skipping here broke 4-way parity
-    death = _player_onehot(kill - 1, P) & do_kill[:, None]
+    do_kill = active & any_k & (kill != protect)
+    # the target-must-be-alive gate is the victim's OWN row's aliveness —
+    # folding it into the row mask avoids a per-room player gather, and
+    # death effects (P15 reveals) apply even without an is_alive field
+    # (the oracle and C++ sim do; skipping that broke 4-way parity)
+    death = _player_onehot(kill - 1, P) & do_kill[:, None] & _alive(lw, st)
     st = st._replace(bools=_apply_death(lw, st.bools, death, m.reveal_bool_slots))
     return _reset_fields(
         st, active, m.reset_bool_slots, m.reset_bool_defaults, m.reset_num_slots, m.reset_num_defaults
@@ -296,9 +296,9 @@ def _mech_vote_elim(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LVote
     P = st.present.shape[1]
     vmask = _phase_mask_lookup(m.vote_phase_mask, st.choice_phase) & pe.pred(m.voter_pred) & st.present
     tgt, any_v = _plurality(st.choice, vmask, P)
-    tgt_alive = _take_player(_alive(lw, st), tgt - 1)
-    do = active & any_v & tgt_alive  # oracle gates the kill on target alive
-    death = _player_onehot(tgt - 1, P) & do[:, None]
+    do = active & any_v
+    # target-must-be-alive gate folded into the victim row (see night resolve)
+    death = _player_onehot(tgt - 1, P) & do[:, None] & _alive(lw, st)
     return st._replace(bools=_apply_death(lw, st.bools, death, m.reveal_bool_slots))
 
 

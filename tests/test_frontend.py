@@ -333,3 +333,26 @@ def test_bluff_court_through_the_ui(server):
         h.act_if_needed(view)
     assert snap["done"]
     assert saw_influence, "influence counters never rendered"
+
+
+@pytest.mark.parametrize("game", [
+    "werewolf-(mafia)", "two-truths-and-a-lie", "bluff-court",
+    "market-raid", "last-stand", "odd-one-out",
+])
+def test_every_catalog_game_playable_through_the_ui(server, game):
+    """Completeness guard: every shipped catalog game plays to completion
+    through the exact client flow (create -> bots -> start -> act/continue)."""
+    h = HeadlessClient(server, f"cat-{game[:8]}")
+    h.create_room(game)
+    h.add_bots()
+    h.start(seed=13)
+    snap = None
+    for _ in range(250):
+        snap = h.continue_()
+        if snap["done"]:
+            break
+        view = h.state()
+        acted = h.act_if_needed(view, text="one\ntwo\nthree")
+        assert acted or snap["done"] or snap.get("waiting_on") != [h.player_id], \
+            "client had the move but found nothing to act on"
+    assert snap and snap["done"], f"{game} never finished through the UI"
