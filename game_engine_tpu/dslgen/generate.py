@@ -20,12 +20,20 @@ engine's mechanics library executes:
   * 'minority'    — simultaneous-reveal odd-one-out: secret picks, the
     smallest group scores (P16).
 
+Archetypes also COMPOSE: ``Blueprint.extras`` weaves additional mechanic
+families into the base phase graph (``('market',)`` on ``'elimination'``
+adds P12 income each morning, a P13 raid round each day, and a second
+terminal won by the richest purse via P17 per-terminal winner modes — see
+``games/gold-rush.yaml``).
+
 ``generate_from_description`` maps a free-text description onto a Blueprint
-by keyword, and additionally MINES the description for the cast: night-role
-names by convention (mafia/vampires kill, healers protect, sheriffs
-investigate), duplicated killers ("two vampires"), and the table size
-("6 players"). An external LLM can be plugged at the ``llm_hook`` seam
-where the reference called OpenAI — no network is required built-in.
+by keyword (including mixes: a description with both night-role and economy
+vocabulary composes elimination+market), and additionally MINES the
+description for the cast: night-role names by convention (mafia/vampires
+kill, healers protect, sheriffs investigate), duplicated killers ("two
+vampires"), and the table size ("6 players"). An external LLM can be
+plugged at the ``llm_hook`` seam where the reference called OpenAI — no
+network is required built-in.
 """
 
 from __future__ import annotations
@@ -47,9 +55,14 @@ class RoleDef:
 class Blueprint:
     name: str
     description: str
-    archetype: str  # 'elimination' | 'rounds' | 'battle'
+    archetype: str  # 'elimination' | 'rounds' | 'battle' | 'bluff' | 'market' | 'minority'
     min_players: int = 4
     roles: tuple[RoleDef, ...] = ()
+    # mechanic MIXES composed into the base archetype's phase graph, e.g.
+    # ('market',) on 'elimination' adds a coin economy (P12 income each
+    # morning, a P13 raid round each day) and a second terminal phase won
+    # by the richest purse (P17 per-terminal winner modes)
+    extras: tuple[str, ...] = ()
     # Note: the "agreed number of speaking turns" is engine configuration
     # (GameConfig.rounds_per_player / the server's roundsPerPlayer start
     # option), not part of the generated DSL — the DSL's branch sentence
@@ -172,11 +185,16 @@ def _gen_elimination(bp: Blueprint) -> dict[str, Any]:
         )
         return row
 
+    # pad the example table with filler rows (reference werewolf ships 8
+    # example rows, mostly villagers) so that P10's surplus-takes-most-
+    # common rule hands extra seats to the FILLER role, not to a
+    # duplicated killer ("two bandits" must stay two at any table size)
+    example_roles = list(roles) + [filler] * max(0, 8 - len(roles))
     players_example = {
         str(i + 1): example_row(nm, r)
         for i, (nm, r) in enumerate(zip(
             ["Alpha", "Beta", "Gamma", "Delta", "Echo", "Foxtrot", "Golf", "Hotel"],
-            roles))
+            example_roles))
     }
 
     tools = [
@@ -387,7 +405,10 @@ def _gen_elimination(bp: Blueprint) -> dict[str, Any]:
             "description": bp.description,
             "is_multiplayer": True,
             "min_players": bp.min_players,
-            "roles": [{"name": r.name, "description": r.description} for r in roles],
+            # each distinct role declared ONCE (cast sizes live in
+            # players_example rows; duplicates would skew P10 counts)
+            "roles": [{"name": r.name, "description": r.description}
+                      for r in {r.name: r for r in roles}.values()],
             "player_states": fields,
             "player_states_template": {"player_states": {"1": template}},
             "players_example": {"tools": tools, "player_states": players_example},
@@ -804,7 +825,10 @@ def _gen_bluff(bp: Blueprint) -> dict[str, Any]:
             "description": bp.description,
             "is_multiplayer": True,
             "min_players": max(bp.min_players, 3),
-            "roles": [{"name": r.name, "description": r.description} for r in roles],
+            # each distinct role declared ONCE (cast sizes live in
+            # players_example rows; duplicates would skew P10 counts)
+            "roles": [{"name": r.name, "description": r.description}
+                      for r in {r.name: r for r in roles}.values()],
             "player_states": fields,
             "player_states_template": {"player_states": {"1": template}},
             "players_example": {"tools": tools, "player_states": example_states},
@@ -1026,11 +1050,124 @@ def _gen_minority(bp: Blueprint, n_options: int = 3, win_points: int = 5) -> dic
 
 
 # ---------------------------------------------------------------------------
+# mechanic mixes: compose extra families into a base archetype's phase graph
+# ---------------------------------------------------------------------------
+
+
+def _mix_elimination_market(doc: dict[str, Any], win_coins: int = 6) -> dict[str, Any]:
+    """Compose a coin economy into an elimination phase graph.
+
+    Adds: a `coins` purse field; P12 income on every morning phase; a P13
+    raid round (TARGET selection + simultaneous resolution) on the
+    night-continue edge of the win check; and a second terminal phase,
+    reached when any purse hits ``win_coins``, won by the richest player
+    (P17 per-terminal winner modes — the original terminal stays team-won).
+    """
+    decl = doc["declaration"]
+    decl["player_states"]["coins"] = {
+        "type": "num", "example": 2,
+        "description": f"The player's coin purse; reaching {win_coins} "
+                       "coins wins the game outright.",
+    }
+    decl["player_states_template"]["player_states"]["1"]["coins"] = 2
+    for row in decl["players_example"]["player_states"].values():
+        row["coins"] = 2
+    decl["players_example"]["tools"] = list(decl["players_example"]["tools"]) + [
+        "createCoinDisplay", "createScoreBoard",
+    ]
+
+    phases = doc["phases"]
+    # P12: every morning pays one coin to each living player
+    for ph in phases.values():
+        if "Morning" in ph["name"]:
+            ph["description"] += (
+                " Then each alive player collects 1 coin from the village treasury."
+            )
+            ph["actions"].append(_tool_action("Show each purse", "createCoinDisplay"))
+
+    W = next(pid for pid, ph in phases.items() if ph["name"] == "Check Win Conditions")
+    max_id = max(pid for pid in phases if pid != 99)
+    RS, RR = max_id + 1, max_id + 2
+    assert RR < 98 and 98 not in phases
+
+    branches = phases[W]["next_phase"]
+    disc_target = None
+    new_branches: dict[str, Any] = {}
+    inserted = False
+    for k, v in branches.items():
+        if not inserted and k.startswith("If this check follows"):
+            new_branches[f"If any player has {win_coins} or more coins"] = {
+                "id": 98, "name": "Game Over — Richest Villager"}
+            inserted = True
+        if "night resolution" in k:
+            disc_target = v
+            v = {"id": RS, "name": "Raid Selection"}
+        new_branches[k] = v
+    assert inserted and disc_target is not None
+    phases[W]["next_phase"] = new_branches
+    phases[W]["description"] += " Also evaluate whether any purse reached the target."
+
+    phases[RS] = _action_phase(
+        "Raid Selection",
+        "Each alive player chooses one rival to raid before the day's debate.",
+        [
+            _tool_action("Clear previous UI; exempt death markers", "clearCanvas"),
+            _tool_action("TIER 1 - PUBLIC: Create raid phase indicator",
+                         "createPhaseIndicator"),
+            _tool_action("TIER 2 - GROUP: Create the raid target panel for living players",
+                         "createVotingPanel"),
+            _tool_action("Show each purse", "createCoinDisplay"),
+        ],
+        "All alive players have chosen a raid target.",
+        "multiple_players_action", "All alive players",
+        "player.is_alive == true",
+        {"id": RR, "name": "Raid Resolution"},
+    )
+    phases[RR] = _ui_phase(
+        "Raid Resolution",
+        "Resolve the raids: each raided player loses coins to their raiders, "
+        "one coin per successful raider.",
+        [
+            _tool_action("Clear raid UI; exempt death markers", "clearCanvas"),
+            _tool_action("TIER 1 - PUBLIC: Display the raid results", "createResultDisplay"),
+            _tool_action("Show each purse", "createCoinDisplay"),
+        ],
+        disc_target,
+    )
+    phases[98] = _ui_phase(
+        "Game Over — Richest Villager",
+        "A fortune is made: congratulate the player with the most coins.",
+        [
+            _tool_action("Clear non-persistent UI; exempt death markers", "clearCanvas"),
+            _tool_action("TIER 1 - PUBLIC: Display the winner and final purses",
+                         "createResultDisplay"),
+        ],
+        None,
+    )
+    return doc
+
+
+_MIXERS: dict[tuple[str, str], Callable[[dict], dict]] = {
+    ("elimination", "market"): _mix_elimination_market,
+}
+
+
+# ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
 
 
 def generate(bp: Blueprint) -> dict[str, Any]:
+    doc = _generate_base(bp)
+    for extra in bp.extras:
+        mixer = _MIXERS.get((bp.archetype, extra))
+        if mixer is None:
+            raise ValueError(f"no mixer for archetype {bp.archetype!r} + extra {extra!r}")
+        doc = mixer(doc)
+    return doc
+
+
+def _generate_base(bp: Blueprint) -> dict[str, Any]:
     if bp.archetype == "elimination":
         return _gen_elimination(bp)
     if bp.archetype == "rounds":
@@ -1152,12 +1289,16 @@ def generate_from_description(
     if llm_hook is not None:
         return llm_hook(name, description)
     roles: tuple[RoleDef, ...] = ()
+    extras: tuple[str, ...] = ()
     # night/role vocabulary FIRST: "werewolves steal gold at night" is an
     # elimination game that happens to mention market words, not a market
-    # game (round-1 precedence, kept)
+    # game (round-1 precedence, kept) — but if the description ALSO talks
+    # economy, the market family is composed in as a mechanic mix
     if _NIGHT_WORDS.search(description) or _mine_elimination_roles(description):
         archetype = "elimination"
         roles = _mine_elimination_roles(description)
+        if _MARKET_WORDS.search(description):
+            extras = ("market",)
     elif _MINORITY_WORDS.search(description):
         archetype = "minority"
     elif _BLUFF_WORDS.search(description):
@@ -1172,4 +1313,4 @@ def generate_from_description(
         description, max(4, len(roles)) if archetype == "elimination" else 4)
     return generate(Blueprint(name=name, description=description,
                               archetype=archetype, roles=roles,
-                              min_players=min_players))
+                              min_players=min_players, extras=extras))

@@ -56,6 +56,14 @@ identically by oracle/interp.py and core/step.py):
   P11 Winner on terminal entry: team games — the team whose alive count is
       maximal wins, ties favoring the minority team (by example count);
       score games — the player with max cumulative score, ties to lowest id.
+  P17 Per-terminal winner modes: a terminal phase whose own text names an
+      explicit winner rule overrides the game-wide P11 default — "richest /
+      most <num-field> / highest score" selects score mode on the named
+      field (falling back to the declared score-like then resource field),
+      "last one standing / sole survivor" selects survivor mode, "the
+      surviving team wins" selects team mode. Composed games (e.g.
+      elimination + economy) can therefore end at different terminal
+      phases with different winner rules.
 """
 
 from __future__ import annotations
@@ -283,6 +291,15 @@ _RESOURCE_NAME_RE = re.compile(
 )
 _LIVES_NAME_RE = re.compile(r"influence|lives|hearts?|health|credibility", re.IGNORECASE)
 _ROLE_REVEAL_RE = re.compile(r"role.*reveal|reveal.*role", re.IGNORECASE)
+# P17: explicit winner rules in terminal-phase text
+_OVER_SCORE_RE = re.compile(
+    r"\brichest\b|most\s+([A-Za-z_]+)|highest\s+(?:score|points|[A-Za-z_]+)"
+    r"|top\s+scorer", re.IGNORECASE
+)
+_OVER_SURVIVOR_RE = re.compile(
+    r"last\s+\w+\s+standing|sole\s+survivor|last\s+survivor", re.IGNORECASE
+)
+_OVER_TEAM_RE = re.compile(r"(?:winning|surviving)\s+team|team\s+wins", re.IGNORECASE)
 _REVEAL_TRUE_RE = re.compile(r"\(\s*([A-Za-z_][A-Za-z0-9_]*)\s+set to true\s*\)", re.IGNORECASE)
 
 
@@ -428,26 +445,32 @@ def _build_role_assign(spec: GameSpec, layout: StateLayout) -> Optional[RoleAssi
     decl = spec.declaration
     if "role" not in set(decl.field_names()) or not decl.roles:
         return None
+    # dedupe the declared role list by name: a generator that declares
+    # "Bandit" twice ("two bandits") must not double-count example rows or
+    # emit the role twice in role_counts (that compounded into an
+    # every-seat-a-killer multiset); duplicated CAST sizes live in
+    # players_example rows, not in the declaration list
+    uniq_roles = list({r.name: r for r in decl.roles}.values())
     # example counts per role
-    counts: dict[str, int] = {r.name: 0 for r in decl.roles}
-    rows_by_role: dict[str, list[dict]] = {r.name: [] for r in decl.roles}
+    counts: dict[str, int] = {r.name: 0 for r in uniq_roles}
+    rows_by_role: dict[str, list[dict]] = {r.name: [] for r in uniq_roles}
     for row in decl.players_example.values():
         rname = row.get("role")
         if isinstance(rname, str):
-            for r in decl.roles:
+            for r in uniq_roles:
                 if r.name.lower() == rname.lower():
                     counts[r.name] += 1
                     rows_by_role[r.name].append(row)
     if all(c == 0 for c in counts.values()):
-        for r in decl.roles:  # no example: one of each, first role fills
+        for r in uniq_roles:  # no example: one of each, first role fills
             counts[r.name] = 1
     maxc = max(counts.values())
-    filler = next(r.name for r in decl.roles if counts[r.name] == maxc)
+    filler = next(r.name for r in uniq_roles if counts[r.name] == maxc)
 
     # constant-per-role field settings (skip role itself, names, cumulative)
     skip = {"role", "name"}
     role_fields: list[tuple[str, tuple[tuple[str, object], ...]]] = []
-    for r in decl.roles:
+    for r in uniq_roles:
         rows = rows_by_role[r.name]
         settings: list[tuple[str, object]] = []
         if rows:
@@ -470,7 +493,7 @@ def _build_role_assign(spec: GameSpec, layout: StateLayout) -> Optional[RoleAssi
 
     return RoleAssign(
         role_field="role",
-        role_counts=tuple((r.name, counts[r.name]) for r in decl.roles),
+        role_counts=tuple((r.name, counts[r.name]) for r in uniq_roles),
         role_fields=tuple(role_fields),
         filler_role=filler,
     )
@@ -667,6 +690,24 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
     else:
         game_over = GameOver(mode="none")
 
+    def _terminal_game_over(ph: PhaseSpec) -> GameOver:
+        """P17: a terminal phase naming its own winner rule overrides the
+        game-wide default — composed games end at different terminals with
+        different modes (e.g. team extinction vs richest purse)."""
+        text = ph.name + " " + ph.description
+        m = _OVER_SCORE_RE.search(text)
+        if m:
+            named = (m.group(1) or "").lower()
+            f = _num_field_for(named) if named else None
+            f = f or score_like_field or resource_field
+            if f:
+                return GameOver(mode="score", score_field=f)
+        if _OVER_SURVIVOR_RE.search(text) and has_elimination:
+            return GameOver(mode="survivor")
+        if _OVER_TEAM_RE.search(text) and team_field and team_order:
+            return GameOver(mode="team", team_field=team_field, team_order=team_order)
+        return game_over
+
     out: dict[int, PhaseProgram] = {}
     for pid, ph in spec.phases.items():
         mechanics: list[Mechanic] = []
@@ -816,7 +857,7 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
             mechanics.append(SetBoolAll(fields=(m.group(1),)))
 
         if ph.is_terminal:
-            mechanics.append(game_over)
+            mechanics.append(_terminal_game_over(ph))
 
         out[pid] = PhaseProgram(phase_id=pid, record=records[pid], on_enter=tuple(mechanics))
     return out

@@ -152,9 +152,22 @@ def test_description_mining_builds_custom_casts():
     doc = generate_from_description(
         "vamp", "two vampires stalk the citizens at night; a psychic investigates")
     names = [r["name"] for r in doc["declaration"]["roles"]]
-    assert names.count("Vampire") == 2 and "Psychic" in names
+    # the declaration lists each distinct role ONCE; the mined cast size
+    # (two vampires) lives in players_example rows (a duplicated
+    # declaration entry used to double-count into all-killer tables)
+    assert names.count("Vampire") == 1 and "Psychic" in names
+    example_roles = [row["role"] for row in
+                     doc["declaration"]["players_example"]["player_states"].values()]
+    assert example_roles.count("Vampire") == 2
     issues, spec = validate_doc(doc, name="vamp")
     assert spec is not None and not errors(issues)
+    from game_engine_tpu.gamespec import mechanics as M
+    from game_engine_tpu.gamespec.layout import build_layout
+    from game_engine_tpu.gamespec.mechanics import role_multiset
+    progs = M.analyze(spec, build_layout(spec.declaration))
+    ra = next(m for pp in progs.values() for m in pp.on_enter
+              if isinstance(m, M.RoleAssign))
+    assert role_multiset(ra, 6).count("Vampire") == 2
     # the mined game runs to termination with oracle semantics
     from game_engine_tpu.gamespec.compile import compile_game
     from game_engine_tpu.gamespec.tables import lower
