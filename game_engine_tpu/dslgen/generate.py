@@ -1054,14 +1054,27 @@ def _gen_minority(bp: Blueprint, n_options: int = 3, win_points: int = 5) -> dic
 # ---------------------------------------------------------------------------
 
 
-def _mix_elimination_market(doc: dict[str, Any], win_coins: int = 6) -> dict[str, Any]:
-    """Compose a coin economy into an elimination phase graph.
+def _weave_market(
+    doc: dict[str, Any],
+    *,
+    income_phase_pred: Callable[[str], bool],
+    income_sentence: str,
+    check_name: str,
+    coin_branch_before: Callable[[str], bool],
+    raid_edge_pred: Callable[[str], bool],
+    raid_desc: str,
+    rich_terminal_name: str,
+    win_coins: int,
+) -> dict[str, Any]:
+    """Weave the market family (P12 income, P13 raids, richest-purse
+    terminal) into an existing phase graph.
 
-    Adds: a `coins` purse field; P12 income on every morning phase; a P13
-    raid round (TARGET selection + simultaneous resolution) on the
-    night-continue edge of the win check; and a second terminal phase,
-    reached when any purse hits ``win_coins``, won by the richest player
-    (P17 per-terminal winner modes — the original terminal stays team-won).
+    Adds a `coins` purse field; the income sentence to every phase whose
+    name satisfies ``income_phase_pred``; a raid round (TARGET selection +
+    simultaneous resolution) spliced into the win-check branch matched by
+    ``raid_edge_pred``; and terminal phase 98, reached when any purse hits
+    ``win_coins``, won by the richest player (P17 per-terminal winner
+    modes — the base archetype's own terminal keeps its rule).
     """
     decl = doc["declaration"]
     decl["player_states"]["coins"] = {
@@ -1077,39 +1090,39 @@ def _mix_elimination_market(doc: dict[str, Any], win_coins: int = 6) -> dict[str
     ]
 
     phases = doc["phases"]
-    # P12: every morning pays one coin to each living player
+    paid = False
     for ph in phases.values():
-        if "Morning" in ph["name"]:
-            ph["description"] += (
-                " Then each alive player collects 1 coin from the village treasury."
-            )
+        if income_phase_pred(ph["name"]):
+            ph["description"] += " " + income_sentence
             ph["actions"].append(_tool_action("Show each purse", "createCoinDisplay"))
+            paid = True
+    assert paid, "no income phase matched"
 
-    W = next(pid for pid, ph in phases.items() if ph["name"] == "Check Win Conditions")
-    max_id = max(pid for pid in phases if pid != 99)
+    W = next(pid for pid, ph in phases.items() if ph["name"] == check_name)
+    max_id = max(pid for pid in phases if pid < 98)
     RS, RR = max_id + 1, max_id + 2
     assert RR < 98 and 98 not in phases
 
     branches = phases[W]["next_phase"]
-    disc_target = None
+    raid_return = None
     new_branches: dict[str, Any] = {}
     inserted = False
     for k, v in branches.items():
-        if not inserted and k.startswith("If this check follows"):
+        if not inserted and coin_branch_before(k):
             new_branches[f"If any player has {win_coins} or more coins"] = {
-                "id": 98, "name": "Game Over — Richest Villager"}
+                "id": 98, "name": rich_terminal_name}
             inserted = True
-        if "night resolution" in k:
-            disc_target = v
+        if raid_edge_pred(k):
+            raid_return = v
             v = {"id": RS, "name": "Raid Selection"}
         new_branches[k] = v
-    assert inserted and disc_target is not None
+    assert inserted and raid_return is not None
     phases[W]["next_phase"] = new_branches
     phases[W]["description"] += " Also evaluate whether any purse reached the target."
 
     phases[RS] = _action_phase(
         "Raid Selection",
-        "Each alive player chooses one rival to raid before the day's debate.",
+        raid_desc,
         [
             _tool_action("Clear previous UI; exempt death markers", "clearCanvas"),
             _tool_action("TIER 1 - PUBLIC: Create raid phase indicator",
@@ -1132,10 +1145,10 @@ def _mix_elimination_market(doc: dict[str, Any], win_coins: int = 6) -> dict[str
             _tool_action("TIER 1 - PUBLIC: Display the raid results", "createResultDisplay"),
             _tool_action("Show each purse", "createCoinDisplay"),
         ],
-        disc_target,
+        raid_return,
     )
     phases[98] = _ui_phase(
-        "Game Over — Richest Villager",
+        rich_terminal_name,
         "A fortune is made: congratulate the player with the most coins.",
         [
             _tool_action("Clear non-persistent UI; exempt death markers", "clearCanvas"),
@@ -1147,8 +1160,43 @@ def _mix_elimination_market(doc: dict[str, Any], win_coins: int = 6) -> dict[str
     return doc
 
 
+def _mix_elimination_market(doc: dict[str, Any], win_coins: int = 6) -> dict[str, Any]:
+    """Elimination + economy: income each morning, raids on the
+    night-continue edge, richest-purse terminal (team terminal unchanged)."""
+    return _weave_market(
+        doc,
+        income_phase_pred=lambda name: "Morning" in name,
+        income_sentence="Then each alive player collects 1 coin from the village treasury.",
+        check_name="Check Win Conditions",
+        coin_branch_before=lambda k: k.startswith("If this check follows"),
+        raid_edge_pred=lambda k: "night resolution" in k,
+        raid_desc="Each alive player chooses one rival to raid before the day's debate.",
+        rich_terminal_name="Game Over — Richest Villager",
+        win_coins=win_coins,
+    )
+
+
+def _mix_battle_market(doc: dict[str, Any], win_coins: int = 8) -> dict[str, Any]:
+    """Battle + economy: bounty income at each vote result, raids before
+    each new round, richest-purse terminal (survivor terminal unchanged —
+    P17 keeps 'last player standing' survivor-won even though the coins
+    field would otherwise flip the P11 default to score mode)."""
+    return _weave_market(
+        doc,
+        income_phase_pred=lambda name: name == "Announce Vote Results",
+        income_sentence="Then each alive player collects 1 coin from the bounty chest.",
+        check_name="Check Survivors",
+        coin_branch_before=lambda k: "continue" in k,
+        raid_edge_pred=lambda k: "continue" in k,
+        raid_desc="Each alive player chooses one rival to raid before the next round.",
+        rich_terminal_name="Game Over — Richest Gladiator",
+        win_coins=win_coins,
+    )
+
+
 _MIXERS: dict[tuple[str, str], Callable[[dict], dict]] = {
     ("elimination", "market"): _mix_elimination_market,
+    ("battle", "market"): _mix_battle_market,
 }
 
 
@@ -1304,7 +1352,12 @@ def generate_from_description(
     elif _BLUFF_WORDS.search(description):
         archetype = "bluff"
     elif _MARKET_WORDS.search(description):
-        archetype = "market"
+        # economy vocabulary + survival vocabulary = battle+market mix
+        if _BATTLE_WORDS.search(description):
+            archetype = "battle"
+            extras = ("market",)
+        else:
+            archetype = "market"
     elif _BATTLE_WORDS.search(description):
         archetype = "battle"
     else:

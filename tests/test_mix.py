@@ -186,6 +186,94 @@ def test_pallas_parity_mix(goldrush):
     assert int(ref_eps) > 0
 
 
+BOUNTY_ARENA_DESC = (
+    "Gladiators vote one of their own out of the arena each round, collect "
+    "bounty coins, and raid each other's purses; be the last one standing "
+    "or the first to strike it rich."
+)
+
+
+@pytest.fixture(scope="module")
+def bounty():
+    doc = generate_from_description("bounty-arena", BOUNTY_ARENA_DESC)
+    issues, spec = validate_doc(doc, name="bounty-arena")
+    assert spec is not None and not errors(issues)
+    assert not issues, [str(i) for i in issues]
+    return lower(compile_game(spec))
+
+
+def test_battle_market_mix_modes(bounty):
+    """Battle+market: the coins field would flip the P11 default to score
+    mode; P17 keeps the survivor terminal survivor-won."""
+    spec = bounty.game.spec
+    progs = M.analyze(spec, build_layout(spec.declaration))
+    modes = {pid: m.mode for pid, pp in progs.items() for m in pp.on_enter
+             if isinstance(m, M.GameOver)}
+    assert modes == {99: "survivor", 98: "score"}
+    kinds = {type(m).__name__ for pp in progs.values() for m in pp.on_enter}
+    assert {"VoteElim", "ResourceIncome", "ResourceRaid"} <= kinds
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_battle_market_oracle_engine_parity(bounty, seed):
+    n = min(5 + seed, bounty.P)
+    room = _run_oracle_vs_engine(bounty, n, seed, max_steps=800)
+    assert room.phase.dsl_id in (98, 99)
+
+
+def test_battle_market_both_endings_reachable(bounty):
+    """4 players race to extinction first (survivor end); 8 players bank
+    bounty faster than they eliminate (richest end)."""
+    room = _run_oracle_vs_engine(bounty, 4, 0, max_steps=800)
+    assert room.phase.dsl_id == 99
+    alive = [room.players[p].get("is_alive") for p in range(1, 5)]
+    assert alive.count(True) == 1 and room.winner == alive.index(True) + 1
+    room = _run_oracle_vs_engine(bounty, 8, 0, max_steps=800)
+    assert room.phase.dsl_id == 98
+    coins = [room.players[p]["coins"] for p in range(1, 9)]
+    assert room.winner == coins.index(max(coins)) + 1 and max(coins) >= 8
+
+
+def test_cpp_parity_battle_market(bounty):
+    from game_engine_tpu.native import available
+
+    if not available():
+        pytest.skip("native backend unavailable")
+    from tests.test_native import run_differential
+
+    for seed in (0, 2):
+        run_differential(bounty, n_players=min(6, bounty.P), seed=seed,
+                         max_steps=800)
+
+
+def test_pallas_parity_battle_market(bounty):
+    from game_engine_tpu.core.pallas_rollout import make_pallas_rollout
+    from tests.test_pallas import _states_equal
+
+    B, steps = 8, 48
+    state = init_state(bounty, B, min(6, bounty.P),
+                       np.arange(B, dtype=np.uint32))
+    ref_state, ref_eps = compiled_rollout(bounty, steps)(state)
+    pal = make_pallas_rollout(bounty, steps, block_rooms=8, interpret=True)
+    state2 = init_state(bounty, B, min(6, bounty.P),
+                        np.arange(B, dtype=np.uint32))
+    pal_state, pal_eps = pal(state2)
+    _states_equal(ref_state, pal_state)
+    assert int(ref_eps) == int(pal_eps)
+    assert int(ref_eps) > 0
+
+
+def test_catalog_bounty_arena_matches_generator():
+    import os
+    import yaml
+
+    from game_engine_tpu.gamespec.parser import games_dir
+
+    path = os.path.join(games_dir(), "bounty-arena.yaml")
+    on_disk = yaml.safe_load(open(path))
+    assert on_disk == generate_from_description("bounty-arena", BOUNTY_ARENA_DESC)
+
+
 def test_catalog_gold_rush_matches_generator():
     """games/gold-rush.yaml is the generator's output for its description —
     the catalog copy can't drift from the blueprint."""
