@@ -295,6 +295,65 @@ def _semantic_gap_issues(spec: GameSpec, game) -> list[Issue]:
     for cp in game.phases:
         ph = spec.phases[cp.dsl_id]
         where = f"phases.{cp.dsl_id}"
+        # P18: explicit mechanic hints must land — an unknown hint name or a
+        # hint that produced no mechanic of its class is a hard error (the
+        # whole point of `mechanics:` is loud-or-correct)
+        for hname, _harg in ph.mechanic_hints:
+            cls = M.HINTS.get(hname)
+            if hname in M.CHOICE_HINTS:
+                if ph.completion.type is not CompletionType.PLAYER_ACTION:
+                    issues.append(Issue(
+                        ERROR, f"{where}.mechanics",
+                        f"choice-kind hint {hname!r} requires a "
+                        "player_action completion",
+                    ))
+                elif cp.program.record.choice_kind.name.lower() != hname:
+                    issues.append(Issue(
+                        ERROR, f"{where}.mechanics",
+                        f"choice-kind hint {hname!r} did not take effect "
+                        f"(record compiled to "
+                        f"{cp.program.record.choice_kind.name})",
+                    ))
+            elif hname in M.ANCHOR_HINTS:
+                sets = [
+                    (mech.kill_phases if hname == "kill" else mech.protect_phases)
+                    for other in game.phases
+                    for mech in other.program.on_enter
+                    if isinstance(mech, M.NightResolve)
+                ]
+                if not any(cp.dsl_id in s for s in sets):
+                    issues.append(Issue(
+                        ERROR, f"{where}.mechanics",
+                        f"anchor {hname!r} is not consumed by any "
+                        "night_resolution phase downstream",
+                    ))
+            elif cls is None:
+                issues.append(Issue(
+                    ERROR, f"{where}.mechanics",
+                    f"unknown mechanic {hname!r} (known: "
+                    f"{', '.join(sorted(M.HINTS) + sorted(M.ANCHOR_HINTS) + sorted(M.CHOICE_HINTS))})",
+                ))
+            elif not any(isinstance(mech, cls) for mech in cp.program.on_enter):
+                issues.append(Issue(
+                    ERROR, f"{where}.mechanics",
+                    f"declared mechanic {hname!r} could not be attached — "
+                    "its anchors are missing (e.g. no preceding action phase "
+                    "records the required choice, or a named field is not a "
+                    "declared field of the right type)",
+                ))
+            elif hname == "winner":
+                # terminals always carry a GameOver; verify the hinted MODE won
+                want = {"survivor": "survivor", "team": "team"}.get(
+                    _harg if isinstance(_harg, str) else "", "score")
+                got = next(mech.mode for mech in cp.program.on_enter
+                           if isinstance(mech, M.GameOver))
+                if got != want:
+                    issues.append(Issue(
+                        ERROR, f"{where}.mechanics",
+                        f"winner hint requested {want!r} mode but the game "
+                        f"resolves to {got!r} (missing fields/teams for the "
+                        "requested mode?)",
+                    ))
         rp = cp.program.record
         writes = bool(rp.set_bool_true or rp.set_bool_false or rp.write_choice_num
                       or rp.write_pdict or rp.mark_odict)

@@ -403,11 +403,26 @@ def build_record_program(ph: PhaseSpec, spec: GameSpec, layout: StateLayout) -> 
         mentioned.append(f)
 
     # choice kind (P2): text-input tools -> SUBMIT; option range on the
-    # written num field -> OPTION; target-verb phases -> TARGET.
+    # written num field -> OPTION; target-verb phases -> TARGET. A P18
+    # choice-kind hint (`mechanics: [target]` / `[{option: 4}]` /
+    # `[submit]`) outranks all of it — the detection verbs are English
+    # vocabulary and an alien phrasing ("points at a soul") must be
+    # pinnable without rewording the game.
     tools = {t for a in ph.actions for t in a.tools}
     kind = ChoiceKind.NONE
     cmax = 0
-    if "createTextInputPanel" in tools and write_num is None:
+    kind_hint = next(
+        ((h, a) for h, a in ph.mechanic_hints
+         if h in ("target", "option", "submit")), None)
+    if kind_hint is not None:
+        hname, harg = kind_hint
+        kind = ChoiceKind[hname.upper()]
+        if hname == "option" and harg is not None:
+            try:
+                cmax = int(harg)
+            except (TypeError, ValueError):
+                cmax = 0
+    elif "createTextInputPanel" in tools and write_num is None:
         kind = ChoiceKind.SUBMIT
     else:
         if write_num is not None:
@@ -568,6 +583,37 @@ def _round_scoped_fields(spec: GameSpec, layout: StateLayout, programs: dict[int
     return bools, nums, odicts, pdicts
 
 
+# P18: explicit DSL mechanic declarations (`mechanics:` key on a phase) —
+# the synonym-proof escape hatch from keyword detection. Maps hint name ->
+# the mechanic class it must produce (dslgen/validate.py enforces that every
+# hint results in an attached mechanic of its class, loudly).
+HINTS: dict[str, type] = {
+    "role_assignment": RoleAssign,
+    "night_resolution": NightResolve,
+    "vote_elimination": VoteElim,
+    "speaker_rotation": SpeakerRotate,
+    "bluff_challenge": BluffChallenge,
+    "minority_score": MinorityScore,
+    "raid": ResourceRaid,
+    "income": ResourceIncome,
+    "guess_score": GuessScore,
+    "winner": GameOver,
+    "reveal": SetBoolAll,
+}
+# anchor hints: they mark an action phase as a night-resolution input rather
+# than producing a mechanic on their own phase; validated as "consumed by
+# some NightResolve" instead of by class
+ANCHOR_HINTS = frozenset({"kill", "protect"})
+# choice-kind hints: pin RecordProgram.choice_kind on a player_action phase
+# (P2) instead of relying on target-verb/tool detection
+CHOICE_HINTS = frozenset({"target", "option", "submit"})
+# the mutually-exclusive resolution family: hinting any of these disables
+# text triggers for the whole family on that phase
+_RESOLUTION_HINTS = frozenset(
+    {"night_resolution", "vote_elimination", "bluff_challenge",
+     "minority_score", "raid"})
+
+
 def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
     """Attach a PhaseProgram to every phase (the determinized referee)."""
     decl = spec.declaration
@@ -693,7 +739,27 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
     def _terminal_game_over(ph: PhaseSpec) -> GameOver:
         """P17: a terminal phase naming its own winner rule overrides the
         game-wide default — composed games end at different terminals with
-        different modes (e.g. team extinction vs richest purse)."""
+        different modes (e.g. team extinction vs richest purse). An explicit
+        `mechanics: [{winner: ...}]` hint (P18) outranks the text."""
+        for hname, harg in ph.mechanic_hints:
+            if hname != "winner":
+                continue
+            if isinstance(harg, tuple):  # {winner: {score: field}}
+                kv = dict(harg)
+                f = kv.get("score")
+                f = f if (f in fields and layout.slot(f).bank == BANK_NUM) else None
+                f = f or score_like_field or resource_field
+                if f:
+                    return GameOver(mode="score", score_field=f)
+            elif harg in ("richest", "score", "highest_score"):
+                f = score_like_field or resource_field or score_field
+                if f:
+                    return GameOver(mode="score", score_field=f)
+            elif harg == "survivor" and has_elimination:
+                return GameOver(mode="survivor")
+            elif harg == "team" and team_field and team_order:
+                return GameOver(mode="team", team_field=team_field,
+                                team_order=team_order)
         text = ph.name + " " + ph.description
         m = _OVER_SCORE_RE.search(text)
         if m:
@@ -712,13 +778,27 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
     for pid, ph in spec.phases.items():
         mechanics: list[Mechanic] = []
         text = ph.name + " \n " + ph.description
+        # P18: explicit `mechanics:` hints force attachment regardless of
+        # vocabulary. Within the mutually-exclusive resolution family, any
+        # hint disables text triggers so a hinted phase gets exactly the
+        # declared resolution (text that happens to mention "night" cannot
+        # shadow an explicit vote_elimination).
+        hint_names = {h for h, _ in ph.mechanic_hints}
+        res_hints = hint_names & _RESOLUTION_HINTS
 
-        if role_assign is not None and _ROLE_ASSIGN_RE.search(text):
+        def _want(hint: str, text_hit) -> bool:
+            if res_hints:
+                return hint in res_hints
+            return bool(text_hit)
+
+        if role_assign is not None and (
+                _ROLE_ASSIGN_RE.search(text) or "role_assignment" in hint_names):
             mechanics.append(role_assign)
 
         # Rotation phases are UI phases that *prepare* the round — never the
         # player_action phases where the speaker themselves acts.
-        rotate_hit = _ROTATE_RE.search(ph.name) or _ROTATE_RE.search(ph.description)
+        rotate_hit = (_ROTATE_RE.search(ph.name) or _ROTATE_RE.search(ph.description)
+                      or "speaker_rotation" in hint_names)
         if (
             rotate_hit
             and ph.completion.type is not CompletionType.PLAYER_ACTION
@@ -737,11 +817,23 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
                 )
             )
 
-        if _NIGHT_RESOLVE_RE.search(text):
+        if _want("night_resolution", _NIGHT_RESOLVE_RE.search(text)):
             chain = _action_chain_before(spec, pid, preds_map)
-            kill_ph = [c for c in chain if _KILL_PHASE_RE.search(_phase_text(spec.phases[c]))
-                       and not _PROTECT_PHASE_RE.search(spec.phases[c].name)]
-            prot_ph = [c for c in chain if _PROTECT_PHASE_RE.search(_phase_text(spec.phases[c]))
+
+            # night anchors are ALSO vocabulary-detected, so they honor
+            # their own P18 hints: `mechanics: [kill]` / `[protect]` on the
+            # action phase marks it regardless of phrasing
+            def _anchor(c: int, hint: str) -> bool:
+                return hint in {h for h, _ in spec.phases[c].mechanic_hints}
+
+            kill_ph = [c for c in chain
+                       if (_anchor(c, "kill")
+                           or (_KILL_PHASE_RE.search(_phase_text(spec.phases[c]))
+                               and not _anchor(c, "protect")
+                               and not _PROTECT_PHASE_RE.search(spec.phases[c].name)))]
+            prot_ph = [c for c in chain
+                       if (_anchor(c, "protect")
+                           or _PROTECT_PHASE_RE.search(_phase_text(spec.phases[c])))
                        and c not in kill_ph]
             if kill_ph:
                 kill_pred = _safe_pred(spec.phases[kill_ph[0]].completion.target_condition)
@@ -766,7 +858,7 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
                         reveal_bools=reveal_bools,
                     )
                 )
-        elif _VOTE_ELIM_RE.search(ph.description + " " + ph.name):
+        elif _want("vote_elimination", _VOTE_ELIM_RE.search(ph.description + " " + ph.name)):
             chain = _action_chain_before(spec, pid, preds_map)
             vote_ph = [c for c in chain if records[c].choice_kind is ChoiceKind.TARGET]
             if vote_ph:
@@ -778,7 +870,7 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
                         reveal_bools=reveal_bools,
                     )
                 )
-        elif (_CHALLENGE_RE.search(text)
+        elif (_want("bluff_challenge", _CHALLENGE_RE.search(text))
               and ph.completion.type is not CompletionType.PLAYER_ACTION
               and lives_field and "role" in fields and decl.roles):
             # P14: bluff-challenge resolution — claims from the preceding
@@ -802,7 +894,7 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
                         reveal_bools=reveal_bools,
                     )
                 )
-        elif (_MINORITY_RE.search(text)
+        elif (_want("minority_score", _MINORITY_RE.search(text))
               and ph.completion.type is not CompletionType.PLAYER_ACTION
               and score_like_field):
             # P16: simultaneous reveal — picks from the preceding OPTION
@@ -823,7 +915,7 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
                         n_options=rp0.choice_max,
                     )
                 )
-        elif (_RAID_RE.search(text)
+        elif (_want("raid", _RAID_RE.search(text))
               and ph.completion.type is not CompletionType.PLAYER_ACTION
               and resource_field):
             # P13: simultaneous raid resolution from the preceding TARGET phase
@@ -839,22 +931,39 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
                     )
                 )
 
-        # P12: fixed income on non-action phases ("each player collects 1 coin")
-        if ph.completion.type is not CompletionType.PLAYER_ACTION:
-            gains: list[tuple[str, int]] = []
+        # P12: fixed income on non-action phases ("each player collects 1
+        # coin"); an explicit {income: {field: n}} hint declares the gains
+        # directly and works on any phase type
+        gains: list[tuple[str, int]] = []
+        for hname, harg in ph.mechanic_hints:
+            if hname == "income" and isinstance(harg, tuple):
+                for f, n in harg:
+                    if (f in fields and layout.slot(f).bank == BANK_NUM
+                            and (f, int(n)) not in gains):
+                        gains.append((f, int(n)))
+        if (ph.completion.type is not CompletionType.PLAYER_ACTION
+                or "income" in hint_names):
             for mm in _INCOME_RE.finditer(text):
                 f = _num_field_for(mm.group(2))
                 if f is not None and (f, int(mm.group(1))) not in gains:
                     gains.append((f, int(mm.group(1))))
-            if gains:
-                mechanics.append(ResourceIncome(gains=tuple(gains)))
+        if gains:
+            mechanics.append(ResourceIncome(gains=tuple(gains)))
 
-        if gs is not None and _SCORE_RE.search(ph.name) and ph.completion.type is not CompletionType.PLAYER_ACTION:
+        if (gs is not None
+                and (_SCORE_RE.search(ph.name) or "guess_score" in hint_names)
+                and ph.completion.type is not CompletionType.PLAYER_ACTION):
             mechanics.append(gs)
 
         m = _REVEAL_TRUE_RE.search(ph.completion.description)
         if m and m.group(1) in fields and layout.slot(m.group(1)).bank == BANK_BOOL:
             mechanics.append(SetBoolAll(fields=(m.group(1),)))
+        for hname, harg in ph.mechanic_hints:
+            if (hname == "reveal" and isinstance(harg, str) and harg in fields
+                    and layout.slot(harg).bank == BANK_BOOL
+                    and not any(isinstance(mc, SetBoolAll) and harg in mc.fields
+                                for mc in mechanics)):
+                mechanics.append(SetBoolAll(fields=(harg,)))
 
         if ph.is_terminal:
             mechanics.append(_terminal_game_over(ph))

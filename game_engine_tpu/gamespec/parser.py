@@ -146,6 +146,42 @@ def _parse_completion(raw: Any) -> CompletionCriteria:
     )
 
 
+def _parse_mechanic_hints(raw: Any) -> tuple[tuple[str, Any], ...]:
+    """Normalize the DSL `mechanics:` key (framework extension; see
+    SEMANTICS.md P18) into hashable (name, arg) pairs.
+
+    Accepted entry forms::
+
+        mechanics: vote_elimination              # single string
+        mechanics: [night_resolution, ...]       # list of strings
+        mechanics: [{income: {coins: 2}}, ...]   # parameterized
+        mechanics: [{winner: richest}]           # or {winner: {score: coins}}
+        mechanics: [{reveal: role_revealed}]
+
+    Dict args become sorted item tuples so PhaseSpec stays hashable; unknown
+    names are kept verbatim — dslgen/validate.py rejects them loudly."""
+    if raw is None:
+        return ()
+    entries = raw if isinstance(raw, (list, tuple)) else [raw]
+    out: list[tuple[str, Any]] = []
+    for e in entries:
+        if isinstance(e, str):
+            out.append((e.strip().lower().replace("-", "_"), None))
+        elif isinstance(e, dict):
+            for k, v in e.items():
+                name = str(k).strip().lower().replace("-", "_")
+                if isinstance(v, dict):
+                    arg: Any = tuple(sorted((str(a), b) for a, b in v.items()))
+                elif isinstance(v, (list, tuple)):
+                    arg = tuple(str(x) for x in v)
+                elif v is None:
+                    arg = None
+                else:
+                    arg = str(v)
+                out.append((name, arg))
+    return tuple(out)
+
+
 def _parse_phase(pid: int, raw: dict[str, Any]) -> PhaseSpec:
     actions = []
     for a in raw.get("actions") or []:
@@ -193,6 +229,7 @@ def _parse_phase(pid: int, raw: dict[str, Any]) -> PhaseSpec:
         branches=tuple(branches),
         next_id=next_id,
         next_name=next_name,
+        mechanic_hints=_parse_mechanic_hints(raw.get("mechanics")),
     )
 
 
@@ -257,6 +294,7 @@ def parse_game_spec(doc: dict[str, Any], name: str = "game") -> GameSpec:
                 branches=branches,
                 next_id=next_id,
                 next_name=ph.next_name if next_id is not None else "",
+                mechanic_hints=ph.mechanic_hints,
             )
         fixed[pid] = ph
 

@@ -147,6 +147,11 @@ class PhaseSpec:
     branches: tuple[NextPhaseBranch, ...] = ()
     next_id: Optional[int] = None
     next_name: str = ""
+    # Explicit mechanic declarations (DSL `mechanics:` key, a framework
+    # extension over the reference DSL): normalized (name, arg) pairs that
+    # force analyzer attachment regardless of phase-text vocabulary. See
+    # gamespec/mechanics.py HINTS and SEMANTICS.md P18.
+    mechanic_hints: tuple[tuple[str, Any], ...] = ()
 
     @property
     def is_terminal(self) -> bool:
