@@ -284,6 +284,22 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
                 loss_at = gather_by_choice_i(loss, tgt)
                 gain = _b2i((tgt > 0) & (rank < loss_at))
                 nlist[m.res_num] = res + jnp.where(active, gain - loss, 0)
+            elif isinstance(m, T.LAuctionScore):  # P19
+                alv = alive_mask()
+                bidder = (pred_eval(m.bidder_pred, blist, nlist, slist)
+                          & present & alv)
+                res = nlist[m.res_num]
+                bid = jnp.where(bidder, nlist[m.bid_num], 0)
+                eff = jnp.maximum(jnp.minimum(bid, jnp.maximum(res, 0)), 0)
+                win_bid = jnp.max(eff, axis=0, keepdims=True)  # (1, R)
+                valid = active & (win_bid >= 1)
+                winner = jnp.min(
+                    jnp.where(eff == win_bid, prow(), P), axis=0, keepdims=True)
+                is_w = valid & (prow() == winner)
+                nlist[m.res_num] = res - jnp.where(is_w, eff, 0)
+                nlist[m.prize_num] = nlist[m.prize_num] + _b2i(is_w)
+                nlist[m.bid_num] = jnp.where(active, int(m.bid_default),
+                                             nlist[m.bid_num])
             elif isinstance(m, T.LMinorityScore):  # P16
                 alv = alive_mask()
                 picker = (pred_eval(m.picker_pred, blist, nlist, slist)

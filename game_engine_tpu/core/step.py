@@ -374,6 +374,32 @@ def _mech_minority_score(lw: Lowered, st: GameState, pe: PredEval, active, m: T.
     return st._replace(nums=nums)
 
 
+def _mech_auction_score(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LAuctionScore) -> GameState:
+    """P19: sealed-bid auction — highest effective bid wins, ties to lowest
+    id; the winner pays their bid from the purse and gains +1 prize
+    (see SEMANTICS.md)."""
+    B, P = st.present.shape
+    alive = _alive(lw, st)
+    bidder = pe.pred(m.bidder_pred) & st.present & alive
+    res = st.nums[..., m.res_num]
+    bid = jnp.where(bidder, st.nums[..., m.bid_num], 0)
+    eff = jnp.clip(jnp.minimum(bid, jnp.maximum(res, 0)), 0, None)
+    win_bid = jnp.max(eff, axis=1)  # (B,)
+    valid = active & (win_bid >= 1)
+    pid = jnp.arange(P, dtype=jnp.int32)[None, :]
+    winner = jnp.min(jnp.where(eff == win_bid[:, None], pid, P), axis=1)
+    is_winner = (pid == winner[:, None]) & valid[:, None]
+    nums = st.nums
+    nums = nums.at[..., m.res_num].set(res - jnp.where(is_winner, eff, 0))
+    nums = nums.at[..., m.prize_num].set(
+        nums[..., m.prize_num] + is_winner.astype(jnp.int32)
+    )
+    nums = nums.at[..., m.bid_num].set(
+        jnp.where(active[:, None], jnp.int32(m.bid_default), nums[..., m.bid_num])
+    )
+    return st._replace(nums=nums)
+
+
 def _mech_bluff_challenge(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LBluffChallenge) -> GameState:
     """P14: Coup-style claim/challenge resolution (see SEMANTICS.md)."""
     B, P = st.present.shape
@@ -510,6 +536,7 @@ _MECH_FNS = {
     T.LResourceRaid: _mech_resource_raid,
     T.LBluffChallenge: _mech_bluff_challenge,
     T.LMinorityScore: _mech_minority_score,
+    T.LAuctionScore: _mech_auction_score,
 }
 
 

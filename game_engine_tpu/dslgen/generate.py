@@ -55,7 +55,7 @@ class RoleDef:
 class Blueprint:
     name: str
     description: str
-    archetype: str  # 'elimination' | 'rounds' | 'battle' | 'bluff' | 'market' | 'minority'
+    archetype: str  # 'elimination' | 'rounds' | 'battle' | 'bluff' | 'market' | 'minority' | 'auction'
     min_players: int = 4
     roles: tuple[RoleDef, ...] = ()
     # mechanic MIXES composed into the base archetype's phase graph, e.g.
@@ -1049,6 +1049,121 @@ def _gen_minority(bp: Blueprint, n_options: int = 3, win_points: int = 5) -> dic
     }
 
 
+# auction archetype: income + sealed-bid lots (P12/P19)
+# ---------------------------------------------------------------------------
+
+
+def _gen_auction(bp: Blueprint, income: int = 2, bid_max: int = 5,
+                 win_lots: int = 3) -> dict[str, Any]:
+    fields = {
+        "name": {"type": "string", "example": "Player A", "description": "Public display name."},
+        "coins": {"type": "num", "example": 0,
+                  "description": "Purse of coins used for bidding."},
+        "bid_choice": {"type": "num", "example": 1,
+                       "description": f"This round's sealed bid (1-{bid_max}); "
+                                      "0 before bidding."},
+        "points": {"type": "num", "example": 0,
+                   "description": f"Lots won at auction; first to {win_lots} "
+                                  "points wins."},
+    }
+    template = {"name": "", "coins": 0, "bid_choice": 0, "points": 0}
+    tools = ["clearCanvas", "createPhaseIndicator", "createTextDisplay", "createAvatarSet",
+             "createVotingPanel", "createResultDisplay", "createScoreBoard", "createTimer"]
+    phases = {
+        0: _ui_phase(
+            "Game Introduction",
+            f"Introduce the rules: collect {income} coins per round, then bid "
+            "in secret for the lot; the highest bid wins it and pays. First "
+            f"to {win_lots} lots wins.",
+            [
+                _tool_action("Clear all previous UI elements", "clearCanvas"),
+                _tool_action("Create public phase indicator", "createPhaseIndicator"),
+                _tool_action("Display the rules", "createTextDisplay"),
+                _tool_action("Create avatar set overlay", "createAvatarSet"),
+            ],
+            {"id": 1, "name": "Market Opens"},
+        ),
+        1: _ui_phase(
+            "Market Opens",
+            f"A new lot is presented and each player collects {income} coins.",
+            [
+                _tool_action("Clear previous UI; exempt persistent scoreboard",
+                             "clearCanvas"),
+                _tool_action("Create market phase indicator", "createPhaseIndicator"),
+                _tool_action("Display the lot on offer", "createTextDisplay"),
+            ],
+            {"id": 2, "name": "Sealed Bids"},
+        ),
+        2: _action_phase(
+            "Sealed Bids",
+            "Each player secretly seals a bid of coins for the lot.",
+            [
+                _tool_action("Clear previous UI; exempt persistent scoreboard",
+                             "clearCanvas"),
+                _tool_action("Create bid phase indicator", "createPhaseIndicator"),
+                _tool_action("Create the sealed bid panel", "createVotingPanel"),
+            ],
+            "All players have bid and bid_choice set to the sealed amount "
+            f"(1-{bid_max}).",
+            "all_players_action", "All players",
+            "player.coins >= 0",
+            {"id": 3, "name": "Auction Resolution"},
+        ),
+        3: _ui_phase(
+            "Auction Resolution",
+            "Open the bids: the highest bidder wins the lot and pays their "
+            "bid from their purse (ties go to the lowest player id).",
+            [
+                _tool_action("Clear bid UI; exempt persistent scoreboard",
+                             "clearCanvas"),
+                _tool_action("Display the winning bid", "createResultDisplay"),
+                _tool_action("Update the scoreboard; exempt persistent scoreboard",
+                             "createScoreBoard"),
+            ],
+            {"id": 4, "name": "Check Lots"},
+        ),
+        4: {
+            "name": "Check Lots",
+            "description": "Evaluate whether any player holds enough lots.",
+            "actions": [
+                _tool_action("Clear results UI; exempt persistent scoreboard",
+                             "clearCanvas"),
+                _tool_action("Display the standings", "createTextDisplay"),
+            ],
+            "completion_criteria": {"type": "UI_displayed",
+                                    "description": "Standings evaluated."},
+            "next_phase": {
+                f"If any player has {win_lots} or more points":
+                    {"id": 99, "name": "Game Over"},
+                "Otherwise, the game continues": {"id": 1, "name": "Market Opens"},
+            },
+        },
+        99: _ui_phase(
+            "Game Over — Master of the House",
+            "Congratulate the player who won the most lots.",
+            [
+                _tool_action("Clear non-persistent UI; exempt persistent scoreboard",
+                             "clearCanvas"),
+                _tool_action("Display the winner and final lots", "createResultDisplay"),
+            ],
+            None,
+        ),
+    }
+    return {
+        "declaration": {
+            "description": bp.description,
+            "is_multiplayer": True,
+            "min_players": max(bp.min_players, 3),
+            "player_states": fields,
+            "player_states_template": {"player_states": {"1": template}},
+            "players_example": {"tools": tools,
+                                "player_states": {"1": {**template, "name": "Alpha"}}},
+            "audience_groups": {},
+        },
+        "phases": phases,
+    }
+
+
 # ---------------------------------------------------------------------------
 # mechanic mixes: compose extra families into a base archetype's phase graph
 # ---------------------------------------------------------------------------
@@ -1226,6 +1341,8 @@ def _generate_base(bp: Blueprint) -> dict[str, Any]:
         return _gen_bluff(bp)
     if bp.archetype == "market":
         return _gen_market(bp)
+    if bp.archetype == "auction":
+        return _gen_auction(bp)
     if bp.archetype == "minority":
         return _gen_minority(bp)
     raise ValueError(f"unknown archetype {bp.archetype!r}")
@@ -1316,6 +1433,10 @@ _MARKET_WORDS = re.compile(
     r"\b(coin\w*|gold|trad\w*|market|raid\w*|steal\w*|loot\w*|resourc\w*|econom\w*|bidding)\b",
     re.IGNORECASE,
 )
+_AUCTION_WORDS = re.compile(
+    r"\b(auction\w*|sealed[- ]bids?|highest bid\w*|bid(?:s|ding)? (?:for|on|war))\b",
+    re.IGNORECASE,
+)
 _NIGHT_WORDS = re.compile(
     r"\b(night|hidden role|mafia|impostor|assassin|deduction|werewol\w+|secret(?:ly)? kill)\b",
     re.IGNORECASE,
@@ -1351,6 +1472,10 @@ def generate_from_description(
         archetype = "minority"
     elif _BLUFF_WORDS.search(description):
         archetype = "bluff"
+    elif _AUCTION_WORDS.search(description):
+        # auction vocabulary outranks generic economy words ("bidding" alone
+        # is a market keyword; "bidding for lots" is an auction)
+        archetype = "auction"
     elif _MARKET_WORDS.search(description):
         # economy vocabulary + survival vocabulary = battle+market mix
         if _BATTLE_WORDS.search(description):

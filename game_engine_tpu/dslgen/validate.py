@@ -274,6 +274,9 @@ def _semantic_gap_issues(spec: GameSpec, game) -> list[Issue]:
             elif isinstance(mech, M.MinorityScore):
                 touched |= {mech.pick_field, mech.score_field}
                 touched |= _pred_fields(mech.picker_pred)
+            elif isinstance(mech, M.AuctionScore):
+                touched |= {mech.bid_field, mech.res_field, mech.prize_field}
+                touched |= _pred_fields(mech.bidder_pred)
             elif isinstance(mech, M.GuessScore):
                 touched |= {mech.speaker_field, mech.lie_field, mech.vote_field,
                             mech.score_field}

@@ -56,6 +56,9 @@ identically by oracle/interp.py and core/step.py):
   P11 Winner on terminal entry: team games — the team whose alive count is
       maximal wins, ties favoring the minority team (by example count);
       score games — the player with max cumulative score, ties to lowest id.
+  P19 Sealed-bid auctions: highest effective bid (min(bid, purse), >= 1)
+      wins with ties to lowest id; winner pays the bid from the purse and
+      gains +1 prize; bids reset to default after resolution.
   P17 Per-terminal winner modes: a terminal phase whose own text names an
       explicit winner rule overrides the game-wide P11 default — "richest /
       most <num-field> / highest score" selects score mode on the named
@@ -159,6 +162,25 @@ class MinorityScore:
     picker_pred: Pred
     score_field: str
     n_options: int  # static option count (the pick phase's choice_max)
+
+
+@dataclasses.dataclass(frozen=True)
+class AuctionScore:
+    """P19. Sealed-bid auction resolved from OPTION-recorded bids.
+
+    Bids are read from the num field the bid phase records (uniform with
+    P16's picks). On entry: each living bidder's effective bid is
+    min(bid, holdings) clamped at >= 0 — you cannot overbid your purse;
+    bids below 1 do not compete. If any effective bid >= 1 exists, the
+    highest effective bid wins, ties to the LOWEST player id (P6
+    convention); the winner pays their effective bid from the resource
+    field and gains +1 on the prize field. Bids then reset to the field
+    default so stale bids can't win next round."""
+
+    bid_field: str  # num field holding the sealed bid (1-based amount)
+    bidder_pred: Pred
+    res_field: str  # num purse the winning bid is paid from
+    prize_field: str  # num field the winner gains +1 on
 
 
 @dataclasses.dataclass(frozen=True)
@@ -285,6 +307,10 @@ _RAID_RE = re.compile(
 _CHALLENGE_RE = re.compile(r"\bchalleng", re.IGNORECASE)
 _MINORITY_RE = re.compile(
     r"\b(minority|odd one out|smallest group|least[- ]picked|fewest pick)", re.IGNORECASE
+)
+_AUCTION_RE = re.compile(
+    r"\b(auction|highest\s+bid\w*|winning\s+bid|sealed[- ]bid|top\s+bidder)",
+    re.IGNORECASE,
 )
 _RESOURCE_NAME_RE = re.compile(
     r"coin|gold|credit|money|chip|resource|token", re.IGNORECASE
@@ -594,6 +620,7 @@ HINTS: dict[str, type] = {
     "speaker_rotation": SpeakerRotate,
     "bluff_challenge": BluffChallenge,
     "minority_score": MinorityScore,
+    "auction": AuctionScore,
     "raid": ResourceRaid,
     "income": ResourceIncome,
     "guess_score": GuessScore,
@@ -611,7 +638,7 @@ CHOICE_HINTS = frozenset({"target", "option", "submit"})
 # text triggers for the whole family on that phase
 _RESOLUTION_HINTS = frozenset(
     {"night_resolution", "vote_elimination", "bluff_challenge",
-     "minority_score", "raid"})
+     "minority_score", "auction", "raid"})
 
 
 def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
@@ -913,6 +940,30 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
                             spec.phases[pick_ph[-1]].completion.target_condition),
                         score_field=score_like_field,
                         n_options=rp0.choice_max,
+                    )
+                )
+        elif (_want("auction", _AUCTION_RE.search(text))
+              and ph.completion.type is not CompletionType.PLAYER_ACTION
+              and resource_field):
+            # P19: sealed-bid auction — bids from the preceding OPTION
+            # phase's recorded num field; prize defaults to the declared
+            # score-like field (distinct from the purse)
+            chain = _action_chain_before(spec, pid, preds_map)
+            bid_ph = [c for c in chain
+                      if records[c].choice_kind is ChoiceKind.OPTION
+                      and records[c].write_choice_num
+                      and records[c].write_choice_num != resource_field]
+            prize = (score_like_field
+                     if score_like_field and score_like_field != resource_field
+                     else None)
+            if bid_ph and prize:
+                mechanics.append(
+                    AuctionScore(
+                        bid_field=records[bid_ph[-1]].write_choice_num,
+                        bidder_pred=_safe_pred(
+                            spec.phases[bid_ph[-1]].completion.target_condition),
+                        res_field=resource_field,
+                        prize_field=prize,
                     )
                 )
         elif (_want("raid", _RAID_RE.search(text))

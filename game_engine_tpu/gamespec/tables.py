@@ -122,6 +122,16 @@ class LResourceRaid:
 
 
 @dataclasses.dataclass(frozen=True)
+class LAuctionScore:
+    phase_index: int
+    bid_num: int
+    bidder_pred: int
+    res_num: int
+    prize_num: int
+    bid_default: int  # bids reset to this after resolution
+
+
+@dataclasses.dataclass(frozen=True)
 class LMinorityScore:
     phase_index: int
     pick_num: int
@@ -198,6 +208,7 @@ class LGameOver:
 LoweredMech = Union[
     LNightResolve, LVoteElim, LGuessScore, LSpeakerRotate, LRoleAssign, LSetBoolAll,
     LGameOver, LResourceIncome, LResourceRaid, LBluffChallenge, LMinorityScore,
+    LAuctionScore,
 ]
 
 
@@ -434,6 +445,17 @@ def lower(game: CompiledGame) -> Lowered:
                         raid_phase_mask=_phase_mask(game, mech.raid_phases),
                         raider_pred=pool.add_pred(mech.raider_pred),
                         res_num=layout.num_index(mech.res_field),
+                    )
+                )
+            elif isinstance(mech, M.AuctionScore):
+                mechanics.append(
+                    LAuctionScore(
+                        phase_index=i,
+                        bid_num=layout.num_index(mech.bid_field),
+                        bidder_pred=pool.add_pred(mech.bidder_pred),
+                        res_num=layout.num_index(mech.res_field),
+                        prize_num=layout.num_index(mech.prize_field),
+                        bid_default=num_default(mech.bid_field),
                     )
                 )
             elif isinstance(mech, M.MinorityScore):

@@ -26,7 +26,7 @@ enum Sections {
 enum CondType { COND_ALWAYS, COND_COUNTCMP, COND_ALLPRESENT, COND_PREVIN, COND_AND };
 enum MechType { MECH_NIGHT, MECH_VOTE, MECH_SCORE, MECH_ROTATE, MECH_ROLES,
                 MECH_SETBOOL, MECH_OVER, MECH_INCOME, MECH_RAID, MECH_BLUFF,
-                MECH_MINORITY };
+                MECH_MINORITY, MECH_AUCTION };
 enum Bank { AB_BOOL, AB_NUM, AB_STR, AB_CONST };
 enum Op { OP_EQ, OP_NE, OP_GE, OP_LE, OP_GT, OP_LT };
 enum Kind { K_NONE = 0, K_TARGET = 1, K_OPTION = 2, K_SUBMIT = 3 };
@@ -296,6 +296,23 @@ void apply_on_enter(const Game& g, Room& r) {
             if (pick[p] == win_opt) r.nums[p * g.NN + score_slot] += 1;
         }
         for (int p = 0; p < g.P; ++p) r.nums[p * g.NN + pick_slot] = pick_def;
+        break;
+      }
+      case MECH_AUCTION: {  // P19
+        int bid_slot = q[0], pred = q[1], res_slot = q[2], prize_slot = q[3],
+            bid_def = q[4];
+        int win_bid = 0, winner = -1;
+        for (int p = 0; p < r.n; ++p) {
+          if (!alive(g, r, p) || !pred_eval(g, r, pred, p)) continue;
+          int purse = std::max(r.nums[p * g.NN + res_slot], 0);
+          int b = std::min(r.nums[p * g.NN + bid_slot], purse);
+          if (b >= 1 && b > win_bid) { win_bid = b; winner = p; }
+        }
+        if (winner >= 0) {
+          r.nums[winner * g.NN + res_slot] -= win_bid;
+          r.nums[winner * g.NN + prize_slot] += 1;
+        }
+        for (int p = 0; p < g.P; ++p) r.nums[p * g.NN + bid_slot] = bid_def;
         break;
       }
       case MECH_BLUFF: {  // P14

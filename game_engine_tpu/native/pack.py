@@ -36,7 +36,8 @@ SEC_ROLETAB = 16
 
 COND_ALWAYS, COND_COUNTCMP, COND_ALLPRESENT, COND_PREVIN, COND_AND = range(5)
 (MECH_NIGHT, MECH_VOTE, MECH_SCORE, MECH_ROTATE, MECH_ROLES, MECH_SETBOOL,
- MECH_OVER, MECH_INCOME, MECH_RAID, MECH_BLUFF, MECH_MINORITY) = range(11)
+ MECH_OVER, MECH_INCOME, MECH_RAID, MECH_BLUFF, MECH_MINORITY,
+ MECH_AUCTION) = range(12)
 OP_CODES = {"eq": 0, "ne": 1, "ge": 2, "le": 3, "gt": 4, "lt": 5}
 MECH_PARAMS = 16
 
@@ -137,6 +138,10 @@ def pack(lowered: Lowered) -> np.ndarray:
             mech(MECH_MINORITY, m.phase_index,
                  [m.pick_num, m.picker_pred, m.score_num, m.n_options,
                   m.pick_default])
+        elif isinstance(m, T.LAuctionScore):
+            mech(MECH_AUCTION, m.phase_index,
+                 [m.bid_num, m.bidder_pred, m.res_num, m.prize_num,
+                  m.bid_default])
         elif isinstance(m, T.LBluffChallenge):
             hlo, hhi = _mask_words(m.challenge_phase_mask)
             codes_off, codes_n = pool.add(m.role_codes)

@@ -164,6 +164,8 @@ class OracleRoom:
                 self._bluff_challenge(mech)
             elif isinstance(mech, M.MinorityScore):
                 self._minority_score(mech)
+            elif isinstance(mech, M.AuctionScore):
+                self._auction_score(mech)
             elif isinstance(mech, M.GuessScore):
                 self._guess_score(mech)
             elif isinstance(mech, M.SpeakerRotate):
@@ -267,6 +269,33 @@ class OracleRoom:
         default = self.game.spec.declaration.field(ms.pick_field).default
         for p in range(1, self.n + 1):
             self.players[p][ms.pick_field] = default
+
+    def _auction_score(self, au: M.AuctionScore) -> None:
+        """P19: sealed-bid auction, highest effective bid wins, ties to
+        lowest id; winner pays from the purse and gains +1 prize
+        (SEMANTICS.md)."""
+        bids: dict[int, int] = {}
+        for p in range(1, self.n + 1):
+            row = self.players[p]
+            if not row.get("is_alive", True):
+                continue
+            if self._match(au.bidder_pred, p):
+                purse = max(int(row.get(au.res_field, 0) or 0), 0)
+                b = min(int(row.get(au.bid_field, 0) or 0), purse)
+                if b >= 1:
+                    bids[p] = b
+        if bids:
+            win_bid = max(bids.values())
+            winner = min(p for p, b in bids.items() if b == win_bid)
+            self.players[winner][au.res_field] = (
+                int(self.players[winner].get(au.res_field, 0) or 0) - win_bid
+            )
+            self.players[winner][au.prize_field] = (
+                int(self.players[winner].get(au.prize_field, 0) or 0) + 1
+            )
+        default = self.game.spec.declaration.field(au.bid_field).default
+        for p in range(1, self.n + 1):
+            self.players[p][au.bid_field] = default
 
     def _bluff_challenge(self, bc: M.BluffChallenge) -> None:
         """P14: Coup-style claim/challenge resolution (SEMANTICS.md)."""
