@@ -1320,6 +1320,81 @@ _MIXERS: dict[tuple[str, str], Callable[[dict], dict]] = {
 # ---------------------------------------------------------------------------
 
 
+def annotate_mechanics(doc: dict[str, Any]) -> dict[str, Any]:
+    """Write P18 `mechanics:` hints mirroring the analyzer's attachment back
+    into a generated doc (in place; returns it for chaining).
+
+    Generated games are co-designed with the keyword detector, so detection
+    already succeeds — the hints make the semantics EXPLICIT in the
+    artifact: self-documenting YAML, robust to future vocabulary drift, and
+    validator-enforced (every emitted hint must re-attach, SEMANTICS.md
+    P18). The reference has no analogue; its referee re-reads the prose
+    every turn (agent/prompt/referee_system_prompt_1.txt)."""
+    from game_engine_tpu.gamespec import mechanics as M
+    from game_engine_tpu.gamespec.compile import compile_game
+    from game_engine_tpu.gamespec.parser import parse_game_spec
+
+    game = compile_game(parse_game_spec(doc, name="annotate"))
+    kills: set[int] = set()
+    protects: set[int] = set()
+    for cp in game.phases:
+        for m in cp.program.on_enter:
+            if isinstance(m, M.NightResolve):
+                kills |= set(m.kill_phases)
+                protects |= set(m.protect_phases)
+
+    for cp in game.phases:
+        ph = doc["phases"].get(cp.dsl_id)
+        if ph is None:
+            continue
+        hints: list[Any] = []
+        rec = cp.program.record
+        if rec.choice_kind is M.ChoiceKind.TARGET:
+            hints.append("target")
+        elif rec.choice_kind is M.ChoiceKind.OPTION:
+            hints.append({"option": rec.choice_max} if rec.choice_max > 0
+                         else "option")
+        elif rec.choice_kind is M.ChoiceKind.SUBMIT:
+            hints.append("submit")
+        if cp.dsl_id in kills:
+            hints.append("kill")
+        if cp.dsl_id in protects:
+            hints.append("protect")
+        for m in cp.program.on_enter:
+            if isinstance(m, M.RoleAssign):
+                hints.append("role_assignment")
+            elif isinstance(m, M.NightResolve):
+                hints.append("night_resolution")
+            elif isinstance(m, M.VoteElim):
+                hints.append("vote_elimination")
+            elif isinstance(m, M.SpeakerRotate):
+                hints.append("speaker_rotation")
+            elif isinstance(m, M.BluffChallenge):
+                hints.append("bluff_challenge")
+            elif isinstance(m, M.MinorityScore):
+                hints.append("minority_score")
+            elif isinstance(m, M.AuctionScore):
+                hints.append("auction")
+            elif isinstance(m, M.ResourceRaid):
+                hints.append("raid")
+            elif isinstance(m, M.ResourceIncome):
+                hints.append({"income": {f: n for f, n in m.gains}})
+            elif isinstance(m, M.GuessScore):
+                hints.append("guess_score")
+            elif isinstance(m, M.SetBoolAll):
+                hints.extend({"reveal": f} for f in m.fields)
+            elif isinstance(m, M.GameOver):
+                if m.mode == "score":
+                    hints.append({"winner": {"score": m.score_field}})
+                elif m.mode == "survivor":
+                    hints.append({"winner": "survivor"})
+                elif m.mode == "team":
+                    hints.append({"winner": "team"})
+        if hints:
+            ph["mechanics"] = hints
+    return doc
+
+
 def generate(bp: Blueprint) -> dict[str, Any]:
     doc = _generate_base(bp)
     for extra in bp.extras:
@@ -1327,7 +1402,7 @@ def generate(bp: Blueprint) -> dict[str, Any]:
         if mixer is None:
             raise ValueError(f"no mixer for archetype {bp.archetype!r} + extra {extra!r}")
         doc = mixer(doc)
-    return doc
+    return annotate_mechanics(doc)
 
 
 def _generate_base(bp: Blueprint) -> dict[str, Any]:

@@ -166,6 +166,7 @@ def test_auction_hint_forces_attachment():
     res = doc["phases"][3]
     res["name"] = "The Gavel Falls"
     res["description"] = "The gavel falls and the lot changes hands."
+    res.pop("mechanics", None)  # generate() self-annotates; simulate unhinted
     issues, spec = validate_doc(doc, name="gavel-unhinted")
     assert not errors(issues)
     game = compile_game(spec)

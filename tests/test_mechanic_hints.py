@@ -236,6 +236,35 @@ def test_circle_pallas_parity(circle):
     assert int(ref_eps) == int(pal_eps) and int(ref_eps) > 0
 
 
+@pytest.mark.parametrize("archetype,desc,extras", [
+    ("elimination", "hidden-role night elimination game", ()),
+    ("rounds", "turn-based storytelling guessing game", ()),
+    ("battle", "last one standing battle", ()),
+    ("bluff", "coup-style bluffing", ()),
+    ("market", "collect coins and raid", ()),
+    ("minority", "odd one out", ()),
+    ("auction", "sealed-bid auction", ()),
+    ("elimination", "werewolves collect coins and raid purses", ("market",)),
+])
+def test_generator_output_is_hint_annotated(archetype, desc, extras):
+    """generate() writes P18 hints mirroring the analyzer back into its
+    output: every generated doc is self-documenting, every hint re-attaches
+    (validator-enforced), and annotation is idempotent."""
+    import copy
+
+    from game_engine_tpu.dslgen.generate import (Blueprint,
+                                                 WEREWOLF_LIKE_ROLES,
+                                                 annotate_mechanics, generate)
+
+    roles = WEREWOLF_LIKE_ROLES if archetype == "elimination" else ()
+    doc = generate(Blueprint("g", desc, archetype, roles=roles, extras=extras))
+    issues, spec = validate_doc(doc, name="annotated")
+    assert not errors(issues), [str(i) for i in issues]
+    hinted = [p for p in doc["phases"].values() if p.get("mechanics")]
+    assert hinted, "no phase carries mechanics hints"
+    assert annotate_mechanics(copy.deepcopy(doc)) == doc  # fixed point
+
+
 def test_builtin_games_unaffected():
     """No builtin/catalog game uses hints; their programs are unchanged
     (guard against accidental default-on behavior)."""
