@@ -528,16 +528,25 @@ def _gen_rounds(bp: Blueprint) -> dict[str, Any]:
             "player.is_speaker == false and player.can_vote == true",
             {"id": 6, "name": "Reveal Phase"},
         ),
-        6: _ui_phase(
-            "Reveal Phase", "Reveal the secret statement to all players (lie_revealed set to true).",
-            [
+        6: {
+            "name": "Reveal Phase",
+            "description": "Reveal the secret statement to all players.",
+            "actions": [
                 _tool_action("Clear voting UI, preserve scoreboard", "clearCanvas"),
                 _tool_action("Create phase indicator", "createPhaseIndicator"),
                 _tool_action("Display statements highlighting the secret", "createStatementBoard"),
                 _tool_action("Show public reveal announcement", "createResultDisplay"),
             ],
-            {"id": 7, "name": "Scoring Update"},
-        ),
+            "completion_criteria": {
+                "type": "UI_displayed",
+                # the reveal marker lives in the completion description — the
+                # analyzer's SetBoolAll rule reads exactly this field (it is
+                # where the reference's two-truths YAML carries it)
+                "description": "Reveal Phase has been displayed to all "
+                               "players (lie_revealed set to true).",
+            },
+            "next_phase": {"id": 7, "name": "Scoring Update"},
+        },
         7: _ui_phase(
             "Scoring Update", "Tally points for correct guesses and speaker deception; update the scoreboard.",
             [
