@@ -1,0 +1,318 @@
+"""Tiny on-TPU chat language model: a byte-level causal transformer that
+roleplays the in-game chat bot.
+
+The reference's ChatBotNode is a gpt-4.1-mini call per chat message
+(reference: agent/game_agent_v2.py:351-466); the engine's default responder
+is the deterministic state-grounded template composer in server/chat.py.
+This module is the LEARNED tier of that seam: a ~0.7M-param transformer
+trained by self-distillation — the template composer plays teacher over
+thousands of simulated rooms — and served on the TPU behind
+``ChatRoom(lm_hook=...)`` (``--chat-lm`` on the server CLI). Conditioning is
+the exact ``server.chat.lm_context`` string, so serving inputs match the
+training distribution; decoding is greedy and therefore deterministic
+(journal replay reproduces chats bit-for-bit).
+
+Pure-jax dict params in the house style (policies/net.py): bfloat16
+matmuls with float32 accumulation, no framework dependencies.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PAD, BOS, SEP, EOS = 0, 1, 2, 3
+_NSPECIAL = 4
+_LO, _HI = 32, 126  # printable ASCII
+VOCAB = _NSPECIAL + (_HI - _LO + 1)  # 99
+
+
+@dataclasses.dataclass(frozen=True)
+class LMConfig:
+    d_model: int = 128
+    n_layers: int = 2
+    n_heads: int = 4
+    max_len: int = 256  # longest corpus ctx (~130 chars) + reply headroom
+
+
+_FOLD = str.maketrans({"—": "-", "–": "-", "’": "'", "“": '"', "”": '"'})
+
+
+def encode_text(s: str) -> list[int]:
+    s = s.translate(_FOLD)
+    return [_NSPECIAL + (ord(c) - _LO) for c in s if _LO <= ord(c) <= _HI]
+
+
+def decode_tokens(toks) -> str:
+    return "".join(
+        chr(int(t) - _NSPECIAL + _LO) for t in toks
+        if _NSPECIAL <= int(t) < VOCAB
+    )
+
+
+def encode_pair(ctx: str, reply: str, cfg: LMConfig) -> tuple[np.ndarray, np.ndarray]:
+    """(tokens (L,), loss_mask (L,)) — next-token loss only on the reply+EOS."""
+    toks = [BOS] + encode_text(ctx) + [SEP] + encode_text(reply) + [EOS]
+    toks = toks[: cfg.max_len]
+    sep_at = toks.index(SEP) if SEP in toks else len(toks) - 1
+    out = np.full((cfg.max_len,), PAD, np.int32)
+    out[: len(toks)] = toks
+    # mask[i] marks positions whose NEXT token is a reply/EOS token
+    mask = np.zeros((cfg.max_len,), np.float32)
+    mask[sep_at: len(toks) - 1] = 1.0
+    return out, mask
+
+
+def init_params(key, cfg: LMConfig) -> dict[str, Any]:
+    D, H = cfg.d_model, 4 * cfg.d_model
+    keys = jax.random.split(key, 2 + 4 * cfg.n_layers)
+
+    def lin(k, i, o):
+        return jax.random.normal(k, (i, o), jnp.float32) / np.sqrt(i)
+
+    p: dict[str, Any] = {
+        "tok": jax.random.normal(keys[0], (VOCAB, D), jnp.float32) * 0.02,
+        "pos": jax.random.normal(keys[1], (cfg.max_len, D), jnp.float32) * 0.02,
+        "lnf_s": jnp.ones((D,), jnp.float32),
+        "lnf_b": jnp.zeros((D,), jnp.float32),
+    }
+    for i in range(cfg.n_layers):
+        k = keys[2 + 4 * i: 6 + 4 * i]
+        p[f"ln1_s{i}"] = jnp.ones((D,), jnp.float32)
+        p[f"ln1_b{i}"] = jnp.zeros((D,), jnp.float32)
+        p[f"wqkv{i}"] = lin(k[0], D, 3 * D)
+        p[f"wo{i}"] = lin(k[1], D, D)
+        p[f"ln2_s{i}"] = jnp.ones((D,), jnp.float32)
+        p[f"ln2_b{i}"] = jnp.zeros((D,), jnp.float32)
+        p[f"w1{i}"] = lin(k[2], D, H)
+        p[f"b1{i}"] = jnp.zeros((H,), jnp.float32)
+        p[f"w2{i}"] = lin(k[3], H, D)
+        p[f"b2{i}"] = jnp.zeros((D,), jnp.float32)
+    return p
+
+
+def _ln(x, s, b):
+    m = jnp.mean(x, axis=-1, keepdims=True)
+    v = jnp.mean(jnp.square(x - m), axis=-1, keepdims=True)
+    return (x - m) * jax.lax.rsqrt(v + 1e-5) * s + b
+
+
+def _dot(a, b):
+    return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+
+
+def forward(params: dict[str, Any], tokens: jax.Array, cfg: LMConfig) -> jax.Array:
+    """tokens (B, L) int32 -> logits (B, L, V). Causal; PAD keys masked."""
+    B, L = tokens.shape
+    D, nh = cfg.d_model, cfg.n_heads
+    hd = D // nh
+    # embedding via one-hot matmul: per-element gathers over a tiny vocab
+    # axis hit the same TPU custom-call cliff as the engine's player-axis
+    # gathers (CLAUDE.md invariant 3); (B,L,V)x(V,D) rides the MXU instead
+    x = _dot(jax.nn.one_hot(tokens, VOCAB, dtype=jnp.bfloat16), params["tok"])
+    x = x + params["pos"][None, :L]
+    causal = jnp.tril(jnp.ones((L, L), bool))
+    keymask = (tokens != PAD)[:, None, None, :]  # (B,1,1,L)
+    for i in range(cfg.n_layers):
+        h = _ln(x, params[f"ln1_s{i}"], params[f"ln1_b{i}"])
+        qkv = _dot(h, params[f"wqkv{i}"]).reshape(B, L, 3, nh, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B,L,nh,hd)
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
+        att = jnp.where(causal[None, None] & keymask, att, -1e9)
+        att = jax.nn.softmax(att, axis=-1)
+        o = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(B, L, D)
+        x = x + _dot(o, params[f"wo{i}"])
+        h = _ln(x, params[f"ln2_s{i}"], params[f"ln2_b{i}"])
+        h = jax.nn.gelu(_dot(h, params[f"w1{i}"]) + params[f"b1{i}"])
+        x = x + _dot(h, params[f"w2{i}"]) + params[f"b2{i}"]
+    x = _ln(x, params["lnf_s"], params["lnf_b"])
+    return _dot(x, params["tok"].T)  # tied embedding head
+
+
+def loss_fn(params, tokens, mask, cfg: LMConfig):
+    """Next-token cross-entropy over masked (reply) positions."""
+    logits = forward(params, tokens[:, :-1], cfg)
+    targets = tokens[:, 1:]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    # one-hot contraction, not take_along_axis (CLAUDE.md invariant 3 —
+    # the PPO loss had this exact gather cliff on the action axis)
+    nll = -jnp.sum(logp * jax.nn.one_hot(targets, VOCAB, dtype=logp.dtype), -1)
+    m = mask[:, : nll.shape[1]]
+    return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# corpus: self-distillation from the template composer
+# ---------------------------------------------------------------------------
+
+_QUERIES = (
+    "hello there", "hi everyone", "what's the status?", "who is still alive?",
+    "what's happening?", "what's the score?", "who is winning?",
+    "any statements yet?", "which one is the lie?", "who do you vote for?",
+    "how will you vote?", "I suspect player 2", "player 3 is suspicious",
+    "are you the werewolf?", "I think you're lying", "accuse someone",
+    "tell me something", "what should we do?",
+)
+
+# sender names rotate so the model learns to COPY the S= field rather than
+# memorize literals (serving names are arbitrary registered handles). A few
+# hundred synthetic names force the attention-copy circuit to generalize —
+# a dozen was too few (the model just memorized the pool).
+def _sender_names() -> tuple[str, ...]:
+    from game_engine_tpu.gamespec.mechanics import splitmix32
+
+    heads = ("Al", "Bo", "Cy", "Da", "El", "Fi", "Gus", "Hana", "Ira", "Jo",
+             "Kai", "Lu", "Mira", "Nox", "Oz", "Pia", "Quinn", "Rex", "Sol",
+             "Tia", "Uma", "Vik", "Wyn", "Xan", "Yara", "Zed")
+    tails = ("", "ra", "den", "lo", "mi", "ta", "vik", "sh", "na", "rik",
+             "el", "issa")
+    out = dict.fromkeys(["Viewer", "V"] + [f"player{k}" for k in range(2, 13)])
+    for j, h in enumerate(heads):
+        for k, t in enumerate(tails):
+            name = h + t
+            if (j + k) % 3 == 1:
+                name = name.lower()
+            out.setdefault(name)
+    # uniformly random letter strings: syllable names alone let the model
+    # memorize the pool's bigrams instead of learning the attention-copy
+    # circuit; these force copying to work for ANY registered handle
+    for i in range(300):
+        h = splitmix32(0xC0FFEE + i)
+        ln = 3 + h % 7
+        cs = []
+        for k in range(ln):
+            h = splitmix32(h)
+            cs.append(chr(ord("a") + h % 26))
+        name = "".join(cs)
+        h = splitmix32(h)
+        if h % 3 == 0:
+            name = name.capitalize()
+        elif h % 3 == 1:
+            name += str(h % 10)
+        out.setdefault(name)
+    return tuple(out)
+
+
+_SENDERS = _sender_names()
+
+
+def build_corpus(games=("werewolf", "two-truths-and-a-lie"), seeds=range(150),
+                 max_pairs: int = 30000) -> list[tuple[str, str]]:
+    """(context, reply) pairs harvested by playing oracle rooms and asking
+    the template composer at every phase step. Deterministic."""
+    from game_engine_tpu.gamespec.compile import compile_game
+    from game_engine_tpu.gamespec.parser import load_builtin
+    from game_engine_tpu.oracle.interp import OracleRoom
+    from game_engine_tpu.policies.scripted import oracle_policy
+    from game_engine_tpu.server.chat import ChatRoom, lm_context
+
+    pairs: list[tuple[str, str]] = []
+    for gname in games:
+        game = compile_game(load_builtin(gname))
+        for seed in seeds:
+            room = OracleRoom(game, n_players=5 + seed % 4, seed=seed)
+            chat = ChatRoom("corpus", seed=seed)
+            contexts: list[str] = []
+
+            def hook(ctx: str) -> Optional[str]:
+                contexts.append(ctx)
+                return None  # fall through to the template composer
+
+            chat.lm_hook = hook
+            for t in range(400):
+                room.step(oracle_policy(room, t, seed))
+                snap = {
+                    "player_states": {str(p): dict(row) for p, row in room.players.items()},
+                    "current_phase_name": room.phase.name,
+                    "deadPlayers": [
+                        p for p, row in room.players.items()
+                        if not row.get("is_alive", True)
+                    ],
+                }
+                # several queries per simulated step: the oracle stepping
+                # dominates corpus cost, extra (sender, query) draws are free
+                for j in range(3):
+                    q = _QUERIES[(seed * 7 + t + j * 5) % len(_QUERIES)]
+                    who = _SENDERS[(seed * 5 + t * 3 + j * 101) % len(_SENDERS)]
+                    chat.post(1, who, q)
+                    msg = chat.bot_reply(1, who, q, snap)
+                    if msg is not None and contexts:
+                        pairs.append((contexts[-1], msg.message))
+                    if len(pairs) >= max_pairs:
+                        break
+                if room.done or len(pairs) >= max_pairs:
+                    break
+            if len(pairs) >= max_pairs:
+                break
+        if len(pairs) >= max_pairs:
+            break
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# greedy decoding + serving hook
+# ---------------------------------------------------------------------------
+
+
+def greedy_reply(params, cfg: LMConfig, ctx: str, max_new: int = 128) -> str:
+    """Deterministic greedy decode of a reply for a context string."""
+    fwd = _jitted_forward(cfg)
+    # keep the FULL context (training saw it untruncated — encode_pair only
+    # clips at max_len total); generation just uses whatever room is left
+    toks = [BOS] + encode_text(ctx)[: cfg.max_len - 2] + [SEP]
+    hit_eos = False
+    for _ in range(max_new):
+        if len(toks) >= cfg.max_len:
+            break
+        buf = np.full((1, cfg.max_len), PAD, np.int32)
+        buf[0, : len(toks)] = toks
+        logits = fwd(params, jnp.asarray(buf))
+        nxt = int(jnp.argmax(logits[0, len(toks) - 1]))
+        if nxt == EOS or nxt < _NSPECIAL:
+            hit_eos = True
+            break
+        toks.append(nxt)
+    sep_at = toks.index(SEP)
+    out = decode_tokens(toks[sep_at + 1:]).strip()
+    if not hit_eos and " " in out:
+        # token budget ran out mid-word: trim to the last complete word
+        out = out[: out.rfind(" ")].rstrip(" ,;:-")
+    return out
+
+
+_FWD_CACHE: dict[tuple, Any] = {}
+
+
+def _jitted_forward(cfg: LMConfig):
+    key = dataclasses.astuple(cfg)
+    if key not in _FWD_CACHE:
+        _FWD_CACHE[key] = jax.jit(lambda p, t: forward(p, t, cfg))
+    return _FWD_CACHE[key]
+
+
+def save(path: str, params: dict[str, Any], cfg: LMConfig) -> None:
+    np.savez(path, __config__=json.dumps(dataclasses.asdict(cfg)),
+             **{k: np.asarray(v) for k, v in params.items()})
+
+
+def load(path: str) -> tuple[dict[str, Any], LMConfig]:
+    z = np.load(path, allow_pickle=False)
+    cfg = LMConfig(**json.loads(str(z["__config__"])))
+    params = {k: jnp.asarray(z[k]) for k in z.files if k != "__config__"}
+    return params, cfg
+
+
+def make_lm_hook(ckpt_path: str):
+    """Load a checkpoint and return the ChatRoom lm_hook callable."""
+    params, cfg = load(ckpt_path)
+
+    def hook(ctx: str) -> Optional[str]:
+        return greedy_reply(params, cfg, ctx) or None
+
+    return hook

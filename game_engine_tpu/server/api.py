@@ -51,10 +51,11 @@ class StaticAsset(str):
 
 class AppContext:
     def __init__(self, storage_path: Optional[str] = None, games_path: Optional[str] = None,
-                 backend: str = "jax"):
+                 backend: str = "jax", chat_lm: Optional[str] = None):
         self.storage = MemoryStorage(storage_path)
         persist_dir = (storage_path + ".rooms") if storage_path else None
-        self.host = GameHost(games_path, backend=backend, persist_dir=persist_dir)
+        self.host = GameHost(games_path, backend=backend, persist_dir=persist_dir,
+                             chat_lm=chat_lm)
         self._restore_playing_rooms()
 
     def _restore_playing_rooms(self) -> None:
@@ -285,8 +286,9 @@ class AppContext:
 
 
 def make_server(port: int = 0, storage_path: Optional[str] = None,
-                games_path: Optional[str] = None, backend: str = "jax") -> ThreadingHTTPServer:
-    ctx = AppContext(storage_path, games_path, backend=backend)
+                games_path: Optional[str] = None, backend: str = "jax",
+                chat_lm: Optional[str] = None) -> ThreadingHTTPServer:
+    ctx = AppContext(storage_path, games_path, backend=backend, chat_lm=chat_lm)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -383,8 +385,12 @@ def main():  # pragma: no cover
     # native is the interactive default: per-room C++ stepping avoids a full
     # batched device dispatch per turn (identical semantics, test_native.py)
     ap.add_argument("--backend", default="native", choices=["jax", "native"])
+    ap.add_argument("--chat-lm", default=None, metavar="CKPT_NPZ",
+                    help="serve bot chat from the on-TPU transformer "
+                         "(policies/chat_lm.py) instead of the templates")
     args = ap.parse_args()
-    srv = make_server(args.port, args.storage, backend=args.backend)
+    srv = make_server(args.port, args.storage, backend=args.backend,
+                      chat_lm=args.chat_lm)
     print(f"game host listening on :{srv.server_address[1]}")
     srv.serve_forever()
 

@@ -51,12 +51,47 @@ _KEYWORDS = [
 _MENTION = re.compile(r"(?:player\s*|@)(\d+)", re.IGNORECASE)
 
 
-class ChatRoom:
-    """Per-room chat log + deterministic bot responder."""
+def lm_context(kind: str, bot: int, sender_name: str, text: str,
+               snapshot: dict[str, Any], variant: int = 0) -> str:
+    """Serialize the reply-relevant state into the compact conditioning
+    string consumed by the on-TPU chat LM (policies/chat_lm.py). The SAME
+    serializer builds the self-distillation corpus, so serving inputs stay
+    in-distribution. This is the seam where the reference sends the full
+    game context to gpt-4.1-mini (reference: agent/game_agent_v2.py:385).
 
-    def __init__(self, room_id: str, seed: int = 0):
+    ``variant`` carries the template composer's style-roll (h2 mod 8): the
+    teacher picks among phrasing variants by a hash that is otherwise
+    invisible to the student, which would make the context->reply mapping
+    multimodal — greedy decoding then splices modes into garbled text.
+    Conditioning on the roll makes the mapping deterministic."""
+    players = snapshot.get("player_states", {})
+    me = players.get(str(bot), {})
+    alive = sorted(
+        (int(p) for p, row in players.items() if row.get("is_alive", True)))
+    dead = sorted(int(d) for d in snapshot.get("deadPlayers", []))
+    my_vote = int(me.get("vote_choice", 0) or 0)
+    return (
+        f"K={kind}|P={snapshot.get('current_phase_name') or 'the game'}"
+        f"|B={bot}|N={me.get('name') or f'Player {bot}'}"
+        f"|S={sender_name}|A={','.join(map(str, alive))}"
+        f"|D={','.join(map(str, dead))}|V={my_vote}|R={variant % 8}"
+        f"|Q={text[:60]}"
+    )
+
+
+class ChatRoom:
+    """Per-room chat log + deterministic bot responder.
+
+    ``lm_hook(context_str) -> Optional[str]`` plugs a learned language
+    model in place of the template composer (``--chat-lm`` serves the tiny
+    on-TPU transformer from policies/chat_lm.py); bot selection, dead-
+    players-silent, visibility and timestamps stay host-enforced either
+    way, and a None/empty hook reply falls back to the templates."""
+
+    def __init__(self, room_id: str, seed: int = 0, lm_hook=None):
         self.room_id = room_id
         self.seed = seed
+        self.lm_hook = lm_hook
         self.messages: list[ChatMessage] = []
         self._ids = itertools.count(1)
 
@@ -136,8 +171,13 @@ class ChatRoom:
                 kind = k
                 break
         h2 = splitmix32((self.seed + len(self.messages) * 7 + bot) & 0xFFFFFFFF)
-        reply = self._compose(kind, bot, sender_id, sender_name, text,
-                              snapshot, h2)
+        reply = None
+        if self.lm_hook is not None:
+            reply = self.lm_hook(
+                lm_context(kind, bot, sender_name, text, snapshot, variant=h2))
+        if not reply:
+            reply = self._compose(kind, bot, sender_id, sender_name, text,
+                                  snapshot, h2)
         bot_name = players.get(str(bot), {}).get("name") or f"Player {bot}"
         # the reply inherits the triggering message's clock so journal
         # replay reproduces timestamps exactly

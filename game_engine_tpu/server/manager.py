@@ -276,12 +276,19 @@ class GameHost:
     """Rooms -> engine slots; human action queues; state/items projection."""
 
     def __init__(self, games_path: Optional[str] = None, backend: str = "jax",
-                 persist_dir: Optional[str] = None):
+                 persist_dir: Optional[str] = None,
+                 chat_lm: Optional[str] = None):
         """backend: 'jax' (batched device engine) or 'native' (C++ per-room
         simulator — lowest interactive latency, identical semantics).
         persist_dir: directory for per-room crash-recovery journals; None
-        disables durability (tests, throwaway hosts)."""
+        disables durability (tests, throwaway hosts).
+        chat_lm: path to a policies/chat_lm.py checkpoint; bot chat then
+        decodes on-device instead of using the template composer."""
         self._lock = threading.RLock()
+        self._chat_lm_hook = None
+        if chat_lm:
+            from game_engine_tpu.policies.chat_lm import make_lm_hook
+            self._chat_lm_hook = make_lm_hook(chat_lm)
         self._backend = backend
         self._games_path = games_path or games_dir()
         self._persist_dir = persist_dir
@@ -376,7 +383,8 @@ class GameHost:
             self._room_seed[room_id] = int(real_seed)
             self._names[room_id] = dict(player_names or {})
             self._texts[room_id] = {}
-            self._chats[room_id] = ChatRoom(room_id, seed=real_seed)
+            self._chats[room_id] = ChatRoom(room_id, seed=real_seed,
+                                            lm_hook=self._chat_lm_hook)
             self._notes[room_id] = NotesLog()
             self._phase_history[room_id] = []
             ts0 = self._replay_ts if self._replay_ts is not None else time.time()

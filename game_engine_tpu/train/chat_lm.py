@@ -1,0 +1,88 @@
+"""Train the tiny chat LM by self-distillation (see policies/chat_lm.py).
+
+The template composer (server/chat.py) plays teacher over simulated oracle
+rooms; the transformer learns context -> reply next-char prediction on TPU.
+
+    python -m game_engine_tpu.train.chat_lm --steps 3000 \
+        --out docs/checkpoints/chat_lm.npz
+
+Deterministic end to end: the corpus, shuffling and init all derive from
+--seed, so a retrain reproduces the shipped checkpoint bit-for-bit on the
+same jax version.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from game_engine_tpu.policies import chat_lm as C
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-pairs", type=int, default=30000)
+    ap.add_argument("--seeds", type=int, default=150,
+                    help="rooms simulated per game for the corpus")
+    ap.add_argument("--d-model", type=int, default=128)
+    ap.add_argument("--layers", type=int, default=2)
+    ap.add_argument("--max-len", type=int, default=256)
+    ap.add_argument("--out", default="chat_lm.npz")
+    ap.add_argument("--cpu", action="store_true", help="force CPU (tests)")
+    args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    cfg = C.LMConfig(d_model=args.d_model, n_layers=args.layers,
+                     max_len=args.max_len)
+    t0 = time.time()
+    pairs = C.build_corpus(seeds=range(args.seeds), max_pairs=args.max_pairs)
+    toks, masks = zip(*(C.encode_pair(c, r, cfg) for c, r in pairs))
+    toks = np.stack(toks)
+    masks = np.stack(masks)
+    print(f"corpus: {len(pairs)} pairs in {time.time() - t0:.1f}s "
+          f"(mean reply {np.mean([len(r) for _, r in pairs]):.1f} chars)")
+
+    params = C.init_params(jax.random.PRNGKey(args.seed), cfg)
+    tx = optax.adam(args.lr)
+    opt = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt, tok, mask):
+        loss, grads = jax.value_and_grad(C.loss_fn)(params, tok, mask, cfg)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt, loss
+
+    rng = np.random.default_rng(args.seed)
+    n = len(toks)
+    t0 = time.time()
+    for step in range(args.steps):
+        idx = rng.integers(0, n, size=args.batch)
+        params, opt, loss = train_step(params, opt,
+                                       jnp.asarray(toks[idx]),
+                                       jnp.asarray(masks[idx]))
+        if step % 200 == 0 or step == args.steps - 1:
+            print(json.dumps({"step": step, "loss": round(float(loss), 4),
+                              "wall_s": round(time.time() - t0, 1)}))
+
+    C.save(args.out, params, cfg)
+    # smoke-decode two corpus contexts so the artifact is demonstrably live
+    for ctx, ref in pairs[:2]:
+        print("CTX ", ctx)
+        print("LM  ", C.greedy_reply(params, cfg, ctx))
+        print("REF ", ref)
+    print("saved", args.out)
+
+
+if __name__ == "__main__":
+    main()
