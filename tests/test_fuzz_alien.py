@@ -281,6 +281,16 @@ def _grammar_doc(rng):
         phases[4]["next_phase"] = {"Otherwise, the game continues.": {
             "id": 1, "name": "Council Discussion"}}
         del phases[99]
+    # random P18 mechanic hints — sometimes sensible, sometimes nonsense or
+    # unanchorable; the contract is unchanged: reject loudly or run correct
+    _HINT_POOL = ["vote_elimination", "night_resolution", "target",
+                  "minority_score", "auction", "telekinesis",
+                  {"winner": "survivor"}, {"winner": "richest"},
+                  {"income": {"suspicion": 1}}, {"reveal": "warded"}]
+    for pid in (2, 3, 99):
+        if pid in phases and rng.random() < 0.35:
+            k = int(rng.integers(len(_HINT_POOL)))
+            phases[pid]["mechanics"] = [_HINT_POOL[k]]
     return doc
 
 
