@@ -198,3 +198,26 @@ def test_deepsets_params_transfer_across_room_sizes():
                                          jax.random.PRNGKey(1), cfg)
     aoh = jax.nn.one_hot(a - 1, legal.shape[-1], dtype=bool)
     assert bool(jnp.all(jnp.any(aoh & legal, axis=-1)))
+
+
+def test_team_masks_ffa_protagonist_seat():
+    """Free-for-all score games (no teams, no speaker) eval the learned
+    policy as SEAT 1 vs a scripted field — winner==1 is exactly seat 1's
+    victory in score mode, so cross-play win rates are meaningful."""
+    from game_engine_tpu.train.run import team_masks
+
+    ffa = lower(compile_game(load_builtin("auction-house")))
+    state = init_state(ffa, 3, 5, np.arange(3, dtype=np.uint32))
+    m = np.asarray(team_masks(ffa, state))
+    assert m[:, 0].all() and not m[:, 1:].any()
+
+    # team games keep the minority-team mask (werewolf: the wolves)
+    ww = lower(compile_game(load_builtin("werewolf")))
+    st = init_state(ww, 2, 6, np.arange(2, dtype=np.uint32))
+    from game_engine_tpu.core.engine import BatchedEngine, scripted_actions
+
+    eng = BatchedEngine(ww)
+    for _ in range(3):  # role assignment happens on entering phase 1
+        st = eng.step(st, scripted_actions(ww, st))
+    mw = np.asarray(team_masks(ww, st))
+    assert 0 < mw.sum() < mw.size  # some wolves, not everyone
