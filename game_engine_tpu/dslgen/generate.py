@@ -1318,9 +1318,150 @@ def _mix_battle_market(doc: dict[str, Any], win_coins: int = 8) -> dict[str, Any
     )
 
 
+def _weave_auction(
+    doc: dict[str, Any],
+    *,
+    income_phase_pred: Callable[[str], bool],
+    income_sentence: str,
+    check_name: str,
+    lot_branch_before: Callable[[str], bool],
+    bid_edge_pred: Callable[[str], bool],
+    bid_desc: str,
+    lot_terminal_name: str,
+    bid_max: int,
+    close_coins: int,
+) -> dict[str, Any]:
+    """Weave the auction family (P12 income, P19 sealed-bid lots) into an
+    existing phase graph — the auction analogue of ``_weave_market``: a bid
+    round (OPTION selection + highest-bid resolution) spliced into the
+    branch matched by ``bid_edge_pred``, and terminal 97 reached when any
+    purse reaches ``close_coins`` ("the auction house closes"), won by the
+    player with the most lots (P17 score mode on `points`). Paying your
+    bid is self-balancing — a lot winner's drained purse rarely wins the
+    next lot — so a "first to N lots" trigger would be unreachable under
+    random play; the purse-close trigger makes both terminals live, and
+    rewards spending coins on lots over hoarding."""
+    decl = doc["declaration"]
+    decl["player_states"]["coins"] = {
+        "type": "num", "example": 2,
+        "description": "The player's coin purse used for bidding; when any "
+                       f"purse reaches {close_coins} the auction house "
+                       "closes.",
+    }
+    decl["player_states"]["bid_choice"] = {
+        "type": "num", "example": 1,
+        "description": f"This round's sealed bid (1-{bid_max}); 0 before "
+                       "bidding.",
+    }
+    decl["player_states"]["points"] = {
+        "type": "num", "example": 0,
+        "description": "Lots won at auction (1 point apiece); the biggest "
+                       "collector wins when the house closes.",
+    }
+    tmpl = decl["player_states_template"]["player_states"]["1"]
+    tmpl["coins"], tmpl["bid_choice"], tmpl["points"] = 2, 0, 0
+    for row in decl["players_example"]["player_states"].values():
+        row["coins"], row["bid_choice"], row["points"] = 2, 0, 0
+    decl["players_example"]["tools"] = list(decl["players_example"]["tools"]) + [
+        "createCoinDisplay", "createScoreBoard",
+    ]
+
+    phases = doc["phases"]
+    paid = False
+    for ph in phases.values():
+        if income_phase_pred(ph["name"]):
+            ph["description"] += " " + income_sentence
+            ph["actions"].append(_tool_action("Show each purse", "createCoinDisplay"))
+            paid = True
+    assert paid, "no income phase matched"
+
+    W = next(pid for pid, ph in phases.items() if ph["name"] == check_name)
+    max_id = max(pid for pid in phases if pid < 97)
+    BS, BR = max_id + 1, max_id + 2
+    assert BR < 97 and 97 not in phases
+
+    branches = phases[W]["next_phase"]
+    bid_return = None
+    new_branches: dict[str, Any] = {}
+    inserted = False
+    for k, v in branches.items():
+        if not inserted and lot_branch_before(k):
+            new_branches[f"If any player has {close_coins} or more coins"] = {
+                "id": 97, "name": lot_terminal_name}
+            inserted = True
+        if bid_edge_pred(k):
+            bid_return = v
+            v = {"id": BS, "name": "Sealed Bids"}
+        new_branches[k] = v
+    assert inserted and bid_return is not None
+    phases[W]["next_phase"] = new_branches
+    phases[W]["description"] += " Also evaluate whether any purse closed the auction house."
+
+    phases[BS] = _action_phase(
+        "Sealed Bids",
+        bid_desc,
+        [
+            _tool_action("Clear previous UI; exempt death markers", "clearCanvas"),
+            _tool_action("TIER 1 - PUBLIC: Create bid phase indicator",
+                         "createPhaseIndicator"),
+            _tool_action("TIER 2 - GROUP: Create the sealed bid panel for living players",
+                         "createVotingPanel"),
+            _tool_action("Show each purse", "createCoinDisplay"),
+        ],
+        "All alive players have bid and bid_choice set to the sealed amount "
+        f"(1-{bid_max}).",
+        "multiple_players_action", "All alive players",
+        "player.is_alive == true",
+        {"id": BR, "name": "Auction Resolution"},
+    )
+    phases[BR] = _ui_phase(
+        "Auction Resolution",
+        "Open the bids: the highest bidder wins the lot and pays their bid "
+        "from their purse (ties go to the lowest player id).",
+        [
+            _tool_action("Clear bid UI; exempt death markers", "clearCanvas"),
+            _tool_action("TIER 1 - PUBLIC: Display the winning bid", "createResultDisplay"),
+            _tool_action("Show each purse", "createCoinDisplay"),
+        ],
+        bid_return,
+    )
+    phases[97] = _ui_phase(
+        lot_terminal_name,
+        "The auction house closes: congratulate the player with the most "
+        "points from won lots.",
+        [
+            _tool_action("Clear non-persistent UI; exempt death markers", "clearCanvas"),
+            _tool_action("TIER 1 - PUBLIC: Display the winner and final lots",
+                         "createResultDisplay"),
+        ],
+        None,
+    )
+    return doc
+
+
+def _mix_elimination_auction(doc: dict[str, Any], bid_max: int = 5,
+                             close_coins: int = 6) -> dict[str, Any]:
+    """Elimination + auctions: income each morning, a sealed-bid lot round
+    on the night-continue edge, house-closes terminal won by the biggest
+    lot collector (team terminal unchanged — P17 keeps the base rule)."""
+    return _weave_auction(
+        doc,
+        income_phase_pred=lambda name: "Morning" in name,
+        income_sentence="Then each alive player collects 2 coins from the village treasury.",
+        check_name="Check Win Conditions",
+        lot_branch_before=lambda k: k.startswith("If this check follows"),
+        bid_edge_pred=lambda k: "night resolution" in k,
+        bid_desc="Each alive player seals a bid of coins for the dawn lot.",
+        lot_terminal_name="Game Over — Master Collector",
+        bid_max=bid_max,
+        close_coins=close_coins,
+    )
+
+
 _MIXERS: dict[tuple[str, str], Callable[[dict], dict]] = {
     ("elimination", "market"): _mix_elimination_market,
     ("battle", "market"): _mix_battle_market,
+    ("elimination", "auction"): _mix_elimination_auction,
 }
 
 
@@ -1550,7 +1691,9 @@ def generate_from_description(
     if _NIGHT_WORDS.search(description) or _mine_elimination_roles(description):
         archetype = "elimination"
         roles = _mine_elimination_roles(description)
-        if _MARKET_WORDS.search(description):
+        if _AUCTION_WORDS.search(description):
+            extras = ("auction",)  # auction vocabulary outranks bare economy
+        elif _MARKET_WORDS.search(description):
             extras = ("market",)
     elif _MINORITY_WORDS.search(description):
         archetype = "minority"

@@ -285,3 +285,94 @@ def test_catalog_gold_rush_matches_generator():
     path = os.path.join(games_dir(), "gold-rush.yaml")
     on_disk = yaml.safe_load(open(path))
     assert on_disk == generate_from_description("gold-rush", GOLD_RUSH_DESC)
+
+
+# ---------------------------------------------------------------------------
+# elimination + auction mix (P19 woven into the night cycle)
+# ---------------------------------------------------------------------------
+
+RELIC_AUCTION_DESC = (
+    "Werewolf-style hidden roles: two smugglers strike at night, a "
+    "warden shields, a seer investigates; each dawn the village holds a "
+    "sealed-bid auction for relic lots until the house closes"
+)
+
+
+@pytest.fixture(scope="module")
+def relic():
+    doc = generate_from_description("relic-auction", RELIC_AUCTION_DESC)
+    issues, spec = validate_doc(doc, name="relic-auction")
+    assert not issues, [str(i) for i in issues]
+    return lower(compile_game(spec))
+
+
+def test_auction_mix_attaches_both_families(relic):
+    from game_engine_tpu.gamespec import mechanics as M
+
+    mechs = [m for cp in relic.game.phases for m in cp.program.on_enter]
+    assert any(isinstance(m, M.NightResolve) for m in mechs)
+    assert any(isinstance(m, M.VoteElim) for m in mechs)
+    assert any(isinstance(m, M.AuctionScore) for m in mechs)
+    assert any(isinstance(m, M.ResourceIncome) for m in mechs)
+    # P17: team terminal (99) and most-lots terminal (97) coexist
+    modes = {cp.dsl_id: m.mode for cp in relic.game.phases
+             for m in cp.program.on_enter if isinstance(m, M.GameOver)}
+    assert modes[99] == "team" and modes[97] == "score"
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_auction_mix_oracle_engine_parity(relic, seed):
+    room = _run_oracle_vs_engine(relic, 7, seed, max_steps=900)
+    assert room.phase.dsl_id in (97, 99)
+
+
+def test_auction_mix_both_endings_reachable(relic):
+    import collections
+
+    ends = collections.Counter()
+    for seed in range(12):
+        room = OracleRoom(relic.game, n_players=7, seed=seed)
+        for t in range(900):
+            room.step(oracle_policy(room, t, seed))
+            if room.done:
+                break
+        assert room.done
+        ends[room.phase.dsl_id] += 1
+    assert ends[97] > 0 and ends[99] > 0, dict(ends)
+
+
+def test_cpp_parity_auction_mix(relic):
+    from game_engine_tpu.native import available
+
+    if not available():
+        pytest.skip("native backend unavailable")
+    from tests.test_native import run_differential
+
+    for seed in (0, 2):
+        run_differential(relic, n_players=7, seed=seed, max_steps=900)
+
+
+def test_pallas_parity_auction_mix(relic):
+    from game_engine_tpu.core.pallas_rollout import make_pallas_rollout
+    from tests.test_pallas import _states_equal
+
+    B, steps = 8, 48
+    state = init_state(relic, B, 7, np.arange(B, dtype=np.uint32))
+    ref_state, ref_eps = compiled_rollout(relic, steps)(state)
+    pal = make_pallas_rollout(relic, steps, block_rooms=8, interpret=True)
+    state2 = init_state(relic, B, 7, np.arange(B, dtype=np.uint32))
+    pal_state, pal_eps = pal(state2)
+    _states_equal(ref_state, pal_state)
+    assert int(ref_eps) == int(pal_eps) and int(ref_eps) > 0
+
+
+def test_catalog_relic_auction_matches_generator():
+    import os
+
+    import yaml
+
+    from game_engine_tpu.gamespec.parser import games_dir
+
+    path = os.path.join(games_dir(), "relic-auction.yaml")
+    on_disk = yaml.safe_load(open(path))
+    assert on_disk == generate_from_description("relic-auction", RELIC_AUCTION_DESC)
