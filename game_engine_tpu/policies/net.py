@@ -197,7 +197,12 @@ class NetConfig:
     # pointer head scoring each seat — the trunk width stays constant as
     # rooms grow (the MLP's input scales as P * per-player features), and
     # target actions are scored by the target's own embedding.
+    # 'attn': deepsets + multi-head self-attention over the seat axis
+    # before pooling — seats exchange information (who is voting whom, who
+    # is protected) instead of pooling independently; all param shapes stay
+    # room-size independent, and the P×P attention rides the MXU.
     arch: str = "mlp"
+    attn_heads: int = 4
 
 
 def _bf16_dot(x, w):
@@ -216,8 +221,8 @@ def init_params(key, in_dim: int, n_actions: int, cfg: NetConfig,
     def lin(k, i, o):
         return jax.random.normal(k, (i, o), jnp.float32) / np.sqrt(i)
 
-    if cfg.arch == "deepsets":
-        assert lowered is not None, "deepsets init needs the lowered game"
+    if cfg.arch in ("deepsets", "attn"):
+        assert lowered is not None, "deepsets/attn init needs the lowered game"
         F0, NP = _per_player_dim(lowered), lowered.NP
         hp = max(32, cfg.hidden // 2)
         params["w_phi0"] = lin(keys[-3], F0, hp)
@@ -225,6 +230,12 @@ def init_params(key, in_dim: int, n_actions: int, cfg: NetConfig,
         params["w_phi1"] = lin(keys[-4], hp, hp)
         params["b_phi1"] = jnp.zeros((hp,), jnp.float32)
         params["w_ptr"] = lin(keys[-5], cfg.hidden, hp)
+        if cfg.arch == "attn":
+            ak = jax.random.split(keys[-6], 2)
+            params["w_qkv"] = lin(ak[0], hp, 3 * hp)
+            params["w_ao"] = lin(ak[1], hp, hp)
+            params["ln_s"] = jnp.ones((hp,), jnp.float32)
+            params["ln_b"] = jnp.zeros((hp,), jnp.float32)
         # EVERY param shape is ROOM-SIZE INDEPENDENT: the trunk consumes
         # pooled + self embedding + phase one-hot + alive fraction (the
         # viewer one-hot is dropped — self_phi already identifies the
@@ -280,10 +291,10 @@ def apply_net(params: dict[str, Any], obs: jax.Array, cfg: NetConfig,
               lowered: Lowered | None = None):
     """obs (..., F) -> (logits (..., A), value (...,)). bfloat16 matmuls on
     the MXU with float32 accumulation (preferred_element_type)."""
-    if cfg.arch != "deepsets":
+    if cfg.arch not in ("deepsets", "attn"):
         return _trunk_and_heads(params, obs.astype(jnp.bfloat16),
                                 obs.shape[-1])
-    assert lowered is not None, "deepsets apply needs the lowered game"
+    assert lowered is not None, "deepsets/attn apply needs the lowered game"
     P, F0, NP = lowered.P, _per_player_dim(lowered), lowered.NP
     x = obs.astype(jnp.bfloat16)
     lead = x.shape[:-1]
@@ -293,6 +304,26 @@ def apply_net(params: dict[str, Any], obs: jax.Array, cfg: NetConfig,
     phi = jax.nn.gelu(_bf16_dot(room, params["w_phi0"]) + params["b_phi0"])
     phi = jax.nn.gelu(_bf16_dot(phi.astype(jnp.bfloat16), params["w_phi1"])
                       + params["b_phi1"]).astype(jnp.bfloat16)  # (..., P, hp)
+    if cfg.arch == "attn":
+        # one residual multi-head self-attention block over the seat axis:
+        # seats attend to each other before pooling, so the embedding a
+        # pointer scores already reflects room-wide relations. P is tiny
+        # (<=12) so the (P, P) attention is a fused MXU epilogue, not a
+        # bandwidth concern.
+        hp = phi.shape[-1]
+        nh = cfg.attn_heads
+        hd = hp // nh
+        h = phi.astype(jnp.float32)
+        m = jnp.mean(h, axis=-1, keepdims=True)
+        v = jnp.mean(jnp.square(h - m), axis=-1, keepdims=True)
+        h = ((h - m) * jax.lax.rsqrt(v + 1e-5) * params["ln_s"]
+             + params["ln_b"]).astype(jnp.bfloat16)
+        qkv = _bf16_dot(h, params["w_qkv"]).reshape(lead + (P, 3, nh, hd))
+        q, k, w = qkv[..., 0, :, :], qkv[..., 1, :, :], qkv[..., 2, :, :]
+        att = jnp.einsum("...qhd,...khd->...hqk", q, k) / np.sqrt(hd)
+        att = jax.nn.softmax(att, axis=-1).astype(jnp.bfloat16)
+        o = jnp.einsum("...hqk,...khd->...qhd", att, w).reshape(lead + (P, hp))
+        phi = (phi + _bf16_dot(o, params["w_ao"])).astype(jnp.bfloat16)
     pooled = jnp.mean(phi.astype(jnp.float32), axis=-2)
     self_phi = jnp.sum(phi * viewer_oh[..., None].astype(jnp.bfloat16),
                        axis=-2, dtype=jnp.float32)

@@ -102,7 +102,7 @@ def main(argv=None):
     ap.add_argument("--players", type=int, default=6)
     ap.add_argument("--steps", type=int, default=256)
     ap.add_argument("--hidden", type=int, default=256)
-    ap.add_argument("--arch", default="mlp", choices=["mlp", "deepsets"])
+    ap.add_argument("--arch", default="mlp", choices=["mlp", "deepsets", "attn"])
     ap.add_argument("--seed", type=int, default=777)
     ap.add_argument("--matchup", nargs="*", default=None,
                     help="checkpoint paths: head-to-head win-rate matrix")

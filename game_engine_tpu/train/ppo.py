@@ -154,7 +154,7 @@ def gae(traj: Rollout, last_value: jax.Array, cfg: PPOConfig):
 def ppo_loss(params, traj: Rollout, adv, ret, cfg: PPOConfig,
              lowered: Lowered | None = None):
     """Clipped-PPO loss shared by mirror self-play and league training."""
-    if cfg.net.arch == "deepsets":
+    if cfg.net.arch in ("deepsets", "attn"):
         # chunk the recompute over T with remat inside: the set encoder's
         # (T, B, P, P, hp) phi activations would otherwise be held (or
         # rematerialized whole) for the backward pass — 8 GB at 16k rooms.

@@ -92,7 +92,7 @@ def main(argv=None):
     ap.add_argument("--horizon", type=int, default=32)
     ap.add_argument("--epochs", type=int, default=4, help="PPO epochs per rollout")
     ap.add_argument("--hidden", type=int, default=256)
-    ap.add_argument("--arch", default="mlp", choices=["mlp", "deepsets"])
+    ap.add_argument("--arch", default="mlp", choices=["mlp", "deepsets", "attn"])
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--eval-every", type=int, default=25)
     ap.add_argument("--eval-batch", type=int, default=1024)

@@ -221,3 +221,37 @@ def test_team_masks_ffa_protagonist_seat():
         st = eng.step(st, scripted_actions(ww, st))
     mw = np.asarray(team_masks(ww, st))
     assert 0 < mw.sum() < mw.size  # some wolves, not everyone
+
+
+def test_attn_arch_trains_and_transfers(ww_lowered):
+    """'attn' = deepsets + one residual self-attention block over the seat
+    axis: params init (all room-size independent), legal sampling, finite
+    train updates, and 8-player params acting on a 12-player compile."""
+    import math
+
+    from game_engine_tpu.gamespec.compile import GameConfig
+
+    cfg = PPOConfig(horizon=6, epochs=2,
+                    net=N.NetConfig(hidden=64, layers=2, arch="attn"))
+    params, opt_state, tx = init_training(ww_lowered, cfg, jax.random.PRNGKey(0))
+    assert "w_qkv" in params and "w_ptr" in params
+    state = init_state(ww_lowered, 16, 6, np.arange(16, dtype=np.uint32))
+    a, logp, v, legal = N.sample_actions(
+        ww_lowered, params, state, jax.random.PRNGKey(1), cfg.net)
+    aoh = jax.nn.one_hot(a - 1, legal.shape[-1], dtype=bool)
+    assert bool(jnp.all(jnp.any(aoh & legal, axis=-1)))
+
+    train = jax.jit(make_train_step(ww_lowered, cfg, tx))
+    key = jax.random.PRNGKey(2)
+    before = jax.tree_util.tree_map(jnp.copy, params)
+    for _ in range(2):
+        params, opt_state, state, key, m = train(params, opt_state, state, key)
+    assert math.isfinite(float(m["loss"]))
+    assert any(float(jnp.max(jnp.abs(params[k] - before[k]))) > 0
+               for k in params)
+
+    # room-size transfer, like deepsets
+    big = lower(compile_game(load_builtin("werewolf"), GameConfig(max_players=12)))
+    st = init_state(big, 4, 12, np.arange(4, dtype=np.uint32))
+    logits, value = N.apply_net(params, N.observe(big, st), cfg.net, big)
+    assert logits.shape == (4, 12, N.action_space(big))
