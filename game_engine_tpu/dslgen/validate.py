@@ -317,6 +317,23 @@ def _semantic_gap_issues(spec: GameSpec, game) -> list[Issue]:
                         f"(record compiled to "
                         f"{cp.program.record.choice_kind.name})",
                     ))
+                elif hname == "option" and _harg is not None:
+                    try:
+                        want_max = int(_harg)
+                    except (TypeError, ValueError):
+                        issues.append(Issue(
+                            ERROR, f"{where}.mechanics",
+                            f"option hint argument {_harg!r} is not an "
+                            "integer choice maximum",
+                        ))
+                    else:
+                        if cp.program.record.choice_max != want_max:
+                            issues.append(Issue(
+                                ERROR, f"{where}.mechanics",
+                                f"option hint requested max {want_max} but "
+                                f"the record compiled to "
+                                f"{cp.program.record.choice_max}",
+                            ))
             elif hname in M.ANCHOR_HINTS:
                 sets = [
                     (mech.kill_phases if hname == "kill" else mech.protect_phases)
@@ -345,17 +362,56 @@ def _semantic_gap_issues(spec: GameSpec, game) -> list[Issue]:
                     "declared field of the right type)",
                 ))
             elif hname == "winner":
-                # terminals always carry a GameOver; verify the hinted MODE won
+                # terminals always carry a GameOver; verify the hinted MODE
+                # won, and a named score field was honored verbatim
                 want = {"survivor": "survivor", "team": "team"}.get(
                     _harg if isinstance(_harg, str) else "", "score")
-                got = next(mech.mode for mech in cp.program.on_enter
+                got = next(mech for mech in cp.program.on_enter
                            if isinstance(mech, M.GameOver))
-                if got != want:
+                if got.mode != want:
                     issues.append(Issue(
                         ERROR, f"{where}.mechanics",
                         f"winner hint requested {want!r} mode but the game "
-                        f"resolves to {got!r} (missing fields/teams for the "
-                        "requested mode?)",
+                        f"resolves to {got.mode!r} (missing fields/teams for "
+                        "the requested mode?)",
+                    ))
+                elif isinstance(_harg, tuple):
+                    named = dict(_harg).get("score")
+                    if named and got.score_field != named:
+                        issues.append(Issue(
+                            ERROR, f"{where}.mechanics",
+                            f"winner hint named score field {named!r} but "
+                            f"the game resolves on {got.score_field!r} "
+                            f"({named!r} is not a declared num field?)",
+                        ))
+            elif hname == "reveal":
+                # same-class SetBoolAll from text must not mask a hint whose
+                # named field is wrong — the DECLARED field must be revealed
+                if not (isinstance(_harg, str) and any(
+                        isinstance(mech, M.SetBoolAll) and _harg in mech.fields
+                        for mech in cp.program.on_enter)):
+                    issues.append(Issue(
+                        ERROR, f"{where}.mechanics",
+                        f"reveal hint names {_harg!r} but no reveal of that "
+                        "field was attached (not a declared boolean field?)",
+                    ))
+            elif hname == "income" and isinstance(_harg, tuple):
+                want_gains = set()
+                bad = []
+                for f, n in _harg:
+                    try:
+                        want_gains.add((f, int(n)))
+                    except (TypeError, ValueError):
+                        bad.append((f, n))
+                got_gains = set().union(*(
+                    set(mech.gains) for mech in cp.program.on_enter
+                    if isinstance(mech, M.ResourceIncome)))
+                if bad or got_gains != want_gains:
+                    issues.append(Issue(
+                        ERROR, f"{where}.mechanics",
+                        f"income hint declared {sorted(want_gains | set(bad))} "
+                        f"but the phase pays {sorted(got_gains)} (field not a "
+                        "declared num field, or a non-integer amount?)",
                     ))
         rp = cp.program.record
         writes = bool(rp.set_bool_true or rp.set_bool_false or rp.write_choice_num

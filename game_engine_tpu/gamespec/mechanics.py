@@ -438,8 +438,7 @@ def build_record_program(ph: PhaseSpec, spec: GameSpec, layout: StateLayout) -> 
     kind = ChoiceKind.NONE
     cmax = 0
     kind_hint = next(
-        ((h, a) for h, a in ph.mechanic_hints
-         if h in ("target", "option", "submit")), None)
+        ((h, a) for h, a in ph.mechanic_hints if h in CHOICE_HINTS), None)
     if kind_hint is not None:
         hname, harg = kind_hint
         kind = ChoiceKind[hname.upper()]
@@ -984,7 +983,9 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
 
         # P12: fixed income on non-action phases ("each player collects 1
         # coin"); an explicit {income: {field: n}} hint declares the gains
-        # directly and works on any phase type
+        # directly and works on any phase type. A parameterized hint
+        # OVERRIDES text mining entirely (declaration outranks vocabulary —
+        # merging would pay hint + prose amounts on phases stating both).
         gains: list[tuple[str, int]] = []
         for hname, harg in ph.mechanic_hints:
             if hname == "income" and isinstance(harg, tuple):
@@ -992,7 +993,9 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
                     if (f in fields and layout.slot(f).bank == BANK_NUM
                             and (f, int(n)) not in gains):
                         gains.append((f, int(n)))
-        if (ph.completion.type is not CompletionType.PLAYER_ACTION
+        income_declared = bool(gains)
+        if not income_declared and (
+                ph.completion.type is not CompletionType.PLAYER_ACTION
                 or "income" in hint_names):
             for mm in _INCOME_RE.finditer(text):
                 f = _num_field_for(mm.group(2))

@@ -165,9 +165,7 @@ def _parse_mechanic_hints(raw: Any) -> tuple[tuple[str, Any], ...]:
     entries = raw if isinstance(raw, (list, tuple)) else [raw]
     out: list[tuple[str, Any]] = []
     for e in entries:
-        if isinstance(e, str):
-            out.append((e.strip().lower().replace("-", "_"), None))
-        elif isinstance(e, dict):
+        if isinstance(e, dict):
             for k, v in e.items():
                 name = str(k).strip().lower().replace("-", "_")
                 if isinstance(v, dict):
@@ -179,6 +177,10 @@ def _parse_mechanic_hints(raw: Any) -> tuple[tuple[str, Any], ...]:
                 else:
                     arg = str(v)
                 out.append((name, arg))
+        else:
+            # NEVER drop an entry: a malformed one (int, null, ...) must
+            # surface as an unknown-mechanic validator ERROR, not vanish
+            out.append((str(e).strip().lower().replace("-", "_"), None))
     return tuple(out)
 
 

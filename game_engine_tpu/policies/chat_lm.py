@@ -69,6 +69,9 @@ def encode_pair(ctx: str, reply: str, cfg: LMConfig) -> tuple[np.ndarray, np.nda
 
 
 def init_params(key, cfg: LMConfig) -> dict[str, Any]:
+    if cfg.d_model % cfg.n_heads != 0:
+        raise ValueError(
+            f"d_model={cfg.d_model} must be divisible by n_heads={cfg.n_heads}")
     D, H = cfg.d_model, 4 * cfg.d_model
     keys = jax.random.split(key, 2 + 4 * cfg.n_layers)
 
@@ -309,8 +312,14 @@ def load(path: str) -> tuple[dict[str, Any], LMConfig]:
 
 
 def make_lm_hook(ckpt_path: str):
-    """Load a checkpoint and return the ChatRoom lm_hook callable."""
+    """Load a checkpoint and return the ChatRoom lm_hook callable.
+
+    Warms the jitted forward with one dummy decode so the first real chat
+    message never pays the TPU compile (15-190 s) inside the GameHost
+    lock, where it would stall every room's requests."""
     params, cfg = load(ckpt_path)
+    greedy_reply(params, cfg, "K=greeting|P=warmup|B=1|N=P|S=V|A=1|D=|V=0"
+                 "|R=0|Q=hi", max_new=2)
 
     def hook(ctx: str) -> Optional[str]:
         return greedy_reply(params, cfg, ctx) or None

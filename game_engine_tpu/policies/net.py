@@ -231,6 +231,11 @@ def init_params(key, in_dim: int, n_actions: int, cfg: NetConfig,
         params["b_phi1"] = jnp.zeros((hp,), jnp.float32)
         params["w_ptr"] = lin(keys[-5], cfg.hidden, hp)
         if cfg.arch == "attn":
+            if hp % cfg.attn_heads != 0:
+                raise ValueError(
+                    f"attn arch needs max(32, hidden//2)={hp} divisible by "
+                    f"attn_heads={cfg.attn_heads}; pick a hidden size whose "
+                    "half is a multiple of the head count")
             ak = jax.random.split(keys[-6], 2)
             params["w_qkv"] = lin(ak[0], hp, 3 * hp)
             params["w_ao"] = lin(ak[1], hp, hp)

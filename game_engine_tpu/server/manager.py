@@ -490,7 +490,9 @@ class GameHost:
                         self._step_once(room_id, q)
                     elif kind == "chat":
                         self._replay_ts = ev.get("ts")
-                        self.post_chat(room_id, int(ev["pid"]), str(ev["text"]), names)
+                        self.post_chat(
+                            room_id, int(ev["pid"]), str(ev["text"]), names,
+                            replay_bot=ev.get("bot", GameHost._REPLAY_RECOMPUTE))
                     elif kind == "text":
                         self._texts[room_id].setdefault(int(ev["pid"]), {})[
                             str(ev["field"])
@@ -515,10 +517,20 @@ class GameHost:
 
     # -- chat ---------------------------------------------------------------------
 
+    _REPLAY_RECOMPUTE = object()  # sentinel: journal predates reply recording
+
     def post_chat(self, room_id: str, player_id: int, text: str,
-                  player_names: Optional[dict[int, str]] = None) -> list[dict[str, Any]]:
+                  player_names: Optional[dict[int, str]] = None,
+                  replay_bot: Any = _REPLAY_RECOMPUTE) -> list[dict[str, Any]]:
         """Append a chat message and generate the bot reply; returns the new
-        messages (reference flow: page.tsx:321-351 -> ChatBotNode)."""
+        messages (reference flow: page.tsx:321-351 -> ChatBotNode).
+
+        ``replay_bot`` injects a journaled bot reply verbatim instead of
+        recomputing it: restart recovery then never re-runs the responder
+        (with ``--chat-lm`` that would be a full greedy decode per logged
+        message) and cannot diverge if the operator restarts with a
+        different checkpoint or no LM at all. The sentinel default keeps
+        old journals (which carry no reply) on the recompute path."""
         with self._lock:
             chat = self._chats[room_id]
             names = player_names or {}
@@ -527,12 +539,29 @@ class GameHost:
             # timestamps exactly (the bot reply inherits the trigger's)
             ts = self._replay_ts if self._replay_ts is not None else time.time()
             msg = chat.post(player_id, sender_name, text, timestamp=ts)
-            self._log_event(room_id, {"e": "chat", "pid": player_id,
-                                      "text": text, "ts": ts})
-            slots_key, slot = self._rooms[room_id]
-            gs = self._slots[slots_key]
-            snap = gs.snapshot_raw(slot, names)
-            reply = chat.bot_reply(player_id, sender_name, text, snap)
+            if replay_bot is GameHost._REPLAY_RECOMPUTE:
+                slots_key, slot = self._rooms[room_id]
+                gs = self._slots[slots_key]
+                snap = gs.snapshot_raw(slot, names)
+                reply = chat.bot_reply(player_id, sender_name, text, snap)
+            elif replay_bot is not None:
+                reply = chat.post(
+                    int(replay_bot["pid"]), str(replay_bot["name"]),
+                    str(replay_bot["text"]),
+                    visibility=str(replay_bot.get("visibility", "public")),
+                    target_audience=replay_bot.get("audience"),
+                    timestamp=ts,
+                )
+            else:
+                reply = None
+            self._log_event(room_id, {
+                "e": "chat", "pid": player_id, "text": text, "ts": ts,
+                "bot": None if reply is None else {
+                    "pid": reply.playerId, "name": reply.playerName,
+                    "text": reply.message, "visibility": reply.visibility,
+                    "audience": reply.target_audience,
+                },
+            })
             out = [msg.to_json()]
             if reply is not None:
                 out.append(reply.to_json())

@@ -165,6 +165,73 @@ def test_hints_parse_and_normalize():
     assert hints[2] == ("winner", "richest")
 
 
+def test_income_hint_overrides_text_amount():
+    """A parameterized income hint REPLACES text-mined gains (declaration
+    outranks vocabulary) — merging would pay hint + prose amounts."""
+    doc = _council_doc()
+    doc["declaration"]["player_states"]["coins"] = {
+        "type": "num", "example": 0, "description": "Purse."}
+    doc["declaration"]["player_states_template"]["player_states"]["1"]["coins"] = 0
+    doc["phases"][1]["description"] += " Each player collects 1 coin."
+    doc["phases"][1]["mechanics"] = [{"income": {"coins": 2}}]
+    mechs, _ = _phase_mechs(doc, "income-override", 1)
+    inc = next(m for m in mechs if isinstance(m, M.ResourceIncome))
+    assert inc.gains == (("coins", 2),)  # the declared amount, not 2+1
+
+
+def test_reveal_hint_bad_field_is_error():
+    """{reveal: bad_field} must not be masked by a same-class SetBoolAll
+    attached from text — the declared field itself must be revealed."""
+    doc = _council_doc()
+    # no SetBoolAll at all on the phase: the generic attach error is loud
+    doc["phases"][3]["mechanics"] = [{"reveal": "no_such_field"}]
+    issues, _ = validate_doc(doc, name="reveal-bad-unanchored")
+    assert errors(issues)
+
+    # the masking case: a text-attached SetBoolAll('exposed') on the same
+    # phase must NOT satisfy a hint naming a different (bad) field
+    doc = _council_doc()
+    doc["declaration"]["player_states"]["exposed"] = {
+        "type": "boolean", "example": False, "description": "Publicly shown."}
+    doc["declaration"]["player_states_template"]["player_states"]["1"]["exposed"] = False
+    doc["phases"][3]["completion_criteria"]["description"] = (
+        "Result shown (exposed set to true).")
+    doc["phases"][3]["mechanics"] = [{"reveal": "no_such_field"}]
+    issues, _ = validate_doc(doc, name="reveal-bad-masked")
+    errs = [str(i) for i in errors(issues)]
+    assert any("reveal hint names 'no_such_field'" in e for e in errs), errs
+
+
+def test_winner_named_score_field_mismatch_is_error():
+    doc = _council_doc()
+    doc["declaration"]["player_states"]["points"] = {
+        "type": "num", "example": 0, "description": "Total score points."}
+    doc["declaration"]["player_states_template"]["player_states"]["1"]["points"] = 0
+    doc["phases"][1]["mechanics"] = [{"income": {"points": 1}}]  # touch it
+    doc["phases"][99]["mechanics"] = [{"winner": {"score": "no_such_field"}}]
+    issues, _ = validate_doc(doc, name="winner-named-bad")
+    errs = [str(i) for i in errors(issues)]
+    assert any("winner hint named score field" in e for e in errs), errs
+
+
+def test_option_hint_bad_arg_is_error():
+    doc = _council_doc()
+    doc["phases"][2]["mechanics"] = [{"option": "lots"}]
+    issues, _ = validate_doc(doc, name="option-bad")
+    errs = [str(i) for i in errors(issues)]
+    assert any("not an integer choice maximum" in e for e in errs), errs
+
+
+def test_malformed_hint_entry_is_loud():
+    """mechanics: [3] (a YAML typo) must surface as an unknown-mechanic
+    error, not vanish at parse time."""
+    doc = _council_doc()
+    doc["phases"][3]["mechanics"] = [3]
+    issues, _ = validate_doc(doc, name="typo-hint")
+    errs = [str(i) for i in errors(issues)]
+    assert any("unknown mechanic '3'" in e for e in errs), errs
+
+
 # ---------------------------------------------------------------------------
 # games/midnight-circle.yaml — the hand-written catalog game whose every
 # resolution phase is out-of-vocabulary and pinned by P18 hints

@@ -370,3 +370,36 @@ def test_corrupt_journal_event_fails_restore_cleanly(tmp_path):
                              {"playerId": ["1"]}, {})
     assert code == 410, (code, data)
     assert os.path.exists(path)  # journal preserved as evidence
+
+
+def test_replay_injects_journaled_bot_reply_without_recompute(tmp_path):
+    """New journals record the bot reply verbatim; restart recovery posts
+    it back instead of re-running the responder — so a changed (or absent)
+    --chat-lm checkpoint cannot diverge the restored chat log, and startup
+    never pays an LM decode per logged message."""
+    from game_engine_tpu.server.manager import GameHost
+
+    pd = str(tmp_path / "journals")
+    calls = []
+
+    def fake_lm(ctx):
+        calls.append(ctx)
+        return f"lm-reply-{len(calls)}"
+
+    host = GameHost(persist_dir=pd)
+    host._chat_lm_hook = fake_lm  # as if started with --chat-lm
+    host.start_room("r1", "werewolf", 5, seed=4)
+    host.post_chat("r1", 1, "hello there")
+    host.post_chat("r1", 1, "to Bot 2: who looks guilty?")
+    ref = host.chat_messages("r1", 1)
+    assert any(m["message"].startswith("lm-reply") for m in ref)
+    n_calls = len(calls)
+    assert n_calls >= 2
+
+    # restart WITHOUT the LM: replay must inject the recorded replies
+    host2 = GameHost(persist_dir=pd)
+    assert host2.restore_room("r1")
+    got = host2.chat_messages("r1", 1)
+    assert [m["message"] for m in got] == [m["message"] for m in ref]
+    assert [m["id"] for m in got] == [m["id"] for m in ref]
+    assert len(calls) == n_calls  # the hook never ran again
