@@ -161,6 +161,9 @@ _QUERIES = (
     "how will you vote?", "I suspect player 2", "player 3 is suspicious",
     "are you the werewolf?", "I think you're lying", "accuse someone",
     "tell me something", "what should we do?",
+    # extra status-flavored draws: the alive/fallen roster lines are the
+    # hardest copies (long, state-dependent), so they get more corpus share
+    "who is left?", "who died?", "status report", "who remains?",
 )
 
 # sender names rotate so the model learns to COPY the S= field rather than
