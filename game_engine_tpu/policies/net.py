@@ -197,12 +197,15 @@ class NetConfig:
     # pointer head scoring each seat — the trunk width stays constant as
     # rooms grow (the MLP's input scales as P * per-player features), and
     # target actions are scored by the target's own embedding.
-    # 'attn': deepsets + multi-head self-attention over the seat axis
-    # before pooling — seats exchange information (who is voting whom, who
-    # is protected) instead of pooling independently; all param shapes stay
-    # room-size independent, and the P×P attention rides the MXU.
+    # 'attn': deepsets + self-attention over the seat axis before pooling —
+    # seats exchange information (who is voting whom, who is protected)
+    # instead of pooling independently; all param shapes stay room-size
+    # independent. Default is ONE head: with P<=12 seats, splitting the
+    # embedding into tiny per-head dims (hd=8 at 4 heads) lowers to
+    # VPU-bound slivers — single-head keeps the full width on the MXU,
+    # measured 2.6x faster at identical learning quality (docs/PERF.md).
     arch: str = "mlp"
-    attn_heads: int = 4
+    attn_heads: int = 1
 
 
 def _bf16_dot(x, w):
