@@ -181,3 +181,25 @@ def test_description_mining_builds_custom_casts():
         if room.done:
             break
     assert room.done
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("name", ["bluff-court", "market-raid",
+                                   "odd-one-out", "last-stand"])
+def test_catalog_games_match_generator(name):
+    """Every generator-produced catalog game is byte-pinned to
+    generate_from_description on its own declaration description — catalog
+    copies (and their P18 self-annotations) cannot drift."""
+    import os
+
+    import yaml
+
+    from game_engine_tpu.gamespec.parser import games_dir
+
+    path = os.path.join(games_dir(), f"{name}.yaml")
+    on_disk = yaml.safe_load(open(path))
+    desc = on_disk["declaration"]["description"]
+    assert on_disk == generate_from_description(name, desc)
+    assert any(p.get("mechanics") for p in on_disk["phases"].values())
