@@ -1458,10 +1458,30 @@ def _mix_elimination_auction(doc: dict[str, Any], bid_max: int = 5,
     )
 
 
+def _mix_battle_auction(doc: dict[str, Any], bid_max: int = 5,
+                        close_coins: int = 10) -> dict[str, Any]:
+    """Battle + auctions: bounty income at each vote result, a sealed-bid
+    lot round before each new round, house-closes terminal won by the
+    biggest lot collector (survivor terminal unchanged)."""
+    return _weave_auction(
+        doc,
+        income_phase_pred=lambda name: name == "Announce Vote Results",
+        income_sentence="Then each alive player collects 2 coins from the bounty chest.",
+        check_name="Check Survivors",
+        lot_branch_before=lambda k: "continue" in k,
+        bid_edge_pred=lambda k: "continue" in k,
+        bid_desc="Each alive player seals a bid of coins for the round's lot.",
+        lot_terminal_name="Game Over — Master Collector",
+        bid_max=bid_max,
+        close_coins=close_coins,
+    )
+
+
 _MIXERS: dict[tuple[str, str], Callable[[dict], dict]] = {
     ("elimination", "market"): _mix_elimination_market,
     ("battle", "market"): _mix_battle_market,
     ("elimination", "auction"): _mix_elimination_auction,
+    ("battle", "auction"): _mix_battle_auction,
 }
 
 
@@ -1701,8 +1721,13 @@ def generate_from_description(
         archetype = "bluff"
     elif _AUCTION_WORDS.search(description):
         # auction vocabulary outranks generic economy words ("bidding" alone
-        # is a market keyword; "bidding for lots" is an auction)
-        archetype = "auction"
+        # is a market keyword; "bidding for lots" is an auction); with
+        # survival vocabulary it composes into the battle graph instead
+        if _BATTLE_WORDS.search(description):
+            archetype = "battle"
+            extras = ("auction",)
+        else:
+            archetype = "auction"
     elif _MARKET_WORDS.search(description):
         # economy vocabulary + survival vocabulary = battle+market mix
         if _BATTLE_WORDS.search(description):

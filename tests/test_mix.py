@@ -376,3 +376,55 @@ def test_catalog_relic_auction_matches_generator():
     path = os.path.join(games_dir(), "relic-auction.yaml")
     on_disk = yaml.safe_load(open(path))
     assert on_disk == generate_from_description("relic-auction", RELIC_AUCTION_DESC)
+
+
+# ---------------------------------------------------------------------------
+# battle + auction mix
+# ---------------------------------------------------------------------------
+
+TROPHY_ARENA_DESC = (
+    "Gladiators vote one of their own out of the arena each round and "
+    "bid in a sealed-bid auction for trophy lots; survive to the end or "
+    "collect the most lots when the house closes"
+)
+
+
+@pytest.fixture(scope="module")
+def trophy():
+    doc = generate_from_description("trophy-arena", TROPHY_ARENA_DESC)
+    issues, spec = validate_doc(doc, name="trophy-arena")
+    assert not issues, [str(i) for i in issues]
+    return lower(compile_game(spec))
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_battle_auction_oracle_engine_parity(trophy, seed):
+    room = _run_oracle_vs_engine(trophy, 6, seed, max_steps=900)
+    assert room.phase.dsl_id in (97, 99)
+
+
+def test_battle_auction_both_endings_reachable(trophy):
+    import collections
+
+    ends = collections.Counter()
+    for seed in range(14):
+        room = OracleRoom(trophy.game, n_players=6, seed=seed)
+        for t in range(900):
+            room.step(oracle_policy(room, t, seed))
+            if room.done:
+                break
+        assert room.done
+        ends[room.phase.dsl_id] += 1
+    assert ends[97] > 0 and ends[99] > 0, dict(ends)
+
+
+def test_catalog_trophy_arena_matches_generator():
+    import os
+
+    import yaml
+
+    from game_engine_tpu.gamespec.parser import games_dir
+
+    path = os.path.join(games_dir(), "trophy-arena.yaml")
+    on_disk = yaml.safe_load(open(path))
+    assert on_disk == generate_from_description("trophy-arena", TROPHY_ARENA_DESC)

@@ -403,3 +403,24 @@ def test_replay_injects_journaled_bot_reply_without_recompute(tmp_path):
     assert [m["message"] for m in got] == [m["message"] for m in ref]
     assert [m["id"] for m in got] == [m["id"] for m in ref]
     assert len(calls) == n_calls  # the hook never ran again
+
+
+def test_spectator_view_masks_everything_private(tmp_path):
+    """playerId=0 (no seat) is a spectator: every SELF/TEAM field masked,
+    only public-audience items visible — watching a room leaks nothing."""
+    from game_engine_tpu.server.api import AppContext
+
+    ctx = AppContext(None)
+    _, d = ctx.handle("POST", "/api/rooms/create", {},
+                      {"gameName": "werewolf", "playerName": "A"})
+    rid = d["room"]["roomId"]
+    ctx.handle("POST", "/api/rooms/add-bot", {}, {"roomId": rid})
+    ctx.handle("POST", f"/api/rooms/{rid}/start", {}, {"seed": 2})
+    ctx.handle("POST", f"/api/rooms/{rid}/continue", {}, {})
+    code, spec = ctx.handle("GET", f"/api/rooms/{rid}/state",
+                            {"playerId": ["0"]}, {})
+    assert code == 200
+    assert all(r.get("role") is None for r in spec["player_states"].values())
+    _, p1 = ctx.handle("GET", f"/api/rooms/{rid}/state", {"playerId": ["1"]}, {})
+    assert p1["player_states"]["1"]["role"]  # a seat still sees itself
+    assert len(spec["items"]) <= len(p1["items"])
