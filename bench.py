@@ -104,7 +104,7 @@ def main():
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     inner_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
-    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    iters = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 
     lowered = lower(compile_game(load_builtin("werewolf")))
     rollout = compiled_rollout(lowered, inner_steps, auto_reset=True)
