@@ -255,3 +255,22 @@ def test_attn_arch_trains_and_transfers(ww_lowered):
     st = init_state(big, 4, 12, np.arange(4, dtype=np.uint32))
     logits, value = N.apply_net(params, N.observe(big, st), cfg.net, big)
     assert logits.shape == (4, 12, N.action_space(big))
+
+
+def test_shipped_attn_checkpoint_if_present(ww_lowered):
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "docs",
+                        "checkpoints", "attn_werewolf_u120.npz")
+    if not os.path.exists(path):
+        pytest.skip("no shipped attn checkpoint")
+    from game_engine_tpu.utils.checkpoint import load_tree
+
+    cfg = PPOConfig(net=N.NetConfig(hidden=256, arch="attn"))
+    params, _, _ = init_training(ww_lowered, cfg, jax.random.PRNGKey(0))
+    params = load_tree(path[:-4], params)
+    state = init_state(ww_lowered, 8, 6, np.arange(8, dtype=np.uint32))
+    a, logp, v, legal = N.sample_actions(ww_lowered, params, state,
+                                         jax.random.PRNGKey(1), cfg.net)
+    aoh = jax.nn.one_hot(a - 1, legal.shape[-1], dtype=bool)
+    assert bool(jnp.all(jnp.any(aoh & legal, axis=-1)))
