@@ -1514,7 +1514,11 @@ def annotate_mechanics(doc: dict[str, Any]) -> dict[str, Any]:
                 protects |= set(m.protect_phases)
 
     for cp in game.phases:
+        # phase keys may be ints (the blueprint path) or strings (LLM
+        # completions commonly quote them; the parser coerces either)
         ph = doc["phases"].get(cp.dsl_id)
+        if ph is None:
+            ph = doc["phases"].get(str(cp.dsl_id))
         if ph is None:
             continue
         hints: list[Any] = []

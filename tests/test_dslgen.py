@@ -183,10 +183,7 @@ def test_description_mining_builds_custom_casts():
     assert room.done
 
 
-import pytest as _pytest
-
-
-@_pytest.mark.parametrize("name", ["bluff-court", "market-raid",
+@pytest.mark.parametrize("name", ["bluff-court", "market-raid",
                                    "odd-one-out", "last-stand"])
 def test_catalog_games_match_generator(name):
     """Every generator-produced catalog game is byte-pinned to

@@ -72,3 +72,16 @@ def test_hook_plugs_into_generate_from_description():
     hook = make_llm_hook(lambda prompt: _council_yaml())
     doc = generate_from_description("council", "whatever", llm_hook=hook)
     assert not errors(validate_doc(doc, name="c")[0])
+
+
+def test_string_phase_keys_still_get_annotated():
+    """LLM completions commonly quote phase ids ('0':, '1': ...); the
+    adapter must still write P18 hints into them (annotate_mechanics is
+    key-type tolerant)."""
+    doc = _council_doc()
+    doc["phases"] = {str(k): v for k, v in doc["phases"].items()}
+    hook = make_llm_hook(lambda prompt: yaml.safe_dump(doc, sort_keys=False))
+    out = hook("council", "a council votes members out")
+    assert any(p.get("mechanics") for p in out["phases"].values()), \
+        "string-keyed phases lost their P18 annotations"
+    assert not errors(validate_doc(out, name="c")[0])

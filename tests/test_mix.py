@@ -428,3 +428,28 @@ def test_catalog_trophy_arena_matches_generator():
     path = os.path.join(games_dir(), "trophy-arena.yaml")
     on_disk = yaml.safe_load(open(path))
     assert on_disk == generate_from_description("trophy-arena", TROPHY_ARENA_DESC)
+
+
+def test_cpp_parity_battle_auction(trophy):
+    from game_engine_tpu.native import available
+
+    if not available():
+        pytest.skip("native backend unavailable")
+    from tests.test_native import run_differential
+
+    for seed in (0, 2):
+        run_differential(trophy, n_players=6, seed=seed, max_steps=900)
+
+
+def test_pallas_parity_battle_auction(trophy):
+    from game_engine_tpu.core.pallas_rollout import make_pallas_rollout
+    from tests.test_pallas import _states_equal
+
+    B, steps = 8, 48
+    state = init_state(trophy, B, 6, np.arange(B, dtype=np.uint32))
+    ref_state, ref_eps = compiled_rollout(trophy, steps)(state)
+    pal = make_pallas_rollout(trophy, steps, block_rooms=8, interpret=True)
+    state2 = init_state(trophy, B, 6, np.arange(B, dtype=np.uint32))
+    pal_state, pal_eps = pal(state2)
+    _states_equal(ref_state, pal_state)
+    assert int(ref_eps) == int(pal_eps) and int(ref_eps) > 0
