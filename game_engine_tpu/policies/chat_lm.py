@@ -216,7 +216,7 @@ def build_corpus(games=("werewolf", "two-truths-and-a-lie"), seeds=range(150),
     from game_engine_tpu.gamespec.parser import load_builtin
     from game_engine_tpu.oracle.interp import OracleRoom
     from game_engine_tpu.policies.scripted import oracle_policy
-    from game_engine_tpu.server.chat import ChatRoom, lm_context
+    from game_engine_tpu.server.chat import ChatRoom
 
     pairs: list[tuple[str, str]] = []
     for gname in games:
