@@ -17,7 +17,8 @@ from game_engine_tpu.gamespec.tables import lower
 from game_engine_tpu.parallel.mesh import make_mesh, state_sharding
 
 
-@pytest.fixture(scope="module", params=["werewolf", "two-truths"])
+@pytest.fixture(scope="module",
+                params=["werewolf", "two-truths", "relic-auction"])
 def lowered(request):
     return lower(compile_game(load_builtin(request.param)))
 
