@@ -1,0 +1,116 @@
+"""Generic effect-IR interpreter for the jitted executors (P20).
+
+One evaluator serves both jax layouts — core/step.py's (rooms, players)
+batch and core/pallas_rollout.py's (players, lanes) VMEM tiles — through a
+small ops adapter that each executor implements next to its layout code.
+The expression DAG is walked in pool order (children strictly before
+parents), so evaluation is a single pass appending one traced value per
+node; XLA dead-code-eliminates anything a statement never consumes.
+
+Mosaic discipline (the Pallas kernel compiles this too): every stored value
+is int32; booleans exist only transiently as comparison masks feeding
+`jnp.where` selects with typed int32 scalar branches.
+
+The ops protocol (see step._EffectOps / pallas's adapter):
+  snapshot()                 capture the read-state for the next block
+  field(bank, slot) -> i32   FXB_BOOL / FXB_NUM / FXB_STR bank read
+  seat() nplayers() choice() chosein(lo, hi) alive() present_i() pred(i)
+  at(val, idx)  incoming(val, key, mask)  eqcount(key, mask)  rank(key, mask)
+  reduce(kind, val, mask)  argbest(kind, key, mask)
+  stmt_mask(where_val, active) -> write mask (AND present AND active)
+  write_bool(slot, val, mask)  write_num(slot, val, mask, add)
+  kill(mask, reveal_slots)
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from game_engine_tpu.gamespec import effects as FX
+
+def _nz(x):
+    """nonzero -> int32 0/1 (Mosaic-safe: typed scalar select branches).
+
+    The int32 scalars are created at trace time INSIDE the caller — module
+    level constants would be captured by the Pallas kernel, which Mosaic
+    rejects ("captures constants ... pass them as inputs")."""
+    return jnp.where(x != 0, jnp.int32(1), jnp.int32(0))
+
+
+def _eval_node(kind: int, p0: int, p1: int, p2: int, vals: list, ops):
+    if kind == FX.NK_CONST:
+        return jnp.int32(p0)
+    if kind == FX.NK_FIELD:
+        return ops.field(p0, p1)
+    if kind == FX.NK_SEAT:
+        return ops.seat()
+    if kind == FX.NK_NPLAYERS:
+        return ops.nplayers()
+    if kind == FX.NK_CHOICE:
+        return ops.choice()
+    if kind == FX.NK_CHOSEIN:
+        return ops.chosein(p0, p1)
+    if kind == FX.NK_ALIVE:
+        return ops.alive()
+    if kind == FX.NK_PRESENT:
+        return ops.present_i()
+    if kind == FX.NK_PRED:
+        return ops.pred(p0)
+    if kind == FX.NK_BIN:
+        a, b = vals[p1], vals[p2]
+        if p0 == FX.BIN_ADD:
+            return a + b
+        if p0 == FX.BIN_SUB:
+            return a - b
+        if p0 == FX.BIN_MUL:
+            return a * b
+        if p0 == FX.BIN_MIN:
+            return jnp.minimum(a, b)
+        return jnp.maximum(a, b)
+    if kind == FX.NK_CMP:
+        a, b = vals[p1], vals[p2]
+        cond = [a == b, a != b, a >= b, a <= b, a > b, a < b][p0]
+        return jnp.where(cond, jnp.int32(1), jnp.int32(0))
+    if kind == FX.NK_NOT:
+        return jnp.int32(1) - _nz(vals[p0])
+    if kind == FX.NK_AND:
+        return _nz(vals[p0]) * _nz(vals[p1])
+    if kind == FX.NK_OR:
+        return _nz(_nz(vals[p0]) + _nz(vals[p1]))
+    if kind == FX.NK_WHERE:
+        return jnp.where(vals[p0] != 0, vals[p1], vals[p2])
+    if kind == FX.NK_AT:
+        return ops.at(vals[p0], vals[p1])
+    if kind == FX.NK_INCOMING:
+        return ops.incoming(vals[p0], vals[p1], vals[p2])
+    if kind == FX.NK_EQCOUNT:
+        return ops.eqcount(vals[p0], vals[p1])
+    if kind == FX.NK_RANK:
+        return ops.rank(vals[p0], vals[p1])
+    if kind == FX.NK_REDUCE:
+        return ops.reduce(p0, vals[p1], vals[p2])
+    if kind == FX.NK_ARGBEST:
+        return ops.argbest(p0, vals[p1], vals[p2])
+    raise ValueError(f"unknown effect node kind {kind}")
+
+
+def run_effect(mech, ops, active) -> None:
+    """Apply a T.LEffect through the ops adapter, masked by `active`.
+
+    Each block reads the snapshot ops.snapshot() captures at its start;
+    writes land in statement order (P20)."""
+    for nodes, stmts in mech.blocks:
+        ops.snapshot()
+        vals: list = []
+        for kind, p0, p1, p2 in nodes:
+            vals.append(_eval_node(kind, p0, p1, p2, vals, ops))
+        for skind, bank, slot, vnode, wnode in stmts:
+            w = ops.stmt_mask(vals[wnode], active)
+            if skind == FX.ST_KILL:
+                ops.kill(w, mech.reveal_bool_slots)
+            elif skind == FX.ST_SET and bank == FX.FXB_BOOL:
+                ops.write_bool(slot, vals[vnode], w)
+            elif skind == FX.ST_SET:
+                ops.write_num(slot, vals[vnode], w, add=False)
+            else:
+                ops.write_num(slot, vals[vnode], w, add=True)

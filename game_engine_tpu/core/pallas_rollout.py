@@ -34,6 +34,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from game_engine_tpu.core.state import GameState
+from game_engine_tpu.core.effects_exec import run_effect
+from game_engine_tpu.gamespec import effects as FXE
 from game_engine_tpu.gamespec import tables as T
 from game_engine_tpu.gamespec.mechanics import ChoiceKind
 from game_engine_tpu.gamespec.tables import AB_BOOL, AB_CONST, AB_NUM, Lowered
@@ -177,6 +179,153 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
                     "le": lhs <= rhs, "gt": lhs > rhs, "lt": lhs < rhs}[cond.op]
         raise TypeError(cond)
 
+    # ------------- generic effect interpreter (P20) ---------------------------
+
+    class _FxOps:
+        """Ops adapter binding core/effects_exec.run_effect to the Pallas
+        (P, R) tile layout — values i32, masks transient i1, everything
+        unrolled over the static player axis (Mosaic discipline)."""
+
+        def __init__(self, st):
+            self.st = st
+
+        def snapshot(self):
+            self.sb = list(self.st["blist"])
+            self.sn = list(self.st["nlist"])
+            self.ss = list(self.st["slist"])
+
+        def _bpr(self, x):
+            return jnp.zeros((P, R), jnp.int32) + x
+
+        def field(self, bank, slot):
+            if bank == FXE.FXB_BOOL:
+                return self.sb[slot]
+            if bank == FXE.FXB_NUM:
+                return self.sn[slot]
+            return self.ss[slot]
+
+        def seat(self):
+            return prow() + 1
+
+        def nplayers(self):
+            return count_mask(self.st["present"])
+
+        def choice(self):
+            return self.st["choice"]
+
+        def chosein(self, lo, hi):
+            bits = (int(lo) & 0xFFFFFFFF) | ((int(hi) & 0xFFFFFFFF) << 32)
+            out = jnp.zeros((P, R), bool)
+            for i in range(64):
+                if (bits >> i) & 1:
+                    out = out | (self.st["chphase"] == i - 1)
+            return _b2i(out)
+
+        def alive(self):
+            if lw.alive_bool >= 0:
+                return _b2i((self.sb[lw.alive_bool] != 0) & self.st["present"])
+            return self.present_i()
+
+        def present_i(self):
+            return _b2i(self.st["present"])
+
+        def pred(self, idx):
+            return _b2i(pred_eval(idx, self.sb, self.sn, self.ss))
+
+        def at(self, val, idx):
+            valb, idxb = self._bpr(val), self._bpr(idx)
+            present = self.st["present"]
+            out = jnp.zeros((P, R), jnp.int32)
+            for q in range(P):
+                hit = (idxb == q + 1) & present[q : q + 1]
+                out = jnp.where(hit, valb[q : q + 1], out)
+            return out
+
+        def incoming(self, val, key, mask):
+            valb, keyb = self._bpr(val), self._bpr(key)
+            mb = (self._bpr(mask) != 0) & self.st["present"]
+            rows = []
+            for p in range(P):
+                s = jnp.zeros((1, R), jnp.int32)
+                for q in range(P):
+                    s = s + jnp.where(mb[q : q + 1] & (keyb[q : q + 1] == p + 1),
+                                      valb[q : q + 1], 0)
+                rows.append(s)
+            return jnp.concatenate(rows, axis=0)
+
+        def eqcount(self, key, mask):
+            keyb = self._bpr(key)
+            mb = (self._bpr(mask) != 0) & self.st["present"]
+            rows = []
+            for p in range(P):
+                s = jnp.zeros((1, R), jnp.int32)
+                for q in range(P):
+                    s = s + _b2i(mb[q : q + 1]
+                                 & (keyb[q : q + 1] == keyb[p : p + 1]))
+                rows.append(s)
+            return jnp.concatenate(rows, axis=0)
+
+        def rank(self, key, mask):
+            keyb = self._bpr(key)
+            mb = (self._bpr(mask) != 0) & self.st["present"]
+            rows = []
+            for p in range(P):
+                s = jnp.zeros((1, R), jnp.int32)
+                for q in range(p):
+                    s = s + _b2i(mb[q : q + 1]
+                                 & (keyb[q : q + 1] == keyb[p : p + 1]))
+                rows.append(s)
+            return jnp.concatenate(rows, axis=0)
+
+        def reduce(self, kind, val, mask):
+            mb = (self._bpr(mask) != 0) & self.st["present"]
+            valb = self._bpr(val)
+            if kind == FXE.RED_SUM:
+                return jnp.sum(jnp.where(mb, valb, 0), axis=0, keepdims=True)
+            if kind == FXE.RED_COUNT:
+                return count_mask(mb)
+            any_m = jnp.any(mb, axis=0, keepdims=True)
+            if kind == FXE.RED_MAX:
+                best = jnp.max(jnp.where(mb, valb, jnp.int32(-(2**31) + 1)),
+                               axis=0, keepdims=True)
+            else:
+                best = jnp.min(jnp.where(mb, valb, jnp.int32(2**31 - 1)),
+                               axis=0, keepdims=True)
+            return jnp.where(any_m, best, 0)
+
+        def argbest(self, kind, key, mask):
+            mb = (self._bpr(mask) != 0) & self.st["present"]
+            keyb = self._bpr(key)
+            any_m = jnp.any(mb, axis=0, keepdims=True)
+            if kind == FXE.ARG_MAX:
+                best = jnp.max(jnp.where(mb, keyb, jnp.int32(-(2**31) + 1)),
+                               axis=0, keepdims=True)
+            else:
+                best = jnp.min(jnp.where(mb, keyb, jnp.int32(2**31 - 1)),
+                               axis=0, keepdims=True)
+            win = mb & (keyb == best)
+            w = jnp.min(jnp.where(win, prow() + 1, P + 1), axis=0, keepdims=True)
+            return jnp.where(any_m, w, 0)
+
+        def stmt_mask(self, wval, active):
+            return (self._bpr(wval) != 0) & self.st["present"] & active
+
+        def write_bool(self, slot, val, w):
+            cur = self.st["blist"][slot]
+            self.st["blist"][slot] = jnp.where(w, _b2i(self._bpr(val) != 0), cur)
+
+        def write_num(self, slot, val, w, add):
+            cur = self.st["nlist"][slot]
+            new = cur + self._bpr(val) if add else self._bpr(val)
+            self.st["nlist"][slot] = jnp.where(w, new, cur)
+
+        def kill(self, w, reveal_slots):
+            if lw.alive_bool >= 0:
+                self.st["blist"][lw.alive_bool] = jnp.where(
+                    w, 0, self.st["blist"][lw.alive_bool])
+            for slot in reveal_slots:
+                self.st["blist"][slot] = jnp.where(w, 1, self.st["blist"][slot])
+
     # ------------- mechanics (st holds i32 banks + i1 done) -------------------
 
     def apply_mechanics(st, entered, ph):
@@ -258,48 +407,9 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
                     blist[lw.alive_bool] = jnp.where(death, 0, blist[lw.alive_bool])
                 for slot in m.reveal_bool_slots:  # P15 (even without is_alive)
                     blist[slot] = jnp.where(death, 1, blist[slot])
-            elif isinstance(m, T.LResourceIncome):  # P12
-                gmask = active & alive_mask()
-                for slot, amount in m.gains:
-                    nlist[slot] = nlist[slot] + jnp.where(gmask, int(amount), 0)
-            elif isinstance(m, T.LResourceRaid):  # P13
-                alv = alive_mask()
-                rmask = (phase_in(m.raid_phase_mask, st["chphase"])
-                         & pred_eval(m.raider_pred, blist, nlist, slist)
-                         & present & alv)
-                tgt = jnp.where(rmask & (st["choice"] != prow() + 1),
-                                st["choice"], 0)  # (P, R) i32; self-raid void
-                res = nlist[m.res_num]
-                nraid = jnp.concatenate(
-                    [count_mask(tgt == t + 1) for t in range(P)], axis=0)
-                loss = jnp.minimum(jnp.maximum(res, 0), nraid)
-                rank_rows = []
-                for q in range(P):
-                    rr = jnp.zeros((1, R), jnp.int32)
-                    for q2 in range(q):
-                        rr = rr + _b2i((tgt[q2:q2 + 1] == tgt[q:q + 1])
-                                       & (tgt[q:q + 1] > 0))
-                    rank_rows.append(rr)
-                rank = jnp.concatenate(rank_rows, axis=0)
-                loss_at = gather_by_choice_i(loss, tgt)
-                gain = _b2i((tgt > 0) & (rank < loss_at))
-                nlist[m.res_num] = res + jnp.where(active, gain - loss, 0)
-            elif isinstance(m, T.LAuctionScore):  # P19
-                alv = alive_mask()
-                bidder = (pred_eval(m.bidder_pred, blist, nlist, slist)
-                          & present & alv)
-                res = nlist[m.res_num]
-                bid = jnp.where(bidder, nlist[m.bid_num], 0)
-                eff = jnp.maximum(jnp.minimum(bid, jnp.maximum(res, 0)), 0)
-                win_bid = jnp.max(eff, axis=0, keepdims=True)  # (1, R)
-                valid = active & (win_bid >= 1)
-                winner = jnp.min(
-                    jnp.where(eff == win_bid, prow(), P), axis=0, keepdims=True)
-                is_w = valid & (prow() == winner)
-                nlist[m.res_num] = res - jnp.where(is_w, eff, 0)
-                nlist[m.prize_num] = nlist[m.prize_num] + _b2i(is_w)
-                nlist[m.bid_num] = jnp.where(active, int(m.bid_default),
-                                             nlist[m.bid_num])
+            elif isinstance(m, T.LEffect):  # P20 generic effect interpreter
+                run_effect(m, _FxOps(st), active)
+                blist, nlist, slist = st["blist"], st["nlist"], st["slist"]
             elif isinstance(m, T.LMinorityScore):  # P16
                 alv = alive_mask()
                 picker = (pred_eval(m.picker_pred, blist, nlist, slist)

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from game_engine_tpu.core.state import GameState
+from game_engine_tpu.gamespec import effects as FX
 from game_engine_tpu.gamespec import tables as T
 from game_engine_tpu.gamespec.mechanics import ChoiceKind
 from game_engine_tpu.gamespec.tables import (
@@ -302,42 +303,144 @@ def _mech_vote_elim(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LVote
     return st._replace(bools=_apply_death(lw, st.bools, death, m.reveal_bool_slots))
 
 
-def _mech_resource_income(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LResourceIncome) -> GameState:
-    """P12: alive players gain fixed amounts of resource fields."""
-    gain_mask = active[:, None] & _alive(lw, st)
-    nums = st.nums
-    for slot, amount in m.gains:
-        nums = nums.at[..., slot].set(
-            nums[..., slot] + jnp.where(gain_mask, jnp.int32(amount), 0)
-        )
-    return st._replace(nums=nums)
+class _EffectOps:
+    """Ops adapter binding the generic effect interpreter (P20,
+    core/effects_exec.py) to the (rooms, players) batch layout."""
+
+    def __init__(self, lw: Lowered, st: GameState):
+        self.lw = lw
+        self.st = st
+        B, P = st.present.shape
+        self.B, self.P = B, P
+        self._seat = jnp.broadcast_to(
+            jnp.arange(1, P + 1, dtype=jnp.int32)[None, :], (B, P))
+
+    def snapshot(self):
+        st = self.st
+        self.sb, self.sn, self.ss = st.bools, st.nums, st.strs
+        self.pe = PredEval(self.lw, st)
+
+    def _bp(self, x):
+        return jnp.broadcast_to(jnp.asarray(x, jnp.int32), (self.B, self.P))
+
+    def field(self, bank, slot):
+        if bank == FX.FXB_BOOL:
+            return self.sb[..., slot].astype(jnp.int32)
+        if bank == FX.FXB_NUM:
+            return self.sn[..., slot]
+        return self.ss[..., slot].astype(jnp.int32)
+
+    def seat(self):
+        return self._seat
+
+    def nplayers(self):
+        return jnp.sum(self.st.present, axis=1, dtype=jnp.int32)[:, None]
+
+    def choice(self):
+        return self.st.choice
+
+    def chosein(self, lo, hi):
+        bits = (int(lo) & 0xFFFFFFFF) | ((int(hi) & 0xFFFFFFFF) << 32)
+        out = jnp.zeros((self.B, self.P), bool)
+        for i in range(64):
+            if (bits >> i) & 1:
+                out = out | (self.st.choice_phase == i - 1)
+        return out.astype(jnp.int32)
+
+    def alive(self):
+        if self.lw.alive_bool >= 0:
+            return (self.sb[..., self.lw.alive_bool]
+                    & self.st.present).astype(jnp.int32)
+        return self.present_i()
+
+    def present_i(self):
+        return self.st.present.astype(jnp.int32)
+
+    def pred(self, idx):
+        return self.pe.pred(idx).astype(jnp.int32)
+
+    def at(self, val, idx):
+        idx = self._bp(idx)
+        ok = _gather_by_choice(self.st.present, idx)  # absent/invalid -> False
+        return jnp.where(ok, _gather_by_choice(self._bp(val), idx), 0)
+
+    def incoming(self, val, key, mask):
+        m = (self._bp(mask) != 0) & self.st.present  # (B, q)
+        oh = self._bp(key)[:, :, None] == jnp.arange(
+            1, self.P + 1, dtype=jnp.int32)[None, None, :]  # (B, q, p)
+        contrib = jnp.where(oh & m[:, :, None], self._bp(val)[:, :, None], 0)
+        return jnp.sum(contrib, axis=1)
+
+    def eqcount(self, key, mask):
+        key = self._bp(key)
+        m = (self._bp(mask) != 0) & self.st.present  # (B, q)
+        eq = key[:, :, None] == key[:, None, :]  # (B, p, q)
+        return jnp.sum((eq & m[:, None, :]).astype(jnp.int32), axis=2)
+
+    def rank(self, key, mask):
+        key = self._bp(key)
+        m = (self._bp(mask) != 0) & self.st.present
+        eq = key[:, :, None] == key[:, None, :]  # (B, p, q)
+        earlier = jnp.arange(self.P)[None, None, :] < jnp.arange(self.P)[None, :, None]
+        return jnp.sum((eq & earlier & m[:, None, :]).astype(jnp.int32), axis=2)
+
+    def reduce(self, kind, val, mask):
+        m = (self._bp(mask) != 0) & self.st.present
+        val = self._bp(val)
+        if kind == FX.RED_SUM:
+            return jnp.sum(jnp.where(m, val, 0), axis=1, keepdims=True)
+        if kind == FX.RED_COUNT:
+            return jnp.sum(m.astype(jnp.int32), axis=1, keepdims=True)
+        any_m = jnp.any(m, axis=1, keepdims=True)
+        if kind == FX.RED_MAX:
+            best = jnp.max(jnp.where(m, val, jnp.int32(-(2**31) + 1)),
+                           axis=1, keepdims=True)
+        else:
+            best = jnp.min(jnp.where(m, val, jnp.int32(2**31 - 1)),
+                           axis=1, keepdims=True)
+        return jnp.where(any_m, best, 0)
+
+    def argbest(self, kind, key, mask):
+        m = (self._bp(mask) != 0) & self.st.present
+        key = self._bp(key)
+        any_m = jnp.any(m, axis=1, keepdims=True)
+        if kind == FX.ARG_MAX:
+            best = jnp.max(jnp.where(m, key, jnp.int32(-(2**31) + 1)),
+                           axis=1, keepdims=True)
+        else:
+            best = jnp.min(jnp.where(m, key, jnp.int32(2**31 - 1)),
+                           axis=1, keepdims=True)
+        win = m & (key == best)
+        w = jnp.min(jnp.where(win, self._seat, self.P + 1), axis=1, keepdims=True)
+        return jnp.where(any_m, w, 0)
+
+    def stmt_mask(self, wval, active):
+        return (self._bp(wval) != 0) & self.st.present & active[:, None]
+
+    def write_bool(self, slot, val, w):
+        cur = self.st.bools[..., slot]
+        self.st = self.st._replace(
+            bools=self.st.bools.at[..., slot].set(jnp.where(w, val != 0, cur)))
+
+    def write_num(self, slot, val, w, add):
+        cur = self.st.nums[..., slot]
+        new = cur + self._bp(val) if add else self._bp(val)
+        self.st = self.st._replace(
+            nums=self.st.nums.at[..., slot].set(jnp.where(w, new, cur)))
+
+    def kill(self, w, reveal_slots):
+        self.st = self.st._replace(
+            bools=_apply_death(self.lw, self.st.bools, w, reveal_slots))
 
 
-def _mech_resource_raid(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LResourceRaid) -> GameState:
-    """P13: simultaneous raids — target t loses min(res[t], #raiders(t)),
-    distributed 1 apiece to its lowest-id raiders; all from pre-phase values."""
-    B, P = st.present.shape
-    pid1 = jnp.arange(1, P + 1, dtype=jnp.int32)[None, :]
-    rmask = (
-        _phase_mask_lookup(m.raid_phase_mask, st.choice_phase)
-        & pe.pred(m.raider_pred) & st.present & _alive(lw, st)
-    )
-    tgt = jnp.where(rmask & (st.choice != pid1), st.choice, 0)  # self-raid = no-op
-    oh = _player_onehot(tgt - 1, P)  # (B, raider, target)
-    n_raiders = jnp.sum(oh.astype(jnp.int32), axis=1)  # (B, P) per target
-    res = st.nums[..., m.res_num]
-    loss = jnp.minimum(jnp.maximum(res, 0), n_raiders)  # (B, P) per target
-    # raider rank among same-target raiders (ascending id)
-    same = (tgt[:, :, None] == tgt[:, None, :]) & (tgt[:, :, None] > 0)  # (B,q,q')
-    earlier = jnp.arange(P)[None, None, :] < jnp.arange(P)[None, :, None]
-    rank = jnp.sum((same & earlier).astype(jnp.int32), axis=2)  # (B, P)
-    loss_at_tgt = _gather_by_choice(loss, tgt)  # (B, P) raider's target's loss
-    gain = ((tgt > 0) & (rank < loss_at_tgt)).astype(jnp.int32)
-    delta = gain - loss
-    nums = st.nums.at[..., m.res_num].set(
-        res + jnp.where(active[:, None], delta, 0)
-    )
-    return st._replace(nums=nums)
+def _mech_effects(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LEffect) -> GameState:
+    """P20: one generic interpreter for effect programs — income (P12),
+    raids (P13), auctions (P19) and DSL-declared `effects:` all run here."""
+    from game_engine_tpu.core.effects_exec import run_effect
+
+    ops = _EffectOps(lw, st)
+    run_effect(m, ops, active)
+    return ops.st
 
 
 def _mech_minority_score(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LMinorityScore) -> GameState:
@@ -370,32 +473,6 @@ def _mech_minority_score(lw: Lowered, st: GameState, pe: PredEval, active, m: T.
     # picks reset so stale values can't score next round
     nums = nums.at[..., m.pick_num].set(
         jnp.where(active[:, None], jnp.int32(m.pick_default), nums[..., m.pick_num])
-    )
-    return st._replace(nums=nums)
-
-
-def _mech_auction_score(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LAuctionScore) -> GameState:
-    """P19: sealed-bid auction — highest effective bid wins, ties to lowest
-    id; the winner pays their bid from the purse and gains +1 prize
-    (see SEMANTICS.md)."""
-    B, P = st.present.shape
-    alive = _alive(lw, st)
-    bidder = pe.pred(m.bidder_pred) & st.present & alive
-    res = st.nums[..., m.res_num]
-    bid = jnp.where(bidder, st.nums[..., m.bid_num], 0)
-    eff = jnp.clip(jnp.minimum(bid, jnp.maximum(res, 0)), 0, None)
-    win_bid = jnp.max(eff, axis=1)  # (B,)
-    valid = active & (win_bid >= 1)
-    pid = jnp.arange(P, dtype=jnp.int32)[None, :]
-    winner = jnp.min(jnp.where(eff == win_bid[:, None], pid, P), axis=1)
-    is_winner = (pid == winner[:, None]) & valid[:, None]
-    nums = st.nums
-    nums = nums.at[..., m.res_num].set(res - jnp.where(is_winner, eff, 0))
-    nums = nums.at[..., m.prize_num].set(
-        nums[..., m.prize_num] + is_winner.astype(jnp.int32)
-    )
-    nums = nums.at[..., m.bid_num].set(
-        jnp.where(active[:, None], jnp.int32(m.bid_default), nums[..., m.bid_num])
     )
     return st._replace(nums=nums)
 
@@ -532,11 +609,9 @@ _MECH_FNS = {
     T.LSpeakerRotate: _mech_speaker_rotate,
     T.LSetBoolAll: _mech_set_bool_all,
     T.LGameOver: _mech_game_over,
-    T.LResourceIncome: _mech_resource_income,
-    T.LResourceRaid: _mech_resource_raid,
     T.LBluffChallenge: _mech_bluff_challenge,
     T.LMinorityScore: _mech_minority_score,
-    T.LAuctionScore: _mech_auction_score,
+    T.LEffect: _mech_effects,
 }
 
 

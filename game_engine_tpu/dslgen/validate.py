@@ -294,6 +294,12 @@ def _semantic_gap_issues(spec: GameSpec, game) -> list[Issue]:
                 touched |= set(mech.fields)
             elif isinstance(mech, M.GameOver):
                 touched |= {f for f in (mech.team_field, mech.score_field) if f}
+            elif isinstance(mech, M.Effects):
+                from game_engine_tpu.gamespec import effects as FXm
+
+                touched |= FXm.program_fields(mech.program)
+                consumed |= FXm.program_choice_phases(mech.program)
+                touched |= set(mech.reveal_bools)
 
     for cp in game.phases:
         ph = spec.phases[cp.dsl_id]
@@ -347,6 +353,29 @@ def _semantic_gap_issues(spec: GameSpec, game) -> list[Issue]:
                         f"anchor {hname!r} is not consumed by any "
                         "night_resolution phase downstream",
                     ))
+            elif hname == "effects":
+                # P20: re-parse the program so the exact EffectError reaches
+                # the author (the analyzer attaches nothing on failure)
+                from game_engine_tpu.gamespec import effects as FXm
+
+                lines = list(_harg) if isinstance(_harg, tuple) else [_harg]
+                try:
+                    prog = FXm.parse_program(
+                        [str(x) for x in lines if x is not None])
+                    FXm.check_program(
+                        prog, game.layout, frozenset(spec.phases),
+                        has_alive="is_alive" in decl.field_names(),
+                    )
+                except FXm.EffectError as e:
+                    issues.append(Issue(
+                        ERROR, f"{where}.mechanics",
+                        f"effects program rejected: {e}"))
+                else:
+                    if not any(isinstance(mech, M.Effects)
+                               for mech in cp.program.on_enter):
+                        issues.append(Issue(
+                            ERROR, f"{where}.mechanics",
+                            "effects program parsed but was not attached"))
             elif cls is None:
                 issues.append(Issue(
                     ERROR, f"{where}.mechanics",

@@ -1,0 +1,892 @@
+"""Generic resolution-effect IR (P20) — novel mechanics without new kernels.
+
+The reference's referee is an LLM that can apply *any* describable rule by
+writing arbitrary player-state fields (reference:
+agent/tools/backend_tools.py:204-225 `update_player_state`,
+agent/prompt/referee_system_prompt_1.txt:6-88). Rounds 1-2 of this engine
+determinized that power as a closed library of hand-written mechanic
+families, each implemented four times (oracle / XLA / C++ / Pallas). This
+module replaces the per-family kernels with a small declarative effect
+language: guarded field writes over per-player integer expressions with
+cross-player aggregations (incoming transfers, group counts, ranks,
+argmax/argmin selectors). Each executor implements ONE interpreter for the
+IR; a new mechanic family lands by writing IR + tests only.
+
+Two entry points produce effect programs:
+
+  * the analyzer re-expresses the P12 income / P13 raid / P19 auction
+    families as IR programs (builders at the bottom of this module) —
+    bit-identical traces to the retired bespoke kernels;
+  * a DSL phase may declare its own program under the P18 `mechanics:` key:
+
+        mechanics:
+          - effects:
+              - "let giver = chose(2) and alive and coins > 0 and choice != seat"
+              - "coins += incoming(1, choice, giver) - if(giver, 1, 0)"
+
+PINNED SEMANTICS (P20, see SEMANTICS.md):
+  * A program is a sequence of BLOCKS (statement lists split on "---").
+    Within a block every expression reads the block-entry snapshot of the
+    state ("simultaneous" resolution — raids, trades and collisions resolve
+    from pre-phase values); writes land in statement order, later writes to
+    the same field override earlier ones. Blocks sequence: block k+1 reads
+    the state written by block k.
+  * Statements implicitly apply only to PRESENT seats of rooms entering the
+    phase; cross-player aggregations (incoming / eqcount / rank / sum /
+    count / argmax / ...) likewise range over present seats only.
+  * All values are int32. Booleans are 0/1; comparisons yield 0/1; `and`,
+    `or`, `not`, `if`, and `where` treat any nonzero value as true.
+  * `kill` applies the standard death rule (P15): clears is_alive (when
+    declared) and sets the role-reveal flags; a dead seat cannot die again.
+  * Aggregation identities: empty sum/count = 0; empty max/min = 0; empty
+    argmax/argmin = 0 (no player). argmax/argmin ties resolve to the LOWEST
+    seat id (the P6 convention).
+
+Expression surface (the textual mini-language):
+
+  statements   let NAME = EXPR
+               FIELD = EXPR [where EXPR]       (bool or num field)
+               FIELD += EXPR [where EXPR]      (num field)
+               FIELD -= EXPR [where EXPR]
+               kill [where EXPR]
+               ---                              (block separator)
+  builtins     seat        1-based own seat id
+               n_players   number of present seats in the room
+               choice      own choice register (1-based target / option)
+               alive       1 if is_alive (or present when undeclared)
+               present     1 if the seat is occupied
+               chose(ID[, ID...])  1 if the own choice register was recorded
+                                   in one of the named DSL phases
+  functions    min(a,b)  max(a,b)  abs(a)  clamp(x,lo,hi)  if(c,a,b)
+               at(v, i)            v evaluated at seat i (0 if i invalid)
+               incoming(v, k, m)   sum of v over seats q with k[q] == seat
+                                   and m[q] (k defaults to choice, m to 1)
+               eqcount(k[, m])     count of seats q with k[q] == k[self]
+                                   and m[q] (includes self when m[self])
+               rank(k[, m])        count of seats q < self with k[q] ==
+                                   k[self] and m[q]
+               sum(v[, m]) count(m) reduce_max(v[, m]) reduce_min(v[, m])
+               argmax(k[, m]) argmin(k[, m])   winning seat id (ties low)
+  operators    + - *   == != >= <= > <   and or not   ( )
+               'string' literals only against string fields (== / !=)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Optional, Union
+
+from game_engine_tpu.gamespec.expr import Pred
+from game_engine_tpu.gamespec.layout import (
+    BANK_BOOL,
+    BANK_NUM,
+    BANK_STR,
+    StateLayout,
+)
+
+
+class EffectError(ValueError):
+    """Loud-or-correct: any malformed effect program raises (the validator
+    surfaces it as an ERROR Issue; analyze() never silently drops one)."""
+
+
+# ---------------------------------------------------------------------------
+# Expression / statement AST (field references by NAME; lowering resolves)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class EConst:
+    value: int
+
+
+@dataclasses.dataclass(frozen=True)
+class EStrLit:
+    """String literal — only legal compared (==/!=) against a string field."""
+
+    value: str
+
+
+@dataclasses.dataclass(frozen=True)
+class EField:
+    name: str
+
+
+@dataclasses.dataclass(frozen=True)
+class ESeat:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class ENPlayers:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class EChoice:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class EChoseIn:
+    """1 if the seat's choice register was recorded in one of these phases."""
+
+    phases: frozenset[int]  # DSL phase ids
+
+
+@dataclasses.dataclass(frozen=True)
+class EAlive:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class EPresent:
+    pass
+
+
+@dataclasses.dataclass(frozen=True)
+class EPredRef:
+    """Embedded selection-criteria predicate (analyzer-built programs)."""
+
+    pred: Pred
+
+
+@dataclasses.dataclass(frozen=True)
+class EBin:
+    op: str  # add sub mul min max
+    a: "Expr"
+    b: "Expr"
+
+
+@dataclasses.dataclass(frozen=True)
+class ECmp:
+    op: str  # eq ne ge le gt lt
+    a: "Expr"
+    b: "Expr"
+
+
+@dataclasses.dataclass(frozen=True)
+class ENot:
+    a: "Expr"
+
+
+@dataclasses.dataclass(frozen=True)
+class EAnd:
+    a: "Expr"
+    b: "Expr"
+
+
+@dataclasses.dataclass(frozen=True)
+class EOr:
+    a: "Expr"
+    b: "Expr"
+
+
+@dataclasses.dataclass(frozen=True)
+class EWhere:
+    """if(c, a, b) — select."""
+
+    c: "Expr"
+    a: "Expr"
+    b: "Expr"
+
+
+@dataclasses.dataclass(frozen=True)
+class EAt:
+    """val evaluated at seat idx (1-based); 0 when idx out of [1, P]."""
+
+    val: "Expr"
+    idx: "Expr"
+
+
+@dataclasses.dataclass(frozen=True)
+class EIncoming:
+    """sum over present seats q of val[q] where key[q] == own seat, mask[q]."""
+
+    val: "Expr"
+    key: "Expr"
+    mask: "Expr"
+
+
+@dataclasses.dataclass(frozen=True)
+class EEqCount:
+    """count of present seats q with key[q] == key[self] and mask[q]."""
+
+    key: "Expr"
+    mask: "Expr"
+
+
+@dataclasses.dataclass(frozen=True)
+class ERank:
+    """count of present seats q < self with key[q] == key[self] and mask[q]."""
+
+    key: "Expr"
+    mask: "Expr"
+
+
+@dataclasses.dataclass(frozen=True)
+class EReduce:
+    """Room-level reduction broadcast to all seats; empty mask -> 0."""
+
+    kind: str  # sum max min count
+    val: "Expr"
+    mask: "Expr"
+
+
+@dataclasses.dataclass(frozen=True)
+class EArgBest:
+    """1-based seat id of the max/min key over the mask; ties to the LOWEST
+    seat id; 0 when the mask is empty (broadcast to all seats)."""
+
+    kind: str  # max min
+    key: "Expr"
+    mask: "Expr"
+
+
+Expr = Union[
+    EConst, EStrLit, EField, ESeat, ENPlayers, EChoice, EChoseIn, EAlive,
+    EPresent, EPredRef, EBin, ECmp, ENot, EAnd, EOr, EWhere, EAt, EIncoming,
+    EEqCount, ERank, EReduce, EArgBest,
+]
+
+ONE = EConst(1)
+ZERO = EConst(0)
+
+
+@dataclasses.dataclass(frozen=True)
+class SSet:
+    field: str
+    value: Expr
+    where: Expr = ONE
+
+
+@dataclasses.dataclass(frozen=True)
+class SAdd:
+    field: str
+    value: Expr
+    where: Expr = ONE
+
+
+@dataclasses.dataclass(frozen=True)
+class SKill:
+    where: Expr = ONE
+
+
+Stmt = Union[SSet, SAdd, SKill]
+Block = tuple[Stmt, ...]
+Program = tuple[Block, ...]  # blocks sequence; statements within a block
+# read the block-entry snapshot
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer + recursive-descent parser for the textual language
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<num>\d+)"
+    r"|(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
+    r"|(?P<str>'[^']*'|\"[^\"]*\")"
+    r"|(?P<op>\+=|-=|==|!=|>=|<=|>|<|\+|-|\*|\(|\)|,|=))"
+)
+
+_KEYWORDS = frozenset({"let", "kill", "where", "and", "or", "not", "if"})
+_BUILTIN_NAMES = {
+    "seat": ESeat(),
+    "n_players": ENPlayers(),
+    "nplayers": ENPlayers(),
+    "choice": EChoice(),
+    "alive": EAlive(),
+    "present": EPresent(),
+    "true": EConst(1),
+    "false": EConst(0),
+}
+# function name -> (min arity, max arity)
+_FUNCS = {
+    "chose": (1, 64),
+    "min": (2, 2),
+    "max": (2, 2),
+    "abs": (1, 1),
+    "clamp": (3, 3),
+    "if": (3, 3),
+    "at": (2, 2),
+    "incoming": (1, 3),
+    "eqcount": (1, 2),
+    "rank": (1, 2),
+    "sum": (1, 2),
+    "count": (1, 1),
+    "reduce_max": (1, 2),
+    "reduce_min": (1, 2),
+    "argmax": (1, 2),
+    "argmin": (1, 2),
+}
+
+
+def _tokenize(src: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while pos < len(src):
+        m = _TOKEN_RE.match(src, pos)
+        if m is None:
+            rest = src[pos:].strip()
+            if not rest:
+                break
+            raise EffectError(f"bad token at {rest[:20]!r} in {src!r}")
+        pos = m.end()
+        if m.group("num") is not None:
+            out.append(("num", m.group("num")))
+        elif m.group("name") is not None:
+            out.append(("name", m.group("name")))
+        elif m.group("str") is not None:
+            out.append(("str", m.group("str")[1:-1]))
+        else:
+            out.append(("op", m.group("op")))
+    out.append(("end", ""))
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]], env: dict[str, Expr]):
+        self.toks = tokens
+        self.i = 0
+        self.env = env  # let-bindings, substituted inline
+
+    def peek(self) -> tuple[str, str]:
+        return self.toks[self.i]
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect_op(self, op: str) -> None:
+        k, v = self.next()
+        if k != "op" or v != op:
+            raise EffectError(f"expected {op!r}, got {v!r}")
+
+    # precedence: or < and < not < cmp < additive < multiplicative < unary
+    def expr(self) -> Expr:
+        return self.or_()
+
+    def or_(self) -> Expr:
+        a = self.and_()
+        while self.peek() == ("name", "or"):
+            self.next()
+            a = EOr(a, self.and_())
+        return a
+
+    def and_(self) -> Expr:
+        a = self.not_()
+        while self.peek() == ("name", "and"):
+            self.next()
+            a = EAnd(a, self.not_())
+        return a
+
+    def not_(self) -> Expr:
+        if self.peek() == ("name", "not"):
+            self.next()
+            return ENot(self.not_())
+        return self.cmp()
+
+    def cmp(self) -> Expr:
+        a = self.add()
+        k, v = self.peek()
+        if k == "op" and v in ("==", "!=", ">=", "<=", ">", "<"):
+            self.next()
+            b = self.add()
+            op = {"==": "eq", "!=": "ne", ">=": "ge", "<=": "le", ">": "gt", "<": "lt"}[v]
+            return ECmp(op, a, b)
+        return a
+
+    def add(self) -> Expr:
+        a = self.mul()
+        while True:
+            k, v = self.peek()
+            if k == "op" and v in ("+", "-"):
+                self.next()
+                b = self.mul()
+                a = EBin("add" if v == "+" else "sub", a, b)
+            else:
+                return a
+
+    def mul(self) -> Expr:
+        a = self.unary()
+        while self.peek() == ("op", "*"):
+            self.next()
+            a = EBin("mul", a, self.unary())
+        return a
+
+    def unary(self) -> Expr:
+        if self.peek() == ("op", "-"):
+            self.next()
+            return EBin("sub", ZERO, self.unary())
+        return self.atom()
+
+    def atom(self) -> Expr:
+        k, v = self.next()
+        if k == "num":
+            return EConst(int(v))
+        if k == "str":
+            return EStrLit(v)
+        if k == "op" and v == "(":
+            e = self.expr()
+            self.expect_op(")")
+            return e
+        if k == "name":
+            low = v.lower()
+            if self.peek() == ("op", "("):
+                return self.call(low)
+            if low in self.env:
+                return self.env[low]
+            if low in _BUILTIN_NAMES:
+                return _BUILTIN_NAMES[low]
+            return EField(v)
+        raise EffectError(f"unexpected token {v!r}")
+
+    def call(self, fname: str) -> Expr:
+        if fname not in _FUNCS:
+            raise EffectError(f"unknown function {fname!r}()")
+        self.expect_op("(")
+        args: list[Expr] = []
+        if self.peek() != ("op", ")"):
+            args.append(self.expr())
+            while self.peek() == ("op", ","):
+                self.next()
+                args.append(self.expr())
+        self.expect_op(")")
+        lo, hi = _FUNCS[fname]
+        if not (lo <= len(args) <= hi):
+            raise EffectError(
+                f"{fname}() takes {lo}..{hi} arguments, got {len(args)}")
+        a = args
+        if fname == "chose":
+            ids = []
+            for e in a:
+                if not isinstance(e, EConst):
+                    raise EffectError("chose() arguments must be integer phase ids")
+                ids.append(e.value)
+            return EChoseIn(frozenset(ids))
+        if fname == "min":
+            return EBin("min", a[0], a[1])
+        if fname == "max":
+            return EBin("max", a[0], a[1])
+        if fname == "abs":
+            return EWhere(ECmp("ge", a[0], ZERO), a[0], EBin("sub", ZERO, a[0]))
+        if fname == "clamp":
+            return EBin("min", EBin("max", a[0], a[1]), a[2])
+        if fname == "if":
+            return EWhere(a[0], a[1], a[2])
+        if fname == "at":
+            return EAt(a[0], a[1])
+        if fname == "incoming":
+            key = a[1] if len(a) > 1 else EChoice()
+            mask = a[2] if len(a) > 2 else ONE
+            return EIncoming(a[0], key, mask)
+        if fname == "eqcount":
+            return EEqCount(a[0], a[1] if len(a) > 1 else ONE)
+        if fname == "rank":
+            return ERank(a[0], a[1] if len(a) > 1 else ONE)
+        if fname == "sum":
+            return EReduce("sum", a[0], a[1] if len(a) > 1 else ONE)
+        if fname == "count":
+            return EReduce("count", ONE, a[0])
+        if fname == "reduce_max":
+            return EReduce("max", a[0], a[1] if len(a) > 1 else ONE)
+        if fname == "reduce_min":
+            return EReduce("min", a[0], a[1] if len(a) > 1 else ONE)
+        if fname == "argmax":
+            return EArgBest("max", a[0], a[1] if len(a) > 1 else ONE)
+        if fname == "argmin":
+            return EArgBest("min", a[0], a[1] if len(a) > 1 else ONE)
+        raise EffectError(f"unhandled function {fname!r}")  # pragma: no cover
+
+
+def parse_statement(src: str, env: dict[str, Expr]) -> Optional[Stmt]:
+    """Parse one statement line; `let` lines bind into env and return None."""
+    toks = _tokenize(src)
+    if toks[0] == ("end", ""):
+        raise EffectError("empty statement")
+    # let NAME = EXPR
+    if toks[0] == ("name", "let"):
+        if len(toks) < 4 or toks[1][0] != "name" or toks[2] != ("op", "="):
+            raise EffectError(f"malformed let: {src!r}")
+        name = toks[1][1].lower()
+        if name in _KEYWORDS or name in _BUILTIN_NAMES or name in _FUNCS:
+            raise EffectError(f"let name {name!r} shadows a builtin")
+        p = _Parser(toks[3:], env)
+        e = p.expr()
+        if p.peek()[0] != "end":
+            raise EffectError(f"trailing tokens in {src!r}")
+        env[name] = e
+        return None
+    # kill [where EXPR]
+    if toks[0] == ("name", "kill"):
+        if toks[1][0] == "end":
+            return SKill()
+        if toks[1] != ("name", "where"):
+            raise EffectError(f"malformed kill: {src!r}")
+        p = _Parser(toks[2:], env)
+        w = p.expr()
+        if p.peek()[0] != "end":
+            raise EffectError(f"trailing tokens in {src!r}")
+        return SKill(where=w)
+    # FIELD (= | += | -=) EXPR [where EXPR]
+    if toks[0][0] != "name":
+        raise EffectError(f"statement must start with a field name: {src!r}")
+    field = toks[0][1]
+    k, v = toks[1]
+    if k != "op" or v not in ("=", "+=", "-="):
+        raise EffectError(f"expected =, += or -= after {field!r}: {src!r}")
+    p = _Parser(toks[2:], env)
+    value = p.expr()
+    where: Expr = ONE
+    if p.peek() == ("name", "where"):
+        p.next()
+        where = p.expr()
+    if p.peek()[0] != "end":
+        raise EffectError(f"trailing tokens in {src!r}")
+    if v == "=":
+        return SSet(field, value, where)
+    if v == "-=":
+        value = EBin("sub", ZERO, value)
+    return SAdd(field, value, where)
+
+
+def parse_program(lines: list, *, strict_lines: bool = True) -> Program:
+    """Parse an `effects:` hint payload (list of statement strings; "---"
+    entries split blocks) into a Program. `let` bindings are scoped to the
+    whole program and substituted inline."""
+    if isinstance(lines, (str, bytes)):
+        lines = [lines]
+    env: dict[str, Expr] = {}
+    blocks: list[Block] = []
+    cur: list[Stmt] = []
+    for raw in lines:
+        s = str(raw).strip()
+        if not s:
+            continue
+        if set(s) == {"-"}:  # block separator
+            if cur:
+                blocks.append(tuple(cur))
+                cur = []
+            continue
+        st = parse_statement(s, env)
+        if st is not None:
+            cur.append(st)
+    if cur:
+        blocks.append(tuple(cur))
+    if not blocks and strict_lines:
+        raise EffectError("effect program has no statements")
+    return tuple(blocks)
+
+
+# ---------------------------------------------------------------------------
+# Static checking (loud-or-correct)
+# ---------------------------------------------------------------------------
+
+
+_EXPR_TYPES = (
+    EConst, EStrLit, EField, ESeat, ENPlayers, EChoice, EChoseIn, EAlive,
+    EPresent, EPredRef, EBin, ECmp, ENot, EAnd, EOr, EWhere, EAt, EIncoming,
+    EEqCount, ERank, EReduce, EArgBest,
+)
+
+
+def _walk(e: Expr):
+    """Yield every Expr node (does not descend into EPredRef predicates)."""
+    yield e
+    if isinstance(e, EPredRef):
+        return
+    for f in dataclasses.fields(e):
+        v = getattr(e, f.name)
+        if isinstance(v, _EXPR_TYPES):
+            yield from _walk(v)
+
+
+def check_program(
+    program: Program,
+    layout: StateLayout,
+    known_phase_ids: frozenset[int],
+    *,
+    has_alive: bool,
+) -> None:
+    """Raise EffectError on any reference the engine cannot execute."""
+
+    def check_expr(e: Expr) -> None:
+        for node in _walk(e):
+            if isinstance(node, EField):
+                slot = layout.get(node.name)
+                if slot is None:
+                    raise EffectError(f"unknown field {node.name!r}")
+                if slot.bank not in (BANK_BOOL, BANK_NUM, BANK_STR):
+                    raise EffectError(
+                        f"field {node.name!r} is a {slot.bank} field — only "
+                        "boolean, num and string fields are readable in effects")
+            elif isinstance(node, EStrLit):
+                pass  # context checked below
+            elif isinstance(node, EChoseIn):
+                for pid in node.phases:
+                    if pid not in known_phase_ids:
+                        raise EffectError(f"chose({pid}): no phase with id {pid}")
+            elif isinstance(node, ECmp):
+                for a, b in ((node.a, node.b), (node.b, node.a)):
+                    if isinstance(a, EStrLit):
+                        if node.op not in ("eq", "ne"):
+                            raise EffectError(
+                                "string literals only compare with == / !=")
+                        if not isinstance(b, EField) or (
+                                layout.get(b.name) is not None
+                                and layout.slot(b.name).bank != BANK_STR):
+                            raise EffectError(
+                                f"string literal {a.value!r} must be compared "
+                                "against a string field")
+                        bslot = layout.get(b.name)
+                        if bslot is not None and not any(
+                                v.lower() == a.value.lower()
+                                for v in bslot.vocab):
+                            raise EffectError(
+                                f"string literal {a.value!r} is not in the "
+                                f"vocabulary of field {b.name!r} "
+                                f"({', '.join(repr(v) for v in bslot.vocab if v)})"
+                                " — the comparison could never be true")
+            elif isinstance(node, (EBin, EAnd, EOr, EWhere, EAt, EIncoming,
+                                   EEqCount, ERank, EReduce, EArgBest, ENot)):
+                for f in dataclasses.fields(node):
+                    v = getattr(node, f.name)
+                    if isinstance(v, EStrLit):
+                        raise EffectError(
+                            f"string literal {v.value!r} outside an ==/!= "
+                            "comparison with a string field")
+
+    for block in program:
+        for st in block:
+            if isinstance(st, SKill):
+                check_expr(st.where)
+                if not has_alive:
+                    raise EffectError(
+                        "kill requires a declared is_alive boolean field")
+                continue
+            slot = layout.get(st.field)
+            if slot is None:
+                raise EffectError(f"unknown field {st.field!r} in write")
+            if isinstance(st, SAdd) and slot.bank != BANK_NUM:
+                raise EffectError(
+                    f"+= / -= target {st.field!r} must be a num field "
+                    f"(it is {slot.bank})")
+            if isinstance(st, SSet) and slot.bank not in (BANK_BOOL, BANK_NUM):
+                raise EffectError(
+                    f"= target {st.field!r} must be a boolean or num field "
+                    f"(it is {slot.bank})")
+            if isinstance(st.value, EStrLit) or isinstance(st.where, EStrLit):
+                raise EffectError("string literals cannot be written")
+            check_expr(st.value)
+            check_expr(st.where)
+
+
+def program_fields(program: Program) -> set[str]:
+    """Every field name the program reads or writes (validator bookkeeping)."""
+    out: set[str] = set()
+    for block in program:
+        for st in block:
+            if not isinstance(st, SKill):
+                out.add(st.field)
+            for e in (st.where,) if isinstance(st, SKill) else (st.value, st.where):
+                for node in _walk(e):
+                    if isinstance(node, EField):
+                        out.add(node.name)
+    return out
+
+
+def program_choice_phases(program: Program) -> set[int]:
+    """DSL phase ids consumed through chose() registers."""
+    out: set[int] = set()
+    for block in program:
+        for st in block:
+            exprs = (st.where,) if isinstance(st, SKill) else (st.value, st.where)
+            for e in exprs:
+                for node in _walk(e):
+                    if isinstance(node, EChoseIn):
+                        out |= node.phases
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Lowering: AST -> flat node pool (shared encoding for XLA / Pallas / C++)
+# ---------------------------------------------------------------------------
+#
+# A lowered block is (nodes, stmts):
+#   nodes: tuple of 4-int rows [kind, p0, p1, p2], children strictly before
+#          parents, deduplicated — an expression DAG in evaluation order;
+#   stmts: tuple of 5-int rows [skind, bank, slot, value_node, where_node].
+# The encoding is position-independent ints only, so native/pack.py ships it
+# to the C++ simulator verbatim.
+
+(NK_CONST, NK_FIELD, NK_SEAT, NK_NPLAYERS, NK_CHOICE, NK_CHOSEIN, NK_ALIVE,
+ NK_PRESENT, NK_PRED, NK_BIN, NK_CMP, NK_NOT, NK_AND, NK_OR, NK_WHERE,
+ NK_AT, NK_INCOMING, NK_EQCOUNT, NK_RANK, NK_REDUCE, NK_ARGBEST) = range(21)
+
+BIN_ADD, BIN_SUB, BIN_MUL, BIN_MIN, BIN_MAX = range(5)
+_BIN_CODE = {"add": BIN_ADD, "sub": BIN_SUB, "mul": BIN_MUL,
+             "min": BIN_MIN, "max": BIN_MAX}
+RED_SUM, RED_MAX, RED_MIN, RED_COUNT = range(4)
+_RED_CODE = {"sum": RED_SUM, "max": RED_MAX, "min": RED_MIN,
+             "count": RED_COUNT}
+ARG_MAX, ARG_MIN = range(2)
+_ARG_CODE = {"max": ARG_MAX, "min": ARG_MIN}
+_CMP_CODE = {"eq": 0, "ne": 1, "ge": 2, "le": 3, "gt": 4, "lt": 5}  # OP_*
+
+ST_SET, ST_ADD, ST_KILL = range(3)
+# bank codes in stmt rows / NK_FIELD — match tables.AB_*
+FXB_BOOL, FXB_NUM, FXB_STR = range(3)
+
+LoweredBlock = tuple[tuple[tuple[int, int, int, int], ...],
+                     tuple[tuple[int, int, int, int, int], ...]]
+
+
+class _NodePool:
+    def __init__(self):
+        self.rows: list[tuple[int, int, int, int]] = []
+        self.index: dict[tuple[int, int, int, int], int] = {}
+
+    def add(self, kind: int, p0: int = 0, p1: int = 0, p2: int = 0) -> int:
+        row = (int(kind), int(p0), int(p1), int(p2))
+        if row not in self.index:
+            self.index[row] = len(self.rows)
+            self.rows.append(row)
+        return self.index[row]
+
+
+def lower_program(
+    program: Program,
+    layout: StateLayout,
+    add_pred,  # Callable[[Pred], int] — tables._PredPool.add_pred
+    phase_mask_words,  # Callable[[frozenset[int]], tuple[int, int]]
+    has_alive: bool,
+) -> tuple[LoweredBlock, ...]:
+    """Lower a checked Program into flat blocks (ints only)."""
+
+    def lower_block(block: Block) -> LoweredBlock:
+        pool = _NodePool()
+
+        def lx(e: Expr) -> int:
+            if isinstance(e, EConst):
+                return pool.add(NK_CONST, e.value)
+            if isinstance(e, EField):
+                slot = layout.slot(e.name)
+                bank = {BANK_BOOL: FXB_BOOL, BANK_NUM: FXB_NUM,
+                        BANK_STR: FXB_STR}[slot.bank]
+                return pool.add(NK_FIELD, bank, slot.index)
+            if isinstance(e, ESeat):
+                return pool.add(NK_SEAT)
+            if isinstance(e, ENPlayers):
+                return pool.add(NK_NPLAYERS)
+            if isinstance(e, EChoice):
+                return pool.add(NK_CHOICE)
+            if isinstance(e, EChoseIn):
+                lo, hi = phase_mask_words(e.phases)
+                return pool.add(NK_CHOSEIN, lo, hi)
+            if isinstance(e, EAlive):
+                return pool.add(NK_ALIVE) if has_alive else pool.add(NK_PRESENT)
+            if isinstance(e, EPresent):
+                return pool.add(NK_PRESENT)
+            if isinstance(e, EPredRef):
+                return pool.add(NK_PRED, add_pred(e.pred))
+            if isinstance(e, EBin):
+                return pool.add(NK_BIN, _BIN_CODE[e.op], lx(e.a), lx(e.b))
+            if isinstance(e, ECmp):
+                a, b = e.a, e.b
+                op = e.op
+                # string-literal compares lower to encoded code compares
+                if isinstance(a, EStrLit) and isinstance(b, EField):
+                    a, b = b, a
+                if isinstance(b, EStrLit):
+                    code = layout.slot(a.name).encode(b.value)
+                    return pool.add(NK_CMP, _CMP_CODE[op], lx(a),
+                                    pool.add(NK_CONST, code))
+                return pool.add(NK_CMP, _CMP_CODE[op], lx(a), lx(b))
+            if isinstance(e, ENot):
+                return pool.add(NK_NOT, lx(e.a))
+            if isinstance(e, EAnd):
+                return pool.add(NK_AND, lx(e.a), lx(e.b))
+            if isinstance(e, EOr):
+                return pool.add(NK_OR, lx(e.a), lx(e.b))
+            if isinstance(e, EWhere):
+                return pool.add(NK_WHERE, lx(e.c), lx(e.a), lx(e.b))
+            if isinstance(e, EAt):
+                return pool.add(NK_AT, lx(e.val), lx(e.idx))
+            if isinstance(e, EIncoming):
+                return pool.add(NK_INCOMING, lx(e.val), lx(e.key), lx(e.mask))
+            if isinstance(e, EEqCount):
+                return pool.add(NK_EQCOUNT, lx(e.key), lx(e.mask))
+            if isinstance(e, ERank):
+                return pool.add(NK_RANK, lx(e.key), lx(e.mask))
+            if isinstance(e, EReduce):
+                return pool.add(NK_REDUCE, _RED_CODE[e.kind], lx(e.val),
+                                lx(e.mask))
+            if isinstance(e, EArgBest):
+                return pool.add(NK_ARGBEST, _ARG_CODE[e.kind], lx(e.key),
+                                lx(e.mask))
+            raise EffectError(f"cannot lower {type(e).__name__}")
+
+        stmts: list[tuple[int, int, int, int, int]] = []
+        for st in block:
+            if isinstance(st, SKill):
+                stmts.append((ST_KILL, 0, 0, 0, lx(st.where)))
+                continue
+            slot = layout.slot(st.field)
+            bank = {BANK_BOOL: FXB_BOOL, BANK_NUM: FXB_NUM}[slot.bank]
+            skind = ST_SET if isinstance(st, SSet) else ST_ADD
+            stmts.append((skind, bank, slot.index, lx(st.value), lx(st.where)))
+        return tuple(pool.rows), tuple(stmts)
+
+    return tuple(lower_block(b) for b in program)
+
+
+# ---------------------------------------------------------------------------
+# Analyzer builders: P12 / P13 / P19 as IR programs
+# ---------------------------------------------------------------------------
+
+
+def income_program(gains: tuple[tuple[str, int], ...]) -> Program:
+    """P12: every present living player gains the fixed amounts."""
+    stmts = tuple(SAdd(field, EConst(amount), where=EAlive())
+                  for field, amount in gains)
+    return (stmts,)
+
+
+def raid_program(raid_phases: frozenset[int], raider_pred: Pred,
+                 res_field: str) -> Program:
+    """P13: simultaneous raids from the TARGET register (SEMANTICS.md).
+
+    Each target loses min(max(res, 0), #raiders), distributed one coin
+    apiece to its lowest-id raiders; all reads from pre-phase values."""
+    raider = EAnd(
+        EAnd(EChoseIn(raid_phases), EPredRef(raider_pred)),
+        EAnd(EAlive(), ECmp("ne", EChoice(), ESeat())),
+    )
+    tgt = EWhere(raider, EChoice(), ZERO)
+    n_raiders = EIncoming(ONE, tgt, raider)
+    loss = EBin("min", EBin("max", EField(res_field), ZERO), n_raiders)
+    rank = ERank(tgt, raider)
+    gain = EAnd(ECmp("gt", tgt, ZERO), ECmp("lt", rank, EAt(loss, tgt)))
+    return ((SAdd(res_field, EBin("sub", gain, loss)),),)
+
+
+def auction_program(bid_field: str, bidder_pred: Pred, res_field: str,
+                    prize_field: str, bid_default: int) -> Program:
+    """P19: sealed-bid auction — highest effective bid wins, ties to the
+    lowest seat; the winner pays from the purse and gains +1 prize; bids
+    reset so stale values cannot win later rounds."""
+    bidder = EAnd(EPredRef(bidder_pred), EAlive())
+    eff_raw = EBin("max",
+                   EBin("min", EField(bid_field),
+                        EBin("max", EField(res_field), ZERO)),
+                   ZERO)
+    eff = EWhere(bidder, eff_raw, ZERO)
+    winner = EArgBest("max", eff, ECmp("ge", eff, ONE))
+    is_winner = ECmp("eq", ESeat(), winner)
+    return ((
+        SAdd(res_field, EBin("sub", ZERO, eff), where=is_winner),
+        SAdd(prize_field, ONE, where=is_winner),
+        SSet(bid_field, EConst(bid_default)),
+    ),)

@@ -239,6 +239,18 @@ class RoleAssign:
 
 
 @dataclasses.dataclass(frozen=True)
+class Effects:
+    """P20: a declarative effect program (gamespec/effects.py) declared by
+    the DSL under `mechanics: [{effects: [...]}]` — novel mechanics execute
+    through the generic IR interpreter in every executor, no new kernels.
+    The analyzer also re-expresses P12/P13/P19 through the same IR at
+    lowering time (see tables.py)."""
+
+    program: tuple  # effects.Program — tuple of statement blocks
+    reveal_bools: tuple[str, ...] = ()  # P15 flags applied by `kill`
+
+
+@dataclasses.dataclass(frozen=True)
 class SetBoolAll:
     fields: tuple[str, ...]
 
@@ -625,6 +637,7 @@ HINTS: dict[str, type] = {
     "guess_score": GuessScore,
     "winner": GameOver,
     "reveal": SetBoolAll,
+    "effects": Effects,
 }
 # anchor hints: they mark an action phase as a night-resolution input rather
 # than producing a mechanic on their own phase; validated as "consumed by
@@ -634,10 +647,12 @@ ANCHOR_HINTS = frozenset({"kill", "protect"})
 # (P2) instead of relying on target-verb/tool detection
 CHOICE_HINTS = frozenset({"target", "option", "submit"})
 # the mutually-exclusive resolution family: hinting any of these disables
-# text triggers for the whole family on that phase
+# text triggers for the whole family on that phase. An `effects` program is
+# itself a resolution declaration — a phase carrying one gets exactly its
+# declared program (declaration outranks vocabulary, P18/P20).
 _RESOLUTION_HINTS = frozenset(
     {"night_resolution", "vote_elimination", "bluff_challenge",
-     "minority_score", "auction", "raid"})
+     "minority_score", "auction", "raid", "effects"})
 
 
 def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
@@ -995,8 +1010,9 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
                         gains.append((f, int(n)))
         income_declared = bool(gains)
         if not income_declared and (
-                ph.completion.type is not CompletionType.PLAYER_ACTION
-                or "income" in hint_names):
+                "income" in hint_names
+                or (ph.completion.type is not CompletionType.PLAYER_ACTION
+                    and "effects" not in hint_names)):
             for mm in _INCOME_RE.finditer(text):
                 f = _num_field_for(mm.group(2))
                 if f is not None and (f, int(mm.group(1))) not in gains:
@@ -1018,6 +1034,26 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
                     and not any(isinstance(mc, SetBoolAll) and harg in mc.fields
                                 for mc in mechanics)):
                 mechanics.append(SetBoolAll(fields=(harg,)))
+
+        # P20: declared effect programs — parsed and checked here, attached
+        # before any terminal GameOver so winner evaluation sees their
+        # writes. A malformed program attaches nothing; dslgen/validate.py
+        # re-parses the hint and surfaces the EffectError as a loud ERROR.
+        for hname, harg in ph.mechanic_hints:
+            if hname != "effects" or harg is None:
+                continue
+            from game_engine_tpu.gamespec import effects as FX
+
+            lines = list(harg) if isinstance(harg, tuple) else [harg]
+            try:
+                prog = FX.parse_program(lines)
+                FX.check_program(
+                    prog, layout, frozenset(spec.phases),
+                    has_alive="is_alive" in fields,
+                )
+            except FX.EffectError:
+                continue
+            mechanics.append(Effects(program=prog, reveal_bools=reveal_bools))
 
         if ph.is_terminal:
             mechanics.append(_terminal_game_over(ph))

@@ -25,6 +25,7 @@ from typing import Optional, Union
 import numpy as np
 
 from game_engine_tpu.gamespec import conditions as C
+from game_engine_tpu.gamespec import effects as FX
 from game_engine_tpu.gamespec import mechanics as M
 from game_engine_tpu.gamespec.compile import CompiledGame
 from game_engine_tpu.gamespec.expr import Pred, to_dnf
@@ -108,27 +109,17 @@ class LVoteElim:
 
 
 @dataclasses.dataclass(frozen=True)
-class LResourceIncome:
+class LEffect:
+    """P20: a lowered effect program (gamespec/effects.py lower_program).
+
+    One generic interpreter per executor runs these — the lowered form of
+    P12 income, P13 raids, P19 auctions and any DSL-declared
+    `mechanics: [{effects: [...]}]` program."""
+
     phase_index: int
-    gains: tuple[tuple[int, int], ...]  # (num slot, amount)
-
-
-@dataclasses.dataclass(frozen=True)
-class LResourceRaid:
-    phase_index: int
-    raid_phase_mask: np.ndarray
-    raider_pred: int
-    res_num: int
-
-
-@dataclasses.dataclass(frozen=True)
-class LAuctionScore:
-    phase_index: int
-    bid_num: int
-    bidder_pred: int
-    res_num: int
-    prize_num: int
-    bid_default: int  # bids reset to this after resolution
+    # tuple of (nodes, stmts) blocks; see effects.lower_program
+    blocks: tuple
+    reveal_bool_slots: tuple[int, ...] = ()  # P15 flags applied by `kill`
 
 
 @dataclasses.dataclass(frozen=True)
@@ -207,8 +198,7 @@ class LGameOver:
 
 LoweredMech = Union[
     LNightResolve, LVoteElim, LGuessScore, LSpeakerRotate, LRoleAssign, LSetBoolAll,
-    LGameOver, LResourceIncome, LResourceRaid, LBluffChallenge, LMinorityScore,
-    LAuctionScore,
+    LGameOver, LBluffChallenge, LMinorityScore, LEffect,
 ]
 
 
@@ -341,6 +331,25 @@ def lower(game: CompiledGame) -> Lowered:
         except (TypeError, ValueError):
             return 0
 
+    def _pmask_words(ids) -> tuple[int, int]:
+        """DSL phase ids -> 64-bit choice_phase membership words (bit =
+        dense_index + 1, matching the (NP+1,) masks used elsewhere)."""
+        bits = 0
+        for pid in ids:
+            bits |= 1 << (game.id_to_index[pid] + 1)
+        return bits & 0xFFFFFFFF, (bits >> 32) & 0xFFFFFFFF
+
+    def _lower_fx(prog, i: int, reveal=()) -> "LEffect":
+        blocks = FX.lower_program(
+            prog, layout, pool.add_pred, _pmask_words,
+            has_alive=layout.get("is_alive") is not None,
+        )
+        return LEffect(
+            phase_index=i,
+            blocks=blocks,
+            reveal_bool_slots=tuple(layout.bool_index(f) for f in reveal),
+        )
+
     phase_is_action = np.zeros(NP, dtype=bool)
     phase_target_pred = np.zeros(NP, dtype=np.int32)
     phase_terminal = np.zeros(NP, dtype=bool)
@@ -432,32 +441,18 @@ def lower(game: CompiledGame) -> Lowered:
                     )
                 )
             elif isinstance(mech, M.ResourceIncome):
-                mechanics.append(
-                    LResourceIncome(
-                        phase_index=i,
-                        gains=tuple((layout.num_index(f), int(a)) for f, a in mech.gains),
-                    )
-                )
+                mechanics.append(_lower_fx(FX.income_program(mech.gains), i))
             elif isinstance(mech, M.ResourceRaid):
-                mechanics.append(
-                    LResourceRaid(
-                        phase_index=i,
-                        raid_phase_mask=_phase_mask(game, mech.raid_phases),
-                        raider_pred=pool.add_pred(mech.raider_pred),
-                        res_num=layout.num_index(mech.res_field),
-                    )
-                )
+                mechanics.append(_lower_fx(
+                    FX.raid_program(mech.raid_phases, mech.raider_pred,
+                                    mech.res_field), i))
             elif isinstance(mech, M.AuctionScore):
-                mechanics.append(
-                    LAuctionScore(
-                        phase_index=i,
-                        bid_num=layout.num_index(mech.bid_field),
-                        bidder_pred=pool.add_pred(mech.bidder_pred),
-                        res_num=layout.num_index(mech.res_field),
-                        prize_num=layout.num_index(mech.prize_field),
-                        bid_default=num_default(mech.bid_field),
-                    )
-                )
+                mechanics.append(_lower_fx(
+                    FX.auction_program(mech.bid_field, mech.bidder_pred,
+                                       mech.res_field, mech.prize_field,
+                                       num_default(mech.bid_field)), i))
+            elif isinstance(mech, M.Effects):
+                mechanics.append(_lower_fx(mech.program, i, mech.reveal_bools))
             elif isinstance(mech, M.MinorityScore):
                 mechanics.append(
                     LMinorityScore(

@@ -25,8 +25,17 @@ enum Sections {
 };
 enum CondType { COND_ALWAYS, COND_COUNTCMP, COND_ALLPRESENT, COND_PREVIN, COND_AND };
 enum MechType { MECH_NIGHT, MECH_VOTE, MECH_SCORE, MECH_ROTATE, MECH_ROLES,
-                MECH_SETBOOL, MECH_OVER, MECH_INCOME, MECH_RAID, MECH_BLUFF,
-                MECH_MINORITY, MECH_AUCTION };
+                MECH_SETBOOL, MECH_OVER, MECH_BLUFF, MECH_MINORITY,
+                MECH_EFFECTS };
+// P20 effect-IR node kinds — mirror gamespec/effects.py NK_* exactly
+enum FxNode { FX_CONST, FX_FIELD, FX_SEAT, FX_NPLAYERS, FX_CHOICE,
+              FX_CHOSEIN, FX_ALIVE, FX_PRESENT, FX_PRED, FX_BIN, FX_CMP,
+              FX_NOT, FX_AND, FX_OR, FX_WHERE, FX_AT, FX_INCOMING,
+              FX_EQCOUNT, FX_RANK, FX_REDUCE, FX_ARGBEST };
+enum FxBin { FXBIN_ADD, FXBIN_SUB, FXBIN_MUL, FXBIN_MIN, FXBIN_MAX };
+enum FxRed { FXRED_SUM, FXRED_MAX, FXRED_MIN, FXRED_COUNT };
+enum FxStmt { FXST_SET, FXST_ADD, FXST_KILL };
+enum FxBank { FXB_BOOL, FXB_NUM, FXB_STR };
 enum Bank { AB_BOOL, AB_NUM, AB_STR, AB_CONST };
 enum Op { OP_EQ, OP_NE, OP_GE, OP_LE, OP_GT, OP_LT };
 enum Kind { K_NONE = 0, K_TARGET = 1, K_OPTION = 2, K_SUBMIT = 3 };
@@ -246,34 +255,198 @@ void apply_on_enter(const Game& g, Room& r) {
         if (tgt && alive(g, r, tgt - 1)) kill_player(g, r, tgt, q[3], q[4]);
         break;
       }
-      case MECH_INCOME: {  // P12
-        for (int p = 0; p < r.n; ++p) {
-          if (!alive(g, r, p)) continue;
-          for (int k = 0; k < q[1]; ++k)
-            r.nums[p * g.NN + g.pool[q[0] + k * 2]] += g.pool[q[0] + k * 2 + 1];
+      case MECH_EFFECTS: {  // P20: the generic effect-IR interpreter
+        int off = q[0], n_blocks = q[1], rv_off = q[2], rv_n = q[3];
+        int n = r.n;
+        for (int blk = 0; blk < n_blocks; ++blk) {
+          int n_nodes = g.pool[off], n_stmts = g.pool[off + 1];
+          const int32_t* nodes = &g.pool[off + 2];
+          const int32_t* stmts = nodes + (int64_t)n_nodes * 4;
+          off += 2 + n_nodes * 4 + n_stmts * 5;
+          // block-entry snapshot: every expression reads it (simultaneous
+          // resolution); statement writes land on the live room in order
+          std::vector<uint8_t> sb(r.bools);
+          std::vector<int32_t> sn(r.nums), ss(r.strs);
+          auto fx_atom = [&](int ai, int p) -> bool {
+            const int32_t* a = &g.atoms[ai * 5];
+            if (a[0] == AB_CONST) return a[4] == 1;
+            int32_t x = a[0] == AB_BOOL ? sb[p * g.NB + a[1]]
+                      : a[0] == AB_NUM ? sn[p * g.NN + a[1]]
+                                       : ss[p * g.NS + a[1]];
+            switch (a[2]) {
+              case OP_EQ: return x == a[3];
+              case OP_NE: return x != a[3];
+              case OP_GE: return x >= a[3];
+              case OP_LE: return x <= a[3];
+              case OP_GT: return x > a[3];
+              default: return x < a[3];
+            }
+          };
+          auto fx_pred = [&](int pi, int p) -> bool {
+            int t0 = g.pred_off[pi], t1 = g.pred_off[pi + 1];
+            if (t0 == t1) return false;
+            for (int t = t0; t < t1; ++t) {
+              bool ok = true;
+              for (int l = g.term_off[t]; l < g.term_off[t + 1]; ++l)
+                if (!fx_atom(g.lits[l], p)) { ok = false; break; }
+              if (ok) return true;
+            }
+            return false;
+          };
+          std::vector<std::vector<int32_t>> vals(
+              n_nodes, std::vector<int32_t>(n, 0));
+          for (int ni = 0; ni < n_nodes; ++ni) {
+            const int32_t* nd = &nodes[ni * 4];
+            int kind = nd[0], a = nd[1], b = nd[2], c = nd[3];
+            auto& out = vals[ni];
+            switch (kind) {
+              case FX_CONST: for (int p = 0; p < n; ++p) out[p] = a; break;
+              case FX_FIELD:
+                for (int p = 0; p < n; ++p)
+                  out[p] = a == FXB_BOOL ? sb[p * g.NB + b]
+                         : a == FXB_NUM ? sn[p * g.NN + b]
+                                        : ss[p * g.NS + b];
+                break;
+              case FX_SEAT: for (int p = 0; p < n; ++p) out[p] = p + 1; break;
+              case FX_NPLAYERS: for (int p = 0; p < n; ++p) out[p] = n; break;
+              case FX_CHOICE: for (int p = 0; p < n; ++p) out[p] = r.choice[p]; break;
+              case FX_CHOSEIN:
+                for (int p = 0; p < n; ++p)
+                  out[p] = mask64_has(a, b, r.choice_phase[p] + 1) ? 1 : 0;
+                break;
+              case FX_ALIVE:
+                for (int p = 0; p < n; ++p)
+                  out[p] = g.alive_slot < 0 ? 1 : (sb[p * g.NB + g.alive_slot] ? 1 : 0);
+                break;
+              case FX_PRESENT: for (int p = 0; p < n; ++p) out[p] = 1; break;
+              case FX_PRED:
+                for (int p = 0; p < n; ++p) out[p] = fx_pred(a, p) ? 1 : 0;
+                break;
+              case FX_BIN:
+                for (int p = 0; p < n; ++p) {
+                  int32_t x = vals[b][p], y = vals[c][p];
+                  switch (a) {
+                    case FXBIN_ADD: out[p] = x + y; break;
+                    case FXBIN_SUB: out[p] = x - y; break;
+                    case FXBIN_MUL: out[p] = x * y; break;
+                    case FXBIN_MIN: out[p] = std::min(x, y); break;
+                    default: out[p] = std::max(x, y);
+                  }
+                }
+                break;
+              case FX_CMP:
+                for (int p = 0; p < n; ++p) {
+                  int32_t x = vals[b][p], y = vals[c][p];
+                  bool v;
+                  switch (a) {
+                    case OP_EQ: v = x == y; break;
+                    case OP_NE: v = x != y; break;
+                    case OP_GE: v = x >= y; break;
+                    case OP_LE: v = x <= y; break;
+                    case OP_GT: v = x > y; break;
+                    default: v = x < y;
+                  }
+                  out[p] = v ? 1 : 0;
+                }
+                break;
+              case FX_NOT:
+                for (int p = 0; p < n; ++p) out[p] = vals[a][p] == 0 ? 1 : 0;
+                break;
+              case FX_AND:
+                for (int p = 0; p < n; ++p)
+                  out[p] = (vals[a][p] != 0 && vals[b][p] != 0) ? 1 : 0;
+                break;
+              case FX_OR:
+                for (int p = 0; p < n; ++p)
+                  out[p] = (vals[a][p] != 0 || vals[b][p] != 0) ? 1 : 0;
+                break;
+              case FX_WHERE:
+                for (int p = 0; p < n; ++p)
+                  out[p] = vals[a][p] != 0 ? vals[b][p] : vals[c][p];
+                break;
+              case FX_AT:
+                for (int p = 0; p < n; ++p) {
+                  int32_t i = vals[b][p];
+                  out[p] = (i >= 1 && i <= n) ? vals[a][i - 1] : 0;
+                }
+                break;
+              case FX_INCOMING:
+                for (int p = 0; p < n; ++p) {
+                  int32_t s = 0;
+                  for (int qq = 0; qq < n; ++qq)
+                    if (vals[c][qq] != 0 && vals[b][qq] == p + 1) s += vals[a][qq];
+                  out[p] = s;
+                }
+                break;
+              case FX_EQCOUNT:
+                for (int p = 0; p < n; ++p) {
+                  int32_t s = 0;
+                  for (int qq = 0; qq < n; ++qq)
+                    if (vals[b][qq] != 0 && vals[a][qq] == vals[a][p]) s++;
+                  out[p] = s;
+                }
+                break;
+              case FX_RANK:
+                for (int p = 0; p < n; ++p) {
+                  int32_t s = 0;
+                  for (int qq = 0; qq < p; ++qq)
+                    if (vals[b][qq] != 0 && vals[a][qq] == vals[a][p]) s++;
+                  out[p] = s;
+                }
+                break;
+              case FX_REDUCE: {
+                int32_t acc = 0;
+                bool any = false;
+                for (int qq = 0; qq < n; ++qq) {
+                  if (vals[c][qq] == 0) continue;
+                  int32_t v = vals[b][qq];
+                  if (!any) { acc = (a == FXRED_COUNT) ? 1 : v; any = true; }
+                  else if (a == FXRED_SUM) acc += v;
+                  else if (a == FXRED_MAX) acc = std::max(acc, v);
+                  else if (a == FXRED_MIN) acc = std::min(acc, v);
+                  else acc += 1;  // FXRED_COUNT
+                }
+                if (!any) acc = 0;  // empty max/min pins to 0 (P20)
+                for (int p = 0; p < n; ++p) out[p] = acc;
+                break;
+              }
+              case FX_ARGBEST: {
+                int win = 0;
+                int32_t best = 0;
+                bool any = false;
+                for (int qq = 0; qq < n; ++qq) {
+                  if (vals[c][qq] == 0) continue;
+                  int32_t v = vals[b][qq];
+                  // ties resolve to the LOWEST seat (strict compare)
+                  if (!any || (a == 0 ? v > best : v < best)) {
+                    best = v; win = qq + 1; any = true;
+                  }
+                }
+                for (int p = 0; p < n; ++p) out[p] = win;
+                break;
+              }
+            }
+          }
+          for (int si = 0; si < n_stmts; ++si) {
+            const int32_t* st = &stmts[si * 5];
+            for (int p = 0; p < n; ++p) {
+              if (vals[st[4]][p] == 0) continue;
+              switch (st[0]) {
+                case FXST_KILL:
+                  kill_player(g, r, p + 1, rv_off, rv_n);
+                  break;
+                case FXST_SET:
+                  if (st[1] == FXB_BOOL)
+                    r.bools[p * g.NB + st[2]] = (uint8_t)(vals[st[3]][p] != 0);
+                  else
+                    r.nums[p * g.NN + st[2]] = vals[st[3]][p];
+                  break;
+                default:  // FXST_ADD
+                  r.nums[p * g.NN + st[2]] += vals[st[3]][p];
+              }
+            }
+          }
         }
-        break;
-      }
-      case MECH_RAID: {  // P13
-        int res_slot = q[3];
-        std::vector<int> tgt(r.n, 0), res0(r.n), delta(r.n, 0), nraid(r.n, 0);
-        for (int p = 0; p < r.n; ++p) res0[p] = r.nums[p * g.NN + res_slot];
-        for (int p = 0; p < r.n; ++p) {
-          if (!alive(g, r, p)) continue;
-          if (!mask64_has(q[0], q[1], r.choice_phase[p] + 1)) continue;
-          if (!pred_eval(g, r, q[2], p)) continue;
-          int t = r.choice[p];
-          if (t >= 1 && t <= r.n && t != p + 1) { tgt[p] = t; nraid[t - 1]++; }
-        }
-        for (int t = 0; t < r.n; ++t) {
-          int loss = std::min(std::max(res0[t], 0), nraid[t]);
-          delta[t] -= loss;
-          int given = 0;
-          for (int p = 0; p < r.n && given < loss; ++p)
-            if (tgt[p] == t + 1) { delta[p] += 1; given++; }  // lowest-id raiders
-        }
-        for (int p = 0; p < r.n; ++p)
-          r.nums[p * g.NN + res_slot] = res0[p] + delta[p];
         break;
       }
       case MECH_MINORITY: {  // P16
@@ -296,23 +469,6 @@ void apply_on_enter(const Game& g, Room& r) {
             if (pick[p] == win_opt) r.nums[p * g.NN + score_slot] += 1;
         }
         for (int p = 0; p < g.P; ++p) r.nums[p * g.NN + pick_slot] = pick_def;
-        break;
-      }
-      case MECH_AUCTION: {  // P19
-        int bid_slot = q[0], pred = q[1], res_slot = q[2], prize_slot = q[3],
-            bid_def = q[4];
-        int win_bid = 0, winner = -1;
-        for (int p = 0; p < r.n; ++p) {
-          if (!alive(g, r, p) || !pred_eval(g, r, pred, p)) continue;
-          int purse = std::max(r.nums[p * g.NN + res_slot], 0);
-          int b = std::min(r.nums[p * g.NN + bid_slot], purse);
-          if (b >= 1 && b > win_bid) { win_bid = b; winner = p; }
-        }
-        if (winner >= 0) {
-          r.nums[winner * g.NN + res_slot] -= win_bid;
-          r.nums[winner * g.NN + prize_slot] += 1;
-        }
-        for (int p = 0; p < g.P; ++p) r.nums[p * g.NN + bid_slot] = bid_def;
         break;
       }
       case MECH_BLUFF: {  // P14

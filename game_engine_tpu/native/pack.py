@@ -36,8 +36,7 @@ SEC_ROLETAB = 16
 
 COND_ALWAYS, COND_COUNTCMP, COND_ALLPRESENT, COND_PREVIN, COND_AND = range(5)
 (MECH_NIGHT, MECH_VOTE, MECH_SCORE, MECH_ROTATE, MECH_ROLES, MECH_SETBOOL,
- MECH_OVER, MECH_INCOME, MECH_RAID, MECH_BLUFF, MECH_MINORITY,
- MECH_AUCTION) = range(12)
+ MECH_OVER, MECH_BLUFF, MECH_MINORITY, MECH_EFFECTS) = range(10)
 OP_CODES = {"eq": 0, "ne": 1, "ge": 2, "le": 3, "gt": 4, "lt": 5}
 MECH_PARAMS = 16
 
@@ -127,21 +126,25 @@ def pack(lowered: Lowered) -> np.ndarray:
             rv_off, rv_n = pool.add(m.reveal_bool_slots)
             mech(MECH_VOTE, m.phase_index, [_i32(vlo), _i32(vhi), m.voter_pred,
                                             rv_off, rv_n])
-        elif isinstance(m, T.LResourceIncome):
-            g_off, g_n = pool.add(v for pair in m.gains for v in pair)
-            mech(MECH_INCOME, m.phase_index, [g_off, g_n // 2])
-        elif isinstance(m, T.LResourceRaid):
-            rlo, rhi = _mask_words(m.raid_phase_mask)
-            mech(MECH_RAID, m.phase_index,
-                 [_i32(rlo), _i32(rhi), m.raider_pred, m.res_num])
+        elif isinstance(m, T.LEffect):
+            # P20 effect program: per block [n_nodes, n_stmts,
+            # node rows (4 ints), stmt rows (5 ints)], all in the pool
+            desc: list[int] = []
+            for nodes, stmts in m.blocks:
+                desc.append(len(nodes))
+                desc.append(len(stmts))
+                for row in nodes:
+                    desc.extend(_i32(x) for x in row)
+                for row in stmts:
+                    desc.extend(_i32(x) for x in row)
+            d_off, _ = pool.add(desc)
+            rv_off, rv_n = pool.add(m.reveal_bool_slots)
+            mech(MECH_EFFECTS, m.phase_index,
+                 [d_off, len(m.blocks), rv_off, rv_n])
         elif isinstance(m, T.LMinorityScore):
             mech(MECH_MINORITY, m.phase_index,
                  [m.pick_num, m.picker_pred, m.score_num, m.n_options,
                   m.pick_default])
-        elif isinstance(m, T.LAuctionScore):
-            mech(MECH_AUCTION, m.phase_index,
-                 [m.bid_num, m.bidder_pred, m.res_num, m.prize_num,
-                  m.bid_default])
         elif isinstance(m, T.LBluffChallenge):
             hlo, hhi = _mask_words(m.challenge_phase_mask)
             codes_off, codes_n = pool.add(m.role_codes)

@@ -19,6 +19,7 @@ import dataclasses
 from typing import Any, Optional
 
 from game_engine_tpu.gamespec import conditions as C
+from game_engine_tpu.gamespec import effects as FX
 from game_engine_tpu.gamespec import mechanics as M
 from game_engine_tpu.gamespec.compile import CompiledGame, CompiledPhase
 from game_engine_tpu.gamespec.expr import eval_predicate
@@ -150,32 +151,49 @@ class OracleRoom:
 
     def _apply_on_enter(self, phase: CompiledPhase) -> None:
         for mech in phase.program.on_enter:
-            if isinstance(mech, M.RoleAssign):
-                self._role_assign(mech)
-            elif isinstance(mech, M.NightResolve):
-                self._night_resolve(mech)
-            elif isinstance(mech, M.VoteElim):
-                self._vote_elim(mech)
-            elif isinstance(mech, M.ResourceIncome):
-                self._resource_income(mech)
-            elif isinstance(mech, M.ResourceRaid):
-                self._resource_raid(mech)
-            elif isinstance(mech, M.BluffChallenge):
-                self._bluff_challenge(mech)
-            elif isinstance(mech, M.MinorityScore):
-                self._minority_score(mech)
-            elif isinstance(mech, M.AuctionScore):
-                self._auction_score(mech)
-            elif isinstance(mech, M.GuessScore):
-                self._guess_score(mech)
-            elif isinstance(mech, M.SpeakerRotate):
-                self._speaker_rotate(mech)
-            elif isinstance(mech, M.SetBoolAll):
-                for pid in self.players:
-                    for f in mech.fields:
-                        self.players[pid][f] = True
-            elif isinstance(mech, M.GameOver):
-                self._game_over(mech)
+            self.apply_mechanic(mech)
+
+    def apply_mechanic(self, mech) -> None:
+        """Apply ONE analyzer mechanic to the live room (tests use this to
+        hand-check pinned semantics on crafted states)."""
+        if isinstance(mech, M.RoleAssign):
+            self._role_assign(mech)
+        elif isinstance(mech, M.NightResolve):
+            self._night_resolve(mech)
+        elif isinstance(mech, M.VoteElim):
+            self._vote_elim(mech)
+        elif isinstance(mech, M.ResourceIncome):
+            self._apply_effects(FX.income_program(mech.gains), ())
+        elif isinstance(mech, M.ResourceRaid):
+            self._apply_effects(
+                FX.raid_program(mech.raid_phases, mech.raider_pred,
+                                mech.res_field), ())
+        elif isinstance(mech, M.BluffChallenge):
+            self._bluff_challenge(mech)
+        elif isinstance(mech, M.MinorityScore):
+            self._minority_score(mech)
+        elif isinstance(mech, M.AuctionScore):
+            try:
+                bid_default = int(
+                    self.game.spec.declaration.field(mech.bid_field).default)
+            except (TypeError, ValueError):
+                bid_default = 0
+            self._apply_effects(
+                FX.auction_program(mech.bid_field, mech.bidder_pred,
+                                   mech.res_field, mech.prize_field,
+                                   bid_default), ())
+        elif isinstance(mech, M.Effects):
+            self._apply_effects(mech.program, mech.reveal_bools)
+        elif isinstance(mech, M.GuessScore):
+            self._guess_score(mech)
+        elif isinstance(mech, M.SpeakerRotate):
+            self._speaker_rotate(mech)
+        elif isinstance(mech, M.SetBoolAll):
+            for pid in self.players:
+                for f in mech.fields:
+                    self.players[pid][f] = True
+        elif isinstance(mech, M.GameOver):
+            self._game_over(mech)
 
     def _role_assign(self, ra: M.RoleAssign) -> None:
         multiset = M.role_multiset(ra, self.n)
@@ -213,36 +231,121 @@ class OracleRoom:
         if target and self.players[target].get("is_alive", True):
             self._kill(target, ve.reveal_bools)
 
-    def _resource_income(self, ri: M.ResourceIncome) -> None:
-        """P12: every present living player gains the fixed amounts."""
-        for p in range(1, self.n + 1):
-            row = self.players[p]
-            if not row.get("is_alive", True):
-                continue
-            for f, amount in ri.gains:
-                row[f] = int(row.get(f, 0) or 0) + amount
+    # -- generic effect interpreter (P20) ------------------------------------
+    #
+    # ONE interpreter executes every effect program: the analyzer's P12
+    # income / P13 raid / P19 auction re-expressions and any DSL-declared
+    # `mechanics: [{effects: [...]}]` program. Within a block, every
+    # expression reads the block-entry snapshot; writes land in statement
+    # order; blocks sequence (SEMANTICS.md P20).
 
-    def _resource_raid(self, rr: M.ResourceRaid) -> None:
-        """P13: simultaneous raids from the TARGET register (SEMANTICS.md)."""
-        raiders: dict[int, list[int]] = {}  # target -> raiders (ascending id)
-        for q in range(1, self.n + 1):
-            row = self.players[q]
-            if not row.get("is_alive", True):
-                continue
-            if self.choice_phase.get(q) in rr.raid_phases and self._match(rr.raider_pred, q):
-                t = self.choice.get(q, 0)
-                if 1 <= t <= self.n and t != q:  # self-raid is a no-op
-                    raiders.setdefault(t, []).append(q)
-        res0 = {p: int(self.players[p].get(rr.res_field, 0) or 0)
-                for p in range(1, self.n + 1)}
-        delta = {p: 0 for p in range(1, self.n + 1)}
-        for t, qs in raiders.items():
-            loss = min(max(res0[t], 0), len(qs))
-            delta[t] -= loss
-            for r in sorted(qs)[:loss]:  # lowest-id raiders gain 1 apiece
-                delta[r] += 1
-        for p in range(1, self.n + 1):
-            self.players[p][rr.res_field] = res0[p] + delta[p]
+    def _fx_eval(self, e, p: int, snap: dict[int, dict]) -> int:
+        ev = self._fx_eval
+        layout = self.game.layout
+        if isinstance(e, FX.EConst):
+            return e.value
+        if isinstance(e, FX.EField):
+            slot = layout.get(e.name)
+            v = snap[p].get(e.name)
+            if slot is not None and slot.bank == "str":
+                return slot.encode(v)
+            if isinstance(v, bool):
+                return 1 if v else 0
+            try:
+                return int(v or 0)
+            except (TypeError, ValueError):
+                return 0
+        if isinstance(e, FX.ESeat):
+            return p
+        if isinstance(e, FX.ENPlayers):
+            return self.n
+        if isinstance(e, FX.EChoice):
+            return self.choice.get(p, 0)
+        if isinstance(e, FX.EChoseIn):
+            return 1 if self.choice_phase.get(p) in e.phases else 0
+        if isinstance(e, FX.EAlive):
+            return 1 if snap[p].get("is_alive", True) else 0
+        if isinstance(e, FX.EPresent):
+            return 1
+        if isinstance(e, FX.EPredRef):
+            return 1 if eval_predicate(e.pred, snap[p]) else 0
+        if isinstance(e, FX.EBin):
+            a, b = ev(e.a, p, snap), ev(e.b, p, snap)
+            return {"add": a + b, "sub": a - b, "mul": a * b,
+                    "min": min(a, b), "max": max(a, b)}[e.op]
+        if isinstance(e, FX.ECmp):
+            a, b = e.a, e.b
+            if isinstance(a, FX.EStrLit) and isinstance(b, FX.EField):
+                a, b = b, a
+            if isinstance(b, FX.EStrLit):
+                bv = layout.slot(a.name).encode(b.value)
+                av = ev(a, p, snap)
+            else:
+                av, bv = ev(a, p, snap), ev(b, p, snap)
+            return int({"eq": av == bv, "ne": av != bv, "ge": av >= bv,
+                        "le": av <= bv, "gt": av > bv, "lt": av < bv}[e.op])
+        if isinstance(e, FX.ENot):
+            return int(ev(e.a, p, snap) == 0)
+        if isinstance(e, FX.EAnd):
+            return int(ev(e.a, p, snap) != 0 and ev(e.b, p, snap) != 0)
+        if isinstance(e, FX.EOr):
+            return int(ev(e.a, p, snap) != 0 or ev(e.b, p, snap) != 0)
+        if isinstance(e, FX.EWhere):
+            return ev(e.a, p, snap) if ev(e.c, p, snap) != 0 else ev(e.b, p, snap)
+        if isinstance(e, FX.EAt):
+            i = ev(e.idx, p, snap)
+            return ev(e.val, i, snap) if 1 <= i <= self.n else 0
+        if isinstance(e, FX.EIncoming):
+            total = 0
+            for q in range(1, self.n + 1):
+                if ev(e.mask, q, snap) != 0 and ev(e.key, q, snap) == p:
+                    total += ev(e.val, q, snap)
+            return total
+        if isinstance(e, FX.EEqCount):
+            kp = ev(e.key, p, snap)
+            return sum(1 for q in range(1, self.n + 1)
+                       if ev(e.mask, q, snap) != 0 and ev(e.key, q, snap) == kp)
+        if isinstance(e, FX.ERank):
+            kp = ev(e.key, p, snap)
+            return sum(1 for q in range(1, p)
+                       if ev(e.mask, q, snap) != 0 and ev(e.key, q, snap) == kp)
+        if isinstance(e, FX.EReduce):
+            vals = [ev(e.val, q, snap) for q in range(1, self.n + 1)
+                    if ev(e.mask, q, snap) != 0]
+            if e.kind == "sum":
+                return sum(vals)
+            if e.kind == "count":
+                return len(vals)
+            if not vals:
+                return 0  # empty max/min pins to 0 (P20)
+            return max(vals) if e.kind == "max" else min(vals)
+        if isinstance(e, FX.EArgBest):
+            pairs = [(q, ev(e.key, q, snap)) for q in range(1, self.n + 1)
+                     if ev(e.mask, q, snap) != 0]
+            if not pairs:
+                return 0
+            best = (max if e.kind == "max" else min)(v for _, v in pairs)
+            return min(q for q, v in pairs if v == best)  # ties to lowest seat
+        raise TypeError(e)
+
+    def _apply_effects(self, program, reveal_bools) -> None:
+        for block in program:
+            snap = {q: dict(self.players[q]) for q in self.players}
+            for st in block:
+                for p in range(1, self.n + 1):
+                    if self._fx_eval(st.where, p, snap) == 0:
+                        continue
+                    if isinstance(st, FX.SKill):
+                        self._kill(p, reveal_bools)
+                        continue
+                    v = self._fx_eval(st.value, p, snap)
+                    row = self.players[p]
+                    if isinstance(st, FX.SAdd):
+                        row[st.field] = int(row.get(st.field, 0) or 0) + v
+                    elif self.game.layout.slot(st.field).bank == "bool":
+                        row[st.field] = v != 0
+                    else:
+                        row[st.field] = v
 
     def _minority_score(self, ms: M.MinorityScore) -> None:
         """P16: smallest non-empty pick group scores (SEMANTICS.md)."""
@@ -269,33 +372,6 @@ class OracleRoom:
         default = self.game.spec.declaration.field(ms.pick_field).default
         for p in range(1, self.n + 1):
             self.players[p][ms.pick_field] = default
-
-    def _auction_score(self, au: M.AuctionScore) -> None:
-        """P19: sealed-bid auction, highest effective bid wins, ties to
-        lowest id; winner pays from the purse and gains +1 prize
-        (SEMANTICS.md)."""
-        bids: dict[int, int] = {}
-        for p in range(1, self.n + 1):
-            row = self.players[p]
-            if not row.get("is_alive", True):
-                continue
-            if self._match(au.bidder_pred, p):
-                purse = max(int(row.get(au.res_field, 0) or 0), 0)
-                b = min(int(row.get(au.bid_field, 0) or 0), purse)
-                if b >= 1:
-                    bids[p] = b
-        if bids:
-            win_bid = max(bids.values())
-            winner = min(p for p, b in bids.items() if b == win_bid)
-            self.players[winner][au.res_field] = (
-                int(self.players[winner].get(au.res_field, 0) or 0) - win_bid
-            )
-            self.players[winner][au.prize_field] = (
-                int(self.players[winner].get(au.prize_field, 0) or 0) + 1
-            )
-        default = self.game.spec.declaration.field(au.bid_field).default
-        for p in range(1, self.n + 1):
-            self.players[p][au.bid_field] = default
 
     def _bluff_challenge(self, bc: M.BluffChallenge) -> None:
         """P14: Coup-style claim/challenge resolution (SEMANTICS.md)."""

@@ -66,7 +66,7 @@ def test_auction_semantics_pinned():
     for p, (coins, bid) in {1: (2, 4), 2: (9, 3), 3: (9, 3)}.items():
         room.players[p][au.res_field] = coins
         room.players[p][au.bid_field] = bid
-    room._auction_score(au)
+    room.apply_mechanic(au)
     assert room.players[2][au.prize_field] == 1
     assert room.players[2][au.res_field] == 6
     assert room.players[1][au.prize_field] == 0
@@ -84,7 +84,7 @@ def test_auction_no_competing_bid_is_noop():
     for p in (1, 2, 3):  # broke players: bids are purse-capped to 0
         room.players[p][au.res_field] = 0
         room.players[p][au.bid_field] = 5
-    room._auction_score(au)
+    room.apply_mechanic(au)
     assert all(room.players[p][au.prize_field] == 0 for p in (1, 2, 3))
     assert all(room.players[p][au.bid_field] == 0 for p in (1, 2, 3))
 
