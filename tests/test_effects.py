@@ -1,0 +1,276 @@
+"""P20 effect IR: the declarative language, its loud-or-correct validation,
+and four-executor bit-parity on the three catalog games that only the IR can
+express — gift-circle (player-to-player transfers), handshake-pact
+(choice-of-choice reciprocity), speed-track (eqcount collision racing).
+
+The reference's referee applies arbitrary describable rules via LLM state
+writes (reference: agent/tools/backend_tools.py:204-225,
+agent/prompt/referee_system_prompt_1.txt:6-88); these tests pin the
+determinized equivalent."""
+
+import numpy as np
+import pytest
+
+from game_engine_tpu.core.engine import BatchedEngine, compiled_rollout, scripted_actions
+from game_engine_tpu.core.state import init_state
+from game_engine_tpu.dslgen.validate import errors, validate_doc
+from game_engine_tpu.gamespec import effects as FX
+from game_engine_tpu.gamespec import mechanics as M
+from game_engine_tpu.gamespec.compile import compile_game
+from game_engine_tpu.gamespec.parser import load_builtin
+from game_engine_tpu.gamespec.tables import lower
+from game_engine_tpu.oracle.interp import OracleRoom
+from game_engine_tpu.policies.scripted import oracle_policy
+from tests.test_parity import assert_state_matches
+
+EFFECT_GAMES = ["gift-circle", "handshake-pact", "speed-track"]
+
+
+@pytest.fixture(scope="module", params=EFFECT_GAMES)
+def effect_game(request):
+    lowered = lower(compile_game(load_builtin(request.param)))
+    return request.param, lowered
+
+
+# ---------------------------------------------------------------------------
+# The language: parser + static checking
+# ---------------------------------------------------------------------------
+
+
+def test_parser_precedence_and_shapes():
+    env = {}
+    st = FX.parse_statement("coins += 1 + 2 * 3 where coins > 0 and seat != 2", env)
+    assert isinstance(st, FX.SAdd) and st.field == "coins"
+    # 1 + (2*3), not (1+2)*3
+    assert st.value == FX.EBin("add", FX.EConst(1),
+                               FX.EBin("mul", FX.EConst(2), FX.EConst(3)))
+    assert isinstance(st.where, FX.EAnd)
+
+    assert FX.parse_statement("let g = chose(4, 7) and alive", env) is None
+    st2 = FX.parse_statement("coins -= if(g, 1, 0)", env)
+    # let-substitution inlines the binding; -= negates
+    assert isinstance(st2, FX.SAdd)
+    inner = st2.value
+    assert isinstance(inner, FX.EBin) and inner.op == "sub"
+    assert isinstance(inner.b, FX.EWhere)
+    assert inner.b.c == FX.EAnd(FX.EChoseIn(frozenset({4, 7})), FX.EAlive())
+
+    st3 = FX.parse_statement("kill where trust < 0", env)
+    assert isinstance(st3, FX.SKill)
+
+
+def test_parser_blocks_split_on_dashes():
+    prog = FX.parse_program(["coins += 1", "---", "coins += 2"])
+    assert len(prog) == 2 and len(prog[0]) == 1 and len(prog[1]) == 1
+
+
+@pytest.mark.parametrize("bad", [
+    "coins +=",                      # missing expression
+    "coins ** 2",                    # unknown operator
+    "frobnicate(coins)",             # unknown function
+    "let seat = 1",                  # shadows a builtin
+    "kill coins",                    # malformed kill
+    "chose(coins) and coins > 0",    # statement must be an assignment
+])
+def test_parser_rejects_malformed(bad):
+    with pytest.raises(FX.EffectError):
+        FX.parse_program([bad])
+
+
+def test_checker_is_loud():
+    """check_program rejects every reference the engine cannot execute."""
+    spec = load_builtin("gold-rush")
+    game = compile_game(spec)
+    layout, phases = game.layout, frozenset(spec.phases)
+
+    def check(lines, has_alive=True):
+        FX.check_program(FX.parse_program(lines), layout, phases,
+                         has_alive=has_alive)
+
+    check(["coins += 1 where is_alive"])  # sane program passes
+    with pytest.raises(FX.EffectError, match="unknown field"):
+        check(["mana += 1"])
+    with pytest.raises(FX.EffectError, match="num field"):
+        check(["is_alive += 1"])  # += targets must be numeric
+    with pytest.raises(FX.EffectError, match="boolean or num"):
+        check(["name = 1"])  # string fields are not writable
+    with pytest.raises(FX.EffectError, match="no phase with id"):
+        check(["coins += 1 where chose(55)"])
+    with pytest.raises(FX.EffectError, match="is_alive"):
+        check(["kill where coins > 99"], has_alive=False)
+    with pytest.raises(FX.EffectError, match="vocabulary"):
+        # 'wizard' is not in the team vocab -> could never be true
+        check(["coins += 1 where team == 'wizard'"])
+    check(["coins += 1 where team == 'bandits'"])  # in-vocab passes
+
+
+def test_validator_surfaces_effect_errors():
+    """A malformed effects hint becomes an ERROR Issue with the parse
+    detail, never a silently dropped mechanic (P18 loud-or-correct)."""
+    import yaml
+
+    from game_engine_tpu.gamespec.parser import games_dir
+    import os
+
+    doc = yaml.safe_load(open(os.path.join(games_dir(), "gift-circle.yaml")))
+    doc["phases"][2]["mechanics"] = [
+        {"effects": ["coins += bogus_field"]}]
+    issues, spec = validate_doc(doc, name="broken")
+    errs = [str(e) for e in errors(issues)]
+    assert any("effects program rejected" in e and "bogus_field" in e
+               for e in errs), errs
+
+
+def test_effects_hint_attaches_mechanic(effect_game):
+    name, lowered = effect_game
+    from game_engine_tpu.gamespec.tables import LEffect
+
+    fx = [m for m in lowered.mechanics if isinstance(m, LEffect)]
+    assert fx, f"{name} lowered no LEffect"
+    mechs = [m for cp in lowered.game.phases for m in cp.program.on_enter]
+    assert any(isinstance(m, M.Effects) for m in mechs)
+
+
+# ---------------------------------------------------------------------------
+# Pinned semantics (oracle hand-checks on crafted states)
+# ---------------------------------------------------------------------------
+
+
+def _craft(name, n=4, seed=0):
+    game = compile_game(load_builtin(name))
+    room = OracleRoom(game, n_players=n, seed=seed)
+    fx = None
+    for cp in game.phases:
+        for m in cp.program.on_enter:
+            if isinstance(m, M.Effects):
+                fx = m
+    assert fx is not None
+    return room, fx
+
+
+def test_gift_transfer_semantics():
+    """Givers with a coin pay 1 to their target; the most-gifted player
+    collects +2 from the bank; broke givers give nothing."""
+    room, fx = _craft("gift-circle")
+    for p, (coins, tgt) in {1: (3, 2), 2: (0, 1), 3: (3, 2), 4: (3, 2)}.items():
+        room.players[p]["coins"] = coins
+        room.choice[p] = tgt
+        room.choice_phase[p] = 1
+    room.apply_mechanic(fx)
+    # p2 got 3 gifts (+3) and the popularity bonus (+2); broke, gave nothing
+    assert room.players[2]["coins"] == 0 + 3 + 2
+    assert room.players[1]["coins"] == 3 - 1  # gave 1, received 0 (p2 broke)
+    assert room.players[3]["coins"] == 2 and room.players[4]["coins"] == 2
+    assert room.players[2]["gifts_received"] == 3
+    # total conserved + bank bonus of 2
+    assert sum(room.players[p]["coins"] for p in range(1, 5)) == 9 + 2
+
+
+def test_handshake_mutual_and_lonely():
+    room, fx = _craft("handshake-pact")
+    # 1<->2 mutual; 3 picks 1; 4 picks 3. Nobody picks 4 -> lonely.
+    for p, tgt in {1: 2, 2: 1, 3: 1, 4: 3}.items():
+        room.choice[p] = tgt
+        room.choice_phase[p] = 1
+        room.players[p]["trust"] = 5
+    room.apply_mechanic(fx)
+    assert room.players[1]["trust"] == 7 and room.players[2]["trust"] == 7
+    assert room.players[3]["trust"] == 5  # picked, not mutual
+    assert room.players[4]["trust"] == 4  # lonely
+    # lonely floor: trust never goes below zero
+    room2, fx2 = _craft("handshake-pact")
+    for p, tgt in {1: 2, 2: 1, 3: 1, 4: 3}.items():
+        room2.choice[p] = tgt
+        room2.choice_phase[p] = 1
+        room2.players[p]["trust"] = 0
+    room2.apply_mechanic(fx2)
+    assert room2.players[4]["trust"] == 0
+
+
+def test_speed_track_collision():
+    room, fx = _craft("speed-track")
+    # p1 and p2 both pick 3 (collision); p3 picks 2 (unique); p4 picks 1.
+    for p, pick in {1: 3, 2: 3, 3: 2, 4: 1}.items():
+        room.players[p]["speed_pick"] = pick
+        room.choice[p] = pick
+        room.choice_phase[p] = 1
+    room.apply_mechanic(fx)
+    assert room.players[1]["position"] == 0 and room.players[2]["position"] == 0
+    assert room.players[3]["position"] == 2 and room.players[4]["position"] == 1
+    assert all(room.players[p]["speed_pick"] == 0 for p in range(1, 5))
+
+
+def test_block_snapshot_semantics():
+    """Within a block all reads see the block-entry snapshot; across a
+    '---' separator the second block reads the first block's writes."""
+    spec = load_builtin("gift-circle")
+    game = compile_game(spec)
+    layout, phases = game.layout, frozenset(spec.phases)
+    # one block: both statements read coins=3 -> 3+1=4 then doubled FROM
+    # SNAPSHOT would be 6; sequential-with-snapshot-reads means the second
+    # write overrides computed from snapshot: coins = 3*2 = 6
+    prog = FX.parse_program(["coins += 1", "coins = coins * 2"])
+    FX.check_program(prog, layout, phases, has_alive=False)
+    room = OracleRoom(game, n_players=2, seed=0)
+    room.players[1]["coins"] = 3
+    room.apply_mechanic(M.Effects(program=prog))
+    assert room.players[1]["coins"] == 6  # snapshot read: 3*2, overriding +1
+    # two blocks: second block sees 4
+    prog2 = FX.parse_program(["coins += 1", "---", "coins = coins * 2"])
+    room2 = OracleRoom(game, n_players=2, seed=0)
+    room2.players[1]["coins"] = 3
+    room2.apply_mechanic(M.Effects(program=prog2))
+    assert room2.players[1]["coins"] == 8
+
+
+# ---------------------------------------------------------------------------
+# Four-executor bit-parity on the effect-only games
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_oracle_engine_parity(effect_game, seed):
+    name, lowered = effect_game
+    n = min(4 + seed, lowered.P)
+    room = OracleRoom(lowered.game, n_players=n, seed=seed)
+    eng = BatchedEngine(lowered)
+    state = init_state(lowered, 1, n, np.uint32(seed))
+    for t in range(400):
+        room.step(oracle_policy(room, t, seed))
+        state = eng.step(state, scripted_actions(lowered, state))
+        assert_state_matches(lowered, room, state, 0, t)
+        if room.done:
+            break
+    assert room.done, f"{name} did not terminate"
+    assert 1 <= room.winner <= n
+
+
+def test_cpp_parity(effect_game):
+    from game_engine_tpu.native import available
+
+    if not available():
+        pytest.skip("native backend unavailable")
+    from tests.test_native import run_differential
+
+    name, lowered = effect_game
+    for seed in (0, 3):
+        run_differential(lowered, n_players=min(5, lowered.P), seed=seed,
+                         max_steps=400)
+
+
+def test_pallas_parity(effect_game):
+    from game_engine_tpu.core.pallas_rollout import make_pallas_rollout
+    from tests.test_pallas import _states_equal
+
+    name, lowered = effect_game
+    B, steps = 8, 60
+    state = init_state(lowered, B, min(5, lowered.P),
+                       np.arange(B, dtype=np.uint32))
+    ref_state, ref_eps = compiled_rollout(lowered, steps)(state)
+    pal = make_pallas_rollout(lowered, steps, block_rooms=8, interpret=True)
+    state2 = init_state(lowered, B, min(5, lowered.P),
+                        np.arange(B, dtype=np.uint32))
+    pal_state, pal_eps = pal(state2)
+    _states_equal(ref_state, pal_state)
+    assert int(ref_eps) == int(pal_eps)
+    assert int(ref_eps) > 0
