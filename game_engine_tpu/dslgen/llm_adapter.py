@@ -98,10 +98,19 @@ def build_prompt(name: str, description: str,
 
 
 def parse_completion(text: str) -> dict[str, Any]:
-    """Completion text -> DSL doc dict. Strips markdown code fences and
-    leading prose (everything before the first 'declaration:' line)."""
-    lines = text.splitlines()
-    lines = [ln for ln in lines if not ln.strip().startswith("```")]
+    """Completion text -> DSL doc dict. Strips markdown code fences; if the
+    fence-stripped text is already a YAML mapping, use it as-is (a valid
+    completion may order `phases:` before `declaration:`); only then fall
+    back to the prose-stripping heuristic (drop everything before the first
+    'declaration:' line)."""
+    lines = [ln for ln in text.splitlines()
+             if not ln.strip().startswith("```")]
+    try:
+        doc = yaml.safe_load("\n".join(lines))
+    except yaml.YAMLError:
+        doc = None
+    if isinstance(doc, dict) and ("declaration" in doc or "phases" in doc):
+        return doc
     for i, ln in enumerate(lines):
         if ln.startswith("declaration:"):
             lines = lines[i:]

@@ -331,7 +331,7 @@ _LIVES_NAME_RE = re.compile(r"influence|lives|hearts?|health|credibility", re.IG
 _ROLE_REVEAL_RE = re.compile(r"role.*reveal|reveal.*role", re.IGNORECASE)
 # P17: explicit winner rules in terminal-phase text
 _OVER_SCORE_RE = re.compile(
-    r"\brichest\b|most\s+([A-Za-z_]+)|highest\s+(?:score|points|[A-Za-z_]+)"
+    r"\brichest\b|most\s+([A-Za-z_]+)|highest\s+([A-Za-z_]+)"
     r"|top\s+scorer", re.IGNORECASE
 )
 _OVER_SURVIVOR_RE = re.compile(
@@ -804,9 +804,15 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
         text = ph.name + " " + ph.description
         m = _OVER_SCORE_RE.search(text)
         if m:
-            named = (m.group(1) or "").lower()
-            f = _num_field_for(named) if named else None
-            f = f or score_like_field or resource_field
+            # a named "most/highest <word>" must resolve to a declared num
+            # field (or a generic score word) to claim score mode — falling
+            # back on an unresolved name let prose like "the team with the
+            # most members standing" hijack a team/survivor terminal
+            named = ((m.group(1) or m.group(2)) or "").lower()
+            if named and named not in ("score", "points", "scorer"):
+                f = _num_field_for(named)
+            else:
+                f = score_like_field or resource_field
             if f:
                 return GameOver(mode="score", score_field=f)
         if _OVER_SURVIVOR_RE.search(text) and has_elimination:

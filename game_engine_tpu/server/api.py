@@ -371,7 +371,16 @@ def make_server(port: int = 0, storage_path: Optional[str] = None,
         do_DELETE = _method_not_allowed
         do_PATCH = _method_not_allowed
 
-    server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    class Server(ThreadingHTTPServer):
+        # The stdlib default accept backlog (request_queue_size = 5) drops
+        # connections under bursts: 20+ concurrent clients each opening a
+        # fresh connection per request overflow the backlog whenever the
+        # accept loop is starved for CPU, and the kernel RSTs the overflow
+        # (ConnectionResetError 104 client-side — the round-2 soak flake).
+        request_queue_size = 128
+        daemon_threads = True
+
+    server = Server(("127.0.0.1", port), Handler)
     server.ctx = ctx  # type: ignore[attr-defined]
     return server
 

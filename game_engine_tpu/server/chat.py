@@ -144,7 +144,23 @@ class ChatRoom:
         history of this chat — the deterministic twin of the reference's
         roleplaying ChatBotNode (reference: agent/game_agent_v2.py:351-466,
         full-game-context prompt; dead players silent :438-441).
+
+        One-shot convenience over plan_reply + commit_reply (the host uses
+        the two-phase form so an lm_hook decode can run outside its lock).
         """
+        plan = self.plan_reply(sender_id, sender_name, text, snapshot)
+        if plan is None:
+            return None
+        lm_text = self.lm_hook(plan["context"]) if self.lm_hook else None
+        return self.commit_reply(plan, lm_text)
+
+    def plan_reply(self, sender_id: int, sender_name: str, text: str,
+                   snapshot: dict[str, Any]) -> Optional[dict]:
+        """Deterministic half of the responder: pick the bot, classify the
+        intent, compose the template reply and the LM context, and capture
+        the trigger timestamp — everything that depends on the message list
+        being stable. Returns a plan for commit_reply, or None when no bot
+        may speak."""
         players = snapshot.get("player_states", {})
         m = _TO_BOT.match(text)
         private = bool(m)
@@ -171,22 +187,31 @@ class ChatRoom:
                 kind = k
                 break
         h2 = splitmix32((self.seed + len(self.messages) * 7 + bot) & 0xFFFFFFFF)
-        reply = None
-        if self.lm_hook is not None:
-            reply = self.lm_hook(
-                lm_context(kind, bot, sender_name, text, snapshot, variant=h2))
-        if not reply:
-            reply = self._compose(kind, bot, sender_id, sender_name, text,
-                                  snapshot, h2)
+        composed = self._compose(kind, bot, sender_id, sender_name, text,
+                                 snapshot, h2)
         bot_name = players.get(str(bot), {}).get("name") or f"Player {bot}"
         # the reply inherits the triggering message's clock so journal
         # replay reproduces timestamps exactly
         trigger_ts = self.messages[-1].timestamp if self.messages else None
+        return {
+            "context": lm_context(kind, bot, sender_name, text, snapshot,
+                                  variant=h2),
+            "composed": composed,
+            "bot": bot,
+            "bot_name": bot_name,
+            "private": private,
+            "sender_id": sender_id,
+            "trigger_ts": trigger_ts,
+        }
+
+    def commit_reply(self, plan: dict, lm_text: Optional[str]) -> ChatMessage:
+        """Post the planned reply — the lm_hook output when non-empty, else
+        the deterministic template composition."""
         return self.post(
-            bot, bot_name, reply,
-            visibility="private" if private else "public",
-            target_audience=[str(sender_id)] if private else None,
-            timestamp=trigger_ts,
+            plan["bot"], plan["bot_name"], lm_text or plan["composed"],
+            visibility="private" if plan["private"] else "public",
+            target_audience=[str(plan["sender_id"])] if plan["private"] else None,
+            timestamp=plan["trigger_ts"],
         )
 
     # -- state-grounded composition ---------------------------------------

@@ -21,6 +21,7 @@ same code paths restores live rooms bit-identically.
 
 from __future__ import annotations
 
+import logging
 import threading
 import time
 from typing import Any, Optional
@@ -296,6 +297,10 @@ class GameHost:
         self._rooms: dict[str, tuple[str, int]] = {}  # roomId -> (game, slot)
         self._queues: dict[str, dict[int, int]] = {}  # roomId -> {pid: choice}
         self._chats: dict[str, Any] = {}
+        # per-room chat mutexes: chat replies compute their (possibly slow)
+        # lm_hook decode OUTSIDE the global host lock; the room mutex keeps
+        # per-room message/journal order deterministic
+        self._chat_locks: dict[str, threading.Lock] = {}
         self._notes: dict[str, Any] = {}
         self._phase_history: dict[str, list] = {}
         self._humans: dict[str, tuple[int, ...]] = {}  # roomId -> human seats
@@ -441,6 +446,7 @@ class GameHost:
             slots_key, slot = self._rooms.pop(room_id, (None, None))
             self._queues.pop(room_id, None)
             self._chats.pop(room_id, None)
+            self._chat_locks.pop(room_id, None)
             self._notes.pop(room_id, None)
             self._phase_history.pop(room_id, None)
             self._humans.pop(room_id, None)
@@ -532,40 +538,68 @@ class GameHost:
         different checkpoint or no LM at all. The sentinel default keeps
         old journals (which carry no reply) on the recompute path."""
         with self._lock:
-            chat = self._chats[room_id]
-            names = player_names or {}
-            sender_name = names.get(player_id, f"Player {player_id}")
-            # journal carries the wall clock so replay reproduces chat
-            # timestamps exactly (the bot reply inherits the trigger's)
-            ts = self._replay_ts if self._replay_ts is not None else time.time()
-            msg = chat.post(player_id, sender_name, text, timestamp=ts)
-            if replay_bot is GameHost._REPLAY_RECOMPUTE:
-                slots_key, slot = self._rooms[room_id]
-                gs = self._slots[slots_key]
-                snap = gs.snapshot_raw(slot, names)
-                reply = chat.bot_reply(player_id, sender_name, text, snap)
-            elif replay_bot is not None:
-                reply = chat.post(
-                    int(replay_bot["pid"]), str(replay_bot["name"]),
-                    str(replay_bot["text"]),
-                    visibility=str(replay_bot.get("visibility", "public")),
-                    target_audience=replay_bot.get("audience"),
-                    timestamp=ts,
-                )
-            else:
+            chat_mutex = self._chat_locks.setdefault(room_id, threading.Lock())
+        with chat_mutex:
+            with self._lock:
+                chat = self._chats[room_id]
+                names = player_names or {}
+                sender_name = names.get(player_id, f"Player {player_id}")
+                # journal carries the wall clock so replay reproduces chat
+                # timestamps exactly (the bot reply inherits the trigger's)
+                ts = (self._replay_ts if self._replay_ts is not None
+                      else time.time())
+                msg = chat.post(player_id, sender_name, text, timestamp=ts)
+                plan = None
                 reply = None
-            self._log_event(room_id, {
-                "e": "chat", "pid": player_id, "text": text, "ts": ts,
-                "bot": None if reply is None else {
-                    "pid": reply.playerId, "name": reply.playerName,
-                    "text": reply.message, "visibility": reply.visibility,
-                    "audience": reply.target_audience,
-                },
-            })
-            out = [msg.to_json()]
-            if reply is not None:
-                out.append(reply.to_json())
-            return out
+                if replay_bot is GameHost._REPLAY_RECOMPUTE:
+                    slots_key, slot = self._rooms[room_id]
+                    gs = self._slots[slots_key]
+                    snap = gs.snapshot_raw(slot, names)
+                    try:
+                        plan = chat.plan_reply(player_id, sender_name, text,
+                                               snap)
+                    except Exception:  # noqa: BLE001 — a responder crash must
+                        # not lose the human's message from the journal:
+                        # crash-recovery replay would silently diverge from
+                        # the live ChatRoom. Journal bot: null, keep serving.
+                        logging.getLogger(__name__).exception(
+                            "chat responder failed; journaling trigger only")
+                        plan = None
+                elif replay_bot is not None:
+                    reply = chat.post(
+                        int(replay_bot["pid"]), str(replay_bot["name"]),
+                        str(replay_bot["text"]),
+                        visibility=str(replay_bot.get("visibility", "public")),
+                        target_audience=replay_bot.get("audience"),
+                        timestamp=ts,
+                    )
+            # The lm_hook decode runs OUTSIDE the global host lock — with
+            # --chat-lm a full greedy decode (up to 128 sequential forwards)
+            # must not block every other room's HTTP requests. The per-room
+            # chat mutex keeps this room's message order deterministic.
+            lm_text = None
+            if plan is not None and chat.lm_hook is not None:
+                try:
+                    lm_text = chat.lm_hook(plan["context"])
+                except Exception:  # noqa: BLE001 — fall back to the template
+                    logging.getLogger(__name__).exception(
+                        "chat lm_hook failed; using the template reply")
+                    lm_text = None
+            with self._lock:
+                if plan is not None:
+                    reply = chat.commit_reply(plan, lm_text)
+                self._log_event(room_id, {
+                    "e": "chat", "pid": player_id, "text": text, "ts": ts,
+                    "bot": None if reply is None else {
+                        "pid": reply.playerId, "name": reply.playerName,
+                        "text": reply.message, "visibility": reply.visibility,
+                        "audience": reply.target_audience,
+                    },
+                })
+                out = [msg.to_json()]
+                if reply is not None:
+                    out.append(reply.to_json())
+                return out
 
     def chat_messages(self, room_id: str, viewer_id: int) -> list[dict[str, Any]]:
         with self._lock:

@@ -3,6 +3,7 @@ werewolf game driven over HTTP (reference flow: SURVEY.md §3.1-3.3)."""
 
 import json
 import threading
+import time
 from http.client import HTTPConnection
 
 import pytest
@@ -19,14 +20,30 @@ def server():
     srv.shutdown()
 
 
-def req(server, method, path, body=None):
-    conn = HTTPConnection("127.0.0.1", server.server_address[1], timeout=30)
+def req(server, method, path, body=None, retries=4):
+    """One HTTP request with bounded retry on connection-level failures.
+
+    Under full-suite CPU contention the accept loop can still be starved
+    long enough for a fresh connection to be reset; a short backoff retry
+    makes the client robust without masking real server errors (HTTP error
+    codes are returned, never retried)."""
     payload = json.dumps(body) if body is not None else None
-    conn.request(method, path, body=payload, headers={"Content-Type": "application/json"})
-    resp = conn.getresponse()
-    data = json.loads(resp.read())
-    conn.close()
-    return resp.status, data
+    delay = 0.05
+    for attempt in range(retries + 1):
+        try:
+            conn = HTTPConnection("127.0.0.1", server.server_address[1],
+                                  timeout=60)
+            conn.request(method, path, body=payload,
+                         headers={"Content-Type": "application/json"})
+            resp = conn.getresponse()
+            data = json.loads(resp.read())
+            conn.close()
+            return resp.status, data
+        except (ConnectionError, TimeoutError):
+            if attempt == retries:
+                raise
+            time.sleep(delay)
+            delay = min(delay * 2, 1.0)
 
 
 def test_game_catalog(server):

@@ -40,6 +40,42 @@ def _play_one(server, game, seed, results, idx):
         results[idx] = ("error", repr(e), None, None)
 
 
+def test_sixtyfour_room_burst_exhausts_and_reclaims_slots():
+    """80 rooms of one game against a 64-slot pool: the 65th+ allocations
+    must reclaim finished rooms (server/manager.py pool-exhaustion path)
+    instead of failing. Native backend (the serving default) so the burst
+    stays fast; gift-circle finishes in a handful of continue bursts."""
+    srv = make_server(port=0, backend="native")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        n, workers = 80, 8
+        results = [None] * n
+        lock = threading.Lock()
+        nxt = iter(range(n))
+
+        def worker():
+            while True:
+                with lock:
+                    i = next(nxt, None)
+                if i is None:
+                    return
+                _play_one(srv, "gift-circle", i, results, i)
+
+        threads = [threading.Thread(target=worker) for _ in range(workers)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=600)
+        errors = [r for r in results if r and r[0] == "error"]
+        assert not errors, errors[:3]
+        unfinished = [i for i, r in enumerate(results) if r is None or not r[1]]
+        assert not unfinished, unfinished
+        assert len({r[3] for r in results}) == n  # 80 distinct rooms served
+    finally:
+        srv.shutdown()
+
+
 def test_twenty_concurrent_rooms(server):
     games = ["werewolf", "two-truths", "werewolf", "two-truths"]
     n = 20
