@@ -1696,16 +1696,104 @@ _BATTLE_WORDS = re.compile(
 )
 
 
+# coverage accounting: vocabulary the "rounds" fallback genuinely models
+# (two-truths-style statement/guess/score rounds) — selection never keys on
+# it, but a description made of these words IS covered by the fallback
+_ROUNDS_WORDS = re.compile(
+    r"\b(statements?|truths?|lies?|lying|guess\w*|speak\w*|tell\w*|stor\w+|"
+    r"quiz\w*|trivia|riddles?|clues?)\b", re.IGNORECASE)
+# game furniture every archetype provides regardless of description
+_FURNITURE_WORDS = frozenset("""
+    game games play player players playing round rounds turn turns phase
+    phases win wins winner winning lose loses loser losing score scores
+    scoring point points vote votes voting voted eliminate eliminated
+    elimination team teams group groups choose chooses chosen pick picks
+    picked secret secretly private public reach reaches first most target
+    targets discussion discuss timer start end final
+""".split())
+_STOPWORDS = frozenset("""
+    a an the and or but of to in into with for on at by from is are was be
+    been being as it its his her their they them he she who whom which that
+    this these those then than when while each every all any some no not
+    one two three four five six seven eight nine ten other others another
+    more until after before during can may must will would should your you
+    we our us out up down over under gets get got has have had does do did
+    where there here
+""".split())
+# words the archetype TEMPLATES genuinely model even though selection never
+# keys on them (income/raid/winner/night-cycle vocabulary of the generated
+# phases) — counting them unconsumed would false-flag well-covered
+# descriptions like "collect coins each morning and raid rival purses"
+_COVERAGE_EXTRA = re.compile(
+    r"\b(collects?|earns?|gains?|receives?|income|purses?|treasur\w+|"
+    r"richest|wealth\w*|rivals?|morning|dawn|dusk|day|protect\w*|"
+    r"investigat\w*|alignments?|suspic\w*|accus\w*|kill\w*|eliminat\w*|"
+    r"survive\w*|lots?|prizes?|pays?|claims?|caught|crowd\w*|arena)\b",
+    re.IGNORECASE)
+
+
+def description_coverage(description: str) -> dict[str, Any]:
+    """How much of a free-text description the deterministic generator's
+    vocabularies actually consume — the honesty signal behind the
+    low-coverage WARNING (the reference never silently substitutes a
+    different game; without an external model this path otherwise would,
+    reference: agent/dsl_agent.py:343-349).
+
+    Returns {"score": 0..1, "content_words": n, "unconsumed": [...]}."""
+    text = description.lower()
+    words = [w for w in re.findall(r"[a-z][a-z'-]+", text)
+             if w not in _STOPWORDS and len(w) >= 3]
+    content = [w for w in words if w not in _FURNITURE_WORDS]
+    if not content:
+        return {"score": 1.0, "content_words": 0, "unconsumed": []}
+    consumed: set[str] = set()
+    vocab_res = (
+        _NIGHT_WORDS, _BATTLE_WORDS, _MINORITY_WORDS, _BLUFF_WORDS,
+        _MARKET_WORDS, _AUCTION_WORDS, _ROUNDS_WORDS, _PLAYERS_RE,
+        _COVERAGE_EXTRA,
+    )
+    for rx in vocab_res:
+        for m in rx.finditer(text):
+            consumed.update(re.findall(r"[a-z][a-z'-]+", m.group(0)))
+    for pat in (_KILLER_NAME, _PROTECT_NAME, _INVEST_NAME, _FILLER_NAME):
+        for m in re.finditer(pat, text, re.IGNORECASE):
+            consumed.update(re.findall(r"[a-z][a-z'-]+", m.group(0)))
+    unconsumed = sorted({w for w in content if w not in consumed})
+    score = 1.0 - len(unconsumed) / len(set(content))
+    return {"score": round(score, 3), "content_words": len(set(content)),
+            "unconsumed": unconsumed}
+
+
+# below this fraction of consumed content words, the generated archetype
+# game likely is NOT the described game — generation warns loudly
+COVERAGE_WARN_THRESHOLD = 0.5
+
+
 def generate_from_description(
     name: str,
     description: str,
     llm_hook: Optional[Callable[[str, str], dict]] = None,
+    report: Optional[list[str]] = None,
 ) -> dict[str, Any]:
     """Free-text description -> DSL doc. ``llm_hook(name, description)`` can
     override with an external model (the seam where the reference called
-    gpt-5); the built-in path is keyword archetype selection."""
+    gpt-5); the built-in path is keyword archetype selection.
+
+    ``report`` (optional, caller-provided list) receives WARNING strings —
+    most importantly the low-description-coverage warning when the built-in
+    vocabularies understood too little of the description to honor it."""
     if llm_hook is not None:
         return llm_hook(name, description)
+    cov = description_coverage(description)
+    if report is not None and cov["score"] < COVERAGE_WARN_THRESHOLD:
+        sample = ", ".join(cov["unconsumed"][:8])
+        report.append(
+            f"WARNING: description coverage {int(cov['score'] * 100)}% — "
+            f"{len(cov['unconsumed'])} of {cov['content_words']} content "
+            f"words were not understood by the deterministic generator "
+            f"({sample}). The generated game is a best-effort archetype and "
+            "likely does NOT match the description; plug an external model "
+            "(dslgen/llm_adapter.py llm_hook) for arbitrary games.")
     roles: tuple[RoleDef, ...] = ()
     extras: tuple[str, ...] = ()
     # night/role vocabulary FIRST: "werewolves steal gold at night" is an

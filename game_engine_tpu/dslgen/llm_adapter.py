@@ -121,11 +121,16 @@ def parse_completion(text: str) -> dict[str, Any]:
     return doc
 
 
-def make_llm_hook(complete: Callable[[str], str], max_retries: int = 2):
+def make_llm_hook(complete: Callable[[str], str], max_retries: int = 2,
+                  report: Optional[list] = None):
     """Wrap a completion function into a ``generate_from_description``
     llm_hook. Validation errors are retried with feedback; a still-invalid
     result falls back to the deterministic blueprint path
-    (keep-original-on-failure, reference: agent/dsl_agent.py:343-349)."""
+    (keep-original-on-failure, reference: agent/dsl_agent.py:343-349).
+
+    ``report`` (caller-provided list) is told LOUDLY when the fallback
+    fires — the model's game was rejected and a deterministic archetype
+    was substituted — plus the substitute's own coverage warning."""
     from game_engine_tpu.dslgen.generate import annotate_mechanics
     from game_engine_tpu.dslgen.validate import errors, validate_doc
 
@@ -143,9 +148,17 @@ def make_llm_hook(complete: Callable[[str], str], max_retries: int = 2):
             if not errs and spec is not None:
                 return annotate_mechanics(doc)
             feedback = [str(i) for i in errs]
-        # keep-original-on-failure: the deterministic path always works
+        # keep-original-on-failure: the deterministic path always works —
+        # but never silently (the substitute may be a different game)
+        if report is not None:
+            detail = "; ".join(feedback or [])[:300]
+            report.append(
+                f"WARNING: external model output rejected after "
+                f"{max_retries + 1} attempts ({detail}); deterministic "
+                "fallback game substituted")
         from game_engine_tpu.dslgen import generate as G
 
-        return G.generate_from_description(name, description, llm_hook=None)
+        return G.generate_from_description(name, description, llm_hook=None,
+                                           report=report)
 
     return hook

@@ -166,7 +166,10 @@ class AppContext:
                 name = _re.sub(r"[^a-z0-9-]+", "-", str(body["gameName"]).lower()).strip("-")
                 if not name:
                     return 400, {"error": "gameName required"}
-                doc = generate_from_description(name, str(body.get("gameDescription", "")))
+                gen_report: list[str] = []
+                doc = generate_from_description(
+                    name, str(body.get("gameDescription", "")),
+                    report=gen_report)
                 issues, spec = validate_doc(doc, name=name)
                 errs = _errors(issues)
                 if errs or spec is None:
@@ -179,7 +182,9 @@ class AppContext:
                 return 200, {
                     "name": name,
                     "filename": f"{name}.yaml",
-                    "warnings": [str(i) for i in issues],
+                    # generation-honesty warnings (low description coverage)
+                    # lead the list so clients surface them first
+                    "warnings": gen_report + [str(i) for i in issues],
                     "yaml": _yaml.safe_dump(doc, sort_keys=False, allow_unicode=True),
                 }
             if route == ("GET", "/api/rooms/list"):

@@ -69,10 +69,14 @@ const Lobby = (() => {
       const res = await api("POST", "/api/generate-dsl", {
         gameName: el("genname").value, gameDescription: el("gendesc").value,
       });
+      // generation-honesty warnings (e.g. low description coverage) are
+      // shown in full — a substituted archetype game must never look like
+      // a silent success
       el("genout").textContent = res.error
         ? `✗ ${res.error} ${(res.issues || []).join("; ")}`
         : `✓ created ${res.filename}` +
-          (res.warnings && res.warnings.length ? ` (warnings: ${res.warnings.length})` : "");
+          (res.warnings && res.warnings.length
+            ? `\n⚠ ${res.warnings.join("\n⚠ ")}` : "");
       if (!res.error) libraryPage();
     });
   }
