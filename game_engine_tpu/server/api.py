@@ -51,11 +51,12 @@ class StaticAsset(str):
 
 class AppContext:
     def __init__(self, storage_path: Optional[str] = None, games_path: Optional[str] = None,
-                 backend: str = "jax", chat_lm: Optional[str] = None):
+                 backend: str = "jax", chat_lm: Optional[str] = None,
+                 bot_ckpts: Optional[list] = None):
         self.storage = MemoryStorage(storage_path)
         persist_dir = (storage_path + ".rooms") if storage_path else None
         self.host = GameHost(games_path, backend=backend, persist_dir=persist_dir,
-                             chat_lm=chat_lm)
+                             chat_lm=chat_lm, bot_ckpts=bot_ckpts)
         self._restore_playing_rooms()
 
     def _restore_playing_rooms(self) -> None:
@@ -213,6 +214,10 @@ class AppContext:
                         rounds_per_player=int(body.get("roundsPerPlayer", 1)),
                         human_seats=[p.id for p in players if not p.isBot],
                         player_names=names,
+                        # optional per-seat scripted/learned mix; default =
+                        # every bot seat when a --bot-ckpt matches the game
+                        policy_seats=[int(s) for s in body["policySeats"]]
+                        if body.get("policySeats") is not None else None,
                     )
                     self.storage.set_thread(room_id, thread)
                     self.storage.set_status(room_id, "playing")
@@ -292,8 +297,10 @@ class AppContext:
 
 def make_server(port: int = 0, storage_path: Optional[str] = None,
                 games_path: Optional[str] = None, backend: str = "jax",
-                chat_lm: Optional[str] = None) -> ThreadingHTTPServer:
-    ctx = AppContext(storage_path, games_path, backend=backend, chat_lm=chat_lm)
+                chat_lm: Optional[str] = None,
+                bot_ckpts: Optional[list] = None) -> ThreadingHTTPServer:
+    ctx = AppContext(storage_path, games_path, backend=backend, chat_lm=chat_lm,
+                     bot_ckpts=bot_ckpts)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -402,9 +409,15 @@ def main():  # pragma: no cover
     ap.add_argument("--chat-lm", default=None, metavar="CKPT_NPZ",
                     help="serve bot chat from the on-TPU transformer "
                          "(policies/chat_lm.py) instead of the templates")
+    ap.add_argument("--bot-ckpt", action="append", default=None,
+                    metavar="[GAME=]CKPT_NPZ",
+                    help="serve greedy learned-policy bots from a trained "
+                         "checkpoint (policies/net.py) for matching games; "
+                         "repeatable, e.g. --bot-ckpt "
+                         "werewolf=docs/checkpoints/attn_werewolf_u120.npz")
     args = ap.parse_args()
     srv = make_server(args.port, args.storage, backend=args.backend,
-                      chat_lm=args.chat_lm)
+                      chat_lm=args.chat_lm, bot_ckpts=args.bot_ckpt)
     print(f"game host listening on :{srv.server_address[1]}")
     srv.serve_forever()
 

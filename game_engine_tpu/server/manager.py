@@ -124,13 +124,23 @@ class _GameSlots:
 
     def step_slot(self, slot: int, human_actions: dict[int, int],
                   include_bots: bool = True,
-                  human_seats: tuple[int, ...] = (1,)) -> None:
-        """Advance only this slot by one engine step (others frozen)."""
+                  human_seats: tuple[int, ...] = (1,),
+                  policy=None, policy_seats: tuple[int, ...] = ()) -> None:
+        """Advance only this slot by one engine step (others frozen).
+
+        ``policy_seats`` decide via the greedy learned policy (--bot-ckpt);
+        the remaining bot seats keep the scripted uniform-legal policy —
+        a per-seat scripted/learned mix."""
         bots = self.engine.bot_actions(self.state) if include_bots else jnp.zeros(
             (self.capacity, self.lowered.P), jnp.int32
         )
         # human exclusion: policy never acts for human seats
         actions = np.asarray(bots).copy()
+        if include_bots and policy is not None and policy_seats:
+            pa = policy.actions(self.state)
+            for pid in policy_seats:
+                if 1 <= pid <= self.lowered.P:
+                    actions[slot, pid - 1] = pa[slot, pid - 1]
         for pid in human_seats:
             if 1 <= pid <= self.lowered.P:
                 actions[slot, pid - 1] = 0
@@ -223,9 +233,20 @@ class _NativeRooms:
 
     def step_slot(self, slot: int, human_actions: dict[int, int],
                   include_bots: bool = True,
-                  human_seats: tuple[int, ...] = (1,)) -> None:
+                  human_seats: tuple[int, ...] = (1,),
+                  policy=None, policy_seats: tuple[int, ...] = ()) -> None:
         room = self.rooms[slot]
         actions = room.policy_actions() if include_bots else {}
+        if include_bots and policy is not None and policy_seats:
+            # same jitted greedy forward as the jax backend, over this
+            # room's state converted to a one-room GameState — identical
+            # logits, identical actions (tests/test_bot_ckpt.py)
+            pa = policy.native_actions(room.read(), self.n_players[slot])
+            for pid in policy_seats:
+                if pid in pa:
+                    actions[pid] = pa[pid]
+                else:
+                    actions.pop(pid, None)
         for pid in human_seats:  # human exclusion
             actions.pop(pid, None)
         actions.update(human_actions)
@@ -278,18 +299,29 @@ class GameHost:
 
     def __init__(self, games_path: Optional[str] = None, backend: str = "jax",
                  persist_dir: Optional[str] = None,
-                 chat_lm: Optional[str] = None):
+                 chat_lm: Optional[str] = None,
+                 bot_ckpts: Optional[list[str]] = None):
         """backend: 'jax' (batched device engine) or 'native' (C++ per-room
         simulator — lowest interactive latency, identical semantics).
         persist_dir: directory for per-room crash-recovery journals; None
         disables durability (tests, throwaway hosts).
         chat_lm: path to a policies/chat_lm.py checkpoint; bot chat then
-        decodes on-device instead of using the template composer."""
+        decodes on-device instead of using the template composer.
+        bot_ckpts: repeated 'game=path' (or bare 'path') policy checkpoint
+        specs; matching games serve GREEDY learned-policy bots instead of
+        the scripted uniform-legal policy (the reference's contextual LLM
+        bots, agent/game_agent_v2.py:468-617)."""
         self._lock = threading.RLock()
         self._chat_lm_hook = None
         if chat_lm:
             from game_engine_tpu.policies.chat_lm import make_lm_hook
             self._chat_lm_hook = make_lm_hook(chat_lm)
+        self._bot_ckpts: dict = {}
+        if bot_ckpts:
+            from game_engine_tpu.policies.serve import load_bot_policies
+            self._bot_ckpts = load_bot_policies(bot_ckpts)
+        self._policies: dict[str, Any] = {}  # slots key -> PolicyBots | None
+        self._policy_seats: dict[str, tuple[int, ...]] = {}  # per room
         self._backend = backend
         self._games_path = games_path or games_dir()
         self._persist_dir = persist_dir
@@ -354,14 +386,37 @@ class GameHost:
             lowered = lower(compile_game(spec, GameConfig(rounds_per_player=rounds_per_player)))
             cls = _NativeRooms if self._backend == "native" else _GameSlots
             self._slots[key] = cls(lowered)
+            self._policies[key] = self._policy_for(game_name, lowered)
         return self._slots[key]
+
+    def _policy_for(self, game_name: str, lowered):
+        """Build the greedy PolicyBots for a game when a --bot-ckpt spec
+        matches it AND its parameter shapes fit the compiled game (verified
+        by a dry forward — a mismatched checkpoint is skipped loudly,
+        never served wrong)."""
+        for frag, (params, cfg, path) in self._bot_ckpts.items():
+            if frag and frag not in game_name.lower():
+                continue
+            from game_engine_tpu.core.state import init_state as _init
+            from game_engine_tpu.policies.serve import PolicyBots
+
+            try:
+                pb = PolicyBots(lowered, params, cfg, path)
+                pb.actions(_init(lowered, 1, min(4, lowered.P), np.uint32(0)))
+                return pb
+            except Exception:  # noqa: BLE001 — shape mismatch, wrong game
+                logging.getLogger(__name__).exception(
+                    "bot checkpoint %s does not fit game %s; "
+                    "serving scripted bots", path, game_name)
+        return None
 
     # -- room lifecycle ---------------------------------------------------------
 
     def start_room(self, room_id: str, game_name: str, n_players: int,
                    seed: Optional[int] = None, rounds_per_player: int = 1,
                    human_seats: Optional[list[int]] = None,
-                   player_names: Optional[dict[int, str]] = None) -> str:
+                   player_names: Optional[dict[int, str]] = None,
+                   policy_seats: Optional[list[int]] = None) -> str:
         with self._lock:
             key = f"{game_name}#r{rounds_per_player}"
             gs = self._game_slots(game_name, rounds_per_player)
@@ -385,6 +440,20 @@ class GameHost:
 
             seats = tuple(sorted(human_seats)) if human_seats else (1,)
             self._humans[room_id] = seats
+            # learned-policy bot seats: explicit list, or every bot seat
+            # when a --bot-ckpt matches this game (per-seat scripted/learned
+            # mix comes from passing a subset)
+            policy = self._policies.get(key)
+            if policy is None:
+                pseats: tuple[int, ...] = ()
+            elif policy_seats is not None:
+                pseats = tuple(sorted(
+                    p for p in policy_seats
+                    if 1 <= p <= n_players and p not in seats))
+            else:
+                pseats = tuple(p for p in range(1, n_players + 1)
+                               if p not in seats)
+            self._policy_seats[room_id] = pseats
             self._room_seed[room_id] = int(real_seed)
             self._names[room_id] = dict(player_names or {})
             self._texts[room_id] = {}
@@ -399,6 +468,11 @@ class GameHost:
                 "human_seats": list(seats),
                 "names": {str(k): v for k, v in (player_names or {}).items()},
                 "ts": ts0,
+                # replay recomputes policy-bot actions deterministically
+                # (greedy argmax); recording which checkpoint drove them
+                # makes a mismatched restart detectable
+                "policy_seats": list(pseats),
+                "policy_ckpt": policy.ckpt_path if policy else None,
             })
             self._record_phase(room_id, gs, slot, ts=ts0)  # phase 0 entry
             return f"{game_name}:{slot}"
@@ -450,6 +524,7 @@ class GameHost:
             self._notes.pop(room_id, None)
             self._phase_history.pop(room_id, None)
             self._humans.pop(room_id, None)
+            self._policy_seats.pop(room_id, None)
             self._room_seed.pop(room_id, None)
             self._names.pop(room_id, None)
             self._texts.pop(room_id, None)
@@ -487,7 +562,20 @@ class GameHost:
                     rounds_per_player=int(header.get("rounds_per_player", 1)),
                     human_seats=[int(s) for s in header.get("human_seats", [1])],
                     player_names=names,
+                    policy_seats=[int(s) for s in header["policy_seats"]]
+                    if header.get("policy_seats") is not None else None,
                 )
+                # a restart with a different --bot-ckpt would recompute
+                # DIFFERENT bot actions than the journal's steps produced —
+                # refuse the replay rather than silently diverge
+                want_ckpt = header.get("policy_ckpt")
+                key = self._rooms[room_id][0]
+                have = self._policies.get(key)
+                have_ckpt = have.ckpt_path if have else None
+                if header.get("policy_seats") and want_ckpt != have_ckpt:
+                    raise ValueError(
+                        f"journal was written with bot policy {want_ckpt!r} "
+                        f"but the host serves {have_ckpt!r}")
                 for ev in events:
                     kind = ev.get("e")
                     if kind == "step":
@@ -675,7 +763,9 @@ class GameHost:
         ts = self._replay_ts if self._replay_ts is not None else time.time()
         self._log_event(room_id, {"e": "step", "ts": ts,
                                   "a": {str(k): v for k, v in q.items()}})
-        gs.step_slot(slot, q, human_seats=self._humans.get(room_id, (1,)))
+        gs.step_slot(slot, q, human_seats=self._humans.get(room_id, (1,)),
+                     policy=self._policies.get(slots_key),
+                     policy_seats=self._policy_seats.get(room_id, ()))
         self._record_phase(room_id, gs, slot, ts=ts)
         # project every crossed phase: transient cards (role cards, death
         # markers, night overlays) and notes must reflect phases a
