@@ -790,6 +790,27 @@ void gs_room_read(void* rh, int32_t* out) {
   for (int p = 0; p < g.P; ++p) out[k++] = r->choice_phase[p];
 }
 
+// inverse of gs_room_read: restore a room from a serialized state buffer
+// (journal-compaction snapshots restore rooms without replaying history).
+void gs_room_write(void* rh, const int32_t* in) {
+  auto* r = (Room*)rh;
+  const Game& g = *r->g;
+  int64_t k = 0;
+  r->phase = in[k++];
+  r->done = in[k++] != 0;
+  r->winner = in[k++];
+  r->prev = in[k++];
+  r->t = in[k++];
+  for (int p = 0; p < g.P; ++p) for (int b = 0; b < g.NB; ++b) r->bools[p * g.NB + b] = (uint8_t)in[k++];
+  for (int p = 0; p < g.P; ++p) for (int b = 0; b < g.NN; ++b) r->nums[p * g.NN + b] = in[k++];
+  for (int p = 0; p < g.P; ++p) for (int b = 0; b < g.NS; ++b) r->strs[p * g.NS + b] = in[k++];
+  for (int64_t x = 0; x < (int64_t)g.P * g.NPD * g.P; ++x) r->pdict[x] = in[k++];
+  for (int64_t x = 0; x < (int64_t)g.P * g.NOD; ++x) r->odict[x] = in[k++];
+  for (int p = 0; p < g.P; ++p) r->acted[p] = (uint8_t)in[k++];
+  for (int p = 0; p < g.P; ++p) r->choice[p] = in[k++];
+  for (int p = 0; p < g.P; ++p) r->choice_phase[p] = in[k++];
+}
+
 // batched scripted self-play for CPU throughput baseline; returns episodes.
 int64_t gs_selfplay(void* gh, int rooms, int n_players, uint32_t seed0, int steps) {
   auto* g = (Game*)gh;

@@ -50,6 +50,7 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.gs_state_size.restype = ctypes.c_int64
     lib.gs_state_size.argtypes = [ctypes.c_void_p]
     lib.gs_room_read.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
+    lib.gs_room_write.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
     lib.gs_selfplay.restype = ctypes.c_int64
     lib.gs_selfplay.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_uint32, ctypes.c_int,
@@ -120,6 +121,29 @@ class CppRoom:
         buf = np.zeros(P, np.int32)
         _lib.gs_room_policy(self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
         return {p + 1: int(buf[p]) for p in range(P) if buf[p] != 0}
+
+    def write(self, state: dict[str, Any]) -> None:
+        """Inverse of read(): restore the room from a serialized state dict
+        (journal-compaction snapshots)."""
+        lw = self.game.lowered
+        P = lw.P
+        lay = lw.game.layout
+        buf = np.concatenate([
+            np.asarray([state["phase_index"], int(state["done"]),
+                        state["winner"], state["prev_index"], state["t"]],
+                       np.int32),
+            np.asarray(state["bools"], np.int32).reshape(-1),
+            np.asarray(state["nums"], np.int32).reshape(-1),
+            np.asarray(state["strs"], np.int32).reshape(-1),
+            np.asarray(state["pdict"], np.int32).reshape(-1),
+            np.asarray(state["odict"], np.int32).reshape(-1),
+            np.asarray(state["acted"], np.int32).reshape(-1),
+            np.asarray(state["choice"], np.int32).reshape(-1),
+            np.asarray(state["choice_phase"], np.int32).reshape(-1),
+        ])
+        assert len(buf) == self.game.state_size, (len(buf), self.game.state_size)
+        _lib.gs_room_write(self._h,
+                           buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
 
     def read(self) -> dict[str, Any]:
         lw = self.game.lowered

@@ -16,9 +16,16 @@ File format (one JSON object per line, flushed per event):
   then:   {"e": "step", "ts": T, "a": {"<pid>": choice, ...}}   merged human actions
           {"e": "chat", "pid": N, "text": ..., "ts": T}
           {"e": "text", "pid": N, "field": ..., "content": {...}}
+          {"e": "snap", "engine": {...}, "chat": [...], ...}    compaction snapshot
 
 Event timestamps ride along so replay reproduces phase_history and chat
 clocks exactly, not just engine state.
+
+Compaction: every GameHost.SNAP_EVERY step events the journal is rewritten
+(atomic temp+rename) as header + one full state snapshot, so file size and
+restore cost stay O(SNAP_EVERY) for arbitrarily long rooms; replay resumes
+from the snapshot and re-runs only the tail (a ~10k-step room restores in
+well under a second, tests/test_journal_compaction.py).
 """
 
 from __future__ import annotations
@@ -47,6 +54,21 @@ class RoomJournal:
             self._fh = open(self.path, "a", encoding="utf-8")
         self._fh.write(json.dumps(event) + "\n")
         self._fh.flush()
+
+    def rewrite(self, header: dict[str, Any], events: list[dict[str, Any]]) -> None:
+        """Compaction: atomically replace the file with header + events
+        (typically one state snapshot). Bounds both file size and replay
+        cost for long-running rooms; subsequent appends continue normally."""
+        self.close()
+        tmp = self.path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(json.dumps({"v": 1, **header}) + "\n")
+            for ev in events:
+                f.write(json.dumps(ev) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.path)
+        self._fh = open(self.path, "a", encoding="utf-8")
 
     def close(self) -> None:
         if self._fh is not None:

@@ -160,6 +160,50 @@ class _GameSlots:
         )
 
     # backend-agnostic accessors used by GameHost
+    def snapshot_state(self, slot: int) -> dict[str, Any]:
+        """JSON-able engine state of one slot (journal-compaction snapshots;
+        same field layout as the native backend's CppRoom.read())."""
+        st = self.state
+        return {
+            "phase_index": int(st.phase[slot]), "done": bool(st.done[slot]),
+            "winner": int(st.winner[slot]), "prev_index": int(st.prev_phase[slot]),
+            "t": int(st.t[slot]), "seed": int(st.seed[slot]),
+            "n": int(np.asarray(st.present[slot]).sum()),
+            "bools": np.asarray(st.bools[slot]).astype(int).tolist(),
+            "nums": np.asarray(st.nums[slot]).tolist(),
+            "strs": np.asarray(st.strs[slot]).astype(int).tolist(),
+            "pdict": np.asarray(st.pdict[slot]).astype(int).tolist(),
+            "odict": np.asarray(st.odict[slot]).astype(int).tolist(),
+            "acted": np.asarray(st.acted[slot]).astype(int).tolist(),
+            "choice": np.asarray(st.choice[slot]).tolist(),
+            "choice_phase": np.asarray(st.choice_phase[slot]).tolist(),
+        }
+
+    def restore_state(self, slot: int, d: dict[str, Any]) -> None:
+        P = self.lowered.P
+        present = np.arange(P) < int(d["n"])
+
+        def put(field, value, dtype):
+            arr = getattr(self.state, field)
+            self.state = self.state._replace(**{
+                field: arr.at[slot].set(jnp.asarray(value, dtype))})
+
+        put("bools", np.asarray(d["bools"], bool), jnp.bool_)
+        put("nums", d["nums"], jnp.int32)
+        put("strs", d["strs"], jnp.int8)
+        put("pdict", d["pdict"], jnp.int8)
+        put("odict", d["odict"], jnp.int8)
+        put("present", present, jnp.bool_)
+        put("acted", np.asarray(d["acted"], bool), jnp.bool_)
+        put("choice", d["choice"], jnp.int32)
+        put("choice_phase", d["choice_phase"], jnp.int32)
+        put("phase", int(d["phase_index"]), jnp.int32)
+        put("prev_phase", int(d["prev_index"]), jnp.int32)
+        put("done", bool(d["done"]), jnp.bool_)
+        put("winner", int(d["winner"]), jnp.int32)
+        put("t", int(d["t"]), jnp.int32)
+        put("seed", int(d["seed"]), jnp.uint32)
+
     def snapshot_raw(self, slot: int, names) -> dict[str, Any]:
         return decode_room(self.lowered, self.state, slot, names)
 
@@ -213,6 +257,7 @@ class _NativeRooms:
         self.free = list(range(capacity))
         self.rooms: dict[int, Any] = {}
         self.n_players: dict[int, int] = {}
+        self.seeds: dict[int, int] = {}
         self.projectors: dict[int, Projector] = {}
         self.items: dict[int, list] = {}
         self.prev_dead: dict[int, list] = {}
@@ -221,6 +266,7 @@ class _NativeRooms:
         slot = self.free.pop(0)
         self.rooms[slot] = self.game.room(n_players, seed)
         self.n_players[slot] = n_players
+        self.seeds[slot] = int(seed)
         self.projectors[slot] = Projector(self.lowered.game)
         self.items[slot] = []
         self.prev_dead[slot] = []
@@ -228,7 +274,8 @@ class _NativeRooms:
 
     def release(self, slot: int) -> None:
         self.free.append(slot)
-        for d in (self.rooms, self.n_players, self.projectors, self.items, self.prev_dead):
+        for d in (self.rooms, self.n_players, self.seeds, self.projectors,
+                  self.items, self.prev_dead):
             d.pop(slot, None)
 
     def step_slot(self, slot: int, human_actions: dict[int, int],
@@ -251,6 +298,17 @@ class _NativeRooms:
             actions.pop(pid, None)
         actions.update(human_actions)
         room.step(actions)
+
+    def snapshot_state(self, slot: int) -> dict[str, Any]:
+        r = self.rooms[slot].read()
+        out = {k: (v.tolist() if isinstance(v, np.ndarray) else v)
+               for k, v in r.items() if k != "phase_id"}
+        out["n"] = self.n_players[slot]
+        out["seed"] = self.seeds[slot]
+        return out
+
+    def restore_state(self, slot: int, d: dict[str, Any]) -> None:
+        self.rooms[slot].write(d)
 
     def snapshot_raw(self, slot: int, names) -> dict[str, Any]:
         from game_engine_tpu.view.decode import decode_native
@@ -296,6 +354,10 @@ class _NativeRooms:
 
 class GameHost:
     """Rooms -> engine slots; human action queues; state/items projection."""
+
+    # journal compaction period (step events between state snapshots); a
+    # restore replays at most ~this many engine steps
+    SNAP_EVERY = 256
 
     def __init__(self, games_path: Optional[str] = None, backend: str = "jax",
                  persist_dir: Optional[str] = None,
@@ -344,6 +406,9 @@ class GameHost:
         # roomId -> ((engine t, text rev), deep-copied projected snapshot)
         self._proj_cache: dict[str, tuple[tuple[int, int], dict]] = {}
         self._journals: dict[str, Any] = {}
+        self._journal_headers: dict[str, dict] = {}
+        # per-room step count since the last journal compaction snapshot
+        self._steps_since_snap: dict[str, int] = {}
         self._replaying = False
         self._replay_ts: Optional[float] = None
         self._seeds = 0
@@ -485,6 +550,8 @@ class GameHost:
         j = RoomJournal(self._journal_path(room_id))
         j.create(header)
         self._journals[room_id] = j
+        self._journal_headers[room_id] = dict(header)
+        self._steps_since_snap[room_id] = 0
 
     def _journal_path(self, room_id: str) -> str:
         return os.path.join(self._persist_dir, f"{room_id}.jsonl")
@@ -495,6 +562,69 @@ class GameHost:
         j = self._journals.get(room_id)
         if j is not None:
             j.append(event)
+
+    def _compact_journal(self, room_id: str) -> None:
+        """Rewrite the room's journal as header + one full state snapshot:
+        engine banks, chat, notes, free-text, phase history, projection
+        state and pending action queue. Replay then resumes from the
+        snapshot instead of re-running the whole game."""
+        j = self._journals.get(room_id)
+        header = self._journal_headers.get(room_id)
+        if j is None or header is None:
+            return
+        slots_key, slot = self._rooms[room_id]
+        gs = self._slots[slots_key]
+        chat = self._chats[room_id]
+        notes = self._notes[room_id]
+        snap = {
+            "e": "snap",
+            "engine": gs.snapshot_state(slot),
+            "chat": [m.to_json() for m in chat.messages],
+            "notes": list(notes.notes),
+            "notes_prev": notes._prev,
+            "texts": {str(p): {str(f): dict(c) for f, c in fields.items()}
+                      for p, fields in self._texts.get(room_id, {}).items()},
+            "hist": list(self._phase_history.get(room_id, [])),
+            "items": [i.to_json() for i in gs.items[slot]],
+            "prev_dead": list(gs.prev_dead[slot]),
+            "proj_counter": gs.projectors[slot]._counter,
+            "queued": {str(k): int(v)
+                       for k, v in self._queues.get(room_id, {}).items()},
+        }
+        j.rewrite(header, [snap])
+
+    def _apply_snapshot(self, room_id: str, ev: dict[str, Any]) -> None:
+        """Restore a room from a compaction snapshot (replay fast-path)."""
+        import itertools
+
+        from game_engine_tpu.server.chat import ChatMessage
+        from game_engine_tpu.view.cards import Item
+
+        slots_key, slot = self._rooms[room_id]
+        gs = self._slots[slots_key]
+        gs.restore_state(slot, ev["engine"])
+        chat = self._chats[room_id]
+        chat.messages = [ChatMessage(**m) for m in ev.get("chat", [])]
+        mx = 0
+        for m in chat.messages:
+            try:
+                mx = max(mx, int(m.id.rsplit("-", 1)[1]))
+            except (ValueError, IndexError):
+                pass
+        chat._ids = itertools.count(mx + 1)
+        notes = self._notes[room_id]
+        notes.notes = list(ev.get("notes", []))
+        notes._prev = ev.get("notes_prev")
+        self._texts[room_id] = {
+            int(p): {str(f): {str(k): str(v) for k, v in c.items()}
+                     for f, c in fields.items()}
+            for p, fields in (ev.get("texts") or {}).items()}
+        self._phase_history[room_id] = list(ev.get("hist", []))
+        gs.items[slot] = [Item(**d) for d in ev.get("items", [])]
+        gs.prev_dead[slot] = list(ev.get("prev_dead", []))
+        gs.projectors[slot]._counter = int(ev.get("proj_counter", 1000))
+        self._queues[room_id] = {int(k): int(v)
+                                 for k, v in (ev.get("queued") or {}).items()}
 
     def has_room(self, room_id: str) -> bool:
         with self._lock:
@@ -530,6 +660,8 @@ class GameHost:
             self._texts.pop(room_id, None)
             self._text_rev.pop(room_id, None)
             self._proj_cache.pop(room_id, None)
+            self._journal_headers.pop(room_id, None)
+            self._steps_since_snap.pop(room_id, None)
             j = self._journals.pop(room_id, None)
             if j is not None:
                 j.delete()
@@ -591,6 +723,8 @@ class GameHost:
                         self._texts[room_id].setdefault(int(ev["pid"]), {})[
                             str(ev["field"])
                         ] = {str(k): str(v) for k, v in (ev.get("content") or {}).items()}
+                    elif kind == "snap":
+                        self._apply_snapshot(room_id, ev)
             except Exception:
                 # a corrupt mid-journal event must not leave a half-replayed
                 # room registered (it would serve stale state instead of the
@@ -607,6 +741,8 @@ class GameHost:
             # reattach the journal in append mode for new events
             j = RoomJournal(path)
             self._journals[room_id] = j
+            self._journal_headers[room_id] = dict(header)
+            self._steps_since_snap[room_id] = 0
             return True
 
     # -- chat ---------------------------------------------------------------------
@@ -772,6 +908,16 @@ class GameHost:
         # multi-step 'continue' jumps through, exactly as if a viewer had
         # watched each one
         self._project_now(room_id, gs, slot)
+        # journal compaction: long-running rooms snapshot periodically so
+        # both the file size and the restore cost stay O(SNAP_EVERY), not
+        # O(room lifetime). AFTER projection: the snapshot must contain this
+        # step's own items/notes (VERDICT r2 item 9).
+        if not self._replaying and room_id in self._journals:
+            c = self._steps_since_snap.get(room_id, 0) + 1
+            if c >= self.SNAP_EVERY:
+                self._compact_journal(room_id)
+                c = 0
+            self._steps_since_snap[room_id] = c
 
     def step(self, room_id: str) -> dict[str, Any]:
         """One game turn: merge queued human actions + bot policy, advance."""
