@@ -117,6 +117,11 @@ class BatchedEngine:
     def __init__(self, lowered: Lowered):
         self.lowered = lowered
         self.step_fn = jax.jit(make_step(lowered))
+        # eager scripted_actions costs tens of ms per call at serving batch
+        # sizes (hundreds of tiny op dispatches); jitted it is one fused
+        # program — the interactive jax backend calls this every step
+        self._bot_fn = jax.jit(
+            lambda state: scripted_actions(lowered, state))
         self._rollouts: dict = {}
 
     def init(self, batch: int, n_players, seeds) -> GameState:
@@ -126,7 +131,7 @@ class BatchedEngine:
         return self.step_fn(state, actions)
 
     def bot_actions(self, state: GameState) -> jax.Array:
-        return scripted_actions(self.lowered, state)
+        return self._bot_fn(state)
 
     def rollout(self, state: GameState, num_steps: int, auto_reset: bool = True):
         key = (num_steps, auto_reset)

@@ -104,6 +104,7 @@ class _GameSlots:
         self.projectors: dict[int, Projector] = {}
         self.items: dict[int, list] = {}
         self.prev_dead: dict[int, list] = {}
+        self._waiting_fn = jax.jit(self._waiting_matrix)
 
     def alloc(self, n_players: int, seed: int) -> int:
         slot = self.free.pop(0)
@@ -131,25 +132,46 @@ class _GameSlots:
         ``policy_seats`` decide via the greedy learned policy (--bot-ckpt);
         the remaining bot seats keep the scripted uniform-legal policy —
         a per-seat scripted/learned mix."""
-        bots = self.engine.bot_actions(self.state) if include_bots else jnp.zeros(
-            (self.capacity, self.lowered.P), jnp.int32
+        self.step_slots(
+            [slot], {slot: human_actions}, {slot: human_seats},
+            include_bots=include_bots, policy=policy,
+            policy_seats={slot: tuple(policy_seats)},
         )
-        # human exclusion: policy never acts for human seats
+
+    def step_slots(self, slots: list[int],
+                   human_actions: dict[int, dict[int, int]],
+                   human_seats: dict[int, tuple],
+                   include_bots: bool = True, policy=None,
+                   policy_seats: Optional[dict[int, tuple]] = None) -> None:
+        """Advance MANY slots in one engine dispatch (rooms are independent
+        along the batch axis, so a batched step equals per-slot steps). One
+        full-batch dispatch per /continue iteration is the jax backend's
+        fixed cost — amortizing it across every live bot-turn room is what
+        makes `--backend jax` serve interactive load (VERDICT r2 item 8)."""
+        policy_seats = policy_seats or {}
+        P = self.lowered.P
+        bots = self.engine.bot_actions(self.state) if include_bots else jnp.zeros(
+            (self.capacity, P), jnp.int32
+        )
         actions = np.asarray(bots).copy()
-        if include_bots and policy is not None and policy_seats:
+        pa = None
+        if include_bots and policy is not None and any(policy_seats.values()):
             pa = policy.actions(self.state)
-            for pid in policy_seats:
-                if 1 <= pid <= self.lowered.P:
-                    actions[slot, pid - 1] = pa[slot, pid - 1]
-        for pid in human_seats:
-            if 1 <= pid <= self.lowered.P:
-                actions[slot, pid - 1] = 0
-        for pid, choice in human_actions.items():
-            if 1 <= pid <= self.lowered.P:
-                actions[slot, pid - 1] = int(choice)
-        new_state = self.engine.step(self.state, jnp.asarray(actions))
         keep = np.zeros((self.capacity,), bool)
-        keep[slot] = True
+        for slot in slots:
+            keep[slot] = True
+            if pa is not None:
+                for pid in policy_seats.get(slot, ()):
+                    if 1 <= pid <= P:
+                        actions[slot, pid - 1] = pa[slot, pid - 1]
+            # human exclusion: policy never acts for human seats
+            for pid in human_seats.get(slot, (1,)):
+                if 1 <= pid <= P:
+                    actions[slot, pid - 1] = 0
+            for pid, choice in human_actions.get(slot, {}).items():
+                if 1 <= pid <= P:
+                    actions[slot, pid - 1] = int(choice)
+        new_state = self.engine.step(self.state, jnp.asarray(actions))
         keep_j = jnp.asarray(keep)
         self.state = jax.tree_util.tree_map(
             lambda new, old: jnp.where(
@@ -205,7 +227,34 @@ class _GameSlots:
         put("seed", int(d["seed"]), jnp.uint32)
 
     def snapshot_raw(self, slot: int, names) -> dict[str, Any]:
-        return decode_room(self.lowered, self.state, slot, names)
+        # one full-batch host fetch per engine state, shared by every room
+        # decoded at this version (a batched step projects many rooms; ten
+        # small per-room device reads each would dominate serving time)
+        from game_engine_tpu.view.decode import decode_native
+
+        cached = getattr(self, "_np_cache", None)
+        if cached is None or cached[0] is not self.state:
+            st = self.state
+            cached = (st, {
+                "bools": np.asarray(st.bools), "nums": np.asarray(st.nums),
+                "strs": np.asarray(st.strs), "pdict": np.asarray(st.pdict),
+                "odict": np.asarray(st.odict),
+                "present": np.asarray(st.present),
+                "phase": np.asarray(st.phase), "done": np.asarray(st.done),
+                "winner": np.asarray(st.winner), "t": np.asarray(st.t),
+            })
+            self._np_cache = cached
+        a = cached[1]
+        read = {
+            "bools": a["bools"][slot], "nums": a["nums"][slot],
+            "strs": a["strs"][slot], "pdict": a["pdict"][slot],
+            "odict": a["odict"][slot],
+            "phase_index": int(a["phase"][slot]),
+            "done": bool(a["done"][slot]), "winner": int(a["winner"][slot]),
+            "t": int(a["t"][slot]),
+        }
+        n = int(a["present"][slot].sum())
+        return decode_native(self.lowered, read, n, names)
 
     def is_done(self, slot: int) -> bool:
         return bool(self.state.done[slot])
@@ -226,21 +275,47 @@ class _GameSlots:
 
     def must_act_seats(self, slot: int, seats) -> list[int]:
         """Human seats the current phase is waiting on (targeted, not acted)."""
-        from game_engine_tpu.core.step import PredEval
+        waiting = np.asarray(self._waiting_fn(self.state)[slot])
+        return [pid for pid in seats
+                if 1 <= pid <= self.lowered.P and waiting[pid - 1]]
+
+    def _waiting_matrix(self, state):
+        """(B, P) bool — seats the current phase is waiting on (targeted,
+        present, not yet acted, phase is player_action, room not done).
+        ONE fused program instead of per-room predicate evals."""
+        from game_engine_tpu.core.step import PredEval, _table_select
 
         lowered = self.lowered
-        phase = self.phase_index(slot)
-        if not bool(lowered.phase_is_action[phase]):
-            return []
-        pe = PredEval(lowered, self.state)
-        tgt = np.asarray(pe.pred(int(lowered.phase_target_pred[phase])))[slot]
-        acted = np.asarray(self.state.acted[slot])
-        present = np.asarray(self.state.present[slot])
-        return [
-            pid for pid in seats
-            if 1 <= pid <= lowered.P
-            and present[pid - 1] and tgt[pid - 1] and not acted[pid - 1]
-        ]
+        pe = PredEval(lowered, state)
+        is_action = _table_select(lowered.phase_is_action, state.phase)
+        target = jnp.zeros(state.present.shape, bool)
+        by_pred: dict[int, list[int]] = {}
+        for i, pi in enumerate(lowered.phase_target_pred):
+            by_pred.setdefault(int(pi), []).append(i)
+        for pi, idxs in by_pred.items():
+            hit = jnp.zeros(state.phase.shape, bool)
+            for i in idxs:
+                hit = hit | (state.phase == i)
+            target = jnp.where(hit[:, None], pe.pred(pi), target)
+        return (is_action[:, None] & target & state.present & ~state.acted
+                & ~state.done[:, None])
+
+    def bot_turn_slots(self, humans_by_slot: dict[int, tuple]) -> list[int]:
+        """Slots that are mid-bot-turn (not done, not waiting on any human)
+        — ONE batched pass instead of per-room must_act_seats calls (each of
+        those costs a device read + predicate eval; at 12+ live rooms per
+        step that overhead ate the batched dispatch's savings)."""
+        P = self.lowered.P
+        waiting = np.asarray(self._waiting_fn(self.state))
+        done = np.asarray(self.state.done)
+        out = []
+        for slot, seats in humans_by_slot.items():
+            if done[slot]:
+                continue
+            if not any(waiting[slot, pid - 1] for pid in seats
+                       if 1 <= pid <= P):
+                out.append(slot)
+        return out
 
 
 class _NativeRooms:
@@ -902,6 +977,9 @@ class GameHost:
         gs.step_slot(slot, q, human_seats=self._humans.get(room_id, (1,)),
                      policy=self._policies.get(slots_key),
                      policy_seats=self._policy_seats.get(room_id, ()))
+        self._after_step(room_id, gs, slot, ts)
+
+    def _after_step(self, room_id: str, gs, slot: int, ts: float) -> None:
         self._record_phase(room_id, gs, slot, ts=ts)
         # project every crossed phase: transient cards (role cards, death
         # markers, night overlays) and notes must reflect phases a
@@ -918,6 +996,44 @@ class GameHost:
                 self._compact_journal(room_id)
                 c = 0
             self._steps_since_snap[room_id] = c
+
+    def _step_batch(self, slots_key: str, primary_room: str,
+                    q: dict[int, int]) -> None:
+        """One batched engine dispatch advancing the primary room AND every
+        other live room of the same game that is mid-bot-turn (not done, not
+        waiting on a human, no queued input of its own). Rooms are
+        independent along the batch axis, so each advanced room's state —
+        and its journaled step event — is identical to a per-room step;
+        amortizing the dispatch across rooms is what makes the jax backend
+        serve interactive load (VERDICT r2 item 8)."""
+        gs = self._slots[slots_key]
+        _, primary_slot = self._rooms[primary_room]
+        candidates = {
+            s: self._humans.get(rid, (1,))
+            for rid, (k, s) in self._rooms.items()
+            if k == slots_key and rid != primary_room
+            and not self._queues.get(rid)
+        }
+        eligible = set(gs.bot_turn_slots(candidates))
+        rooms = [(primary_room, primary_slot)]
+        rooms += [(rid, s) for rid, (k, s) in self._rooms.items()
+                  if k == slots_key and s in eligible and rid != primary_room]
+        ts = self._replay_ts if self._replay_ts is not None else time.time()
+        for rid, _s in rooms:
+            self._log_event(rid, {
+                "e": "step", "ts": ts,
+                "a": {str(k): v for k, v in (q if rid == primary_room else {}).items()},
+            })
+        gs.step_slots(
+            [s for _r, s in rooms],
+            {primary_slot: q},
+            {s: self._humans.get(rid, (1,)) for rid, s in rooms},
+            policy=self._policies.get(slots_key),
+            policy_seats={s: self._policy_seats.get(rid, ())
+                          for rid, s in rooms},
+        )
+        for rid, s in rooms:
+            self._after_step(rid, gs, s, ts)
 
     def step(self, room_id: str) -> dict[str, Any]:
         """One game turn: merge queued human actions + bot policy, advance."""
@@ -939,10 +1055,14 @@ class GameHost:
             gs = self._slots[slots_key]
             seats = self._humans.get(room_id, (1,))
             truncated = True
+            batched = isinstance(gs, _GameSlots) and not self._replaying
             for _ in range(max_steps):
                 q = self._queues.get(room_id, {})
                 self._queues[room_id] = {}
-                self._step_once(room_id, q)
+                if batched:
+                    self._step_batch(slots_key, room_id, q)
+                else:
+                    self._step_once(room_id, q)
                 if gs.is_done(slot) or gs.must_act_seats(slot, seats):
                     truncated = False
                     break
