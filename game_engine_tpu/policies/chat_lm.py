@@ -4,7 +4,7 @@ roleplays the in-game chat bot.
 The reference's ChatBotNode is a gpt-4.1-mini call per chat message
 (reference: agent/game_agent_v2.py:351-466); the engine's default responder
 is the deterministic state-grounded template composer in server/chat.py.
-This module is the LEARNED tier of that seam: a ~0.7M-param transformer
+This module is the LEARNED tier of that seam: a ~0.5M-param transformer
 trained by self-distillation — the template composer plays teacher over
 thousands of simulated rooms — and served on the TPU behind
 ``ChatRoom(lm_hook=...)`` (``--chat-lm`` on the server CLI). Conditioning is
@@ -37,7 +37,7 @@ class LMConfig:
     d_model: int = 128
     n_layers: int = 2
     n_heads: int = 4
-    max_len: int = 256  # longest corpus ctx (~130 chars) + reply headroom
+    max_len: int = 384  # ctx incl. the Ns= roster (~210 chars) + reply headroom
 
 
 _FOLD = str.maketrans({"—": "-", "–": "-", "’": "'", "“": '"', "”": '"'})
@@ -223,6 +223,13 @@ def build_corpus(games=("werewolf", "two-truths-and-a-lie"), seeds=range(150),
         game = compile_game(load_builtin(gname))
         for seed in seeds:
             room = OracleRoom(game, n_players=5 + seed % 4, seed=seed)
+            # diverse roster names: real rooms carry arbitrary registered
+            # handles; training on "Player N" alone taught the model to
+            # garble any other name a reply quotes
+            for p in room.players:
+                if "name" in room.players[p]:
+                    room.players[p]["name"] = _SENDERS[
+                        (seed * 13 + p * 57) % len(_SENDERS)]
             chat = ChatRoom("corpus", seed=seed)
             contexts: list[str] = []
 
@@ -247,8 +254,12 @@ def build_corpus(games=("werewolf", "two-truths-and-a-lie"), seeds=range(150),
                     q = _QUERIES[(seed * 7 + t + j * 5) % len(_QUERIES)]
                     who = _SENDERS[(seed * 5 + t * 3 + j * 101) % len(_SENDERS)]
                     chat.post(1, who, q)
+                    n_ctx = len(contexts)
                     msg = chat.bot_reply(1, who, q, snap)
-                    if msg is not None and contexts:
+                    # only pair when THIS reply consulted the hook — grounded
+                    # field answers skip the LM (lm_ok) and must not attach
+                    # to a stale context
+                    if msg is not None and len(contexts) > n_ctx:
                         pairs.append((contexts[-1], msg.message))
                     if len(pairs) >= max_pairs:
                         break

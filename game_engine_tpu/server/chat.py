@@ -70,12 +70,19 @@ def lm_context(kind: str, bot: int, sender_name: str, text: str,
         (int(p) for p, row in players.items() if row.get("is_alive", True)))
     dead = sorted(int(d) for d in snapshot.get("deadPlayers", []))
     my_vote = int(me.get("vote_choice", 0) or 0)
+    # roster NAMES ride in the context so every name a reply might quote is
+    # available to COPY byte-for-byte — without it the model had to
+    # hallucinate unseen handles from the id list ("Marisol" -> "Miralo",
+    # the round-2 garble)
+    roster = ",".join(
+        f"{p}:{str(players.get(str(p), {}).get('name') or f'Player {p}')[:12]}"
+        for p in alive[:8])
     return (
         f"K={kind}|P={snapshot.get('current_phase_name') or 'the game'}"
         f"|B={bot}|N={me.get('name') or f'Player {bot}'}"
         f"|S={sender_name}|A={','.join(map(str, alive))}"
         f"|D={','.join(map(str, dead))}|V={my_vote}|R={variant % 8}"
-        f"|Q={text[:60]}"
+        f"|Ns={roster}|Q={text[:60]}"
     )
 
 
@@ -88,10 +95,15 @@ class ChatRoom:
     players-silent, visibility and timestamps stay host-enforced either
     way, and a None/empty hook reply falls back to the templates."""
 
-    def __init__(self, room_id: str, seed: int = 0, lm_hook=None):
+    def __init__(self, room_id: str, seed: int = 0, lm_hook=None,
+                 visibility: Optional[dict[str, int]] = None):
         self.room_id = room_id
         self.seed = seed
         self.lm_hook = lm_hook
+        # per-field observation visibility (policies.net.field_visibility
+        # codes: 0 public, 1 self-only, 2 team) — grounded answers reveal
+        # public values truthfully and guard hidden ones; None = all public
+        self.visibility = visibility or {}
         self.messages: list[ChatMessage] = []
         self._ids = itertools.count(1)
 
@@ -151,7 +163,8 @@ class ChatRoom:
         plan = self.plan_reply(sender_id, sender_name, text, snapshot)
         if plan is None:
             return None
-        lm_text = self.lm_hook(plan["context"]) if self.lm_hook else None
+        lm_text = (self.lm_hook(plan["context"])
+                   if self.lm_hook and plan.get("lm_ok", True) else None)
         return self.commit_reply(plan, lm_text)
 
     def plan_reply(self, sender_id: int, sender_name: str, text: str,
@@ -187,8 +200,17 @@ class ChatRoom:
                 kind = k
                 break
         h2 = splitmix32((self.seed + len(self.messages) * 7 + bot) & 0xFFFFFFFF)
-        composed = self._compose(kind, bot, sender_id, sender_name, text,
-                                 snapshot, h2)
+        # grounded field answers outrank the intent pools: a question naming
+        # a declared state field gets the actual value (or a guarded refusal
+        # for hidden fields) — never a deflection
+        fact = self._field_answer(bot, sender_id, sender_name, text,
+                                  snapshot, h2)
+        if fact is not None:
+            kind = "field"
+            composed = fact
+        else:
+            composed = self._compose(kind, bot, sender_id, sender_name, text,
+                                     snapshot, h2)
         bot_name = players.get(str(bot), {}).get("name") or f"Player {bot}"
         # the reply inherits the triggering message's clock so journal
         # replay reproduces timestamps exactly
@@ -197,6 +219,10 @@ class ChatRoom:
             "context": lm_context(kind, bot, sender_name, text, snapshot,
                                   variant=h2),
             "composed": composed,
+            # grounded field answers carry exact state values; the current
+            # LM is not trained on them, so the template tier serves these
+            # even under --chat-lm (correctness over roleplay)
+            "lm_ok": kind != "field",
             "bot": bot,
             "bot_name": bot_name,
             "private": private,
@@ -256,6 +282,87 @@ class ChatRoom:
         if accused:
             return max(accused, key=lambda c: (counts[c], -c))
         return candidates[h % len(candidates)]
+
+    # questions that warrant a grounded field answer (casual mentions of a
+    # field word in a statement fall through to the intent pools)
+    _QUESTION_RE = re.compile(
+        r"\?|\b(what|how (?:many|much)|tell me|do you|does|have you|are you|"
+        r"is (?:your|my|their|his|her))\b", re.IGNORECASE)
+
+    def _field_answer(self, bot: int, sender_id: int, sender_name: str,
+                      text: str, snapshot: dict[str, Any],
+                      h: int) -> Optional[str]:
+        """P-grounded answer when a QUESTION names a declared player-state
+        field: public fields are answered truthfully from the live state
+        (any field, any subject player); hidden (self/team-visible) fields
+        get a guarded refusal that still names the field — never a generic
+        deflection, and never a leak. The reference's ChatBotNode answers
+        from the full game context (agent/game_agent_v2.py:351-466); this
+        is its determinized twin for state questions."""
+        if not self._QUESTION_RE.search(text):
+            return None
+        players = snapshot.get("player_states", {})
+        me = players.get(str(bot), {})
+        low = text.lower()
+        field = None
+        for f in me:
+            words = f.lower().replace("_", " ")
+            pat = rf"\b{re.escape(words)}s?\b|\b{re.escape(f.lower())}s?\b"
+            if re.search(pat, low):
+                field = f
+                break
+        if field is None or field == "name":
+            return None
+        # subject: an explicit player mention/name, else the bot itself
+        subject = bot
+        m = _MENTION.search(text)
+        if m:
+            subject = int(m.group(1))
+        else:
+            for pid, row in players.items():
+                nm = str(row.get("name") or "")
+                if len(nm) >= 3 and re.search(rf"\b{re.escape(nm.lower())}\b", low):
+                    if int(pid) != bot or " my " not in f" {low} ":
+                        subject = int(pid)
+                    break
+        row = players.get(str(subject))
+        if row is None or field not in row:
+            return None
+        fname = field.replace("_", " ")
+        vis = self.visibility.get(field, 0)
+        subj_name = self._name(players, subject)
+        if vis != 0:  # hidden information: refuse by name, never leak
+            if subject == bot:
+                pool = [
+                    f"My {fname} is my business, {sender_name}.",
+                    f"Nice try — my {fname} stays hidden until the game says otherwise.",
+                ]
+            else:
+                pool = [
+                    f"Only {subj_name} knows their {fname}.",
+                    f"You'd have to ask {subj_name} about their {fname} — not that they'd tell you.",
+                ]
+            return pool[h % len(pool)]
+        v = row[field]
+        if isinstance(v, bool):
+            val = "yes" if v else "no"
+        elif isinstance(v, dict):
+            val = f"{len(v)} entries"
+        elif isinstance(v, (int, float)):
+            val = str(int(v))
+        else:
+            val = str(v) if v else "nothing yet"
+        if subject == bot:
+            pool = [
+                f"My {fname} is {val}.",
+                f"{val} — that's my {fname}, {sender_name}.",
+            ]
+        else:
+            pool = [
+                f"{subj_name}'s {fname} is {val}.",
+                f"Last I looked, {subj_name} has {fname} {val}.",
+            ]
+        return pool[h % len(pool)]
 
     def _compose(self, kind: str, bot: int, sender_id: int, sender_name: str,
                  text: str, snapshot: dict[str, Any], h: int) -> str:
@@ -349,10 +456,29 @@ class ChatRoom:
             else:
                 pool = [f"Accusations need proof, {sender_name}."]
         else:
-            pool = [
-                f"Noted, {sender_name}. Back to {phase}.",
-                f"Let's focus — we're in {phase}.",
-                f"We'll see soon enough, {sender_name}.",
-                f"Keep talking; {phase} won't wait.",
-            ]
+            # no intent matched: quote the bot's own (public) standing
+            # instead of a contentless deflection
+            facts = []
+            for f, v in me.items():
+                if f == "name" or self.visibility.get(f, 0) != 0:
+                    continue
+                if isinstance(v, bool):
+                    facts.append(f"{f.replace('_', ' ')} {'yes' if v else 'no'}")
+                elif isinstance(v, (int, float)):
+                    facts.append(f"{f.replace('_', ' ')} {int(v)}")
+                if len(facts) >= 4:
+                    break
+            if facts:
+                board = ", ".join(facts)
+                pool = [
+                    f"Where I stand, {sender_name}: {board} — and we're in {phase}.",
+                    f"For the record ({phase}): {board}.",
+                    f"Here's my sheet, {sender_name}: {board}. Your move.",
+                ]
+            else:
+                pool = [
+                    f"Noted, {sender_name}. Back to {phase}.",
+                    f"Let's focus — we're in {phase}.",
+                    f"We'll see soon enough, {sender_name}.",
+                ]
         return pool[h % len(pool)]

@@ -597,8 +597,24 @@ class GameHost:
             self._room_seed[room_id] = int(real_seed)
             self._names[room_id] = dict(player_names or {})
             self._texts[room_id] = {}
-            self._chats[room_id] = ChatRoom(room_id, seed=real_seed,
-                                            lm_hook=self._chat_lm_hook)
+            from game_engine_tpu.gamespec import mechanics as _M
+            from game_engine_tpu.policies.net import field_visibility
+
+            # the game's own information rules decide which fields the bot
+            # responder answers truthfully vs guards (chat.py _field_answer).
+            # Fields written by role assignment (night_action_eligible etc.)
+            # are role-correlated, so chat guards them like the role itself
+            # even where the observation contract treats them as public.
+            chat_vis = dict(field_visibility(gs.lowered))
+            for cp in gs.lowered.game.phases:
+                for mech in cp.program.on_enter:
+                    if isinstance(mech, _M.RoleAssign):
+                        for _rname, settings in mech.role_fields:
+                            for fname, _v in settings:
+                                chat_vis[fname] = max(chat_vis.get(fname, 0), 1)
+            self._chats[room_id] = ChatRoom(
+                room_id, seed=real_seed, lm_hook=self._chat_lm_hook,
+                visibility=chat_vis)
             self._notes[room_id] = NotesLog()
             self._phase_history[room_id] = []
             ts0 = self._replay_ts if self._replay_ts is not None else time.time()
@@ -877,7 +893,8 @@ class GameHost:
             # must not block every other room's HTTP requests. The per-room
             # chat mutex keeps this room's message order deterministic.
             lm_text = None
-            if plan is not None and chat.lm_hook is not None:
+            if (plan is not None and chat.lm_hook is not None
+                    and plan.get("lm_ok", True)):
                 try:
                     lm_text = chat.lm_hook(plan["context"])
                 except Exception:  # noqa: BLE001 — fall back to the template

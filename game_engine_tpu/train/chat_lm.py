@@ -36,7 +36,7 @@ def main() -> None:
                     help="rooms simulated per game for the corpus")
     ap.add_argument("--d-model", type=int, default=128)
     ap.add_argument("--layers", type=int, default=2)
-    ap.add_argument("--max-len", type=int, default=256)
+    ap.add_argument("--max-len", type=int, default=384)
     ap.add_argument("--out", default="chat_lm.npz")
     ap.add_argument("--cpu", action="store_true", help="force CPU (tests)")
     args = ap.parse_args()
@@ -81,6 +81,37 @@ def main() -> None:
         print("CTX ", ctx)
         print("LM  ", C.greedy_reply(params, cfg, ctx))
         print("REF ", ref)
+
+    # held-out evaluation on UNSEEN seeds (rooms, rosters, senders): exact
+    # match vs the teacher composer, plus name-copy faithfulness — every
+    # roster name the reference reply quotes must appear verbatim in the
+    # decode (the round-2 garble metric). Published in docs/PERF.md.
+    import re as _re
+
+    eval_pairs = C.build_corpus(seeds=range(args.seeds, args.seeds + 25),
+                                max_pairs=600)
+    em = 0
+    name_oblig = name_met = 0
+    for ctx, ref in eval_pairs:
+        out = C.greedy_reply(params, cfg, ctx)
+        em += int(out == ref)
+        m = _re.search(r"\|Ns=([^|]*)", ctx)
+        roster = [e.split(":", 1)[1] for e in m.group(1).split(",")
+                  if ":" in e] if m else []
+        for nm in roster:
+            if len(nm) >= 3 and _re.search(rf"\b{_re.escape(nm)}\b", ref):
+                name_oblig += 1
+                name_met += int(_re.search(rf"\b{_re.escape(nm)}\b", out)
+                                is not None)
+    metrics = {
+        "eval_pairs": len(eval_pairs),
+        "exact_match": round(em / max(1, len(eval_pairs)), 4),
+        "name_copy_obligations": name_oblig,
+        "name_copy_rate": round(name_met / max(1, name_oblig), 4),
+    }
+    print("HELD-OUT", json.dumps(metrics))
+    with open(args.out.replace(".npz", "") + ".metrics.json", "w") as f:
+        json.dump(metrics, f)
     print("saved", args.out)
 
 

@@ -12,7 +12,10 @@ import pytest
 from game_engine_tpu.policies import chat_lm as C
 from game_engine_tpu.server.chat import ChatRoom, lm_context
 
-CFG = C.LMConfig(d_model=32, n_layers=1, n_heads=2, max_len=96)
+# max_len must fit the full context (the Ns= roster pushed real
+# contexts to ~190 chars) plus the reply — a clipped SEP would
+# zero the loss mask
+CFG = C.LMConfig(d_model=32, n_layers=1, n_heads=2, max_len=288)
 
 
 def test_encode_decode_roundtrip():
