@@ -1564,6 +1564,12 @@ def annotate_mechanics(doc: dict[str, Any]) -> dict[str, Any]:
                     hints.append({"winner": "survivor"})
                 elif m.mode == "team":
                     hints.append({"winner": "team"})
+        # declared effect programs (P20) have no detection counterpart to
+        # mirror — carry them over verbatim rather than dropping them
+        existing = ph.get("mechanics") or []
+        for e in (existing if isinstance(existing, list) else [existing]):
+            if isinstance(e, dict) and "effects" in e:
+                hints.append(e)
         if hints:
             ph["mechanics"] = hints
     return doc
@@ -1594,7 +1600,123 @@ def _generate_base(bp: Blueprint) -> dict[str, Any]:
         return _gen_auction(bp)
     if bp.archetype == "minority":
         return _gen_minority(bp)
+    if bp.archetype == "gifting":
+        return _gen_gifting(bp)
     raise ValueError(f"unknown archetype {bp.archetype!r}")
+
+
+
+
+# ---------------------------------------------------------------------------
+# gifting archetype: player-to-player transfers through the P20 effect IR —
+# the first generator family whose resolution is a declared effects program
+# (no closed mechanic library entry exists for transfers)
+# ---------------------------------------------------------------------------
+
+
+def _gen_gifting(bp: Blueprint, win_coins: int = 12, start_coins: int = 3,
+                 bonus: int = 2, max_rounds: int = 30) -> dict[str, Any]:
+    fields = {
+        "name": {"type": "string", "example": "Player A",
+                 "description": "Public display name."},
+        "coins": {"type": "num", "example": start_coins,
+                  "description": f"The player's coin purse; reaching "
+                                 f"{win_coins} coins wins."},
+        "gifts_received": {"type": "num", "example": 0,
+                           "description": "Total gifts received (public ledger)."},
+        "rounds": {"type": "num", "example": 0,
+                   "description": f"Completed gifting rounds (caps at {max_rounds})."},
+    }
+    template = {"name": "", "coins": start_coins, "gifts_received": 0,
+                "rounds": 0}
+    tools = ["clearCanvas", "createPhaseIndicator", "createTextDisplay",
+             "createAvatarSet", "createVotingPanel", "createResultDisplay",
+             "createCoinDisplay", "createScoreBoard"]
+    phases = {
+        0: _ui_phase(
+            "Game Introduction",
+            "Introduce the gifting circle, the popularity bonus, and the "
+            f"{win_coins}-coin victory target.",
+            [
+                _tool_action("Clear all previous UI elements", "clearCanvas"),
+                _tool_action("Create public phase indicator", "createPhaseIndicator"),
+                _tool_action("Display rules and win conditions", "createTextDisplay"),
+                _tool_action("Create avatar set overlay", "createAvatarSet"),
+            ],
+            {"id": 1, "name": "Gift Selection"},
+        ),
+        1: _action_phase(
+            "Gift Selection",
+            "Every player secretly chooses one other player to gift a coin to.",
+            [
+                _tool_action("Clear previous UI", "clearCanvas"),
+                _tool_action("Create gifting phase indicator", "createPhaseIndicator"),
+                _tool_action("Create the gift target panel", "createVotingPanel"),
+                _tool_action("Show each purse", "createCoinDisplay"),
+            ],
+            "All players have chosen a gift recipient.",
+            "all_players_action", "All players",
+            "player.coins >= 0",
+            {"id": 2, "name": "Gift Exchange"},
+        ),
+        2: {
+            "name": "Gift Exchange",
+            "description": "Resolve the gifting: every giver with a coin "
+                           "hands one to their chosen player, the most-gifted "
+                           "player collects a popularity bonus from the bank, "
+                           "and the round is tallied.",
+            "actions": [
+                _tool_action("Clear gifting UI", "clearCanvas"),
+                _tool_action("Display who gifted whom and the bonus",
+                             "createResultDisplay"),
+                _tool_action("Show each purse", "createCoinDisplay"),
+                _tool_action("Show the gifts-received ledger", "createScoreBoard"),
+            ],
+            "completion_criteria": {
+                "type": "UI_displayed",
+                "description": "Gift Exchange has been displayed to all players.",
+            },
+            "next_phase": {
+                f"If any player has {win_coins} or more coins":
+                    {"id": 99, "name": "Game Over"},
+                f"If any player has {max_rounds} or more rounds":
+                    {"id": 99, "name": "Game Over"},
+                "Otherwise the circle continues":
+                    {"id": 1, "name": "Gift Selection"},
+            },
+            "mechanics": [{"effects": [
+                "let giver = chose(1) and coins > 0 and choice != seat",
+                "let got = incoming(1, choice, giver)",
+                "let top = argmax(got, got > 0)",
+                f"coins += got - if(giver, 1, 0) + if(seat == top, {bonus}, 0)",
+                "gifts_received += got",
+                "rounds += 1 where seat == 1",
+            ]}],
+        },
+        99: _ui_phase(
+            "Game Over — Richest Purse",
+            "Congratulate the richest player in the circle.",
+            [
+                _tool_action("Clear non-persistent UI", "clearCanvas"),
+                _tool_action("Display the winner and final purses",
+                             "createResultDisplay"),
+            ],
+            None,
+        ),
+    }
+    return {
+        "declaration": {
+            "description": bp.description,
+            "is_multiplayer": True,
+            "min_players": max(bp.min_players, 3),
+            "player_states": fields,
+            "player_states_template": {"player_states": {"1": template}},
+            "players_example": {"tools": tools,
+                                "player_states": {"1": {**template, "name": "Alpha"}}},
+            "audience_groups": {},
+        },
+        "phases": phases,
+    }
 
 
 # -- description mining: roles, counts, player minimums ----------------------
@@ -1682,6 +1804,9 @@ _MARKET_WORDS = re.compile(
     r"\b(coin\w*|gold|trad\w*|market|raid\w*|steal\w*|loot\w*|resourc\w*|econom\w*|bidding)\b",
     re.IGNORECASE,
 )
+_GIFT_WORDS = re.compile(
+    r"\b(gift\w*|secret santa|generos\w*|present exchange|"
+    r"giv\w+ (?:a |one )?coins? to)\b", re.IGNORECASE)
 _AUCTION_WORDS = re.compile(
     r"\b(auction\w*|sealed[- ]bids?|highest bid\w*|bid(?:s|ding)? (?:for|on|war))\b",
     re.IGNORECASE,
@@ -1749,8 +1874,8 @@ def description_coverage(description: str) -> dict[str, Any]:
     consumed: set[str] = set()
     vocab_res = (
         _NIGHT_WORDS, _BATTLE_WORDS, _MINORITY_WORDS, _BLUFF_WORDS,
-        _MARKET_WORDS, _AUCTION_WORDS, _ROUNDS_WORDS, _PLAYERS_RE,
-        _COVERAGE_EXTRA,
+        _MARKET_WORDS, _AUCTION_WORDS, _GIFT_WORDS, _ROUNDS_WORDS,
+        _PLAYERS_RE, _COVERAGE_EXTRA,
     )
     for rx in vocab_res:
         for m in rx.finditer(text):
@@ -1807,6 +1932,11 @@ def generate_from_description(
             extras = ("auction",)  # auction vocabulary outranks bare economy
         elif _MARKET_WORDS.search(description):
             extras = ("market",)
+    elif _GIFT_WORDS.search(description):
+        # transfer vocabulary outranks bare economy words ("gift coins to
+        # each other" is a gifting circle, not a raid market) — resolved by
+        # the P20 effect-IR archetype
+        archetype = "gifting"
     elif _MINORITY_WORDS.search(description):
         archetype = "minority"
     elif _BLUFF_WORDS.search(description):

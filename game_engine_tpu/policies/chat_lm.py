@@ -34,10 +34,10 @@ VOCAB = _NSPECIAL + (_HI - _LO + 1)  # 99
 
 @dataclasses.dataclass(frozen=True)
 class LMConfig:
-    d_model: int = 128
-    n_layers: int = 2
+    d_model: int = 160
+    n_layers: int = 3
     n_heads: int = 4
-    max_len: int = 384  # ctx incl. the Ns= roster (~210 chars) + reply headroom
+    max_len: int = 448  # ctx incl. roster + quoted boards (~320 chars) + reply
 
 
 _FOLD = str.maketrans({"—": "-", "–": "-", "’": "'", "“": '"', "”": '"'})
@@ -277,40 +277,93 @@ def build_corpus(games=("werewolf", "two-truths-and-a-lie"), seeds=range(150),
 # ---------------------------------------------------------------------------
 
 
+def _make_decoder(params, cfg: LMConfig):
+    """One jitted KV-cache scan decoding a WHOLE reply in a single device
+    dispatch. The old path re-ran the full (1, max_len) forward per token —
+    up to 128 sequential dispatches per chat reply (ADVICE r2); this is one
+    program whose total FLOPs equal ~two full forwards."""
+    D, nh = cfg.d_model, cfg.n_heads
+    hd = D // nh
+    L = cfg.max_len
+
+    def decode(buf, n0):
+        caches = tuple(
+            (jnp.zeros((L, nh, hd), jnp.float32),
+             jnp.zeros((L, nh, hd), jnp.float32))
+            for _ in range(cfg.n_layers)
+        )
+
+        def body(carry, pos):
+            buf, caches = carry
+            tok = jax.lax.dynamic_index_in_dim(buf, pos, 0, keepdims=False)
+            x = _dot(jax.nn.one_hot(tok[None], VOCAB, dtype=jnp.bfloat16),
+                     params["tok"])[0]
+            x = x + jax.lax.dynamic_index_in_dim(params["pos"], pos, 0,
+                                                 keepdims=False)
+            new_caches = []
+            valid = (jnp.arange(L) <= pos)[None, :]  # (1, L) over keys
+            for i, (kc, vc) in enumerate(caches):
+                h = _ln(x, params[f"ln1_s{i}"], params[f"ln1_b{i}"])
+                qkv = _dot(h[None], params[f"wqkv{i}"]).reshape(3, nh, hd)
+                q, k, v = qkv[0], qkv[1], qkv[2]
+                kc = jax.lax.dynamic_update_index_in_dim(kc, k, pos, 0)
+                vc = jax.lax.dynamic_update_index_in_dim(vc, v, pos, 0)
+                att = jnp.einsum("hd,khd->hk", q, kc) / np.sqrt(hd)
+                att = jnp.where(valid, att, -1e9)
+                att = jax.nn.softmax(att, axis=-1)
+                o = jnp.einsum("hk,khd->hd", att, vc).reshape(D)
+                x = x + _dot(o[None], params[f"wo{i}"])[0]
+                h = _ln(x, params[f"ln2_s{i}"], params[f"ln2_b{i}"])
+                h = jax.nn.gelu(_dot(h[None], params[f"w1{i}"])[0]
+                                + params[f"b1{i}"])
+                x = x + _dot(h[None], params[f"w2{i}"])[0] + params[f"b2{i}"]
+                new_caches.append((kc, vc))
+            xf = _ln(x, params["lnf_s"], params["lnf_b"])
+            logits = _dot(xf[None], params["tok"].T)[0]
+            nxt = jnp.argmax(logits).astype(jnp.int32)
+            # teacher-force inside the prompt, generate after it
+            wpos = jnp.minimum(pos + 1, L - 1)
+            cur = jax.lax.dynamic_index_in_dim(buf, wpos, 0, keepdims=False)
+            gen = (pos + 1 >= n0) & (pos + 1 <= L - 1)
+            buf = jax.lax.dynamic_update_index_in_dim(
+                buf, jnp.where(gen, nxt, cur), wpos, 0)
+            return (buf, tuple(new_caches)), ()
+
+        (buf, _), _ = jax.lax.scan(body, (buf, caches), jnp.arange(L - 1))
+        return buf
+
+    return jax.jit(decode)
+
+
+_DECODER_CACHE: dict[tuple, Any] = {}
+
+
 def greedy_reply(params, cfg: LMConfig, ctx: str, max_new: int = 128) -> str:
     """Deterministic greedy decode of a reply for a context string."""
-    fwd = _jitted_forward(cfg)
+    key = (id(params), dataclasses.astuple(cfg))
+    dec = _DECODER_CACHE.get(key)
+    if dec is None:
+        dec = _DECODER_CACHE[key] = (_make_decoder(params, cfg), params)
     # keep the FULL context (training saw it untruncated — encode_pair only
     # clips at max_len total); generation just uses whatever room is left
     toks = [BOS] + encode_text(ctx)[: cfg.max_len - 2] + [SEP]
+    n0 = len(toks)
+    buf = np.full((cfg.max_len,), PAD, np.int32)
+    buf[:n0] = toks
+    out_buf = np.asarray(dec[0](jnp.asarray(buf), jnp.int32(n0)))
+    gen = out_buf[n0:].tolist()
     hit_eos = False
-    for _ in range(max_new):
-        if len(toks) >= cfg.max_len:
-            break
-        buf = np.full((1, cfg.max_len), PAD, np.int32)
-        buf[0, : len(toks)] = toks
-        logits = fwd(params, jnp.asarray(buf))
-        nxt = int(jnp.argmax(logits[0, len(toks) - 1]))
-        if nxt == EOS or nxt < _NSPECIAL:
+    reply_toks = []
+    for t in gen[:max_new]:
+        if t == EOS or t < _NSPECIAL:
             hit_eos = True
             break
-        toks.append(nxt)
-    sep_at = toks.index(SEP)
-    out = decode_tokens(toks[sep_at + 1:]).strip()
+        reply_toks.append(t)
+    out = decode_tokens(reply_toks).strip()
     if not hit_eos and " " in out:
         # token budget ran out mid-word: trim to the last complete word
         out = out[: out.rfind(" ")].rstrip(" ,;:-")
     return out
-
-
-_FWD_CACHE: dict[tuple, Any] = {}
-
-
-def _jitted_forward(cfg: LMConfig):
-    key = dataclasses.astuple(cfg)
-    if key not in _FWD_CACHE:
-        _FWD_CACHE[key] = jax.jit(lambda p, t: forward(p, t, cfg))
-    return _FWD_CACHE[key]
 
 
 def save(path: str, params: dict[str, Any], cfg: LMConfig) -> None:

@@ -51,15 +51,60 @@ _KEYWORDS = [
 _MENTION = re.compile(r"(?:player\s*|@)(\d+)", re.IGNORECASE)
 
 
+def _pname(players: dict, pid) -> str:
+    return players.get(str(pid), {}).get("name") or f"Player {pid}"
+
+
+def _alive_board(players: dict) -> str:
+    alive = [pid for pid, row in players.items() if row.get("is_alive", True)]
+    return ", ".join(_pname(players, p) for p in sorted(alive, key=int))
+
+
+def _fallen_board(players: dict, dead) -> str:
+    return ", ".join(_pname(players, d) for d in dead)
+
+
+def _facts_board(players: dict, bot: int, visibility: dict) -> str:
+    """The bot's public scalar standing ("is alive yes, coins 3, ...") —
+    rendered ONCE here so the composer's fallback and the LM context agree
+    byte-for-byte (the student can only learn facts its context contains)."""
+    me = players.get(str(bot), {})
+    facts = []
+    for f, v in me.items():
+        if f == "name" or (visibility or {}).get(f, 0) != 0:
+            continue
+        if isinstance(v, bool):
+            facts.append(f"{f.replace('_', ' ')} {'yes' if v else 'no'}")
+        elif isinstance(v, (int, float)):
+            facts.append(f"{f.replace('_', ' ')} {int(v)}")
+        if len(facts) >= 4:
+            break
+    return ", ".join(facts)
+
+
+def _score_rows(players: dict) -> list:
+    rows = [
+        (_pname(players, pid),
+         int(row.get("total_score", row.get("score", 0)) or 0))
+        for pid, row in players.items()
+    ]
+    rows.sort(key=lambda r: -r[1])
+    return rows
+
+
 def lm_context(kind: str, bot: int, sender_name: str, text: str,
-               snapshot: dict[str, Any], variant: int = 0) -> str:
+               snapshot: dict[str, Any], variant: int = 0,
+               sus_name: str = "", visibility: Optional[dict] = None) -> str:
     """Serialize the reply-relevant state into the compact conditioning
     string consumed by the on-TPU chat LM (policies/chat_lm.py). The SAME
     serializer builds the self-distillation corpus, so serving inputs stay
     in-distribution. This is the seam where the reference sends the full
     game context to gpt-4.1-mini (reference: agent/game_agent_v2.py:385).
 
-    ``variant`` carries the template composer's style-roll (h2 mod 8): the
+    ``variant`` carries the template composer's style-roll (h2 mod 12 —
+    12 = lcm of every pool size, so the roll pins the pool index the
+    composer will pick; mod 8 left 3-entry pools ambiguous and capped the
+    student's exact-match): the
     teacher picks among phrasing variants by a hash that is otherwise
     invisible to the student, which would make the context->reply mapping
     multimodal — greedy decoding then splices modes into garbled text.
@@ -77,12 +122,24 @@ def lm_context(kind: str, bot: int, sender_name: str, text: str,
     roster = ",".join(
         f"{p}:{str(players.get(str(p), {}).get('name') or f'Player {p}')[:12]}"
         for p in alive[:8])
+    # every board the composer can quote rides in the context VERBATIM —
+    # a distilled student can only be faithful to facts it is shown
+    # (round-3 held-out misses were exactly the boards the context lacked)
+    rows = _score_rows(players)
+    board = (", ".join(f"{n} {s}" for n, s in rows[:3])
+             if any(s for _, s in rows) else "")
+    inv = ",".join(
+        f"{k}:{v}" for k, v in sorted(
+            (me.get("investigated_alignments") or {}).items())[:3])
     return (
         f"K={kind}|P={snapshot.get('current_phase_name') or 'the game'}"
         f"|B={bot}|N={me.get('name') or f'Player {bot}'}"
         f"|S={sender_name}|A={','.join(map(str, alive))}"
-        f"|D={','.join(map(str, dead))}|V={my_vote}|R={variant % 8}"
-        f"|Ns={roster}|Q={text[:60]}"
+        f"|D={','.join(map(str, dead))}|V={my_vote}|R={variant % 12}"
+        f"|Ns={roster}|X={sus_name or ''}|L={_alive_board(players)}"
+        f"|Fl={_fallen_board(players, snapshot.get('deadPlayers', []))}"
+        f"|F={_facts_board(players, bot, visibility)}"
+        f"|Sc={board}|I={inv}|Q={text[:60]}"
     )
 
 
@@ -215,9 +272,12 @@ class ChatRoom:
         # the reply inherits the triggering message's clock so journal
         # replay reproduces timestamps exactly
         trigger_ts = self.messages[-1].timestamp if self.messages else None
+        sus = self._pick_suspect(bot, sender_id, players, h2)
         return {
             "context": lm_context(kind, bot, sender_name, text, snapshot,
-                                  variant=h2),
+                                  variant=h2,
+                                  sus_name=_pname(players, sus) if sus else "",
+                                  visibility=self.visibility),
             "composed": composed,
             # grounded field answers carry exact state values; the current
             # LM is not trained on them, so the template tier serves these
@@ -381,20 +441,13 @@ class ChatRoom:
                 f"Hi {sender_name} — let's get through {phase}.",
             ]
         elif kind == "status":
-            names = ", ".join(self._name(players, p) for p in sorted(alive, key=int))
-            fallen = (
-                " Fallen: " + ", ".join(self._name(players, d) for d in dead) + "."
-                if dead else ""
-            )
+            names = _alive_board(players)
+            fallen = (" Fallen: " + _fallen_board(players, dead) + "."
+                      if dead else "")
             pool = [f"We're in {phase}. Still standing: {names}.{fallen}"]
         elif kind == "score":
-            rows = [
-                (self._name(players, pid),
-                 int(row.get("total_score", row.get("score", 0)) or 0))
-                for pid, row in players.items()
-            ]
+            rows = _score_rows(players)
             if any(s for _, s in rows):
-                rows.sort(key=lambda r: -r[1])
                 board = ", ".join(f"{n} {s}" for n, s in rows[:3])
                 pool = [f"Standings: {board}.",
                         f"{rows[0][0]} leads with {rows[0][1]} — for now."]
@@ -458,18 +511,8 @@ class ChatRoom:
         else:
             # no intent matched: quote the bot's own (public) standing
             # instead of a contentless deflection
-            facts = []
-            for f, v in me.items():
-                if f == "name" or self.visibility.get(f, 0) != 0:
-                    continue
-                if isinstance(v, bool):
-                    facts.append(f"{f.replace('_', ' ')} {'yes' if v else 'no'}")
-                elif isinstance(v, (int, float)):
-                    facts.append(f"{f.replace('_', ' ')} {int(v)}")
-                if len(facts) >= 4:
-                    break
-            if facts:
-                board = ", ".join(facts)
+            board = _facts_board(players, bot, self.visibility)
+            if board:
                 pool = [
                     f"Where I stand, {sender_name}: {board} — and we're in {phase}.",
                     f"For the record ({phase}): {board}.",

@@ -31,12 +31,12 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--max-pairs", type=int, default=30000)
-    ap.add_argument("--seeds", type=int, default=150,
+    ap.add_argument("--max-pairs", type=int, default=50000)
+    ap.add_argument("--seeds", type=int, default=260,
                     help="rooms simulated per game for the corpus")
-    ap.add_argument("--d-model", type=int, default=128)
-    ap.add_argument("--layers", type=int, default=2)
-    ap.add_argument("--max-len", type=int, default=384)
+    ap.add_argument("--d-model", type=int, default=160)
+    ap.add_argument("--layers", type=int, default=3)
+    ap.add_argument("--max-len", type=int, default=448)
     ap.add_argument("--out", default="chat_lm.npz")
     ap.add_argument("--cpu", action="store_true", help="force CPU (tests)")
     args = ap.parse_args()
@@ -92,9 +92,12 @@ def main() -> None:
                                 max_pairs=600)
     em = 0
     name_oblig = name_met = 0
+    def fold(s):  # the byte vocab folds em-dashes/smart quotes to ASCII
+        return s.translate(C._FOLD)
+
     for ctx, ref in eval_pairs:
         out = C.greedy_reply(params, cfg, ctx)
-        em += int(out == ref)
+        em += int(fold(out) == fold(ref))
         m = _re.search(r"\|Ns=([^|]*)", ctx)
         roster = [e.split(":", 1)[1] for e in m.group(1).split(",")
                   if ":" in e] if m else []

@@ -274,3 +274,83 @@ def test_pallas_parity(effect_game):
     _states_equal(ref_state, pal_state)
     assert int(ref_eps) == int(pal_eps)
     assert int(ref_eps) > 0
+
+
+# ---------------------------------------------------------------------------
+# Generator integration: the gifting archetype is the first generator family
+# resolved entirely through the P20 effect IR
+# ---------------------------------------------------------------------------
+
+
+def test_gifting_archetype_generates_and_plays():
+    from game_engine_tpu.dslgen.generate import generate_from_description
+    from game_engine_tpu.dslgen.validate import errors, validate_doc
+
+    report = []
+    doc = generate_from_description(
+        "gift-party",
+        "players secretly gift coins to each other each round; the most "
+        "popular player earns a bonus and the richest wins",
+        report=report,
+    )
+    issues, spec = validate_doc(doc, name="gift-party")
+    assert spec is not None and not errors(issues), [str(i) for i in issues]
+    assert not report, report  # transfer vocabulary is fully covered now
+    assert any("Gift Exchange" == p["name"] for p in doc["phases"].values())
+    # the annotator preserved the effects program verbatim
+    fx = [h for h in doc["phases"][2]["mechanics"]
+          if isinstance(h, dict) and "effects" in h]
+    assert fx, doc["phases"][2]["mechanics"]
+
+    lowered = lower(compile_game(spec))
+    for seed in (0, 2):
+        n = 4 + seed
+        room = OracleRoom(lowered.game, n_players=n, seed=seed)
+        eng = BatchedEngine(lowered)
+        state = init_state(lowered, 1, n, np.uint32(seed))
+        for t in range(400):
+            room.step(oracle_policy(room, t, seed))
+            state = eng.step(state, scripted_actions(lowered, state))
+            assert_state_matches(lowered, room, state, 0, t)
+            if room.done:
+                break
+        assert room.done and 1 <= room.winner <= n
+
+
+def test_gifting_generated_over_http(tmp_path):
+    """POST /api/generate-dsl with transfer vocabulary produces a playable
+    effect-IR game, warning-free, playable to completion."""
+    import shutil
+    import threading
+
+    from game_engine_tpu.gamespec.parser import games_dir
+    from game_engine_tpu.server.api import make_server
+    from tests.test_server import req
+
+    gdir = tmp_path / "games"
+    shutil.copytree(games_dir(), gdir)
+    srv = make_server(port=0, games_path=str(gdir), backend="native")
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        code, data = req(srv, "POST", "/api/generate-dsl",
+                         {"gameName": "Gift Party",
+                          "gameDescription": "players gift coins to each "
+                          "other, most popular earns a bonus, richest wins"})
+        assert code == 200, data
+        assert not any("description coverage" in w for w in data["warnings"])
+        code, d = req(srv, "POST", "/api/rooms/create",
+                      {"gameName": "gift-party", "playerName": "G"})
+        rid = d["room"]["roomId"]
+        req(srv, "POST", "/api/rooms/add-bot", {"roomId": rid})
+        code, snap = req(srv, "POST", f"/api/rooms/{rid}/start", {"seed": 6})
+        assert code == 200, snap
+        for _ in range(120):
+            code, snap = req(srv, "POST", f"/api/rooms/{rid}/continue")
+            if snap["done"]:
+                break
+            for pid in snap.get("waiting_on", []):
+                req(srv, "POST", f"/api/rooms/{rid}/vote",
+                    {"playerId": pid, "option": 1})
+        assert snap["done"] and snap["winner"] >= 1
+    finally:
+        srv.shutdown()
