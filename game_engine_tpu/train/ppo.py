@@ -39,6 +39,11 @@ class PPOConfig:
     vf_coef: float = 0.5
     ent_coef: float = 0.01
     lr: float = 3e-4
+    # timesteps recomputed per remat chunk in the deepsets/attn loss (the
+    # set-encoder activations are too big to hold for the whole horizon;
+    # chunk>1 trades peak memory for fewer, larger kernels — the attn
+    # arch's loss pass is dispatch-bound at chunk=1, see docs/PERF.md)
+    loss_chunk: int = 1
     net: N.NetConfig = dataclasses.field(default_factory=N.NetConfig)
 
 
@@ -160,7 +165,17 @@ def ppo_loss(params, traj: Rollout, adv, ret, cfg: PPOConfig,
         # rematerialized whole) for the backward pass — 8 GB at 16k rooms.
         # lax.map + checkpoint keeps the peak at one timestep's worth.
         inner = jax.checkpoint(lambda o: N.apply_net(params, o, cfg.net, lowered))
-        logits, value = jax.lax.map(inner, traj.obs)
+        T = traj.obs.shape[0]
+        C = max(1, min(cfg.loss_chunk, T))
+        while T % C:  # largest divisor of T not above the requested chunk
+            C -= 1
+        if C > 1:
+            obs_c = traj.obs.reshape((T // C, C) + traj.obs.shape[1:])
+            logits, value = jax.lax.map(inner, obs_c)
+            logits = logits.reshape((T,) + logits.shape[2:])
+            value = value.reshape((T,) + value.shape[2:])
+        else:
+            logits, value = jax.lax.map(inner, traj.obs)
     else:
         logits, value = N.apply_net(params, traj.obs, cfg.net, lowered)
     # the same legal-action masking as at sampling time — without it the

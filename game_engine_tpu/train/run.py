@@ -93,6 +93,9 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=4, help="PPO epochs per rollout")
     ap.add_argument("--hidden", type=int, default=256)
     ap.add_argument("--arch", default="mlp", choices=["mlp", "deepsets", "attn"])
+    ap.add_argument("--loss-chunk", type=int, default=1,
+                    help="timesteps per remat chunk in the deepsets/attn "
+                         "loss recompute (memory vs dispatch overhead)")
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--eval-every", type=int, default=25)
     ap.add_argument("--eval-batch", type=int, default=1024)
@@ -110,6 +113,7 @@ def main(argv=None):
 
     lowered = lower(compile_game(load_builtin(args.game)))
     cfg = PPOConfig(horizon=args.horizon, epochs=args.epochs, lr=args.lr,
+                    loss_chunk=args.loss_chunk,
                     net=N.NetConfig(hidden=args.hidden, arch=args.arch))
     key = jax.random.PRNGKey(args.seed)
     params, opt_state, tx = init_training(lowered, cfg, key)

@@ -274,3 +274,37 @@ def test_shipped_attn_checkpoint_if_present(ww_lowered):
                                          jax.random.PRNGKey(1), cfg.net)
     aoh = jax.nn.one_hot(a - 1, legal.shape[-1], dtype=bool)
     assert bool(jnp.all(jnp.any(aoh & legal, axis=-1)))
+
+
+def test_loss_chunk_invariance(ww_lowered):
+    # PPOConfig.loss_chunk only changes HOW the deepsets/attn loss recompute
+    # is chunked over T (memory vs dispatch trade, docs/PERF.md) — the loss
+    # and gradients must not move. chunk=3 with T=8 falls back to the
+    # largest divisor (2).
+    from game_engine_tpu.train.ppo import gae, make_unroll, ppo_loss
+
+    cfg = PPOConfig(horizon=8, net=N.NetConfig(hidden=32, layers=1, arch="attn"))
+    params, _, _ = init_training(ww_lowered, cfg, jax.random.PRNGKey(0))
+    state = init_state(ww_lowered, 8, 5, np.arange(8, dtype=np.uint32))
+    unroll = jax.jit(make_unroll(ww_lowered, cfg))
+    state, _, traj = unroll(params, state, jax.random.PRNGKey(3))
+    _, last_v = N.apply_net(params, N.observe(ww_lowered, state), cfg.net,
+                            ww_lowered)
+    adv, ret = gae(traj, last_v, cfg)
+
+    outs = {}
+    for chunk in (1, 2, 3, 8):
+        c = PPOConfig(horizon=8, loss_chunk=chunk,
+                      net=N.NetConfig(hidden=32, layers=1, arch="attn"))
+        (loss, _), grads = jax.value_and_grad(ppo_loss, has_aux=True)(
+            params, traj, adv, ret, c, ww_lowered)
+        outs[chunk] = (float(loss), grads)
+    base_loss, base_grads = outs[1]
+    for chunk in (2, 3, 8):
+        loss, grads = outs[chunk]
+        assert abs(loss - base_loss) < 1e-4 * max(1.0, abs(base_loss))
+        for k in base_grads:
+            np.testing.assert_allclose(
+                np.asarray(grads[k], np.float32),
+                np.asarray(base_grads[k], np.float32),
+                rtol=2e-3, atol=2e-4, err_msg=f"chunk={chunk} grad {k}")
