@@ -220,6 +220,8 @@ class ConditionContext:
     def resolve_field(self, phrase_tokens: list[str]) -> Optional[str]:
         """Find the player_states num field best matching phrase tokens."""
         stems = {_stem(t) for t in phrase_tokens if t not in _STOPWORDS}
+        # prose may quote a snake_case field name verbatim ("pool_left")
+        stems |= {_stem(p) for t in stems for p in t.split("_") if p}
         best, best_score = None, 0
         for f in self.spec.declaration.fields:
             if f.type is not FieldType.NUM:
@@ -274,6 +276,12 @@ _RE_ALL_COMPLETED = re.compile(
 _RE_ANY_HAS = re.compile(
     r"\b(?:any|a|some|one)\s+player\s+(?:has|holds|reaches|owns|collects)\s+"
     r"(\d+)\s+or\s+more\s+([A-Za-z_ ]+?)\s*$",
+    re.IGNORECASE,
+)
+# "any player has/drops to N or fewer <field>" -> count(field <= N) > 0
+_RE_ANY_HAS_LE = re.compile(
+    r"\b(?:any|a|some|one)\s+player\s+(?:has|holds|reaches|drops to|is down to)\s+"
+    r"(\d+)\s+or\s+(?:fewer|less)\s+([A-Za-z_ ]+?)\s*$",
     re.IGNORECASE,
 )
 _RE_GAME_CONTINUES = re.compile(
@@ -336,6 +344,12 @@ def _compile_clause(clause: str, ctx: ConditionContext) -> tuple[Optional[Cond],
         field = ctx.resolve_field(_tokens(m.group(2)))
         if field is not None:
             return CountCmp(left=Atom(field, "ge", int(m.group(1))), op="gt", right=0), True
+
+    m = _RE_ANY_HAS_LE.search(clause)
+    if m:
+        field = ctx.resolve_field(_tokens(m.group(2)))
+        if field is not None:
+            return CountCmp(left=Atom(field, "le", int(m.group(1))), op="gt", right=0), True
 
     m = _RE_FOLLOWS.search(clause)
     if m:

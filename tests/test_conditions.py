@@ -101,3 +101,23 @@ def test_target_conditions_still_eval(werewolf_spec):
     g = ctx.groups["werewolves"]
     assert eval_predicate(g, {"team": "werewolves", "is_alive": True})
     assert not eval_predicate(g, {"team": "werewolves", "is_alive": False})
+
+
+def test_any_player_n_or_fewer_field():
+    """'any player has N or fewer <field>' -> count(field <= N) > 0, with
+    snake_case field names quoted verbatim in the prose (relic-draft's
+    pool-exhaustion branch)."""
+    from game_engine_tpu.gamespec.parser import load_builtin
+
+    spec = load_builtin("relic-draft")
+    ctx = ConditionContext(spec)
+    cond, ok = compile_branch_condition(
+        "If any player has 0 or fewer pool_left", ctx)
+    assert ok and isinstance(cond, CountCmp)
+    assert cond.left.field == "pool_left"
+    assert cond.left.op == "le" and cond.left.value == 0
+    assert cond.op == "gt" and cond.right == 0
+    empty = {"pool_left": 0}
+    stocked = {"pool_left": 3}
+    assert eval_condition(cond, _players(empty, stocked), prev_phase_id=1)
+    assert not eval_condition(cond, _players(stocked, stocked), prev_phase_id=1)

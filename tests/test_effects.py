@@ -23,7 +23,7 @@ from game_engine_tpu.oracle.interp import OracleRoom
 from game_engine_tpu.policies.scripted import oracle_policy
 from tests.test_parity import assert_state_matches
 
-EFFECT_GAMES = ["gift-circle", "handshake-pact", "speed-track"]
+EFFECT_GAMES = ["gift-circle", "handshake-pact", "speed-track", "relic-draft"]
 
 
 @pytest.fixture(scope="module", params=EFFECT_GAMES)
@@ -198,6 +198,24 @@ def test_speed_track_collision():
     assert room.players[1]["position"] == 0 and room.players[2]["position"] == 0
     assert room.players[3]["position"] == 2 and room.players[4]["position"] == 1
     assert all(room.players[p]["speed_pick"] == 0 for p in range(1, 5))
+
+
+def test_relic_draft_claims():
+    """Exclusive claims from a shared pool: the lowest-seated collector wins
+    a contested relic, an already-claimed relic goes to nobody, and the
+    collection value / pool count derive from the claim flags."""
+    room, fx = _craft("relic-draft")
+    room.players[4]["has5"] = True  # relic 5 claimed in an earlier round
+    for p, pick in {1: 3, 2: 3, 3: 5, 4: 6}.items():
+        room.choice[p] = pick
+        room.choice_phase[p] = 1
+    room.apply_mechanic(fx)
+    assert room.players[1]["has3"] and not room.players[2]["has3"]  # seat order
+    assert not room.players[3]["has5"]  # already claimed -> nothing
+    assert room.players[4]["has6"]
+    assert room.players[1]["gold"] == 3 and room.players[2]["gold"] == 0
+    assert room.players[4]["gold"] == 5 + 6
+    assert all(room.players[p]["pool_left"] == 3 for p in range(1, 5))
 
 
 def test_block_snapshot_semantics():
