@@ -4,9 +4,12 @@ roleplays the in-game chat bot.
 The reference's ChatBotNode is a gpt-4.1-mini call per chat message
 (reference: agent/game_agent_v2.py:351-466); the engine's default responder
 is the deterministic state-grounded template composer in server/chat.py.
-This module is the LEARNED tier of that seam: a ~0.5M-param transformer
-trained by self-distillation — the template composer plays teacher over
-thousands of simulated rooms — and served on the TPU behind
+This module is the LEARNED tier of that seam: a ~1M-param transformer
+(rotary position encoding — see _rope — which is what lets a model this
+small learn to COPY roster names from its context instead of
+hallucinating name-shaped strings) trained by self-distillation — the
+template composer plays teacher over thousands of simulated rooms with
+unique-per-room synthetic handles — and served on the TPU behind
 ``ChatRoom(lm_hook=...)`` (``--chat-lm`` on the server CLI). Conditioning is
 the exact ``server.chat.lm_context`` string, so serving inputs match the
 training distribution; decoding is greedy and therefore deterministic
@@ -110,6 +113,21 @@ def _dot(a, b):
                    preferred_element_type=jnp.float32)
 
 
+def _rope(x, pos, hd: int):
+    """Rotary position encoding on the last dim (head dim).
+
+    x: (..., hd); pos: broadcastable int positions. Content-based relative
+    addressing is what lets a tiny model grow the induction/copy circuit —
+    with learned absolute positions alone the roster-copy task never
+    converged (it hallucinated name-shaped strings instead of copying)."""
+    half = hd // 2
+    freqs = 1.0 / (10000.0 ** (jnp.arange(half, dtype=jnp.float32) / half))
+    ang = pos[..., None].astype(jnp.float32) * freqs  # (..., half)
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+    x1, x2 = x[..., :half], x[..., half:]
+    return jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], -1)
+
+
 def forward(params: dict[str, Any], tokens: jax.Array, cfg: LMConfig) -> jax.Array:
     """tokens (B, L) int32 -> logits (B, L, V). Causal; PAD keys masked."""
     B, L = tokens.shape
@@ -126,6 +144,9 @@ def forward(params: dict[str, Any], tokens: jax.Array, cfg: LMConfig) -> jax.Arr
         h = _ln(x, params[f"ln1_s{i}"], params[f"ln1_b{i}"])
         qkv = _dot(h, params[f"wqkv{i}"]).reshape(B, L, 3, nh, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B,L,nh,hd)
+        pos = jnp.arange(L, dtype=jnp.float32)[None, :, None]  # (1,L,1)
+        q = _rope(q, pos, hd)
+        k = _rope(k, pos, hd)
         att = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
         att = jnp.where(causal[None, None] & keymask, att, -1e9)
         att = jax.nn.softmax(att, axis=-1)
@@ -208,6 +229,27 @@ def _sender_names() -> tuple[str, ...]:
 _SENDERS = _sender_names()
 
 
+def _rand_name(h: int) -> str:
+    """Collision-rich synthetic handle from a hash — roster names must be
+    effectively unique across the corpus, otherwise the student memorizes
+    pool bigrams ('Zeddmi, aden, ...') instead of learning to COPY the
+    roster from its context (the round-3 diagnosis)."""
+    from game_engine_tpu.gamespec.mechanics import splitmix32
+
+    ln = 3 + h % 7
+    cs = []
+    for _ in range(ln):
+        h = splitmix32(h)
+        cs.append(chr(ord("a") + h % 26))
+    name = "".join(cs)
+    h = splitmix32(h)
+    if h % 3 == 0:
+        name = name.capitalize()
+    elif h % 4 == 0:
+        name += str(h % 10)
+    return name
+
+
 def build_corpus(games=("werewolf", "two-truths-and-a-lie"), seeds=range(150),
                  max_pairs: int = 30000) -> list[tuple[str, str]]:
     """(context, reply) pairs harvested by playing oracle rooms and asking
@@ -223,13 +265,16 @@ def build_corpus(games=("werewolf", "two-truths-and-a-lie"), seeds=range(150),
         game = compile_game(load_builtin(gname))
         for seed in seeds:
             room = OracleRoom(game, n_players=5 + seed % 4, seed=seed)
-            # diverse roster names: real rooms carry arbitrary registered
-            # handles; training on "Player N" alone taught the model to
-            # garble any other name a reply quotes
+            # unique-per-room roster names: real rooms carry arbitrary
+            # registered handles, and a finite pool lets the student
+            # memorize plausible rosters instead of copying from context
+            from game_engine_tpu.gamespec.mechanics import splitmix32 as _smx
+
+            ghash = sum(ord(c) for c in gname)
             for p in room.players:
                 if "name" in room.players[p]:
-                    room.players[p]["name"] = _SENDERS[
-                        (seed * 13 + p * 57) % len(_SENDERS)]
+                    room.players[p]["name"] = _rand_name(
+                        _smx((seed * 9176 + p * 331 + ghash) & 0xFFFFFFFF))
             chat = ChatRoom("corpus", seed=seed)
             contexts: list[str] = []
 
@@ -306,6 +351,9 @@ def _make_decoder(params, cfg: LMConfig):
                 h = _ln(x, params[f"ln1_s{i}"], params[f"ln1_b{i}"])
                 qkv = _dot(h[None], params[f"wqkv{i}"]).reshape(3, nh, hd)
                 q, k, v = qkv[0], qkv[1], qkv[2]
+                posf = pos.astype(jnp.float32)[None]  # (1,) broadcast to heads
+                q = _rope(q, posf, hd)
+                k = _rope(k, posf, hd)
                 kc = jax.lax.dynamic_update_index_in_dim(kc, k, pos, 0)
                 vc = jax.lax.dynamic_update_index_in_dim(vc, v, pos, 0)
                 att = jnp.einsum("hd,khd->hk", q, kc) / np.sqrt(hd)
