@@ -44,6 +44,12 @@ class PPOConfig:
     # chunk>1 trades peak memory for fewer, larger kernels — the attn
     # arch's loss pass is dispatch-bound at chunk=1, see docs/PERF.md)
     loss_chunk: int = 1
+    # remat policy for the chunked recompute: 'full' recomputes everything
+    # in the backward pass (minimum memory); 'dots' saves matmul outputs
+    # (jax.checkpoint_policies.checkpoint_dots) so the backward pass skips
+    # re-running the encoder contractions at the cost of holding one
+    # chunk's activations
+    remat: str = "full"
     net: N.NetConfig = dataclasses.field(default_factory=N.NetConfig)
 
 
@@ -164,7 +170,10 @@ def ppo_loss(params, traj: Rollout, adv, ret, cfg: PPOConfig,
         # (T, B, P, P, hp) phi activations would otherwise be held (or
         # rematerialized whole) for the backward pass — 8 GB at 16k rooms.
         # lax.map + checkpoint keeps the peak at one timestep's worth.
-        inner = jax.checkpoint(lambda o: N.apply_net(params, o, cfg.net, lowered))
+        pol = (jax.checkpoint_policies.checkpoint_dots
+               if cfg.remat == "dots" else None)
+        inner = jax.checkpoint(
+            lambda o: N.apply_net(params, o, cfg.net, lowered), policy=pol)
         T = traj.obs.shape[0]
         C = max(1, min(cfg.loss_chunk, T))
         while T % C:  # largest divisor of T not above the requested chunk

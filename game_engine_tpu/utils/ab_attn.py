@@ -23,6 +23,7 @@ import sys
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 
@@ -44,15 +45,24 @@ def main() -> None:
 
     lowered = lower(compile_game(load_builtin("werewolf")))
     state0 = init_state(lowered, batch, 8, np.arange(batch, dtype=np.uint32))
-    chunks = sorted({c for c in (1, 2, 4, 8, horizon) if c <= horizon})
+    if len(sys.argv) > 5:  # comma-separated chunk list override
+        chunks = [int(c) for c in sys.argv[5].split(",")]
+    else:
+        chunks = sorted({c for c in (1, 2, 4, 8, horizon) if c <= horizon})
+
+    def sync(out):
+        # HARD host sync: under the axon relay block_until_ready returns
+        # before the device work drains (bogus-fast timings, CLAUDE.md);
+        # fetching a scalar element forces real completion
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(jnp.asarray(leaf).ravel()[0])
 
     def med(fn, *args):
-        out = fn(*args)  # compile + warm
-        jax.block_until_ready(out)
+        sync(fn(*args))  # compile + warm
         times = []
         for _ in range(iters):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(*args))
+            sync(fn(*args))
             times.append(time.perf_counter() - t0)
         times.sort()
         return times[len(times) // 2]
@@ -69,16 +79,18 @@ def main() -> None:
         results[f"{arch}_rollout_env_steps_per_s"] = round(batch * horizon / t)
 
         for c in chunks:
-            cfg = PPOConfig(horizon=horizon, epochs=epochs, loss_chunk=c,
-                            net=N.NetConfig(hidden=256, arch=arch))
-            step = jax.jit(make_train_step(lowered, cfg, tx))
-            try:
-                t = med(step, params, opt_state, state0, key)
-            except Exception as e:  # XLA OOM at big chunks is a data point
-                results[f"{arch}_train_chunk{c}"] = f"failed: {type(e).__name__}"
-                continue
-            results[f"{arch}_train_chunk{c}_env_steps_per_s"] = round(
-                batch * horizon / t)
+            for remat in ("full", "dots"):
+                cfg = PPOConfig(horizon=horizon, epochs=epochs, loss_chunk=c,
+                                remat=remat,
+                                net=N.NetConfig(hidden=256, arch=arch))
+                step = jax.jit(make_train_step(lowered, cfg, tx))
+                tag = f"{arch}_train_chunk{c}" + ("_dots" if remat == "dots" else "")
+                try:
+                    t = med(step, params, opt_state, state0, key)
+                except Exception as e:  # XLA OOM at big chunks is a data point
+                    results[tag] = f"failed: {type(e).__name__}"
+                    continue
+                results[f"{tag}_env_steps_per_s"] = round(batch * horizon / t)
 
     print(json.dumps(results))
 
