@@ -271,10 +271,20 @@ def build_corpus(games=("werewolf", "two-truths-and-a-lie"), seeds=range(150),
             from game_engine_tpu.gamespec.mechanics import splitmix32 as _smx
 
             ghash = sum(ord(c) for c in gname)
+            # a third of rooms keep the SERVER'S default handle styles
+            # ("player2" / "Bot 3") — near-duplicate numbered names are the
+            # most common serving case and the copy circuit must not
+            # confuse them (live-HTTP garble: "player2, player2, player2")
+            style = _smx((seed * 771 + ghash) & 0xFFFFFFFF) % 6
             for p in room.players:
                 if "name" in room.players[p]:
-                    room.players[p]["name"] = _rand_name(
-                        _smx((seed * 9176 + p * 331 + ghash) & 0xFFFFFFFF))
+                    if style == 0 and p != 1:  # human creator + default bots
+                        room.players[p]["name"] = f"player{p}"
+                    elif style == 1 and p != 1:
+                        room.players[p]["name"] = f"Bot {p}"
+                    else:
+                        room.players[p]["name"] = _rand_name(
+                            _smx((seed * 9176 + p * 331 + ghash) & 0xFFFFFFFF))
             chat = ChatRoom("corpus", seed=seed)
             contexts: list[str] = []
 

@@ -133,3 +133,47 @@ def test_shipped_checkpoint_if_present():
            "|Q=what's the status?")
     out = hook(ctx)
     assert out and out == hook(ctx)  # non-empty and deterministic
+
+def test_shipped_checkpoint_copies_default_numbered_handles():
+    """The live-HTTP garble regression: rooms created without custom names
+    get the server's default near-duplicate handles ("player2" / "Bot 3"),
+    and the round-2 model collapsed roster listings into repeats
+    ("player2, player2, player2"). A third of the training corpus now uses
+    those default styles; roster-listing replies must copy the numbered
+    names verbatim."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "docs", "checkpoints", "chat_lm.npz")
+    if not os.path.exists(path):
+        pytest.skip("no shipped chat LM checkpoint")
+    params, cfg = C.load(path)
+    # held-out rooms (train corpus uses seeds 0..259)
+    pairs = C.build_corpus(games=("werewolf",), seeds=range(300, 312),
+                           max_pairs=3000)
+    cases = []
+    for ctx, ref in pairs:
+        m = re.search(r"\|Ns=([^|]*)", ctx)
+        if not m or ("player" not in m.group(1) and "Bot " not in m.group(1)):
+            continue
+        if "standing" not in ref:
+            continue
+        cases.append((ctx, ref, m.group(1)))
+        if len(cases) >= 6:
+            break
+    assert cases, "no default-handle roster-listing pairs found"
+    oblig = met = 0
+    for ctx, ref, ns in cases:
+        out = C.greedy_reply(params, cfg, ctx)
+        roster = [e.split(":", 1)[1] for e in ns.split(",") if ":" in e]
+        for nm in roster:
+            if re.search(rf"(?<!\w){re.escape(nm)}(?!\w)", ref):
+                oblig += 1
+                met += int(bool(re.search(rf"(?<!\w){re.escape(nm)}(?!\w)", out)))
+        # the garble mode: the same numbered handle repeated more often
+        # than the reference mentions it
+        for nm in set(roster):
+            assert out.count(nm) <= ref.count(nm) + 1, (ctx, out, ref)
+    assert oblig >= 10
+    assert met / oblig >= 0.8, f"name copy {met}/{oblig} on numbered handles"
