@@ -56,7 +56,13 @@ def _eval_node(kind: int, p0: int, p1: int, p2: int, vals: list, ops):
         return ops.present_i()
     if kind == FX.NK_PRED:
         return ops.pred(p0)
+    # scalar ops delegate to the adapter when it defines them (step.py's
+    # bool-native versions dodge the int32 select chains that defeat XLA's
+    # predicate fusion); the defaults below keep the Mosaic-safe int32
+    # discipline the Pallas adapter relies on
     if kind == FX.NK_BIN:
+        if hasattr(ops, "bin"):
+            return ops.bin(p0, vals[p1], vals[p2])
         a, b = vals[p1], vals[p2]
         if p0 == FX.BIN_ADD:
             return a + b
@@ -68,16 +74,26 @@ def _eval_node(kind: int, p0: int, p1: int, p2: int, vals: list, ops):
             return jnp.minimum(a, b)
         return jnp.maximum(a, b)
     if kind == FX.NK_CMP:
+        if hasattr(ops, "cmp"):
+            return ops.cmp(p0, vals[p1], vals[p2])
         a, b = vals[p1], vals[p2]
         cond = [a == b, a != b, a >= b, a <= b, a > b, a < b][p0]
         return jnp.where(cond, jnp.int32(1), jnp.int32(0))
     if kind == FX.NK_NOT:
+        if hasattr(ops, "not_"):
+            return ops.not_(vals[p0])
         return jnp.int32(1) - _nz(vals[p0])
     if kind == FX.NK_AND:
+        if hasattr(ops, "and_"):
+            return ops.and_(vals[p0], vals[p1])
         return _nz(vals[p0]) * _nz(vals[p1])
     if kind == FX.NK_OR:
+        if hasattr(ops, "or_"):
+            return ops.or_(vals[p0], vals[p1])
         return _nz(_nz(vals[p0]) + _nz(vals[p1]))
     if kind == FX.NK_WHERE:
+        if hasattr(ops, "where_"):
+            return ops.where_(vals[p0], vals[p1], vals[p2])
         return jnp.where(vals[p0] != 0, vals[p1], vals[p2])
     if kind == FX.NK_AT:
         return ops.at(vals[p0], vals[p1])
@@ -108,8 +124,14 @@ def run_effect(mech, ops, active) -> None:
             w = ops.stmt_mask(vals[wnode], active)
             if skind == FX.ST_KILL:
                 ops.kill(w, mech.reveal_bool_slots)
+            elif skind == FX.ST_RESET:
+                # dict banks: clear to empty (bool/num/str resets lower to
+                # ST_SET const-default rows instead)
+                ops.reset_dict(bank, slot, w)
             elif skind == FX.ST_SET and bank == FX.FXB_BOOL:
                 ops.write_bool(slot, vals[vnode], w)
+            elif skind == FX.ST_SET and bank == FX.FXB_STR:
+                ops.write_str(slot, vals[vnode], w)
             elif skind == FX.ST_SET:
                 ops.write_num(slot, vals[vnode], w, add=False)
             else:

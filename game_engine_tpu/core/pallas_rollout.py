@@ -130,16 +130,6 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
         idx = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 0)
         return jnp.min(jnp.where(mask, idx, P), axis=0, keepdims=True)
 
-    def plurality(choice, mask):
-        """P6 over (P,R): (target (1,R) i32 1-based, any (1,R) i1)."""
-        counts = []
-        for t in range(P):
-            counts.append(count_mask(mask & (choice == t + 1)))
-        counts = jnp.concatenate(counts, axis=0)  # (P, R) i32
-        best = jnp.max(counts, axis=0, keepdims=True)
-        tgt = first_true_row(counts == best) + 1
-        return jnp.where(best > 0, tgt, 0), best > 0
-
     def gather_by_choice_i(vals_i, choice):
         """vals (P,R) i32, choice (P,R) 1-based -> per-chooser vals[choice-1]."""
         out = jnp.zeros((P, R), jnp.int32)
@@ -319,6 +309,18 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
             new = cur + self._bpr(val) if add else self._bpr(val)
             self.st["nlist"][slot] = jnp.where(w, new, cur)
 
+        def write_str(self, slot, val, w):
+            cur = self.st["slist"][slot]
+            self.st["slist"][slot] = jnp.where(w, self._bpr(val), cur)
+
+        def reset_dict(self, bank, slot, w):
+            if bank == FXE.FXB_ODICT:
+                self.st["od"][slot] = jnp.where(w, 0, self.st["od"][slot])
+            else:
+                for q in range(P):
+                    self.st["pd"][slot][q] = jnp.where(
+                        w, 0, self.st["pd"][slot][q])
+
         def kill(self, w, reveal_slots):
             if lw.alive_bool >= 0:
                 self.st["blist"][lw.alive_bool] = jnp.where(
@@ -378,138 +380,9 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
                             nlist[slot] = jnp.where(rmask, int(val), nlist[slot])
                         else:
                             slist[slot] = jnp.where(rmask, int(val), slist[slot])
-            elif isinstance(m, T.LNightResolve):
-                kmask = (phase_in(m.kill_phase_mask, st["chphase"])
-                         & pred_eval(m.kill_pred, blist, nlist, slist) & present)
-                pmask = (phase_in(m.protect_phase_mask, st["chphase"])
-                         & pred_eval(m.protect_pred, blist, nlist, slist) & present)
-                kill, any_k = plurality(st["choice"], kmask)
-                prot, _ = plurality(st["choice"], pmask)
-                do_kill = active & any_k & (kill != prot)
-                # target-alive gate folded into the victim row (step.py twin)
-                death = do_kill & (prow() == kill - 1) & alive_mask()
-                if lw.alive_bool >= 0:
-                    blist[lw.alive_bool] = jnp.where(death, 0, blist[lw.alive_bool])
-                for slot in m.reveal_bool_slots:  # P15 (even without is_alive)
-                    blist[slot] = jnp.where(death, 1, blist[slot])
-                for slot, d in zip(m.reset_bool_slots, m.reset_bool_defaults):
-                    blist[slot] = jnp.where(active, int(bool(d)), blist[slot])
-                for slot, d in zip(m.reset_num_slots, m.reset_num_defaults):
-                    nlist[slot] = jnp.where(active, int(d), nlist[slot])
-            elif isinstance(m, T.LVoteElim):
-                vmask = (phase_in(m.vote_phase_mask, st["chphase"])
-                         & pred_eval(m.voter_pred, blist, nlist, slist) & present)
-                tgt, any_v = plurality(st["choice"], vmask)
-                do = active & any_v
-                # target-alive gate folded into the victim row (step.py twin)
-                death = do & (prow() == tgt - 1) & alive_mask()
-                if lw.alive_bool >= 0:
-                    blist[lw.alive_bool] = jnp.where(death, 0, blist[lw.alive_bool])
-                for slot in m.reveal_bool_slots:  # P15 (even without is_alive)
-                    blist[slot] = jnp.where(death, 1, blist[slot])
             elif isinstance(m, T.LEffect):  # P20 generic effect interpreter
                 run_effect(m, _FxOps(st), active)
                 blist, nlist, slist = st["blist"], st["nlist"], st["slist"]
-            elif isinstance(m, T.LMinorityScore):  # P16
-                alv = alive_mask()
-                picker = (pred_eval(m.picker_pred, blist, nlist, slist)
-                          & present & alv)
-                pick = jnp.where(picker, nlist[m.pick_num], 0)  # (P, R) i32
-                counts = jnp.concatenate(
-                    [count_mask(pick == c + 1) for c in range(m.n_options)],
-                    axis=0,
-                )  # (C, R) i32
-                nonempty = counts > 0
-                n_distinct = jnp.sum(_b2i(nonempty), axis=0, keepdims=True)
-                valid = n_distinct >= 2
-                big = jnp.int32(2**31 - 1)
-                win_count = jnp.min(jnp.where(nonempty, counts, big),
-                                    axis=0, keepdims=True)
-                cidx = jax.lax.broadcasted_iota(jnp.int32, counts.shape, 0)
-                win_opt = jnp.min(
-                    jnp.where(nonempty & (counts == win_count), cidx,
-                              m.n_options),
-                    axis=0, keepdims=True,
-                ) + 1
-                gain = _b2i(active & valid & (pick == win_opt))
-                nlist[m.score_num] = nlist[m.score_num] + gain
-                nlist[m.pick_num] = jnp.where(active, int(m.pick_default),
-                                              nlist[m.pick_num])
-            elif isinstance(m, T.LBluffChallenge):  # P14
-                alv = alive_mask()
-                cm = (pred_eval(m.claimant_pred, blist, nlist, slist)
-                      & present & alv)
-                claim = jnp.where(cm, nlist[m.claim_num], 0)
-                hm = (phase_in(m.challenge_phase_mask, st["chphase"])
-                      & pred_eval(m.challenger_pred, blist, nlist, slist)
-                      & present & alv)
-                tgt = jnp.where(hm & (st["choice"] != prow() + 1),
-                                st["choice"], 0)
-                chal_rows, first_rows = [], []
-                for t in range(P):
-                    hit = tgt == t + 1  # (P, R) over challengers
-                    chal_rows.append(_b2i(jnp.any(hit, axis=0, keepdims=True)))
-                    first_rows.append(first_true_row(hit))
-                challenged = jnp.concatenate(chal_rows, axis=0) != 0
-                first_chal = jnp.concatenate(first_rows, axis=0)  # (P,R) i32
-                claim_code = jnp.full((P, R), -1, jnp.int32)
-                for k, code in enumerate(m.role_codes):
-                    claim_code = jnp.where(claim == k + 1, int(code), claim_code)
-                truth = slist[m.role_str_slot] == claim_code
-                contested = challenged & (claim > 0)
-                honest_i = _b2i(contested & truth)
-                loss = _b2i(contested & ~truth)
-                chal_loss_rows = []
-                for q in range(P):
-                    s = jnp.zeros((1, R), jnp.int32)
-                    for t in range(P):
-                        s = s + _b2i((honest_i[t:t + 1] != 0)
-                                     & (first_chal[t:t + 1] == q))
-                    chal_loss_rows.append(s)
-                loss = loss + jnp.concatenate(chal_loss_rows, axis=0)
-                lives = nlist[m.lives_num]
-                new_lives = jnp.maximum(lives - loss, 0)
-                nlist[m.lives_num] = jnp.where(active, new_lives, lives)
-                death = active & (loss > 0) & (new_lives == 0) & alv
-                if lw.alive_bool >= 0:
-                    blist[lw.alive_bool] = jnp.where(death, 0, blist[lw.alive_bool])
-                for slot in m.reveal_bool_slots:  # P15
-                    blist[slot] = jnp.where(death, 1, blist[slot])
-            elif isinstance(m, T.LGuessScore):
-                sp_mask = (blist[m.speaker_bool] != 0) & present
-                has_sp = jnp.any(sp_mask, axis=0, keepdims=True)
-                sp = first_true_row(sp_mask)  # (1, R)
-                lie = take_row_i(nlist[m.lie_num], sp)
-                voted = (blist[m.voted_bool] != 0) if m.voted_bool >= 0 else jnp.ones((P, R), bool)
-                is_voter = present & voted & (prow() != sp)
-                correct = is_voter & (nlist[m.vote_num] == lie)
-                fooled = count_mask(is_voter & ~correct)
-                act = active & has_sp
-                nlist[m.score_num] = nlist[m.score_num] + _b2i(act & correct)
-                sp_oh = prow() == sp
-                nlist[m.score_num] = nlist[m.score_num] + jnp.where(act & sp_oh, fooled, 0)
-                if m.rounds_num >= 0:
-                    nlist[m.rounds_num] = nlist[m.rounds_num] + _b2i(act & sp_oh)
-            elif isinstance(m, T.LSpeakerRotate):
-                key = jnp.where(present, nlist[m.rounds_num], jnp.int32(2**31 - 1))
-                best = jnp.min(key, axis=0, keepdims=True)
-                sp = first_true_row(key == best)
-                is_sp = prow() == sp
-                blist[m.speaker_bool] = jnp.where(active, _b2i(is_sp), blist[m.speaker_bool])
-                if m.can_vote_bool >= 0:
-                    blist[m.can_vote_bool] = jnp.where(active, _b2i(~is_sp), blist[m.can_vote_bool])
-                for slot, d in zip(m.reset_bool_slots, m.reset_bool_defaults):
-                    blist[slot] = jnp.where(active, int(bool(d)), blist[slot])
-                for slot, d in zip(m.reset_num_slots, m.reset_num_defaults):
-                    nlist[slot] = jnp.where(active, int(d), nlist[slot])
-                for slot in m.reset_odict_slots:
-                    st["od"][slot] = jnp.where(active, 0, st["od"][slot])
-                for slot in m.reset_pdict_slots:
-                    for q in range(P):
-                        st["pd"][slot][q] = jnp.where(active, 0, st["pd"][slot][q])
-            elif isinstance(m, T.LSetBoolAll):
-                for slot in m.slots:
-                    blist[slot] = jnp.where(active & present, 1, blist[slot])
             elif isinstance(m, T.LGameOver):
                 if m.mode == "team" and m.team_str_slot >= 0 and m.team_codes:
                     alv = alive_mask()

@@ -188,19 +188,6 @@ def _table_select(table: np.ndarray, idx: jax.Array) -> jax.Array:
     return out
 
 
-def _plurality(choice: jax.Array, mask: jax.Array, P: int):
-    """P6: plurality over 1-based targets with lowest-id tie-break.
-
-    Returns (target_id (B,), any_votes (B,)). jnp.argmax picks the first
-    (= lowest-id) maximum, matching the oracle's counts.index(max).
-    """
-    oh = _player_onehot(choice - 1, P).astype(jnp.int32)
-    counts = jnp.sum(oh * mask[..., None].astype(jnp.int32), axis=1)  # (B, P)
-    best = jnp.max(counts, axis=1)
-    tgt = jnp.argmax(counts, axis=1).astype(jnp.int32) + 1
-    return jnp.where(best > 0, tgt, 0), best > 0
-
-
 def _phase_mask_lookup(mask_np: np.ndarray, idx: jax.Array) -> jax.Array:
     """Membership of a (dense index, -1 allowed) array in a static phase set.
 
@@ -253,16 +240,6 @@ def _mech_role_assign(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LRo
     return st._replace(bools=bools, nums=nums, strs=strs)
 
 
-def _reset_fields(st: GameState, active, bool_slots, bool_defs, num_slots, num_defs) -> GameState:
-    bools, nums = st.bools, st.nums
-    a = active[:, None]
-    for slot, d in zip(bool_slots, bool_defs):
-        bools = bools.at[..., slot].set(jnp.where(a, bool(d), bools[..., slot]))
-    for slot, d in zip(num_slots, num_defs):
-        nums = nums.at[..., slot].set(jnp.where(a, jnp.int32(d), nums[..., slot]))
-    return st._replace(bools=bools, nums=nums)
-
-
 def _apply_death(lw: Lowered, bools: jax.Array, death: jax.Array,
                  reveal_slots) -> jax.Array:
     """death: (B, P) mask — clear is_alive and set P15 reveal flags."""
@@ -273,39 +250,16 @@ def _apply_death(lw: Lowered, bools: jax.Array, death: jax.Array,
     return bools
 
 
-def _mech_night_resolve(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LNightResolve) -> GameState:
-    P = st.present.shape[1]
-    kmask = _phase_mask_lookup(m.kill_phase_mask, st.choice_phase) & pe.pred(m.kill_pred) & st.present
-    pmask = (
-        _phase_mask_lookup(m.protect_phase_mask, st.choice_phase) & pe.pred(m.protect_pred) & st.present
-    )
-    kill, any_k = _plurality(st.choice, kmask, P)
-    protect, _ = _plurality(st.choice, pmask, P)
-    do_kill = active & any_k & (kill != protect)
-    # the target-must-be-alive gate is the victim's OWN row's aliveness —
-    # folding it into the row mask avoids a per-room player gather, and
-    # death effects (P15 reveals) apply even without an is_alive field
-    # (the oracle and C++ sim do; skipping that broke 4-way parity)
-    death = _player_onehot(kill - 1, P) & do_kill[:, None] & _alive(lw, st)
-    st = st._replace(bools=_apply_death(lw, st.bools, death, m.reveal_bool_slots))
-    return _reset_fields(
-        st, active, m.reset_bool_slots, m.reset_bool_defaults, m.reset_num_slots, m.reset_num_defaults
-    )
-
-
-def _mech_vote_elim(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LVoteElim) -> GameState:
-    P = st.present.shape[1]
-    vmask = _phase_mask_lookup(m.vote_phase_mask, st.choice_phase) & pe.pred(m.voter_pred) & st.present
-    tgt, any_v = _plurality(st.choice, vmask, P)
-    do = active & any_v
-    # target-must-be-alive gate folded into the victim row (see night resolve)
-    death = _player_onehot(tgt - 1, P) & do[:, None] & _alive(lw, st)
-    return st._replace(bools=_apply_death(lw, st.bools, death, m.reveal_bool_slots))
-
-
 class _EffectOps:
     """Ops adapter binding the generic effect interpreter (P20,
-    core/effects_exec.py) to the (rooms, players) batch layout."""
+    core/effects_exec.py) to the (rooms, players) batch layout.
+
+    Dtype discipline: truthy intermediates stay jnp.bool_ (comparisons,
+    logic, masks) and numerics int32, converting only at arithmetic /
+    write boundaries — XLA fuses the bool predicate chains for free,
+    where the shared evaluator's int32-select defaults cost one VPU
+    select per node (measured +17us/step on the werewolf night/vote
+    programs, utils/ab_ireffects.py)."""
 
     def __init__(self, lw: Lowered, st: GameState):
         self.lw = lw
@@ -320,12 +274,29 @@ class _EffectOps:
         self.sb, self.sn, self.ss = st.bools, st.nums, st.strs
         self.pe = PredEval(self.lw, st)
 
+    # -- dtype helpers ------------------------------------------------------
+
+    @staticmethod
+    def _b(x):
+        """truthy -> bool array (no-op when already bool)."""
+        x = jnp.asarray(x)
+        return x if x.dtype == jnp.bool_ else x != 0
+
+    @staticmethod
+    def _i(x):
+        """-> int32 array (bools become 0/1)."""
+        x = jnp.asarray(x)
+        return x.astype(jnp.int32) if x.dtype == jnp.bool_ else x
+
     def _bp(self, x):
-        return jnp.broadcast_to(jnp.asarray(x, jnp.int32), (self.B, self.P))
+        """broadcast to (B, P), preserving bool/int32 dtype."""
+        return jnp.broadcast_to(jnp.asarray(x), (self.B, self.P))
+
+    # -- leaf reads ---------------------------------------------------------
 
     def field(self, bank, slot):
         if bank == FX.FXB_BOOL:
-            return self.sb[..., slot].astype(jnp.int32)
+            return self.sb[..., slot]  # bool
         if bank == FX.FXB_NUM:
             return self.sn[..., slot]
         return self.ss[..., slot].astype(jnp.int32)
@@ -345,52 +316,95 @@ class _EffectOps:
         for i in range(64):
             if (bits >> i) & 1:
                 out = out | (self.st.choice_phase == i - 1)
-        return out.astype(jnp.int32)
+        return out
 
     def alive(self):
         if self.lw.alive_bool >= 0:
-            return (self.sb[..., self.lw.alive_bool]
-                    & self.st.present).astype(jnp.int32)
-        return self.present_i()
+            return self.sb[..., self.lw.alive_bool] & self.st.present
+        return self.st.present
 
     def present_i(self):
-        return self.st.present.astype(jnp.int32)
+        return self.st.present
 
     def pred(self, idx):
-        return self.pe.pred(idx).astype(jnp.int32)
+        return self.pe.pred(idx)
+
+    # -- scalar ops (bool-native overrides of the evaluator defaults) -------
+
+    def bin(self, op, a, b):
+        a, b = self._i(a), self._i(b)
+        if op == FX.BIN_ADD:
+            return a + b
+        if op == FX.BIN_SUB:
+            return a - b
+        if op == FX.BIN_MUL:
+            return a * b
+        if op == FX.BIN_MIN:
+            return jnp.minimum(a, b)
+        return jnp.maximum(a, b)
+
+    def cmp(self, op, a, b):
+        a, b = self._i(a), self._i(b)
+        return [a == b, a != b, a >= b, a <= b, a > b, a < b][op]
+
+    def not_(self, a):
+        return ~self._b(a)
+
+    def and_(self, a, b):
+        return self._b(a) & self._b(b)
+
+    def or_(self, a, b):
+        return self._b(a) | self._b(b)
+
+    def where_(self, c, a, b):
+        a, b = jnp.asarray(a), jnp.asarray(b)
+        if a.dtype != b.dtype:
+            a, b = self._i(a), self._i(b)
+        return jnp.where(self._b(c), a, b)
+
+    # -- cross-player aggregations -----------------------------------------
 
     def at(self, val, idx):
-        idx = self._bp(idx)
+        idx = self._bp(self._i(idx))
         ok = _gather_by_choice(self.st.present, idx)  # absent/invalid -> False
-        return jnp.where(ok, _gather_by_choice(self._bp(val), idx), 0)
+        val = jnp.asarray(val)
+        got = _gather_by_choice(self._bp(val), idx)
+        if val.dtype == jnp.bool_:
+            return got & ok
+        return jnp.where(ok, got, 0)
 
     def incoming(self, val, key, mask):
-        m = (self._bp(mask) != 0) & self.st.present  # (B, q)
-        oh = self._bp(key)[:, :, None] == jnp.arange(
+        m = self._b(self._bp(mask)) & self.st.present  # (B, q)
+        oh = self._bp(self._i(key))[:, :, None] == jnp.arange(
             1, self.P + 1, dtype=jnp.int32)[None, None, :]  # (B, q, p)
-        contrib = jnp.where(oh & m[:, :, None], self._bp(val)[:, :, None], 0)
+        val = jnp.asarray(val)
+        if val.ndim == 0:  # constant weight: one bool contraction + scale
+            n = jnp.sum((oh & m[:, :, None]).astype(jnp.int32), axis=1)
+            return n * self._i(val)
+        contrib = jnp.where(oh & m[:, :, None],
+                            self._bp(self._i(val))[:, :, None], 0)
         return jnp.sum(contrib, axis=1)
 
     def eqcount(self, key, mask):
-        key = self._bp(key)
-        m = (self._bp(mask) != 0) & self.st.present  # (B, q)
+        key = self._bp(self._i(key))
+        m = self._b(self._bp(mask)) & self.st.present  # (B, q)
         eq = key[:, :, None] == key[:, None, :]  # (B, p, q)
         return jnp.sum((eq & m[:, None, :]).astype(jnp.int32), axis=2)
 
     def rank(self, key, mask):
-        key = self._bp(key)
-        m = (self._bp(mask) != 0) & self.st.present
+        key = self._bp(self._i(key))
+        m = self._b(self._bp(mask)) & self.st.present
         eq = key[:, :, None] == key[:, None, :]  # (B, p, q)
         earlier = jnp.arange(self.P)[None, None, :] < jnp.arange(self.P)[None, :, None]
         return jnp.sum((eq & earlier & m[:, None, :]).astype(jnp.int32), axis=2)
 
     def reduce(self, kind, val, mask):
-        m = (self._bp(mask) != 0) & self.st.present
-        val = self._bp(val)
-        if kind == FX.RED_SUM:
-            return jnp.sum(jnp.where(m, val, 0), axis=1, keepdims=True)
+        m = self._b(self._bp(mask)) & self.st.present
         if kind == FX.RED_COUNT:
             return jnp.sum(m.astype(jnp.int32), axis=1, keepdims=True)
+        val = self._bp(self._i(val))
+        if kind == FX.RED_SUM:
+            return jnp.sum(jnp.where(m, val, 0), axis=1, keepdims=True)
         any_m = jnp.any(m, axis=1, keepdims=True)
         if kind == FX.RED_MAX:
             best = jnp.max(jnp.where(m, val, jnp.int32(-(2**31) + 1)),
@@ -401,32 +415,60 @@ class _EffectOps:
         return jnp.where(any_m, best, 0)
 
     def argbest(self, kind, key, mask):
-        m = (self._bp(mask) != 0) & self.st.present
-        key = self._bp(key)
-        any_m = jnp.any(m, axis=1, keepdims=True)
+        # two reduces, not three: argmax/argmin pick the FIRST extremum
+        # (= lowest seat id, the P6 tie convention) and the sentinel max
+        # doubles as the empty-mask test — the same shape the retired
+        # bespoke _plurality kernels lowered to (op-count parity matters:
+        # the step program is dispatch-bound, docs/PERF.md)
+        m = self._b(self._bp(mask)) & self.st.present
+        key = self._bp(self._i(key))
         if kind == FX.ARG_MAX:
-            best = jnp.max(jnp.where(m, key, jnp.int32(-(2**31) + 1)),
-                           axis=1, keepdims=True)
-        else:
-            best = jnp.min(jnp.where(m, key, jnp.int32(2**31 - 1)),
-                           axis=1, keepdims=True)
-        win = m & (key == best)
-        w = jnp.min(jnp.where(win, self._seat, self.P + 1), axis=1, keepdims=True)
-        return jnp.where(any_m, w, 0)
+            sent = jnp.int32(-(2**31) + 1)
+            masked = jnp.where(m, key, sent)
+            best = jnp.max(masked, axis=1, keepdims=True)
+            w = jnp.argmax(masked, axis=1).astype(jnp.int32)[:, None] + 1
+            return jnp.where(best > sent, w, 0)
+        sent = jnp.int32(2**31 - 1)
+        masked = jnp.where(m, key, sent)
+        best = jnp.min(masked, axis=1, keepdims=True)
+        w = jnp.argmin(masked, axis=1).astype(jnp.int32)[:, None] + 1
+        return jnp.where(best < sent, w, 0)
+
+    # -- statement writes ---------------------------------------------------
 
     def stmt_mask(self, wval, active):
-        return (self._bp(wval) != 0) & self.st.present & active[:, None]
+        return self._b(self._bp(wval)) & self.st.present & active[:, None]
 
     def write_bool(self, slot, val, w):
         cur = self.st.bools[..., slot]
         self.st = self.st._replace(
-            bools=self.st.bools.at[..., slot].set(jnp.where(w, val != 0, cur)))
+            bools=self.st.bools.at[..., slot].set(
+                jnp.where(w, self._bp(self._b(val)), cur)))
 
     def write_num(self, slot, val, w, add):
         cur = self.st.nums[..., slot]
-        new = cur + self._bp(val) if add else self._bp(val)
+        val = self._bp(self._i(val))
+        new = cur + val if add else val
         self.st = self.st._replace(
             nums=self.st.nums.at[..., slot].set(jnp.where(w, new, cur)))
+
+    def write_str(self, slot, val, w):
+        cur = self.st.strs[..., slot]
+        self.st = self.st._replace(
+            strs=self.st.strs.at[..., slot].set(
+                jnp.where(w, self._bp(self._i(val)).astype(cur.dtype), cur)))
+
+    def reset_dict(self, bank, slot, w):
+        if bank == FX.FXB_ODICT:
+            cur = self.st.odict[..., slot]
+            self.st = self.st._replace(
+                odict=self.st.odict.at[..., slot].set(
+                    jnp.where(w, 0, cur).astype(cur.dtype)))
+        else:
+            cur = self.st.pdict[:, :, slot, :]
+            self.st = self.st._replace(
+                pdict=self.st.pdict.at[:, :, slot, :].set(
+                    jnp.where(w[..., None], 0, cur).astype(cur.dtype)))
 
     def kill(self, w, reveal_slots):
         self.st = self.st._replace(
@@ -441,136 +483,6 @@ def _mech_effects(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LEffect
     ops = _EffectOps(lw, st)
     run_effect(m, ops, active)
     return ops.st
-
-
-def _mech_minority_score(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LMinorityScore) -> GameState:
-    """P16: smallest non-empty pick group scores (see SEMANTICS.md)."""
-    B, P = st.present.shape
-    alive = _alive(lw, st)
-    picker = pe.pred(m.picker_pred) & st.present & alive
-    pick = jnp.where(picker, st.nums[..., m.pick_num], 0)  # (B, P) 1-based
-    counts = jnp.stack(
-        [jnp.sum((pick == c + 1).astype(jnp.int32), axis=1)
-         for c in range(m.n_options)],
-        axis=1,
-    )  # (B, C)
-    nonempty = counts > 0
-    n_distinct = jnp.sum(nonempty.astype(jnp.int32), axis=1)
-    valid = n_distinct >= 2  # a lone group has no minority
-    big = jnp.int32(2**31 - 1)
-    win_count = jnp.min(jnp.where(nonempty, counts, big), axis=1)
-    # lowest option index among the least-picked
-    cidx = jnp.arange(m.n_options, dtype=jnp.int32)[None, :]
-    win_opt = jnp.min(
-        jnp.where(nonempty & (counts == win_count[:, None]), cidx, m.n_options),
-        axis=1,
-    ) + 1  # 1-based
-    gain = (active & valid)[:, None] & (pick == win_opt[:, None])
-    nums = st.nums
-    nums = nums.at[..., m.score_num].set(
-        nums[..., m.score_num] + gain.astype(jnp.int32)
-    )
-    # picks reset so stale values can't score next round
-    nums = nums.at[..., m.pick_num].set(
-        jnp.where(active[:, None], jnp.int32(m.pick_default), nums[..., m.pick_num])
-    )
-    return st._replace(nums=nums)
-
-
-def _mech_bluff_challenge(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LBluffChallenge) -> GameState:
-    """P14: Coup-style claim/challenge resolution (see SEMANTICS.md)."""
-    B, P = st.present.shape
-    pid1 = jnp.arange(1, P + 1, dtype=jnp.int32)[None, :]
-    alive = _alive(lw, st)
-    claim_mask = pe.pred(m.claimant_pred) & st.present & alive
-    claim = jnp.where(claim_mask, st.nums[..., m.claim_num], 0)  # 1-based role idx
-    chal_mask = (
-        _phase_mask_lookup(m.challenge_phase_mask, st.choice_phase)
-        & pe.pred(m.challenger_pred) & st.present & alive
-    )
-    tgt = jnp.where(chal_mask & (st.choice != pid1), st.choice, 0)
-    oh = _player_onehot(tgt - 1, P)  # (B, challenger, target)
-    challenged = jnp.any(oh, axis=1)  # (B, P) per target
-    # lowest-id challenger per target (P if none)
-    qidx = jnp.arange(P, dtype=jnp.int32)[None, :, None]
-    first_chal = jnp.min(jnp.where(oh, qidx, P), axis=1)  # (B, P)
-    # claimed role code: claims outside the catalogue are lies
-    claim_code = jnp.full((B, P), -1, jnp.int32)
-    for k, code in enumerate(m.role_codes):
-        claim_code = jnp.where(claim == k + 1, jnp.int32(code), claim_code)
-    truth = st.strs[..., m.role_str_slot] == claim_code
-    contested = challenged & (claim > 0)
-    lying = contested & ~truth
-    honest = contested & truth
-    loss = lying.astype(jnp.int32)
-    # each honest contested claim costs its lowest-id challenger one life
-    chal_hit = honest[:, None, :] & (
-        first_chal[:, None, :] == jnp.arange(P)[None, :, None]
-    )  # (B, q, target)
-    loss = loss + jnp.sum(chal_hit.astype(jnp.int32), axis=2)
-    lives = st.nums[..., m.lives_num]
-    new_lives = jnp.maximum(lives - loss, 0)
-    act = active[:, None]
-    nums = st.nums.at[..., m.lives_num].set(jnp.where(act, new_lives, lives))
-    death = act & (loss > 0) & (new_lives == 0) & alive
-    bools = _apply_death(lw, st.bools, death, m.reveal_bool_slots)
-    return st._replace(nums=nums, bools=bools)
-
-
-def _mech_guess_score(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LGuessScore) -> GameState:
-    B, P = st.present.shape
-    sp_mask = st.bools[..., m.speaker_bool] & st.present
-    has_sp = jnp.any(sp_mask, axis=1)
-    sp = jnp.argmax(sp_mask, axis=1).astype(jnp.int32)  # first speaker (lowest id)
-    lie = _take_player(st.nums[..., m.lie_num], sp)  # (B,)
-    pidx = jnp.arange(P, dtype=jnp.int32)[None, :]
-    voted = st.bools[..., m.voted_bool] if m.voted_bool >= 0 else jnp.ones((B, P), bool)
-    is_voter = st.present & voted & (pidx != sp[:, None])
-    correct = is_voter & (st.nums[..., m.vote_num] == lie[:, None])
-    fooled = jnp.sum(is_voter & ~correct, axis=1, dtype=jnp.int32)
-    act = active & has_sp
-    nums = st.nums
-    score = nums[..., m.score_num]
-    score = score + jnp.where(act[:, None] & correct, 1, 0)
-    sp_oh = jax.nn.one_hot(sp, P, dtype=jnp.int32)
-    score = score + jnp.where(act[:, None], sp_oh * fooled[:, None], 0)
-    nums = nums.at[..., m.score_num].set(score)
-    if m.rounds_num >= 0:
-        rounds = nums[..., m.rounds_num] + jnp.where(act[:, None], sp_oh, 0)
-        nums = nums.at[..., m.rounds_num].set(rounds)
-    return st._replace(nums=nums)
-
-
-def _mech_speaker_rotate(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LSpeakerRotate) -> GameState:
-    B, P = st.present.shape
-    rounds = st.nums[..., m.rounds_num]
-    key = jnp.where(st.present, rounds, jnp.int32(2**31 - 1))
-    sp = jnp.argmin(key, axis=1).astype(jnp.int32)  # first min = lowest id
-    pidx = jnp.arange(P, dtype=jnp.int32)[None, :]
-    is_sp = pidx == sp[:, None]
-    a = active[:, None]
-    bools = st.bools
-    bools = bools.at[..., m.speaker_bool].set(jnp.where(a, is_sp, bools[..., m.speaker_bool]))
-    if m.can_vote_bool >= 0:
-        bools = bools.at[..., m.can_vote_bool].set(jnp.where(a, ~is_sp, bools[..., m.can_vote_bool]))
-    st = st._replace(bools=bools)
-    st = _reset_fields(
-        st, active, m.reset_bool_slots, m.reset_bool_defaults, m.reset_num_slots, m.reset_num_defaults
-    )
-    odict, pdict = st.odict, st.pdict
-    for slot in m.reset_odict_slots:
-        odict = odict.at[..., slot].set(jnp.where(a, 0, odict[..., slot]))
-    for slot in m.reset_pdict_slots:
-        pdict = pdict.at[:, :, slot, :].set(jnp.where(a[..., None], 0, pdict[:, :, slot, :]))
-    return st._replace(odict=odict, pdict=pdict)
-
-
-def _mech_set_bool_all(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LSetBoolAll) -> GameState:
-    bools = st.bools
-    wmask = active[:, None] & st.present
-    for slot in m.slots:
-        bools = bools.at[..., slot].set(jnp.where(wmask, True, bools[..., slot]))
-    return st._replace(bools=bools)
 
 
 def _mech_game_over(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LGameOver) -> GameState:
@@ -603,14 +515,7 @@ def _mech_game_over(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LGame
 
 _MECH_FNS = {
     T.LRoleAssign: _mech_role_assign,
-    T.LNightResolve: _mech_night_resolve,
-    T.LVoteElim: _mech_vote_elim,
-    T.LGuessScore: _mech_guess_score,
-    T.LSpeakerRotate: _mech_speaker_rotate,
-    T.LSetBoolAll: _mech_set_bool_all,
     T.LGameOver: _mech_game_over,
-    T.LBluffChallenge: _mech_bluff_challenge,
-    T.LMinorityScore: _mech_minority_score,
     T.LEffect: _mech_effects,
 }
 

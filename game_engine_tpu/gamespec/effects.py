@@ -49,6 +49,9 @@ Expression surface (the textual mini-language):
                FIELD += EXPR [where EXPR]      (num field)
                FIELD -= EXPR [where EXPR]
                kill [where EXPR]
+               reset FIELD [where EXPR]         (restore template default;
+                                                 the only write allowed on
+                                                 string and dict banks)
                ---                              (block separator)
   builtins     seat        1-based own seat id
                n_players   number of present seats in the room
@@ -81,6 +84,8 @@ from game_engine_tpu.gamespec.expr import Pred
 from game_engine_tpu.gamespec.layout import (
     BANK_BOOL,
     BANK_NUM,
+    BANK_ODICT,
+    BANK_PDICT,
     BANK_STR,
     StateLayout,
 )
@@ -273,7 +278,16 @@ class SKill:
     where: Expr = ONE
 
 
-Stmt = Union[SSet, SAdd, SKill]
+@dataclasses.dataclass(frozen=True)
+class SReset:
+    """reset FIELD — restore the declared template default. The only IR
+    write permitted on string and dict banks (P9 round-scoped resets)."""
+
+    field: str
+    where: Expr = ONE
+
+
+Stmt = Union[SSet, SAdd, SKill, SReset]
 Block = tuple[Stmt, ...]
 Program = tuple[Block, ...]  # blocks sequence; statements within a block
 # read the block-entry snapshot
@@ -530,6 +544,18 @@ def parse_statement(src: str, env: dict[str, Expr]) -> Optional[Stmt]:
         if p.peek()[0] != "end":
             raise EffectError(f"trailing tokens in {src!r}")
         return SKill(where=w)
+    # reset FIELD [where EXPR]
+    if toks[0] == ("name", "reset") and len(toks) > 1 and toks[1][0] == "name":
+        field = toks[1][1]
+        if toks[2][0] == "end":
+            return SReset(field)
+        if toks[2] != ("name", "where"):
+            raise EffectError(f"malformed reset: {src!r}")
+        p = _Parser(toks[3:], env)
+        w = p.expr()
+        if p.peek()[0] != "end":
+            raise EffectError(f"trailing tokens in {src!r}")
+        return SReset(field, where=w)
     # FIELD (= | += | -=) EXPR [where EXPR]
     if toks[0][0] != "name":
         raise EffectError(f"statement must start with a field name: {src!r}")
@@ -669,6 +695,9 @@ def check_program(
             slot = layout.get(st.field)
             if slot is None:
                 raise EffectError(f"unknown field {st.field!r} in write")
+            if isinstance(st, SReset):
+                check_expr(st.where)
+                continue
             if isinstance(st, SAdd) and slot.bank != BANK_NUM:
                 raise EffectError(
                     f"+= / -= target {st.field!r} must be a num field "
@@ -690,7 +719,8 @@ def program_fields(program: Program) -> set[str]:
         for st in block:
             if not isinstance(st, SKill):
                 out.add(st.field)
-            for e in (st.where,) if isinstance(st, SKill) else (st.value, st.where):
+            for e in ((st.where,) if isinstance(st, (SKill, SReset))
+                      else (st.value, st.where)):
                 for node in _walk(e):
                     if isinstance(node, EField):
                         out.add(node.name)
@@ -702,7 +732,8 @@ def program_choice_phases(program: Program) -> set[int]:
     out: set[int] = set()
     for block in program:
         for st in block:
-            exprs = (st.where,) if isinstance(st, SKill) else (st.value, st.where)
+            exprs = ((st.where,) if isinstance(st, (SKill, SReset))
+                     else (st.value, st.where))
             for e in exprs:
                 for node in _walk(e):
                     if isinstance(node, EChoseIn):
@@ -735,9 +766,9 @@ ARG_MAX, ARG_MIN = range(2)
 _ARG_CODE = {"max": ARG_MAX, "min": ARG_MIN}
 _CMP_CODE = {"eq": 0, "ne": 1, "ge": 2, "le": 3, "gt": 4, "lt": 5}  # OP_*
 
-ST_SET, ST_ADD, ST_KILL = range(3)
+ST_SET, ST_ADD, ST_KILL, ST_RESET = range(4)
 # bank codes in stmt rows / NK_FIELD — match tables.AB_*
-FXB_BOOL, FXB_NUM, FXB_STR = range(3)
+FXB_BOOL, FXB_NUM, FXB_STR, FXB_ODICT, FXB_PDICT = range(5)
 
 LoweredBlock = tuple[tuple[tuple[int, int, int, int], ...],
                      tuple[tuple[int, int, int, int, int], ...]]
@@ -833,6 +864,27 @@ def lower_program(
             if isinstance(st, SKill):
                 stmts.append((ST_KILL, 0, 0, 0, lx(st.where)))
                 continue
+            if isinstance(st, SReset):
+                slot = layout.slot(st.field)
+                if slot.bank == BANK_ODICT:
+                    stmts.append((ST_RESET, FXB_ODICT, slot.index, 0,
+                                  lx(st.where)))
+                elif slot.bank == BANK_PDICT:
+                    stmts.append((ST_RESET, FXB_PDICT, slot.index, 0,
+                                  lx(st.where)))
+                elif slot.bank == BANK_STR:
+                    stmts.append((ST_SET, FXB_STR, slot.index,
+                                  pool.add(NK_CONST, slot.encode(slot.default)),
+                                  lx(st.where)))
+                elif slot.bank == BANK_BOOL:
+                    stmts.append((ST_SET, FXB_BOOL, slot.index,
+                                  pool.add(NK_CONST, 1 if slot.default else 0),
+                                  lx(st.where)))
+                else:
+                    stmts.append((ST_SET, FXB_NUM, slot.index,
+                                  pool.add(NK_CONST, int(slot.default or 0)),
+                                  lx(st.where)))
+                continue
             slot = layout.slot(st.field)
             bank = {BANK_BOOL: FXB_BOOL, BANK_NUM: FXB_NUM}[slot.bank]
             skind = ST_SET if isinstance(st, SSet) else ST_ADD
@@ -890,3 +942,153 @@ def auction_program(bid_field: str, bidder_pred: Pred, res_field: str,
         SAdd(prize_field, ONE, where=is_winner),
         SSet(bid_field, EConst(bid_default)),
     ),)
+
+
+def _plurality_expr(phases: frozenset[int], pred: Pred) -> Expr:
+    """P6 plurality as IR: the 1-based seat receiving the most choices from
+    seats whose register was recorded in `phases` and who still match
+    `pred`; ties to the LOWEST candidate seat (EArgBest pins it); 0 when no
+    votes. Bit-identical to the retired _plurality kernels: votes received
+    by seat s = |{q present: choice[q] == s, chose-in-phase, pred(q)}|,
+    winner = lowest seat of the max count when any count >= 1."""
+    voter = EAnd(EChoseIn(phases), EPredRef(pred))
+    votes = EIncoming(ONE, EChoice(), voter)
+    return EArgBest("max", votes, ECmp("ge", votes, ONE))
+
+
+def vote_elim_program(vote_phases: frozenset[int], voter_pred: Pred) -> Program:
+    """P6: plurality elimination — the seat with the most votes dies (P15
+    reveal via the kill statement's reveal_bools); zero votes => no effect;
+    a dead target stays dead with no new reveal (the `alive` gate)."""
+    victim = _plurality_expr(vote_phases, voter_pred)
+    return ((SKill(where=EAnd(ECmp("eq", ESeat(), victim), EAlive())),),)
+
+
+def night_resolve_program(
+    kill_phases: frozenset[int], protect_phases: frozenset[int],
+    kill_pred: Pred, protect_pred: Pred,
+    resets: tuple[str, ...],
+) -> Program:
+    """P7: kill target = plurality of killer-phase choices, protection =
+    plurality of protector-phase choices; the kill succeeds iff the target
+    is alive and differs from the protected seat. Night bookkeeping fields
+    then reset to their template defaults ((field, default) pairs) — one
+    block: every read is the phase-entry snapshot, resets land after the
+    death writes exactly like the retired kernels."""
+    kt = _plurality_expr(kill_phases, kill_pred)
+    pt = _plurality_expr(protect_phases, protect_pred)
+    die = EAnd(EAnd(ECmp("eq", ESeat(), kt), ECmp("ne", kt, pt)), EAlive())
+    stmts: list = [SKill(where=die)]
+    stmts.extend(SReset(f) for f in resets)
+    return (tuple(stmts),)
+
+
+def minority_program(pick_field: str, picker_pred: Pred, score_field: str,
+                     n_options: int) -> Program:
+    """P16: smallest non-empty pick group scores. Group sizes via eqcount
+    over living pickers with in-range picks; the winning option is read off
+    the seat minimizing count*(C+1) + pick (least-picked group first, then
+    lowest option index — the pinned tie order); a lone group (fewer than
+    two distinct options) scores nobody. Picks reset so stale values can't
+    score next round."""
+    pick = EField(pick_field)
+    grouped = EAnd(
+        EAnd(EPredRef(picker_pred), EAlive()),
+        EAnd(ECmp("ge", pick, ONE), ECmp("le", pick, EConst(n_options))),
+    )
+    cnt = EEqCount(pick, grouped)
+    key = EBin("add", EBin("mul", cnt, EConst(n_options + 1)), pick)
+    win_opt = EAt(pick, EArgBest("min", key, grouped))
+    leaders = EAnd(grouped, ECmp("eq", ERank(pick, grouped), ZERO))
+    two_groups = ECmp("ge", EReduce("count", ONE, leaders), EConst(2))
+    gain = EAnd(EAnd(grouped, ECmp("eq", pick, win_opt)), two_groups)
+    return ((
+        SAdd(score_field, ONE, where=gain),
+        SReset(pick_field),
+    ),)
+
+
+def set_bool_all_program(fields: tuple[str, ...]) -> Program:
+    """Reveal effects: set each boolean for every present player."""
+    return (tuple(SSet(f, ONE) for f in fields),)
+
+
+def guess_score_program(speaker_field: str, lie_field: str, vote_field: str,
+                        voted_field: Optional[str], score_field: str,
+                        rounds_field: Optional[str]) -> Program:
+    """P8: each voter whose choice equals the speaker's lie index gains +1;
+    the speaker gains +1 per voter who voted and was wrong ("fooled"); the
+    speaker's rounds counter increments. Speaker = lowest-id present seat
+    with the speaker flag; no speaker => no effect."""
+    if not speaker_field:
+        return ((),)
+    sp = EArgBest("min", ESeat(), EField(speaker_field))
+    has_sp = ECmp("ge", sp, ONE)
+    lie = EAt(EField(lie_field), sp)
+    voted: Expr = EField(voted_field) if voted_field else ONE
+    is_voter = EAnd(voted, ECmp("ne", ESeat(), sp))
+    correct = EAnd(is_voter, ECmp("eq", EField(vote_field), lie))
+    fooled = EReduce("count", ONE, EAnd(is_voter, ENot(correct)))
+    is_sp = ECmp("eq", ESeat(), sp)
+    stmts: list = [
+        SAdd(score_field, ONE, where=EAnd(correct, has_sp)),
+        SAdd(score_field, fooled, where=is_sp),
+    ]
+    if rounds_field:
+        stmts.append(SAdd(rounds_field, ONE, where=is_sp))
+    return (tuple(stmts),)
+
+
+def bluff_challenge_program(claim_field: str, challenge_phases: frozenset[int],
+                            claimant_pred: Pred, challenger_pred: Pred,
+                            role_field: str, roles: tuple[str, ...],
+                            lives_field: str) -> Program:
+    """P14: Coup-style claim/challenge resolution (SEMANTICS.md).
+
+    One block — every read is the phase-entry snapshot, so losses
+    accumulate simultaneously from pre-phase lives. Per challenger q the
+    "lowest-id challenger of q's target" flag is rank(target, valid)==0;
+    per claimant p, truth is the or-chain of (claim==k) and
+    (role=='roles[k]') string compares. A seat can lose twice (lying
+    claimant who is also the first challenger of an honest claim). Death
+    = lost at least one life and lives hit 0 (the max-clamp floor)."""
+    alive_claim = EAnd(EPredRef(claimant_pred), EAlive())
+    claim = EWhere(alive_claim, EField(claim_field), ZERO)
+    chal = EAnd(EAnd(EChoseIn(challenge_phases), EPredRef(challenger_pred)),
+                EAlive())
+    tgt = EWhere(EAnd(chal, ECmp("ne", EChoice(), ESeat())), EChoice(), ZERO)
+    valid = ECmp("ge", tgt, ONE)
+    first = EAnd(valid, ECmp("eq", ERank(tgt, valid), ZERO))
+    challenged = ECmp("ge", EIncoming(ONE, tgt, valid), ONE)
+    contested = EAnd(challenged, ECmp("ge", claim, ONE))
+    truth: Expr = ZERO
+    for k, rname in enumerate(roles):
+        hit = EAnd(ECmp("eq", claim, EConst(k + 1)),
+                   ECmp("eq", EField(role_field), EStrLit(rname)))
+        truth = hit if truth is ZERO else EOr(truth, hit)
+    honest = EAnd(contested, truth)
+    lying = EAnd(contested, ENot(truth))
+    loss = EBin("add", lying, EAnd(first, EAt(honest, tgt)))
+    lives = EField(lives_field)
+    return ((
+        SSet(lives_field, EBin("max", EBin("sub", lives, loss), ZERO)),
+        SKill(where=EAnd(EAnd(ECmp("ge", loss, ONE),
+                              ECmp("le", EBin("sub", lives, loss), ZERO)),
+                         EAlive())),
+    ),)
+
+
+def speaker_rotate_program(speaker_field: str, rounds_field: str,
+                           can_vote_field: Optional[str],
+                           reset_fields: tuple[str, ...]) -> Program:
+    """P9: next speaker = present player with the minimum rounds counter,
+    ties to the lowest seat (argmin pins both); can_vote = not is_speaker;
+    round-scoped fields (any bank, including dict banks) reset to their
+    template defaults via `reset`."""
+    sp = EArgBest("min", EField(rounds_field), ONE)
+    is_sp = ECmp("eq", ESeat(), sp)
+    stmts: list = [SSet(speaker_field, is_sp)]
+    if can_vote_field:
+        stmts.append(SSet(can_vote_field, ENot(is_sp)))
+    stmts.extend(SReset(f) for f in reset_fields)
+    return (tuple(stmts),)

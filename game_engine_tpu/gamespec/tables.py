@@ -87,28 +87,6 @@ LoweredCond = Union[LCountCmp, LAllPresent, LPrevPhaseIn, LAlways, LAnd]
 
 
 @dataclasses.dataclass(frozen=True)
-class LNightResolve:
-    phase_index: int
-    kill_phase_mask: np.ndarray  # (NP+1,) indexed by choice_phase+1
-    protect_phase_mask: np.ndarray
-    kill_pred: int
-    protect_pred: int
-    reset_bool_slots: tuple[int, ...]
-    reset_bool_defaults: tuple[bool, ...]
-    reset_num_slots: tuple[int, ...]
-    reset_num_defaults: tuple[int, ...]
-    reveal_bool_slots: tuple[int, ...] = ()  # P15
-
-
-@dataclasses.dataclass(frozen=True)
-class LVoteElim:
-    phase_index: int
-    vote_phase_mask: np.ndarray
-    voter_pred: int
-    reveal_bool_slots: tuple[int, ...] = ()  # P15
-
-
-@dataclasses.dataclass(frozen=True)
 class LEffect:
     """P20: a lowered effect program (gamespec/effects.py lower_program).
 
@@ -123,54 +101,6 @@ class LEffect:
 
 
 @dataclasses.dataclass(frozen=True)
-class LMinorityScore:
-    phase_index: int
-    pick_num: int
-    picker_pred: int
-    score_num: int
-    n_options: int
-    pick_default: int  # picks reset to this after scoring
-
-
-@dataclasses.dataclass(frozen=True)
-class LBluffChallenge:
-    phase_index: int
-    claim_num: int  # num slot holding the claimed role index
-    challenge_phase_mask: np.ndarray
-    claimant_pred: int
-    challenger_pred: int
-    role_str_slot: int
-    role_codes: tuple[int, ...]  # claim k -> role_codes[k-1]
-    lives_num: int
-    reveal_bool_slots: tuple[int, ...] = ()  # P15
-
-
-@dataclasses.dataclass(frozen=True)
-class LGuessScore:
-    phase_index: int
-    speaker_bool: int
-    lie_num: int
-    vote_num: int
-    voted_bool: int  # -1 if absent
-    score_num: int
-    rounds_num: int  # -1 if absent
-
-
-@dataclasses.dataclass(frozen=True)
-class LSpeakerRotate:
-    phase_index: int
-    speaker_bool: int
-    rounds_num: int
-    can_vote_bool: int  # -1 absent
-    reset_bool_slots: tuple[int, ...]
-    reset_bool_defaults: tuple[bool, ...]
-    reset_num_slots: tuple[int, ...]
-    reset_num_defaults: tuple[int, ...]
-    reset_odict_slots: tuple[int, ...]
-    reset_pdict_slots: tuple[int, ...]
-
-
-@dataclasses.dataclass(frozen=True)
 class LRoleAssign:
     phase_index: int
     role_str_slot: int
@@ -178,12 +108,6 @@ class LRoleAssign:
     role_codes_by_n: np.ndarray  # (P+1, P) int32
     # per role code: ((bank, slot, value), ...)
     role_settings: tuple[tuple[int, tuple[tuple[int, int, int], ...]], ...]
-
-
-@dataclasses.dataclass(frozen=True)
-class LSetBoolAll:
-    phase_index: int
-    slots: tuple[int, ...]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -197,8 +121,7 @@ class LGameOver:
 
 
 LoweredMech = Union[
-    LNightResolve, LVoteElim, LGuessScore, LSpeakerRotate, LRoleAssign, LSetBoolAll,
-    LGameOver, LBluffChallenge, LMinorityScore, LEffect,
+    LRoleAssign, LGameOver, LEffect,
 ]
 
 
@@ -417,29 +340,16 @@ def lower(game: CompiledGame) -> Lowered:
 
         for mech in cp.program.on_enter:
             if isinstance(mech, M.NightResolve):
-                mechanics.append(
-                    LNightResolve(
-                        phase_index=i,
-                        kill_phase_mask=_phase_mask(game, mech.kill_phases),
-                        protect_phase_mask=_phase_mask(game, mech.protect_phases),
-                        kill_pred=pool.add_pred(mech.kill_pred),
-                        protect_pred=pool.add_pred(mech.protect_pred),
-                        reset_bool_slots=tuple(layout.bool_index(f) for f in mech.reset_bools),
-                        reset_bool_defaults=tuple(bool_default(f) for f in mech.reset_bools),
-                        reset_num_slots=tuple(layout.num_index(f) for f in mech.reset_nums),
-                        reset_num_defaults=tuple(num_default(f) for f in mech.reset_nums),
-                        reveal_bool_slots=tuple(layout.bool_index(f) for f in mech.reveal_bools),
-                    )
-                )
+                mechanics.append(_lower_fx(
+                    FX.night_resolve_program(
+                        mech.kill_phases, mech.protect_phases,
+                        mech.kill_pred, mech.protect_pred,
+                        (*mech.reset_bools, *mech.reset_nums)),
+                    i, mech.reveal_bools))
             elif isinstance(mech, M.VoteElim):
-                mechanics.append(
-                    LVoteElim(
-                        phase_index=i,
-                        vote_phase_mask=_phase_mask(game, mech.vote_phases),
-                        voter_pred=pool.add_pred(mech.voter_pred),
-                        reveal_bool_slots=tuple(layout.bool_index(f) for f in mech.reveal_bools),
-                    )
-                )
+                mechanics.append(_lower_fx(
+                    FX.vote_elim_program(mech.vote_phases, mech.voter_pred),
+                    i, mech.reveal_bools))
             elif isinstance(mech, M.ResourceIncome):
                 mechanics.append(_lower_fx(FX.income_program(mech.gains), i))
             elif isinstance(mech, M.ResourceRaid):
@@ -454,60 +364,35 @@ def lower(game: CompiledGame) -> Lowered:
             elif isinstance(mech, M.Effects):
                 mechanics.append(_lower_fx(mech.program, i, mech.reveal_bools))
             elif isinstance(mech, M.MinorityScore):
-                mechanics.append(
-                    LMinorityScore(
-                        phase_index=i,
-                        pick_num=layout.num_index(mech.pick_field),
-                        picker_pred=pool.add_pred(mech.picker_pred),
-                        score_num=layout.num_index(mech.score_field),
-                        n_options=int(mech.n_options),
-                        pick_default=num_default(mech.pick_field),
-                    )
-                )
+                mechanics.append(_lower_fx(
+                    FX.minority_program(
+                        mech.pick_field, mech.picker_pred, mech.score_field,
+                        int(mech.n_options)),
+                    i))
             elif isinstance(mech, M.BluffChallenge):
-                role_slot = layout.slot(mech.role_field)
-                mechanics.append(
-                    LBluffChallenge(
-                        phase_index=i,
-                        claim_num=layout.num_index(mech.claim_field),
-                        challenge_phase_mask=_phase_mask(game, mech.challenge_phases),
-                        claimant_pred=pool.add_pred(mech.claimant_pred),
-                        challenger_pred=pool.add_pred(mech.challenger_pred),
-                        role_str_slot=role_slot.index,
-                        role_codes=tuple(
-                            role_slot.encode(r.name) for r in decl.roles
-                        ),
-                        lives_num=layout.num_index(mech.lives_field),
-                        reveal_bool_slots=tuple(layout.bool_index(f) for f in mech.reveal_bools),
-                    )
-                )
+                mechanics.append(_lower_fx(
+                    FX.bluff_challenge_program(
+                        mech.claim_field, mech.challenge_phases,
+                        mech.claimant_pred, mech.challenger_pred,
+                        mech.role_field,
+                        tuple(r.name for r in decl.roles),
+                        mech.lives_field),
+                    i, mech.reveal_bools))
             elif isinstance(mech, M.GuessScore):
-                mechanics.append(
-                    LGuessScore(
-                        phase_index=i,
-                        speaker_bool=layout.bool_index(mech.speaker_field),
-                        lie_num=layout.num_index(mech.lie_field),
-                        vote_num=layout.num_index(mech.vote_field),
-                        voted_bool=layout.bool_index(mech.voted_field) if mech.voted_field else -1,
-                        score_num=layout.num_index(mech.score_field),
-                        rounds_num=layout.num_index(mech.rounds_field) if mech.rounds_field else -1,
-                    )
-                )
+                mechanics.append(_lower_fx(
+                    FX.guess_score_program(
+                        mech.speaker_field, mech.lie_field, mech.vote_field,
+                        mech.voted_field or None, mech.score_field,
+                        mech.rounds_field or None),
+                    i))
             elif isinstance(mech, M.SpeakerRotate):
-                mechanics.append(
-                    LSpeakerRotate(
-                        phase_index=i,
-                        speaker_bool=layout.bool_index(mech.speaker_field),
-                        rounds_num=layout.num_index(mech.rounds_field),
-                        can_vote_bool=layout.bool_index(mech.can_vote_field) if mech.can_vote_field else -1,
-                        reset_bool_slots=tuple(layout.bool_index(f) for f in mech.reset_bools),
-                        reset_bool_defaults=tuple(bool_default(f) for f in mech.reset_bools),
-                        reset_num_slots=tuple(layout.num_index(f) for f in mech.reset_nums),
-                        reset_num_defaults=tuple(num_default(f) for f in mech.reset_nums),
-                        reset_odict_slots=tuple(layout.slot(f).index for f in mech.reset_odicts),
-                        reset_pdict_slots=tuple(layout.slot(f).index for f in mech.reset_pdicts),
-                    )
-                )
+                mechanics.append(_lower_fx(
+                    FX.speaker_rotate_program(
+                        mech.speaker_field, mech.rounds_field,
+                        mech.can_vote_field or None,
+                        (*mech.reset_bools, *mech.reset_nums,
+                         *mech.reset_odicts, *mech.reset_pdicts)),
+                    i))
             elif isinstance(mech, M.RoleAssign):
                 role_slot = layout.slot(mech.role_field)
                 codes_by_n = np.zeros((P + 1, P), dtype=np.int32)
@@ -540,9 +425,8 @@ def lower(game: CompiledGame) -> Lowered:
                     )
                 )
             elif isinstance(mech, M.SetBoolAll):
-                mechanics.append(
-                    LSetBoolAll(phase_index=i, slots=tuple(layout.bool_index(f) for f in mech.fields))
-                )
+                mechanics.append(_lower_fx(
+                    FX.set_bool_all_program(mech.fields), i))
             elif isinstance(mech, M.GameOver):
                 team_slot = layout.get(mech.team_field) if mech.team_field else None
                 mechanics.append(

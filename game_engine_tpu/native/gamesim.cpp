@@ -24,6 +24,10 @@ enum Sections {
   SEC_BRANCHES, SEC_MECHS, SEC_POOL, SEC_DEFAULTS, SEC_ROLETAB,
 };
 enum CondType { COND_ALWAYS, COND_COUNTCMP, COND_ALLPRESENT, COND_PREVIN, COND_AND };
+// MECH_NIGHT (P7), MECH_VOTE (P6), MECH_SCORE (P8), MECH_ROTATE (P9),
+// MECH_SETBOOL, MECH_BLUFF (P14) and MECH_MINORITY (P16) are retired ids:
+// those families now lower to MECH_EFFECTS programs (gamespec/effects.py).
+// Numbering stays stable for the pack ABI (native/pack.py).
 enum MechType { MECH_NIGHT, MECH_VOTE, MECH_SCORE, MECH_ROTATE, MECH_ROLES,
                 MECH_SETBOOL, MECH_OVER, MECH_BLUFF, MECH_MINORITY,
                 MECH_EFFECTS };
@@ -34,8 +38,8 @@ enum FxNode { FX_CONST, FX_FIELD, FX_SEAT, FX_NPLAYERS, FX_CHOICE,
               FX_EQCOUNT, FX_RANK, FX_REDUCE, FX_ARGBEST };
 enum FxBin { FXBIN_ADD, FXBIN_SUB, FXBIN_MUL, FXBIN_MIN, FXBIN_MAX };
 enum FxRed { FXRED_SUM, FXRED_MAX, FXRED_MIN, FXRED_COUNT };
-enum FxStmt { FXST_SET, FXST_ADD, FXST_KILL };
-enum FxBank { FXB_BOOL, FXB_NUM, FXB_STR };
+enum FxStmt { FXST_SET, FXST_ADD, FXST_KILL, FXST_RESET };
+enum FxBank { FXB_BOOL, FXB_NUM, FXB_STR, FXB_ODICT, FXB_PDICT };
 enum Bank { AB_BOOL, AB_NUM, AB_STR, AB_CONST };
 enum Op { OP_EQ, OP_NE, OP_GE, OP_LE, OP_GT, OP_LT };
 enum Kind { K_NONE = 0, K_TARGET = 1, K_OPTION = 2, K_SUBMIT = 3 };
@@ -168,21 +172,6 @@ bool alive(const Game& g, const Room& r, int p) {
   return r.bools[p * g.NB + g.alive_slot] != 0;
 }
 
-// P6: plurality over 1-based targets, lowest-id tie-break, 0 when no votes.
-int plurality(const Game& g, const Room& r, int32_t mask_lo, int32_t mask_hi, int pred) {
-  std::vector<int> counts(r.n + 1, 0);
-  for (int p = 0; p < r.n; ++p) {
-    if (mask64_has(mask_lo, mask_hi, r.choice_phase[p] + 1) && pred_eval(g, r, pred, p)) {
-      int c = r.choice[p];
-      if (c >= 1 && c <= r.n) counts[c]++;
-    }
-  }
-  int best = 0, tgt = 0;
-  for (int c = 1; c <= r.n; ++c)
-    if (counts[c] > best) { best = counts[c]; tgt = c; }
-  return best > 0 ? tgt : 0;
-}
-
 // P15: death clears is_alive and sets the reveal flags (pool slice).
 void kill_player(const Game& g, Room& r, int target, int rv_off = 0, int rv_n = 0) {
   if (target < 1 || target > r.n) return;
@@ -190,16 +179,6 @@ void kill_player(const Game& g, Room& r, int target, int rv_off = 0, int rv_n = 
     r.bools[(target - 1) * g.NB + g.alive_slot] = 0;
   for (int k = 0; k < rv_n; ++k)
     r.bools[(target - 1) * g.NB + g.pool[rv_off + k]] = 1;
-}
-
-void reset_fields(const Game& g, Room& r, int rb_off, int rb_n, int rbd_off,
-                  int rn_off, int rn_n, int rnd_off) {
-  for (int p = 0; p < g.P; ++p) {
-    for (int k = 0; k < rb_n; ++k)
-      r.bools[p * g.NB + g.pool[rb_off + k]] = (uint8_t)g.pool[rbd_off + k];
-    for (int k = 0; k < rn_n; ++k)
-      r.nums[p * g.NN + g.pool[rn_off + k]] = g.pool[rnd_off + k];
-  }
 }
 
 void apply_on_enter(const Game& g, Room& r);
@@ -240,19 +219,6 @@ void apply_on_enter(const Game& g, Room& r) {
             else r.strs[p * g.NS + row[2]] = row[3];
           }
         }
-        break;
-      }
-      case MECH_NIGHT: {  // P7
-        int kill = plurality(g, r, q[0], q[1], q[4]);
-        int prot = plurality(g, r, q[2], q[3], q[5]);
-        if (kill && kill != prot && alive(g, r, kill - 1))
-          kill_player(g, r, kill, q[12], q[13]);
-        reset_fields(g, r, q[6], q[7], q[8], q[9], q[10], q[11]);
-        break;
-      }
-      case MECH_VOTE: {  // P6
-        int tgt = plurality(g, r, q[0], q[1], q[2]);
-        if (tgt && alive(g, r, tgt - 1)) kill_player(g, r, tgt, q[3], q[4]);
         break;
       }
       case MECH_EFFECTS: {  // P20: the generic effect-IR interpreter
@@ -438,8 +404,16 @@ void apply_on_enter(const Game& g, Room& r) {
                 case FXST_SET:
                   if (st[1] == FXB_BOOL)
                     r.bools[p * g.NB + st[2]] = (uint8_t)(vals[st[3]][p] != 0);
+                  else if (st[1] == FXB_STR)
+                    r.strs[p * g.NS + st[2]] = vals[st[3]][p];
                   else
                     r.nums[p * g.NN + st[2]] = vals[st[3]][p];
+                  break;
+                case FXST_RESET:  // dict banks clear to empty
+                  if (st[1] == FXB_ODICT)
+                    r.odict[p * g.NOD + st[2]] = 0;
+                  else
+                    std::fill_n(&r.pdict[(p * g.NPD + st[2]) * g.P], g.P, 0);
                   break;
                 default:  // FXST_ADD
                   r.nums[p * g.NN + st[2]] += vals[st[3]][p];
@@ -447,104 +421,6 @@ void apply_on_enter(const Game& g, Room& r) {
             }
           }
         }
-        break;
-      }
-      case MECH_MINORITY: {  // P16
-        int pick_slot = q[0], pred = q[1], score_slot = q[2];
-        int n_opt = q[3], pick_def = q[4];
-        std::vector<int> pick(r.n, 0), counts(n_opt + 1, 0);
-        for (int p = 0; p < r.n; ++p) {
-          if (!alive(g, r, p) || !pred_eval(g, r, pred, p)) continue;
-          int c = r.nums[p * g.NN + pick_slot];
-          if (c >= 1 && c <= n_opt) { pick[p] = c; counts[c]++; }
-        }
-        int distinct = 0, win_count = INT32_MAX;
-        for (int c = 1; c <= n_opt; ++c)
-          if (counts[c] > 0) { distinct++; win_count = std::min(win_count, counts[c]); }
-        if (distinct >= 2) {
-          int win_opt = 0;
-          for (int c = 1; c <= n_opt; ++c)
-            if (counts[c] == win_count) { win_opt = c; break; }
-          for (int p = 0; p < r.n; ++p)
-            if (pick[p] == win_opt) r.nums[p * g.NN + score_slot] += 1;
-        }
-        for (int p = 0; p < g.P; ++p) r.nums[p * g.NN + pick_slot] = pick_def;
-        break;
-      }
-      case MECH_BLUFF: {  // P14
-        int claim_slot = q[0], role_slot = q[5], codes_off = q[6],
-            codes_n = q[7], lives_slot = q[8];
-        std::vector<int> claim(r.n, 0), chal(r.n, 0), loss(r.n, 0);
-        for (int p = 0; p < r.n; ++p) {
-          if (!alive(g, r, p)) continue;
-          if (pred_eval(g, r, q[3], p))
-            claim[p] = r.nums[p * g.NN + claim_slot];
-          if (mask64_has(q[1], q[2], r.choice_phase[p] + 1) && pred_eval(g, r, q[4], p)) {
-            int t = r.choice[p];
-            if (t >= 1 && t <= r.n && t != p + 1) chal[p] = t;
-          }
-        }
-        for (int p = 0; p < r.n; ++p) {
-          if (claim[p] <= 0) continue;
-          int first_q = -1;
-          for (int qq = 0; qq < r.n; ++qq)
-            if (chal[qq] == p + 1) { first_q = qq; break; }
-          if (first_q < 0) continue;  // unchallenged
-          // claims outside the role catalogue are lies
-          bool truthful = claim[p] >= 1 && claim[p] <= codes_n &&
-              r.strs[p * g.NS + role_slot] == g.pool[codes_off + claim[p] - 1];
-          if (truthful) loss[first_q] += 1;
-          else loss[p] += 1;
-        }
-        for (int p = 0; p < r.n; ++p) {
-          if (loss[p] == 0) continue;
-          int lives = r.nums[p * g.NN + lives_slot];
-          int nl = std::max(lives - loss[p], 0);
-          r.nums[p * g.NN + lives_slot] = nl;
-          if (nl == 0 && alive(g, r, p)) kill_player(g, r, p + 1, q[9], q[10]);
-        }
-        break;
-      }
-      case MECH_SCORE: {  // P8
-        int sp = -1;
-        for (int p = 0; p < r.n; ++p)
-          if (r.bools[p * g.NB + q[0]]) { sp = p; break; }
-        if (sp < 0) break;
-        int lie = r.nums[sp * g.NN + q[1]];
-        int fooled = 0;
-        for (int p = 0; p < r.n; ++p) {
-          if (p == sp) continue;
-          if (q[3] >= 0 && !r.bools[p * g.NB + q[3]]) continue;
-          if (r.nums[p * g.NN + q[2]] == lie) r.nums[p * g.NN + q[4]] += 1;
-          else fooled++;
-        }
-        r.nums[sp * g.NN + q[4]] += fooled;
-        if (q[5] >= 0) r.nums[sp * g.NN + q[5]] += 1;
-        break;
-      }
-      case MECH_ROTATE: {  // P9
-        int sp = 0, best = INT32_MAX;
-        for (int p = 0; p < r.n; ++p) {
-          int v = r.nums[p * g.NN + q[1]];
-          if (v < best) { best = v; sp = p; }
-        }
-        for (int p = 0; p < r.n; ++p) {
-          r.bools[p * g.NB + q[0]] = (uint8_t)(p == sp);
-          if (q[2] >= 0) r.bools[p * g.NB + q[2]] = (uint8_t)(p != sp);
-        }
-        reset_fields(g, r, q[3], q[4], q[5], q[6], q[7], q[8]);
-        for (int p = 0; p < g.P; ++p) {
-          for (int k = 0; k < q[10]; ++k)
-            r.odict[p * g.NOD + g.pool[q[9] + k]] = 0;
-          for (int k = 0; k < q[12]; ++k)
-            std::fill_n(&r.pdict[(p * g.NPD + g.pool[q[11] + k]) * g.P], g.P, 0);
-        }
-        break;
-      }
-      case MECH_SETBOOL: {
-        for (int p = 0; p < r.n; ++p)
-          for (int k = 0; k < q[1]; ++k)
-            r.bools[p * g.NB + g.pool[q[0] + k]] = 1;
         break;
       }
       case MECH_OVER: {  // P11

@@ -35,6 +35,9 @@ SEC_DEFAULTS = 15
 SEC_ROLETAB = 16
 
 COND_ALWAYS, COND_COUNTCMP, COND_ALLPRESENT, COND_PREVIN, COND_AND = range(5)
+# NIGHT (P7), VOTE (P6), SCORE (P8), ROTATE (P9), SETBOOL, BLUFF (P14) and
+# MINORITY (P16) are retired ids — those families
+# now lower to MECH_EFFECTS programs; numbering stays stable for the C++ ABI.
 (MECH_NIGHT, MECH_VOTE, MECH_SCORE, MECH_ROTATE, MECH_ROLES, MECH_SETBOOL,
  MECH_OVER, MECH_BLUFF, MECH_MINORITY, MECH_EFFECTS) = range(10)
 OP_CODES = {"eq": 0, "ne": 1, "ge": 2, "le": 3, "gt": 4, "lt": 5}
@@ -110,23 +113,7 @@ def pack(lowered: Lowered) -> np.ndarray:
         mech_rows.append(row)
 
     for m in lw.mechanics:
-        if isinstance(m, T.LNightResolve):
-            klo, khi = _mask_words(m.kill_phase_mask)
-            plo, phi = _mask_words(m.protect_phase_mask)
-            rb_off, rb_n = pool.add(m.reset_bool_slots)
-            rbd_off, _ = pool.add(int(d) for d in m.reset_bool_defaults)
-            rn_off, rn_n = pool.add(m.reset_num_slots)
-            rnd_off, _ = pool.add(m.reset_num_defaults)
-            rv_off, rv_n = pool.add(m.reveal_bool_slots)
-            mech(MECH_NIGHT, m.phase_index,
-                 [_i32(klo), _i32(khi), _i32(plo), _i32(phi), m.kill_pred, m.protect_pred,
-                  rb_off, rb_n, rbd_off, rn_off, rn_n, rnd_off, rv_off, rv_n])
-        elif isinstance(m, T.LVoteElim):
-            vlo, vhi = _mask_words(m.vote_phase_mask)
-            rv_off, rv_n = pool.add(m.reveal_bool_slots)
-            mech(MECH_VOTE, m.phase_index, [_i32(vlo), _i32(vhi), m.voter_pred,
-                                            rv_off, rv_n])
-        elif isinstance(m, T.LEffect):
+        if isinstance(m, T.LEffect):
             # P20 effect program: per block [n_nodes, n_stmts,
             # node rows (4 ints), stmt rows (5 ints)], all in the pool
             desc: list[int] = []
@@ -141,31 +128,6 @@ def pack(lowered: Lowered) -> np.ndarray:
             rv_off, rv_n = pool.add(m.reveal_bool_slots)
             mech(MECH_EFFECTS, m.phase_index,
                  [d_off, len(m.blocks), rv_off, rv_n])
-        elif isinstance(m, T.LMinorityScore):
-            mech(MECH_MINORITY, m.phase_index,
-                 [m.pick_num, m.picker_pred, m.score_num, m.n_options,
-                  m.pick_default])
-        elif isinstance(m, T.LBluffChallenge):
-            hlo, hhi = _mask_words(m.challenge_phase_mask)
-            codes_off, codes_n = pool.add(m.role_codes)
-            rv_off, rv_n = pool.add(m.reveal_bool_slots)
-            mech(MECH_BLUFF, m.phase_index,
-                 [m.claim_num, _i32(hlo), _i32(hhi),
-                  m.claimant_pred, m.challenger_pred, m.role_str_slot,
-                  codes_off, codes_n, m.lives_num, rv_off, rv_n])
-        elif isinstance(m, T.LGuessScore):
-            mech(MECH_SCORE, m.phase_index,
-                 [m.speaker_bool, m.lie_num, m.vote_num, m.voted_bool, m.score_num, m.rounds_num])
-        elif isinstance(m, T.LSpeakerRotate):
-            rb_off, rb_n = pool.add(m.reset_bool_slots)
-            rbd_off, _ = pool.add(int(d) for d in m.reset_bool_defaults)
-            rn_off, rn_n = pool.add(m.reset_num_slots)
-            rnd_off, _ = pool.add(m.reset_num_defaults)
-            ro_off, ro_n = pool.add(m.reset_odict_slots)
-            rp_off, rp_n = pool.add(m.reset_pdict_slots)
-            mech(MECH_ROTATE, m.phase_index,
-                 [m.speaker_bool, m.rounds_num, m.can_vote_bool,
-                  rb_off, rb_n, rbd_off, rn_off, rn_n, rnd_off, ro_off, ro_n, rp_off, rp_n])
         elif isinstance(m, T.LRoleAssign):
             settings = []
             for code, triples in m.role_settings:
@@ -173,9 +135,6 @@ def pack(lowered: Lowered) -> np.ndarray:
                     settings.extend([code, bank, slot, val])
             s_off, s_n = pool.add(settings)
             mech(MECH_ROLES, m.phase_index, [m.role_str_slot, s_off, s_n // 4])
-        elif isinstance(m, T.LSetBoolAll):
-            s_off, s_n = pool.add(m.slots)
-            mech(MECH_SETBOOL, m.phase_index, [s_off, s_n])
         elif isinstance(m, T.LGameOver):
             mode = {"team": 0, "score": 1, "none": 2, "survivor": 3}[m.mode]
             t_off, t_n = pool.add(m.team_codes)

@@ -129,26 +129,6 @@ class OracleRoom:
 
     # -- resolution mechanics (P6-P11) ---------------------------------------
 
-    def _plurality(self, votes: list[int]) -> int:
-        """P6: plurality with lowest-id tie-break; 0 if no votes."""
-        if not votes:
-            return 0
-        counts = [0] * (self.n + 1)
-        for v in votes:
-            if 1 <= v <= self.n:
-                counts[v] += 1
-        best = max(counts)
-        if best == 0:
-            return 0
-        return counts.index(best)  # lowest index with max count
-
-    def _choices_from(self, phases: frozenset[int], pred) -> list[int]:
-        out = []
-        for p in range(1, self.n + 1):
-            if self.choice_phase.get(p) in phases and self._match(pred, p):
-                out.append(self.choice[p])
-        return out
-
     def _apply_on_enter(self, phase: CompiledPhase) -> None:
         for mech in phase.program.on_enter:
             self.apply_mechanic(mech)
@@ -159,9 +139,16 @@ class OracleRoom:
         if isinstance(mech, M.RoleAssign):
             self._role_assign(mech)
         elif isinstance(mech, M.NightResolve):
-            self._night_resolve(mech)
+            self._apply_effects(
+                FX.night_resolve_program(
+                    mech.kill_phases, mech.protect_phases,
+                    mech.kill_pred, mech.protect_pred,
+                    (*mech.reset_bools, *mech.reset_nums)),
+                mech.reveal_bools)
         elif isinstance(mech, M.VoteElim):
-            self._vote_elim(mech)
+            self._apply_effects(
+                FX.vote_elim_program(mech.vote_phases, mech.voter_pred),
+                mech.reveal_bools)
         elif isinstance(mech, M.ResourceIncome):
             self._apply_effects(FX.income_program(mech.gains), ())
         elif isinstance(mech, M.ResourceRaid):
@@ -169,9 +156,18 @@ class OracleRoom:
                 FX.raid_program(mech.raid_phases, mech.raider_pred,
                                 mech.res_field), ())
         elif isinstance(mech, M.BluffChallenge):
-            self._bluff_challenge(mech)
+            self._apply_effects(
+                FX.bluff_challenge_program(
+                    mech.claim_field, mech.challenge_phases,
+                    mech.claimant_pred, mech.challenger_pred,
+                    mech.role_field,
+                    tuple(r.name for r in self.game.spec.declaration.roles),
+                    mech.lives_field),
+                mech.reveal_bools)
         elif isinstance(mech, M.MinorityScore):
-            self._minority_score(mech)
+            self._apply_effects(
+                FX.minority_program(mech.pick_field, mech.picker_pred,
+                                    mech.score_field, mech.n_options), ())
         elif isinstance(mech, M.AuctionScore):
             try:
                 bid_default = int(
@@ -185,13 +181,20 @@ class OracleRoom:
         elif isinstance(mech, M.Effects):
             self._apply_effects(mech.program, mech.reveal_bools)
         elif isinstance(mech, M.GuessScore):
-            self._guess_score(mech)
+            self._apply_effects(
+                FX.guess_score_program(
+                    mech.speaker_field, mech.lie_field, mech.vote_field,
+                    mech.voted_field or None, mech.score_field,
+                    mech.rounds_field or None), ())
         elif isinstance(mech, M.SpeakerRotate):
-            self._speaker_rotate(mech)
+            self._apply_effects(
+                FX.speaker_rotate_program(
+                    mech.speaker_field, mech.rounds_field,
+                    mech.can_vote_field or None,
+                    (*mech.reset_bools, *mech.reset_nums,
+                     *mech.reset_odicts, *mech.reset_pdicts)), ())
         elif isinstance(mech, M.SetBoolAll):
-            for pid in self.players:
-                for f in mech.fields:
-                    self.players[pid][f] = True
+            self._apply_effects(FX.set_bool_all_program(mech.fields), ())
         elif isinstance(mech, M.GameOver):
             self._game_over(mech)
 
@@ -213,23 +216,6 @@ class OracleRoom:
             row["is_alive"] = False
         for f in reveal_bools:
             row[f] = True
-
-    def _night_resolve(self, nr: M.NightResolve) -> None:
-        kill = self._plurality(self._choices_from(nr.kill_phases, nr.kill_pred))
-        protect = self._plurality(self._choices_from(nr.protect_phases, nr.protect_pred))
-        if kill and kill != protect and self.players[kill].get("is_alive", True):
-            self._kill(kill, nr.reveal_bools)
-        decl = self.game.spec.declaration
-        for pid in self.players:
-            for f in nr.reset_bools:
-                self.players[pid][f] = decl.field(f).default
-            for f in nr.reset_nums:
-                self.players[pid][f] = decl.field(f).default
-
-    def _vote_elim(self, ve: M.VoteElim) -> None:
-        target = self._plurality(self._choices_from(ve.vote_phases, ve.voter_pred))
-        if target and self.players[target].get("is_alive", True):
-            self._kill(target, ve.reveal_bools)
 
     # -- generic effect interpreter (P20) ------------------------------------
     #
@@ -338,6 +324,14 @@ class OracleRoom:
                     if isinstance(st, FX.SKill):
                         self._kill(p, reveal_bools)
                         continue
+                    if isinstance(st, FX.SReset):
+                        slot = self.game.layout.slot(st.field)
+                        from game_engine_tpu.gamespec.layout import (
+                            BANK_ODICT, BANK_PDICT)
+                        self.players[p][st.field] = (
+                            {} if slot.bank in (BANK_ODICT, BANK_PDICT)
+                            else slot.default)
+                        continue
                     v = self._fx_eval(st.value, p, snap)
                     row = self.players[p]
                     if isinstance(st, FX.SAdd):
@@ -346,111 +340,6 @@ class OracleRoom:
                         row[st.field] = v != 0
                     else:
                         row[st.field] = v
-
-    def _minority_score(self, ms: M.MinorityScore) -> None:
-        """P16: smallest non-empty pick group scores (SEMANTICS.md)."""
-        picks: dict[int, int] = {}
-        for p in range(1, self.n + 1):
-            row = self.players[p]
-            if not row.get("is_alive", True):
-                continue
-            if self._match(ms.picker_pred, p):
-                c = int(row.get(ms.pick_field, 0) or 0)
-                if 1 <= c <= ms.n_options:
-                    picks[p] = c
-        counts: dict[int, int] = {}
-        for c in picks.values():
-            counts[c] = counts.get(c, 0) + 1
-        if len(counts) >= 2:  # a lone group has no minority
-            win_count = min(counts.values())
-            win_opt = min(c for c, n in counts.items() if n == win_count)
-            for p, c in picks.items():
-                if c == win_opt:
-                    self.players[p][ms.score_field] = (
-                        int(self.players[p].get(ms.score_field, 0) or 0) + 1
-                    )
-        default = self.game.spec.declaration.field(ms.pick_field).default
-        for p in range(1, self.n + 1):
-            self.players[p][ms.pick_field] = default
-
-    def _bluff_challenge(self, bc: M.BluffChallenge) -> None:
-        """P14: Coup-style claim/challenge resolution (SEMANTICS.md)."""
-        roles = [r.name for r in self.game.spec.declaration.roles]
-        claim: dict[int, int] = {}
-        for p in range(1, self.n + 1):
-            row = self.players[p]
-            if not row.get("is_alive", True):
-                continue
-            if self._match(bc.claimant_pred, p):
-                claim[p] = int(row.get(bc.claim_field, 0) or 0)
-        challengers: dict[int, list[int]] = {}  # target -> challengers
-        for q in range(1, self.n + 1):
-            row = self.players[q]
-            if not row.get("is_alive", True):
-                continue
-            if self.choice_phase.get(q) in bc.challenge_phases and self._match(bc.challenger_pred, q):
-                t = self.choice.get(q, 0)
-                if 1 <= t <= self.n and t != q:  # self-challenge void
-                    challengers.setdefault(t, []).append(q)
-        loss = {p: 0 for p in range(1, self.n + 1)}
-        for p, k in claim.items():
-            if p not in challengers or k <= 0:
-                continue  # unchallenged or no claim: nothing happens
-            # claims outside the role catalogue are lies
-            truthful = 1 <= k <= len(roles) and \
-                str(self.players[p].get(bc.role_field, "")) == roles[k - 1]
-            if truthful:
-                loss[min(challengers[p])] += 1  # lowest-id challenger pays
-            else:
-                loss[p] += 1
-        for p in range(1, self.n + 1):
-            if loss[p] == 0:
-                continue
-            lives = int(self.players[p].get(bc.lives_field, 0) or 0)
-            new_lives = max(lives - loss[p], 0)
-            self.players[p][bc.lives_field] = new_lives
-            if new_lives == 0 and self.players[p].get("is_alive", True):
-                self._kill(p, bc.reveal_bools)
-
-    def _guess_score(self, gs: M.GuessScore) -> None:
-        speakers = [p for p in range(1, self.n + 1) if gs.speaker_field and self.players[p].get(gs.speaker_field)]
-        if not speakers:
-            return
-        sp = speakers[0]
-        lie = self.players[sp].get(gs.lie_field, 0)
-        fooled = 0
-        for p in range(1, self.n + 1):
-            if p == sp:
-                continue
-            row = self.players[p]
-            if gs.voted_field and not row.get(gs.voted_field):
-                continue
-            if row.get(gs.vote_field, 0) == lie:
-                row[gs.score_field] = row.get(gs.score_field, 0) + 1
-            else:
-                fooled += 1
-        self.players[sp][gs.score_field] = self.players[sp].get(gs.score_field, 0) + fooled
-        if gs.rounds_field:
-            self.players[sp][gs.rounds_field] = self.players[sp].get(gs.rounds_field, 0) + 1
-
-    def _speaker_rotate(self, sr: M.SpeakerRotate) -> None:
-        decl = self.game.spec.declaration
-        # next speaker: min rounds, tie -> lowest id (P9)
-        rounds = [(self.players[p].get(sr.rounds_field, 0), p) for p in range(1, self.n + 1)]
-        speaker = min(rounds)[1]
-        for p in range(1, self.n + 1):
-            row = self.players[p]
-            row[sr.speaker_field] = p == speaker
-            if sr.can_vote_field:
-                row[sr.can_vote_field] = p != speaker
-            for f in sr.reset_bools:
-                row[f] = decl.field(f).default
-            for f in sr.reset_nums:
-                row[f] = decl.field(f).default
-            for f in sr.reset_odicts:
-                row[f] = {}
-            for f in sr.reset_pdicts:
-                row[f] = {}
 
     def _game_over(self, go: M.GameOver) -> None:
         self.done = True
