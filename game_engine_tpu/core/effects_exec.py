@@ -115,24 +115,43 @@ def run_effect(mech, ops, active) -> None:
 
     Each block reads the snapshot ops.snapshot() captures at its start;
     writes land in statement order (P20)."""
-    for nodes, stmts in mech.blocks:
+    for block in mech.blocks:
         ops.snapshot()
-        vals: list = []
-        for kind, p0, p1, p2 in nodes:
-            vals.append(_eval_node(kind, p0, p1, p2, vals, ops))
-        for skind, bank, slot, vnode, wnode in stmts:
-            w = ops.stmt_mask(vals[wnode], active)
-            if skind == FX.ST_KILL:
-                ops.kill(w, mech.reveal_bool_slots)
-            elif skind == FX.ST_RESET:
-                # dict banks: clear to empty (bool/num/str resets lower to
-                # ST_SET const-default rows instead)
-                ops.reset_dict(bank, slot, w)
-            elif skind == FX.ST_SET and bank == FX.FXB_BOOL:
-                ops.write_bool(slot, vals[vnode], w)
-            elif skind == FX.ST_SET and bank == FX.FXB_STR:
-                ops.write_str(slot, vals[vnode], w)
-            elif skind == FX.ST_SET:
-                ops.write_num(slot, vals[vnode], w, add=False)
-            else:
-                ops.write_num(slot, vals[vnode], w, add=True)
+        _apply_block(block, mech.reveal_bool_slots, ops, active)
+
+
+def run_effects_merged(mechs, ops, actives) -> None:
+    """Apply several SINGLE-BLOCK programs from ONE shared snapshot.
+
+    Only valid when the programs' active masks are disjoint (mechanics on
+    pairwise-distinct phases): each room executes at most one of them, so
+    the merged pass is bit-identical to sequential run_effect calls while
+    letting XLA fuse the programs' reads and writes together instead of
+    serializing them through the banks (core/step.py apply_on_enter)."""
+    ops.snapshot()
+    for mech, active in zip(mechs, actives):
+        (block,) = mech.blocks
+        _apply_block(block, mech.reveal_bool_slots, ops, active)
+
+
+def _apply_block(block, reveal_bool_slots, ops, active) -> None:
+    nodes, stmts = block
+    vals: list = []
+    for kind, p0, p1, p2 in nodes:
+        vals.append(_eval_node(kind, p0, p1, p2, vals, ops))
+    for skind, bank, slot, vnode, wnode in stmts:
+        w = ops.stmt_mask(vals[wnode], active)
+        if skind == FX.ST_KILL:
+            ops.kill(w, reveal_bool_slots)
+        elif skind == FX.ST_RESET:
+            # dict banks: clear to empty (bool/num/str resets lower to
+            # ST_SET const-default rows instead)
+            ops.reset_dict(bank, slot, w)
+        elif skind == FX.ST_SET and bank == FX.FXB_BOOL:
+            ops.write_bool(slot, vals[vnode], w)
+        elif skind == FX.ST_SET and bank == FX.FXB_STR:
+            ops.write_str(slot, vals[vnode], w)
+        elif skind == FX.ST_SET:
+            ops.write_num(slot, vals[vnode], w, add=False)
+        else:
+            ops.write_num(slot, vals[vnode], w, add=True)

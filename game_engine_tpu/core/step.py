@@ -526,11 +526,43 @@ def apply_on_enter(lowered: Lowered, state: GameState, entered: jax.Array, new_p
     Predicates used by mechanics are evaluated on the state at entry time;
     mechanics within one phase are independent by construction (the
     analyzer never emits intra-phase pred dependencies).
+
+    Consecutive single-block effect programs on pairwise-DISTINCT phases
+    share one snapshot and one statement pass: a room is in exactly one
+    phase, so their active masks are disjoint and sequential execution
+    equals merged execution — but sequential snapshots create an
+    array-level write->read chain that splits the step into extra fused
+    kernels (the programs' banks alias even though their rooms don't).
+    Merging removes the false dependency; parity is enforced by the
+    golden fixture and the 4-way differential suites.
     """
+    from game_engine_tpu.core.effects_exec import run_effects_merged
+
     pe = PredEval(lowered, state)
-    for mech in lowered.mechanics:
-        active = entered & (new_phase == mech.phase_index)
-        state = _MECH_FNS[type(mech)](lowered, state, pe, active, mech)
+    mechs = lowered.mechanics
+    i = 0
+    while i < len(mechs):
+        m = mechs[i]
+        if isinstance(m, T.LEffect) and len(m.blocks) == 1:
+            group = [m]
+            phases = {m.phase_index}
+            j = i + 1
+            while (j < len(mechs) and isinstance(mechs[j], T.LEffect)
+                   and len(mechs[j].blocks) == 1
+                   and mechs[j].phase_index not in phases):
+                group.append(mechs[j])
+                phases.add(mechs[j].phase_index)
+                j += 1
+            ops = _EffectOps(lowered, state)
+            run_effects_merged(
+                group, ops,
+                [entered & (new_phase == g.phase_index) for g in group])
+            state = ops.st
+            i = j
+        else:
+            active = entered & (new_phase == m.phase_index)
+            state = _MECH_FNS[type(m)](lowered, state, pe, active, m)
+            i += 1
     return state
 
 
