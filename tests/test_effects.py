@@ -104,6 +104,56 @@ def test_checker_is_loud():
     check(["coins += 1 where team == 'bandits'"])  # in-vocab passes
 
 
+def test_reset_statement_surface():
+    """`reset FIELD` restores the declared template default — the only IR
+    write permitted on string and dict banks (P9 round-scoped resets ride
+    on it; two-truths' speaker rotation exercises the dict-bank path in
+    the four-way parity suites)."""
+    env = {}
+    st = FX.parse_statement("reset coins", env)
+    assert st == FX.SReset("coins")
+    st2 = FX.parse_statement("reset coins where seat == 1", env)
+    assert isinstance(st2, FX.SReset) and isinstance(st2.where, FX.ECmp)
+
+    spec = load_builtin("gold-rush")
+    game = compile_game(spec)
+    layout, phases = game.layout, frozenset(spec.phases)
+    FX.check_program(FX.parse_program(["reset coins"]), layout, phases,
+                     has_alive=True)
+    # string fields: = rejected, reset allowed
+    FX.check_program(FX.parse_program(["reset team"]), layout, phases,
+                     has_alive=True)
+    with pytest.raises(FX.EffectError, match="unknown field"):
+        FX.check_program(FX.parse_program(["reset mana"]), layout, phases,
+                         has_alive=True)
+
+    # oracle semantics: value returns to the declared default, others keep
+    prog = FX.parse_program(["reset coins where seat == 1"])
+    room = OracleRoom(game, n_players=3, seed=0)
+    default = room.players[2]["coins"]
+    room.players[1]["coins"] = 7
+    room.players[2]["coins"] = 9
+    room.apply_mechanic(M.Effects(program=prog))
+    assert room.players[1]["coins"] == default
+    assert room.players[2]["coins"] == 9
+
+
+def test_reset_statement_engine_parity():
+    """reset lowers to the jitted engine identically to the oracle: craft
+    an Effects mechanic and apply it on a live two-truths room where the
+    speaker-rotation reset fields (incl. a pdict bank) are populated."""
+    lowered = lower(compile_game(load_builtin("two-truths-and-a-lie")))
+    eng = BatchedEngine(lowered)
+    room = OracleRoom(lowered.game, n_players=3, seed=5)
+    state = init_state(lowered, 1, 3, np.uint32(5))
+    for t in range(40):
+        room.step(oracle_policy(room, t, 5))
+        state = eng.step(state, scripted_actions(lowered, state))
+        assert_state_matches(lowered, room, state, 0, t)
+        if room.done:
+            break
+
+
 def test_validator_surfaces_effect_errors():
     """A malformed effects hint becomes an ERROR Issue with the parse
     detail, never a silently dropped mechanic (P18 loud-or-correct)."""
