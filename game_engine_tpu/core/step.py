@@ -415,24 +415,23 @@ class _EffectOps:
         return jnp.where(any_m, best, 0)
 
     def argbest(self, kind, key, mask):
-        # two reduces, not three: argmax/argmin pick the FIRST extremum
-        # (= lowest seat id, the P6 tie convention) and the sentinel max
-        # doubles as the empty-mask test — the same shape the retired
-        # bespoke _plurality kernels lowered to (op-count parity matters:
-        # the step program is dispatch-bound, docs/PERF.md)
+        # exact for ALL int32 keys: the win mask is re-ANDed with m so a
+        # legitimate key equal to the sentinel can neither fake an empty
+        # mask nor let a masked-out seat win (a 2-reduce sentinel-only
+        # variant measured ZERO gain on chip — docs/PERF.md — and
+        # silently narrowed the key domain)
         m = self._b(self._bp(mask)) & self.st.present
         key = self._bp(self._i(key))
+        any_m = jnp.any(m, axis=1, keepdims=True)
         if kind == FX.ARG_MAX:
-            sent = jnp.int32(-(2**31) + 1)
-            masked = jnp.where(m, key, sent)
-            best = jnp.max(masked, axis=1, keepdims=True)
-            w = jnp.argmax(masked, axis=1).astype(jnp.int32)[:, None] + 1
-            return jnp.where(best > sent, w, 0)
-        sent = jnp.int32(2**31 - 1)
-        masked = jnp.where(m, key, sent)
-        best = jnp.min(masked, axis=1, keepdims=True)
-        w = jnp.argmin(masked, axis=1).astype(jnp.int32)[:, None] + 1
-        return jnp.where(best < sent, w, 0)
+            best = jnp.max(jnp.where(m, key, jnp.int32(-(2**31))),
+                           axis=1, keepdims=True)
+        else:
+            best = jnp.min(jnp.where(m, key, jnp.int32(2**31 - 1)),
+                           axis=1, keepdims=True)
+        win = m & (key == best)
+        w = jnp.min(jnp.where(win, self._seat, self.P + 1), axis=1, keepdims=True)
+        return jnp.where(any_m, w, 0)
 
     # -- statement writes ---------------------------------------------------
 

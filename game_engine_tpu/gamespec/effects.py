@@ -696,6 +696,11 @@ def check_program(
             if slot is None:
                 raise EffectError(f"unknown field {st.field!r} in write")
             if isinstance(st, SReset):
+                if slot.bank not in (BANK_BOOL, BANK_NUM, BANK_STR,
+                                     BANK_ODICT, BANK_PDICT):
+                    raise EffectError(
+                        f"reset target {st.field!r} is a {slot.bank} field — "
+                        "only boolean, num, string and dict fields reset")
                 check_expr(st.where)
                 continue
             if isinstance(st, SAdd) and slot.bank != BANK_NUM:
@@ -880,10 +885,13 @@ def lower_program(
                     stmts.append((ST_SET, FXB_BOOL, slot.index,
                                   pool.add(NK_CONST, 1 if slot.default else 0),
                                   lx(st.where)))
-                else:
+                elif slot.bank == BANK_NUM:
                     stmts.append((ST_SET, FXB_NUM, slot.index,
                                   pool.add(NK_CONST, int(slot.default or 0)),
                                   lx(st.where)))
+                else:  # arr and friends never pass check_program
+                    raise EffectError(
+                        f"reset target {st.field!r} is a {slot.bank} field")
                 continue
             slot = layout.slot(st.field)
             bank = {BANK_BOOL: FXB_BOOL, BANK_NUM: FXB_NUM}[slot.bank]

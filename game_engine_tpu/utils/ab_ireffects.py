@@ -32,13 +32,21 @@ def main() -> None:
     from game_engine_tpu.gamespec.parser import load_builtin
     from game_engine_tpu.gamespec.tables import lower
 
+    from game_engine_tpu.core import effects_exec as FXE
+
+    # default 1024-step scans: shorter scans read ~3x slow from per-iter
+    # relay-sync amortization (docs/PERF.md), not device time
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     iters = int(sys.argv[3]) if len(sys.argv) > 3 else 8
 
     lowered = lower(compile_game(load_builtin("werewolf")))
 
+    # the noop control must stub BOTH entry points: single-block programs
+    # route through run_effects_merged (step.apply_on_enter), multi-block
+    # ones through the _MECH_FNS dispatch
     real_fx = S._MECH_FNS[T.LEffect]
+    real_merged = FXE.run_effects_merged
 
     def med(roll):
         # fresh state per variant: compiled_rollout donates its input
@@ -56,17 +64,20 @@ def main() -> None:
 
     results = {"batch": batch, "steps": steps, "iters": iters}
     variants = [
-        ("ir", real_fx),
-        ("noop", lambda lw, st, pe, active, m: st),
-        ("ir2", real_fx),  # re-run: drift control
+        ("ir", real_fx, real_merged),
+        ("noop", lambda lw, st, pe, active, m: st,
+         lambda mechs, ops, actives: None),
+        ("ir2", real_fx, real_merged),  # re-run: drift control
     ]
-    for name, fn in variants:
+    for name, fn, merged in variants:
         S._MECH_FNS[T.LEffect] = fn
+        FXE.run_effects_merged = merged
         roll = compiled_rollout(lowered, steps, auto_reset=True)
         t = med(roll)
         results[f"{name}_us_per_step"] = round(t / steps * 1e6, 1)
         results[f"{name}_env_steps_per_s"] = round(batch * steps / t)
     S._MECH_FNS[T.LEffect] = real_fx
+    FXE.run_effects_merged = real_merged
     print(json.dumps(results))
 
 

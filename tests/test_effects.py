@@ -139,19 +139,43 @@ def test_reset_statement_surface():
 
 
 def test_reset_statement_engine_parity():
-    """reset lowers to the jitted engine identically to the oracle: craft
-    an Effects mechanic and apply it on a live two-truths room where the
-    speaker-rotation reset fields (incl. a pdict bank) are populated."""
-    lowered = lower(compile_game(load_builtin("two-truths-and-a-lie")))
+    """reset lowers to the jitted engine identically to the oracle: run
+    two-truths (speaker rotation = argmin + `reset` statements incl. the
+    pdict/odict banks) to completion with per-step parity, asserting the
+    rotation actually fired — the speaker changed AND a populated
+    dict-bank field was observed cleared by a reset."""
+    from game_engine_tpu.gamespec.compile import GameConfig
+
+    lowered = lower(compile_game(load_builtin("two-truths-and-a-lie"),
+                                 GameConfig(rounds_per_player=1)))
+    rot = next(m for cp in lowered.game.phases
+               for m in cp.program.on_enter
+               if isinstance(m, M.SpeakerRotate))
+    assert rot.reset_pdicts or rot.reset_odicts  # the dict-bank path
+    dict_fields = (*rot.reset_pdicts, *rot.reset_odicts)
     eng = BatchedEngine(lowered)
     room = OracleRoom(lowered.game, n_players=3, seed=5)
     state = init_state(lowered, 1, 3, np.uint32(5))
-    for t in range(40):
+    speakers = set()
+    saw_dict_cleared = False
+    had_dict_value = {f: False for f in dict_fields}
+    for t in range(200):
         room.step(oracle_policy(room, t, 5))
         state = eng.step(state, scripted_actions(lowered, state))
         assert_state_matches(lowered, room, state, 0, t)
+        for p, row in room.players.items():
+            if row.get(rot.speaker_field):
+                speakers.add(p)
+            for f in dict_fields:
+                if row.get(f):
+                    had_dict_value[f] = True
+                elif had_dict_value[f]:
+                    saw_dict_cleared = True
         if room.done:
             break
+    assert room.done
+    assert len(speakers) >= 2, "rotation never changed the speaker"
+    assert saw_dict_cleared, "no populated dict field was ever reset"
 
 
 def test_validator_surfaces_effect_errors():
