@@ -1,7 +1,8 @@
 """P20 effect IR: the declarative language, its loud-or-correct validation,
-and four-executor bit-parity on the three catalog games that only the IR can
+and four-executor bit-parity on the catalog games that only the IR can
 express — gift-circle (player-to-player transfers), handshake-pact
-(choice-of-choice reciprocity), speed-track (eqcount collision racing).
+(choice-of-choice reciprocity), speed-track (eqcount collision racing),
+relic-draft (shrinking-pool draft), tide-pool (`reset`-statement busts).
 
 The reference's referee applies arbitrary describable rules via LLM state
 writes (reference: agent/tools/backend_tools.py:204-225,
@@ -23,7 +24,8 @@ from game_engine_tpu.oracle.interp import OracleRoom
 from game_engine_tpu.policies.scripted import oracle_policy
 from tests.test_parity import assert_state_matches
 
-EFFECT_GAMES = ["gift-circle", "handshake-pact", "speed-track", "relic-draft"]
+EFFECT_GAMES = ["gift-circle", "handshake-pact", "speed-track",
+                "relic-draft", "tide-pool"]
 
 
 @pytest.fixture(scope="module", params=EFFECT_GAMES)
@@ -313,6 +315,36 @@ def test_block_snapshot_semantics():
     room2.players[1]["coins"] = 3
     room2.apply_mechanic(M.Effects(program=prog2))
     assert room2.players[1]["coins"] == 8
+
+
+def test_tide_pool_bust_and_bank():
+    """tide-pool: the bust rule is a conditional `reset` overriding the
+    same block's `+=` from snapshot reads — banking (pick 3) converts the
+    stash to pearls; a dive that would push the stash past 5 sweeps it to
+    the template default instead of adding."""
+    game = compile_game(load_builtin("tide-pool"))
+    room = OracleRoom(game, n_players=4, seed=0)
+    fx = next(m for cp in game.phases if cp.dsl_id == 2
+              for m in cp.program.on_enter if isinstance(m, M.Effects))
+
+    def round_with(picks):
+        for p, c in picks.items():
+            room.players[p]["dive_pick"] = c
+            room.choice[p] = c
+            room.choice_phase[p] = 1
+        room.apply_mechanic(fx)
+
+    room.players[1]["stash"] = 4
+    room.players[2]["stash"] = 4
+    room.players[3]["stash"] = 3
+    round_with({1: 2, 2: 3, 3: 2, 4: 1})
+    assert room.players[1]["stash"] == 0          # 4+2 > 5: swept
+    assert room.players[1]["pearls"] == 0
+    assert room.players[2]["stash"] == 0          # banked
+    assert room.players[2]["pearls"] == 4
+    assert room.players[3]["stash"] == 5          # 3+2 = 5: exactly safe
+    assert room.players[4]["stash"] == 1
+    assert all(room.players[p]["dive_pick"] == 0 for p in room.players)
 
 
 # ---------------------------------------------------------------------------
