@@ -276,7 +276,8 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
                 return count_mask(mb)
             any_m = jnp.any(mb, axis=0, keepdims=True)
             if kind == FXE.RED_MAX:
-                best = jnp.max(jnp.where(mb, valb, jnp.int32(-(2**31) + 1)),
+                # exact INT32_MIN sentinel, matching step.py/oracle/C++
+                best = jnp.max(jnp.where(mb, valb, jnp.int32(-(2**31))),
                                axis=0, keepdims=True)
             else:
                 best = jnp.min(jnp.where(mb, valb, jnp.int32(2**31 - 1)),
@@ -288,7 +289,9 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
             keyb = self._bpr(key)
             any_m = jnp.any(mb, axis=0, keepdims=True)
             if kind == FXE.ARG_MAX:
-                best = jnp.max(jnp.where(mb, keyb, jnp.int32(-(2**31) + 1)),
+                # exact INT32_MIN sentinel ('exact for ALL int32 keys',
+                # matching step.py's argbest — ADVICE r3)
+                best = jnp.max(jnp.where(mb, keyb, jnp.int32(-(2**31))),
                                axis=0, keepdims=True)
             else:
                 best = jnp.min(jnp.where(mb, keyb, jnp.int32(2**31 - 1)),

@@ -407,7 +407,9 @@ class _EffectOps:
             return jnp.sum(jnp.where(m, val, 0), axis=1, keepdims=True)
         any_m = jnp.any(m, axis=1, keepdims=True)
         if kind == FX.RED_MAX:
-            best = jnp.max(jnp.where(m, val, jnp.int32(-(2**31) + 1)),
+            # exact INT32_MIN sentinel: the oracle/C++ reduce is a true max
+            # over masked-in lanes, so even all-INT32_MIN inputs must agree
+            best = jnp.max(jnp.where(m, val, jnp.int32(-(2**31))),
                            axis=1, keepdims=True)
         else:
             best = jnp.min(jnp.where(m, val, jnp.int32(2**31 - 1)),

@@ -354,8 +354,9 @@ def _semantic_gap_issues(spec: GameSpec, game) -> list[Issue]:
                         "night_resolution phase downstream",
                     ))
             elif hname == "effects":
-                # P20: re-parse the program so the exact EffectError reaches
-                # the author (the analyzer attaches nothing on failure)
+                # P20: re-parse the program to attach the EffectError to the
+                # exact phase path (the analyzer raises at compile time, so
+                # reaching here means it parsed; this guards the attachment)
                 from game_engine_tpu.gamespec import effects as FXm
 
                 lines = list(_harg) if isinstance(_harg, tuple) else [_harg]

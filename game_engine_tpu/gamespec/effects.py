@@ -650,6 +650,13 @@ def check_program(
                         "boolean, num and string fields are readable in effects")
             elif isinstance(node, EStrLit):
                 pass  # context checked below
+            elif isinstance(node, EConst):
+                # all IR values are int32 (SEMANTICS.md); an out-of-range
+                # literal would already differ between executors at load
+                if not -(2**31) <= node.value <= 2**31 - 1:
+                    raise EffectError(
+                        f"constant {node.value} is outside int32 — all "
+                        "effect values are 32-bit signed integers")
             elif isinstance(node, EChoseIn):
                 for pid in node.phases:
                     if pid not in known_phase_ids:

@@ -1043,8 +1043,12 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
 
         # P20: declared effect programs — parsed and checked here, attached
         # before any terminal GameOver so winner evaluation sees their
-        # writes. A malformed program attaches nothing; dslgen/validate.py
-        # re-parses the hint and surfaces the EffectError as a loud ERROR.
+        # writes. A malformed program must fail COMPILATION, not silently
+        # attach nothing: the serving path (GameHost -> compile_game) never
+        # runs dslgen/validate.py, so swallowing the EffectError here would
+        # put a room in play whose resolution phase is a no-op — violating
+        # the P20 loud-or-correct contract (SEMANTICS.md). validate_doc
+        # still re-parses the hint to attach the error to the right line.
         for hname, harg in ph.mechanic_hints:
             if hname != "effects" or harg is None:
                 continue
@@ -1057,8 +1061,10 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
                     prog, layout, frozenset(spec.phases),
                     has_alive="is_alive" in fields,
                 )
-            except FX.EffectError:
-                continue
+            except FX.EffectError as e:
+                raise FX.EffectError(
+                    f"phase {pid} ({ph.name!r}): effects program rejected: {e}"
+                ) from e
             mechanics.append(Effects(program=prog, reveal_bools=reveal_bools))
 
         if ph.is_terminal:

@@ -256,10 +256,22 @@ def lower(game: CompiledGame) -> Lowered:
 
     def _pmask_words(ids) -> tuple[int, int]:
         """DSL phase ids -> 64-bit choice_phase membership words (bit =
-        dense_index + 1, matching the (NP+1,) masks used elsewhere)."""
+        dense_index + 1, matching the (NP+1,) masks used elsewhere).
+
+        Loud ceiling: the jitted/Pallas/C++ executors test chose()
+        membership against these two 32-bit words, while the oracle's
+        EChoseIn uses an unbounded frozenset — a >=63-phase game would
+        silently drop membership bits and break parity, so refuse to
+        lower it (ADVICE r3)."""
         bits = 0
         for pid in ids:
-            bits |= 1 << (game.id_to_index[pid] + 1)
+            bit = game.id_to_index[pid] + 1
+            if bit >= 64:
+                raise ValueError(
+                    f"chose()/IR phase membership is limited to 63 phases: "
+                    f"phase id {pid} lowers to membership bit {bit}"
+                )
+            bits |= 1 << bit
         return bits & 0xFFFFFFFF, (bits >> 32) & 0xFFFFFFFF
 
     def _lower_fx(prog, i: int, reveal=()) -> "LEffect":

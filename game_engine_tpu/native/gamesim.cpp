@@ -289,12 +289,18 @@ void apply_on_enter(const Game& g, Room& r) {
                 for (int p = 0; p < n; ++p) out[p] = fx_pred(a, p) ? 1 : 0;
                 break;
               case FX_BIN:
+                // wrap via uint32: signed overflow is UB, but the pinned IR
+                // semantics (SEMANTICS.md P20) are int32 two's-complement
+                // wrapping in all four executors
                 for (int p = 0; p < n; ++p) {
                   int32_t x = vals[b][p], y = vals[c][p];
                   switch (a) {
-                    case FXBIN_ADD: out[p] = x + y; break;
-                    case FXBIN_SUB: out[p] = x - y; break;
-                    case FXBIN_MUL: out[p] = x * y; break;
+                    case FXBIN_ADD:
+                      out[p] = (int32_t)((uint32_t)x + (uint32_t)y); break;
+                    case FXBIN_SUB:
+                      out[p] = (int32_t)((uint32_t)x - (uint32_t)y); break;
+                    case FXBIN_MUL:
+                      out[p] = (int32_t)((uint32_t)x * (uint32_t)y); break;
                     case FXBIN_MIN: out[p] = std::min(x, y); break;
                     default: out[p] = std::max(x, y);
                   }
@@ -367,7 +373,8 @@ void apply_on_enter(const Game& g, Room& r) {
                   if (vals[c][qq] == 0) continue;
                   int32_t v = vals[b][qq];
                   if (!any) { acc = (a == FXRED_COUNT) ? 1 : v; any = true; }
-                  else if (a == FXRED_SUM) acc += v;
+                  else if (a == FXRED_SUM)
+                    acc = (int32_t)((uint32_t)acc + (uint32_t)v);  // int32 wrap
                   else if (a == FXRED_MAX) acc = std::max(acc, v);
                   else if (a == FXRED_MIN) acc = std::min(acc, v);
                   else acc += 1;  // FXRED_COUNT
@@ -415,8 +422,10 @@ void apply_on_enter(const Game& g, Room& r) {
                   else
                     std::fill_n(&r.pdict[(p * g.NPD + st[2]) * g.P], g.P, 0);
                   break;
-                default:  // FXST_ADD
-                  r.nums[p * g.NN + st[2]] += vals[st[3]][p];
+                default:  // FXST_ADD (int32 wrap, not UB)
+                  r.nums[p * g.NN + st[2]] = (int32_t)(
+                      (uint32_t)r.nums[p * g.NN + st[2]]
+                      + (uint32_t)vals[st[3]][p]);
               }
             }
           }

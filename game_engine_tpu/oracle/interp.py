@@ -27,6 +27,12 @@ from game_engine_tpu.gamespec.mechanics import ChoiceKind
 from game_engine_tpu.gamespec.schema import CompletionType, FieldType
 
 
+def _i32(x: int) -> int:
+    """Wrap to int32 two's-complement (the pinned IR value domain: the XLA
+    and Pallas executors compute in int32; C++ uses int32_t)."""
+    return ((int(x) + 2**31) & 0xFFFFFFFF) - 2**31
+
+
 @dataclasses.dataclass
 class OracleTrace:
     """Per-step observable record used by parity tests."""
@@ -256,9 +262,12 @@ class OracleRoom:
         if isinstance(e, FX.EPredRef):
             return 1 if eval_predicate(e.pred, snap[p]) else 0
         if isinstance(e, FX.EBin):
+            # wrap to int32 like the XLA/Pallas/C++ executors: Python's
+            # unbounded ints would otherwise diverge on a DSL-declared
+            # program that overflows (ADVICE r3); all IR values are int32
             a, b = ev(e.a, p, snap), ev(e.b, p, snap)
-            return {"add": a + b, "sub": a - b, "mul": a * b,
-                    "min": min(a, b), "max": max(a, b)}[e.op]
+            return _i32({"add": a + b, "sub": a - b, "mul": a * b,
+                         "min": min(a, b), "max": max(a, b)}[e.op])
         if isinstance(e, FX.ECmp):
             a, b = e.a, e.b
             if isinstance(a, FX.EStrLit) and isinstance(b, FX.EField):
@@ -299,7 +308,7 @@ class OracleRoom:
             vals = [ev(e.val, q, snap) for q in range(1, self.n + 1)
                     if ev(e.mask, q, snap) != 0]
             if e.kind == "sum":
-                return sum(vals)
+                return _i32(sum(vals))
             if e.kind == "count":
                 return len(vals)
             if not vals:
@@ -335,7 +344,7 @@ class OracleRoom:
                     v = self._fx_eval(st.value, p, snap)
                     row = self.players[p]
                     if isinstance(st, FX.SAdd):
-                        row[st.field] = int(row.get(st.field, 0) or 0) + v
+                        row[st.field] = _i32(int(row.get(st.field, 0) or 0) + v)
                     elif self.game.layout.slot(st.field).bank == "bool":
                         row[st.field] = v != 0
                     else:

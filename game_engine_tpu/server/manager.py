@@ -810,6 +810,15 @@ class GameHost:
                         self.post_chat(
                             room_id, int(ev["pid"]), str(ev["text"]), names,
                             replay_bot=ev.get("bot", GameHost._REPLAY_RECOMPUTE))
+                    elif kind == "chat_reply":
+                        # bot reply journaled as its own event (the trigger's
+                        # "chat" event carries bot:None) so compaction between
+                        # the two can never double-post either message
+                        self._chats[room_id].post(
+                            int(ev["pid"]), str(ev["name"]), str(ev["text"]),
+                            visibility=str(ev.get("visibility", "public")),
+                            target_audience=ev.get("audience"),
+                            timestamp=ev.get("ts"))
                     elif kind == "text":
                         self._texts[room_id].setdefault(int(ev["pid"]), {})[
                             str(ev["field"])
@@ -888,6 +897,20 @@ class GameHost:
                         target_audience=replay_bot.get("audience"),
                         timestamp=ts,
                     )
+                # Journal the trigger in the SAME lock hold as chat.post:
+                # the lm decode below runs unlocked, and a concurrent step()
+                # can compact the journal in that window — its snapshot
+                # already contains the posted message, so a trigger event
+                # appended after the snapshot would double-post on replay.
+                # The bot reply is journaled as a separate follow-up event
+                # ("chat_reply") under the second lock hold; a snapshot
+                # taken between the two holds contains the trigger but not
+                # the reply, and the chat_reply event replays exactly the
+                # missing part.
+                self._log_event(room_id, {
+                    "e": "chat", "pid": player_id, "text": text, "ts": ts,
+                    "bot": None,
+                })
             # The lm_hook decode runs OUTSIDE the global host lock — with
             # --chat-lm a full greedy decode (up to 128 sequential forwards)
             # must not block every other room's HTTP requests. The per-room
@@ -904,14 +927,14 @@ class GameHost:
             with self._lock:
                 if plan is not None:
                     reply = chat.commit_reply(plan, lm_text)
-                self._log_event(room_id, {
-                    "e": "chat", "pid": player_id, "text": text, "ts": ts,
-                    "bot": None if reply is None else {
-                        "pid": reply.playerId, "name": reply.playerName,
-                        "text": reply.message, "visibility": reply.visibility,
+                if reply is not None and replay_bot is GameHost._REPLAY_RECOMPUTE:
+                    self._log_event(room_id, {
+                        "e": "chat_reply", "pid": reply.playerId,
+                        "name": reply.playerName, "text": reply.message,
+                        "visibility": reply.visibility,
                         "audience": reply.target_audience,
-                    },
-                })
+                        "ts": reply.timestamp,
+                    })
                 out = [msg.to_json()]
                 if reply is not None:
                     out.append(reply.to_json())

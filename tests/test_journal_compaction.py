@@ -142,3 +142,40 @@ def test_ten_k_restore_under_one_second(tmp_path):
     snap2 = host2.snapshot("long")
     assert snap2["stateVersion"] == ref["stateVersion"]
     assert snap2["player_states"] == ref["player_states"]
+
+
+def test_chat_during_compaction_window_not_duplicated(tmp_path):
+    """ADVICE r3 (medium): post_chat releases the host lock while the bot
+    reply decodes (the --chat-lm window); a concurrent step() compacting
+    the journal in that window snapshots chat.messages WITH the trigger —
+    the trigger must therefore be journaled in the same lock hold as
+    chat.post (and the reply as a separate chat_reply event), or replay
+    posts the message twice. Simulated deterministically: an lm_hook that
+    compacts mid-decode, then a kill-restart."""
+    from game_engine_tpu.server.api import AppContext
+
+    sp = str(tmp_path / "rooms.json")
+    ctx = AppContext(sp, backend="native")
+    rid = _make_room(ctx)
+    host = ctx.host
+    chat = host._chats[rid]
+    compacted = []
+
+    def hook(context):
+        host._compact_journal(rid)  # the concurrent step()'s SNAP_EVERY hit
+        compacted.append(True)
+        return None  # fall back to the template reply
+
+    chat.lm_hook = hook
+    ctx.handle("POST", f"/api/rooms/{rid}/chat", {},
+               {"playerId": 1, "message": "to Bot 2: hello there friend"})
+    assert compacted, "lm_hook (and thus the mid-window compaction) never ran"
+    _, ref_chat = ctx.handle("GET", f"/api/rooms/{rid}/chat",
+                             {"playerId": ["1"]}, {})
+    assert len(ref_chat["messages"]) == 2  # trigger + bot reply
+    del ctx  # kill -9
+
+    ctx2 = AppContext(sp, backend="native")
+    _, chat2 = ctx2.handle("GET", f"/api/rooms/{rid}/chat",
+                           {"playerId": ["1"]}, {})
+    assert chat2["messages"] == ref_chat["messages"]
