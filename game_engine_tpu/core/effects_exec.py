@@ -139,7 +139,7 @@ def _apply_block(block, reveal_bool_slots, ops, active) -> None:
     vals: list = []
     for kind, p0, p1, p2 in nodes:
         vals.append(_eval_node(kind, p0, p1, p2, vals, ops))
-    for skind, bank, slot, vnode, wnode in stmts:
+    for skind, bank, slot, vnode, wnode, knode in stmts:
         w = ops.stmt_mask(vals[wnode], active)
         if skind == FX.ST_KILL:
             ops.kill(w, reveal_bool_slots)
@@ -147,6 +147,9 @@ def _apply_block(block, reveal_bool_slots, ops, active) -> None:
             # dict banks: clear to empty (bool/num/str resets lower to
             # ST_SET const-default rows instead)
             ops.reset_dict(bank, slot, w)
+        elif skind == FX.ST_SETD:
+            # player-keyed dict entry write; key 0 / out-of-range = no-op
+            ops.write_pdict(slot, vals[knode], vals[vnode], w)
         elif skind == FX.ST_SET and bank == FX.FXB_BOOL:
             ops.write_bool(slot, vals[vnode], w)
         elif skind == FX.ST_SET and bank == FX.FXB_STR:

@@ -316,6 +316,17 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
             cur = self.st["slist"][slot]
             self.st["slist"][slot] = jnp.where(w, self._bpr(val), cur)
 
+        def write_pdict(self, slot, key, val, w):
+            # pdict[seat][key] = val; unrolled select over the static key
+            # axis (key 0 / absent-seat keys write nothing — pinned 1..n)
+            keyb = self._bpr(key)
+            valb = self._bpr(val)
+            for q in range(P):
+                cur = self.st["pd"][slot][q]
+                q_present = self.st["present"][q : q + 1]  # (1, R)
+                self.st["pd"][slot][q] = jnp.where(
+                    w & (keyb == q + 1) & q_present, valb, cur)
+
         def reset_dict(self, bank, slot, w):
             if bank == FXE.FXB_ODICT:
                 self.st["od"][slot] = jnp.where(w, 0, self.st["od"][slot])

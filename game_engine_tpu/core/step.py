@@ -459,6 +459,21 @@ class _EffectOps:
             strs=self.st.strs.at[..., slot].set(
                 jnp.where(w, self._bp(self._i(val)).astype(cur.dtype), cur)))
 
+    def write_pdict(self, slot, key, val, w):
+        """pdict[seat][key] = val for masked seats; one-hot over the tiny
+        key axis (no dynamic scatter — invariant 3). Keys naming absent
+        seats write nothing (the pinned 1..n_players domain, matching the
+        oracle/C++ bound)."""
+        cur = self.st.pdict[:, :, slot, :]  # (B, P, P)
+        key = self._bp(self._i(key))  # (B, P) target seat ids, 1-based
+        hot = (jnp.arange(1, self.P + 1, dtype=jnp.int32)[None, None, :]
+               == key[:, :, None])  # (B, P, P); False everywhere if key=0
+        hot = hot & self.st.present[:, None, :]
+        val = self._bp(self._i(val)).astype(cur.dtype)
+        new = jnp.where(hot & w[:, :, None], val[:, :, None], cur)
+        self.st = self.st._replace(
+            pdict=self.st.pdict.at[:, :, slot, :].set(new))
+
     def reset_dict(self, bank, slot, w):
         if bank == FX.FXB_ODICT:
             cur = self.st.odict[..., slot]

@@ -46,12 +46,15 @@ Expression surface (the textual mini-language):
 
   statements   let NAME = EXPR
                FIELD = EXPR [where EXPR]       (bool or num field)
+               FIELD = 'literal' [where EXPR]  (string field; vocab-coded —
+                                                conversion / recruitment)
+               FIELD[KEY] = 'literal' [where EXPR]
+                                               (player-keyed dict entry;
+                                                keys outside 1..n no-op)
                FIELD += EXPR [where EXPR]      (num field)
                FIELD -= EXPR [where EXPR]
                kill [where EXPR]
-               reset FIELD [where EXPR]         (restore template default;
-                                                 the only write allowed on
-                                                 string and dict banks)
+               reset FIELD [where EXPR]         (restore template default)
                ---                              (block separator)
   builtins     seat        1-based own seat id
                n_players   number of present seats in the room
@@ -280,14 +283,26 @@ class SKill:
 
 @dataclasses.dataclass(frozen=True)
 class SReset:
-    """reset FIELD — restore the declared template default. The only IR
-    write permitted on string and dict banks (P9 round-scoped resets)."""
+    """reset FIELD — restore the declared template default (P9
+    round-scoped resets; works on every bank)."""
 
     field: str
     where: Expr = ONE
 
 
-Stmt = Union[SSet, SAdd, SKill, SReset]
+@dataclasses.dataclass(frozen=True)
+class SSetKey:
+    """FIELD[KEY] = 'literal' — write one entry of a player-keyed dict
+    field (the reference referee records per-player memories this way,
+    e.g. investigated_alignments; backend_tools.py:204-225)."""
+
+    field: str
+    key: Expr
+    value: Expr  # EStrLit (vocab-coded at lowering)
+    where: Expr = ONE
+
+
+Stmt = Union[SSet, SAdd, SKill, SReset, SSetKey]
 Block = tuple[Stmt, ...]
 Program = tuple[Block, ...]  # blocks sequence; statements within a block
 # read the block-entry snapshot
@@ -301,7 +316,7 @@ _TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>\d+)"
     r"|(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
     r"|(?P<str>'[^']*'|\"[^\"]*\")"
-    r"|(?P<op>\+=|-=|==|!=|>=|<=|>|<|\+|-|\*|\(|\)|,|=))"
+    r"|(?P<op>\+=|-=|==|!=|>=|<=|>|<|\+|-|\*|\(|\)|\[|\]|,|=))"
 )
 
 _KEYWORDS = frozenset({"let", "kill", "where", "and", "or", "not", "if"})
@@ -557,9 +572,25 @@ def parse_statement(src: str, env: dict[str, Expr]) -> Optional[Stmt]:
             raise EffectError(f"trailing tokens in {src!r}")
         return SReset(field, where=w)
     # FIELD (= | += | -=) EXPR [where EXPR]
+    # FIELD [ KEY ] = EXPR [where EXPR]        (player-keyed dict write)
     if toks[0][0] != "name":
         raise EffectError(f"statement must start with a field name: {src!r}")
     field = toks[0][1]
+    if toks[1] == ("op", "["):
+        p = _Parser(toks[2:], env)
+        key = p.expr()
+        if p.next() != ("op", "]"):
+            raise EffectError(f"missing ] in dict write: {src!r}")
+        if p.next() != ("op", "="):
+            raise EffectError(f"dict writes only support =: {src!r}")
+        value = p.expr()
+        where: Expr = ONE
+        if p.peek() == ("name", "where"):
+            p.next()
+            where = p.expr()
+        if p.peek()[0] != "end":
+            raise EffectError(f"trailing tokens in {src!r}")
+        return SSetKey(field, key, value, where)
     k, v = toks[1]
     if k != "op" or v not in ("=", "+=", "-="):
         raise EffectError(f"expected =, += or -= after {field!r}: {src!r}")
@@ -710,14 +741,55 @@ def check_program(
                         "only boolean, num, string and dict fields reset")
                 check_expr(st.where)
                 continue
+            def _vocab_write_ok(lit: EStrLit) -> None:
+                if lit.value == "":
+                    return  # '' clears (code 0 is reserved for unset)
+                if not any(v.lower() == lit.value.lower()
+                           for v in slot.vocab):
+                    raise EffectError(
+                        f"string literal {lit.value!r} is not in the "
+                        f"vocabulary of field {st.field!r} "
+                        f"({', '.join(repr(v) for v in slot.vocab if v)})"
+                        " — the write could never round-trip")
+
+            if isinstance(st, SSetKey):
+                # FIELD[KEY] = 'literal': player-keyed dict entry write
+                if slot.bank != BANK_PDICT:
+                    raise EffectError(
+                        f"keyed write target {st.field!r} must be a "
+                        f"player-keyed dict field (it is {slot.bank})")
+                if not isinstance(st.value, EStrLit):
+                    raise EffectError(
+                        f"dict write to {st.field!r} takes a quoted literal "
+                        "from the field's value vocabulary")
+                _vocab_write_ok(st.value)
+                if isinstance(st.key, EStrLit) or isinstance(st.where, EStrLit):
+                    raise EffectError("string literals cannot be written")
+                check_expr(st.key)
+                check_expr(st.where)
+                continue
             if isinstance(st, SAdd) and slot.bank != BANK_NUM:
                 raise EffectError(
                     f"+= / -= target {st.field!r} must be a num field "
                     f"(it is {slot.bank})")
+            if isinstance(st, SSet) and slot.bank == BANK_STR:
+                # FIELD = 'literal': vocab-coded string write (conversion /
+                # recruitment mechanics — team flips, role changes; the
+                # reference referee writes these freely via
+                # update_player_state, backend_tools.py:204-225)
+                if not isinstance(st.value, EStrLit):
+                    raise EffectError(
+                        f"string field {st.field!r} can only be assigned a "
+                        "quoted literal from its vocabulary")
+                _vocab_write_ok(st.value)
+                if isinstance(st.where, EStrLit):
+                    raise EffectError("string literals cannot be written")
+                check_expr(st.where)
+                continue
             if isinstance(st, SSet) and slot.bank not in (BANK_BOOL, BANK_NUM):
                 raise EffectError(
-                    f"= target {st.field!r} must be a boolean or num field "
-                    f"(it is {slot.bank})")
+                    f"= target {st.field!r} must be a boolean, num or "
+                    f"string field (it is {slot.bank})")
             if isinstance(st.value, EStrLit) or isinstance(st.where, EStrLit):
                 raise EffectError("string literals cannot be written")
             check_expr(st.value)
@@ -731,12 +803,19 @@ def program_fields(program: Program) -> set[str]:
         for st in block:
             if not isinstance(st, SKill):
                 out.add(st.field)
-            for e in ((st.where,) if isinstance(st, (SKill, SReset))
-                      else (st.value, st.where)):
+            for e in _stmt_exprs(st):
                 for node in _walk(e):
                     if isinstance(node, EField):
                         out.add(node.name)
     return out
+
+
+def _stmt_exprs(st: Stmt) -> tuple:
+    if isinstance(st, (SKill, SReset)):
+        return (st.where,)
+    if isinstance(st, SSetKey):
+        return (st.key, st.value, st.where)
+    return (st.value, st.where)
 
 
 def program_choice_phases(program: Program) -> set[int]:
@@ -744,9 +823,7 @@ def program_choice_phases(program: Program) -> set[int]:
     out: set[int] = set()
     for block in program:
         for st in block:
-            exprs = ((st.where,) if isinstance(st, (SKill, SReset))
-                     else (st.value, st.where))
-            for e in exprs:
+            for e in _stmt_exprs(st):
                 for node in _walk(e):
                     if isinstance(node, EChoseIn):
                         out |= node.phases
@@ -778,12 +855,14 @@ ARG_MAX, ARG_MIN = range(2)
 _ARG_CODE = {"max": ARG_MAX, "min": ARG_MIN}
 _CMP_CODE = {"eq": 0, "ne": 1, "ge": 2, "le": 3, "gt": 4, "lt": 5}  # OP_*
 
-ST_SET, ST_ADD, ST_KILL, ST_RESET = range(4)
+ST_SET, ST_ADD, ST_KILL, ST_RESET, ST_SETD = range(5)
 # bank codes in stmt rows / NK_FIELD — match tables.AB_*
 FXB_BOOL, FXB_NUM, FXB_STR, FXB_ODICT, FXB_PDICT = range(5)
 
+# stmt rows are 6 ints: (kind, bank, slot, value_node, where_node, key_node);
+# key_node is meaningful only for ST_SETD (player-keyed dict entry writes)
 LoweredBlock = tuple[tuple[tuple[int, int, int, int], ...],
-                     tuple[tuple[int, int, int, int, int], ...]]
+                     tuple[tuple[int, int, int, int, int, int], ...]]
 
 
 class _NodePool:
@@ -871,39 +950,54 @@ def lower_program(
                                 lx(e.mask))
             raise EffectError(f"cannot lower {type(e).__name__}")
 
-        stmts: list[tuple[int, int, int, int, int]] = []
+        stmts: list[tuple[int, int, int, int, int, int]] = []
         for st in block:
             if isinstance(st, SKill):
-                stmts.append((ST_KILL, 0, 0, 0, lx(st.where)))
+                stmts.append((ST_KILL, 0, 0, 0, lx(st.where), 0))
                 continue
             if isinstance(st, SReset):
                 slot = layout.slot(st.field)
                 if slot.bank == BANK_ODICT:
                     stmts.append((ST_RESET, FXB_ODICT, slot.index, 0,
-                                  lx(st.where)))
+                                  lx(st.where), 0))
                 elif slot.bank == BANK_PDICT:
                     stmts.append((ST_RESET, FXB_PDICT, slot.index, 0,
-                                  lx(st.where)))
+                                  lx(st.where), 0))
                 elif slot.bank == BANK_STR:
                     stmts.append((ST_SET, FXB_STR, slot.index,
                                   pool.add(NK_CONST, slot.encode(slot.default)),
-                                  lx(st.where)))
+                                  lx(st.where), 0))
                 elif slot.bank == BANK_BOOL:
                     stmts.append((ST_SET, FXB_BOOL, slot.index,
                                   pool.add(NK_CONST, 1 if slot.default else 0),
-                                  lx(st.where)))
+                                  lx(st.where), 0))
                 elif slot.bank == BANK_NUM:
                     stmts.append((ST_SET, FXB_NUM, slot.index,
                                   pool.add(NK_CONST, int(slot.default or 0)),
-                                  lx(st.where)))
+                                  lx(st.where), 0))
                 else:  # arr and friends never pass check_program
                     raise EffectError(
                         f"reset target {st.field!r} is a {slot.bank} field")
                 continue
+            if isinstance(st, SSetKey):
+                # FIELD[KEY] = 'literal' — vocab-coded pdict entry write
+                slot = layout.slot(st.field)
+                code = slot.encode(st.value.value)
+                stmts.append((ST_SETD, FXB_PDICT, slot.index,
+                              pool.add(NK_CONST, code), lx(st.where),
+                              lx(st.key)))
+                continue
             slot = layout.slot(st.field)
+            if isinstance(st, SSet) and slot.bank == BANK_STR:
+                # FIELD = 'literal' — vocab-coded string write (conversion)
+                code = slot.encode(st.value.value)
+                stmts.append((ST_SET, FXB_STR, slot.index,
+                              pool.add(NK_CONST, code), lx(st.where), 0))
+                continue
             bank = {BANK_BOOL: FXB_BOOL, BANK_NUM: FXB_NUM}[slot.bank]
             skind = ST_SET if isinstance(st, SSet) else ST_ADD
-            stmts.append((skind, bank, slot.index, lx(st.value), lx(st.where)))
+            stmts.append((skind, bank, slot.index, lx(st.value), lx(st.where),
+                          0))
         return tuple(pool.rows), tuple(stmts)
 
     return tuple(lower_block(b) for b in program)

@@ -38,7 +38,7 @@ enum FxNode { FX_CONST, FX_FIELD, FX_SEAT, FX_NPLAYERS, FX_CHOICE,
               FX_EQCOUNT, FX_RANK, FX_REDUCE, FX_ARGBEST };
 enum FxBin { FXBIN_ADD, FXBIN_SUB, FXBIN_MUL, FXBIN_MIN, FXBIN_MAX };
 enum FxRed { FXRED_SUM, FXRED_MAX, FXRED_MIN, FXRED_COUNT };
-enum FxStmt { FXST_SET, FXST_ADD, FXST_KILL, FXST_RESET };
+enum FxStmt { FXST_SET, FXST_ADD, FXST_KILL, FXST_RESET, FXST_SETD };
 enum FxBank { FXB_BOOL, FXB_NUM, FXB_STR, FXB_ODICT, FXB_PDICT };
 enum Bank { AB_BOOL, AB_NUM, AB_STR, AB_CONST };
 enum Op { OP_EQ, OP_NE, OP_GE, OP_LE, OP_GT, OP_LT };
@@ -228,7 +228,7 @@ void apply_on_enter(const Game& g, Room& r) {
           int n_nodes = g.pool[off], n_stmts = g.pool[off + 1];
           const int32_t* nodes = &g.pool[off + 2];
           const int32_t* stmts = nodes + (int64_t)n_nodes * 4;
-          off += 2 + n_nodes * 4 + n_stmts * 5;
+          off += 2 + n_nodes * 4 + n_stmts * 6;
           // block-entry snapshot: every expression reads it (simultaneous
           // resolution); statement writes land on the live room in order
           std::vector<uint8_t> sb(r.bools);
@@ -401,7 +401,7 @@ void apply_on_enter(const Game& g, Room& r) {
             }
           }
           for (int si = 0; si < n_stmts; ++si) {
-            const int32_t* st = &stmts[si * 5];
+            const int32_t* st = &stmts[si * 6];
             for (int p = 0; p < n; ++p) {
               if (vals[st[4]][p] == 0) continue;
               switch (st[0]) {
@@ -422,6 +422,13 @@ void apply_on_enter(const Game& g, Room& r) {
                   else
                     std::fill_n(&r.pdict[(p * g.NPD + st[2]) * g.P], g.P, 0);
                   break;
+                case FXST_SETD: {  // pdict[key] = code; bad key = no-op
+                  int32_t k = vals[st[5]][p];
+                  if (k >= 1 && k <= n)
+                    r.pdict[(p * g.NPD + st[2]) * g.P + (k - 1)] =
+                        vals[st[3]][p];
+                  break;
+                }
                 default:  // FXST_ADD (int32 wrap, not UB)
                   r.nums[p * g.NN + st[2]] = (int32_t)(
                       (uint32_t)r.nums[p * g.NN + st[2]]

@@ -115,7 +115,7 @@ def pack(lowered: Lowered) -> np.ndarray:
     for m in lw.mechanics:
         if isinstance(m, T.LEffect):
             # P20 effect program: per block [n_nodes, n_stmts,
-            # node rows (4 ints), stmt rows (5 ints)], all in the pool
+            # node rows (4 ints), stmt rows (6 ints)], all in the pool
             desc: list[int] = []
             for nodes, stmts in m.blocks:
                 desc.append(len(nodes))

@@ -341,11 +341,25 @@ class OracleRoom:
                             {} if slot.bank in (BANK_ODICT, BANK_PDICT)
                             else slot.default)
                         continue
-                    v = self._fx_eval(st.value, p, snap)
                     row = self.players[p]
+                    slot = self.game.layout.slot(st.field)
+                    if isinstance(st, FX.SSetKey):
+                        # FIELD[KEY] = 'literal' (pdict entry; keys outside
+                        # 1..n write nothing — the pinned seat domain)
+                        k = self._fx_eval(st.key, p, snap)
+                        if 1 <= k <= self.n:
+                            d = dict(row.get(st.field) or {})
+                            d[str(k)] = slot.decode(slot.encode(st.value.value))
+                            row[st.field] = d
+                        continue
+                    if isinstance(st, FX.SSet) and slot.bank == "str":
+                        # vocab-coded string write (canonical vocab casing)
+                        row[st.field] = slot.decode(slot.encode(st.value.value))
+                        continue
+                    v = self._fx_eval(st.value, p, snap)
                     if isinstance(st, FX.SAdd):
                         row[st.field] = _i32(int(row.get(st.field, 0) or 0) + v)
-                    elif self.game.layout.slot(st.field).bank == "bool":
+                    elif slot.bank == "bool":
                         row[st.field] = v != 0
                     else:
                         row[st.field] = v

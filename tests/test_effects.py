@@ -94,8 +94,16 @@ def test_checker_is_loud():
         check(["mana += 1"])
     with pytest.raises(FX.EffectError, match="num field"):
         check(["is_alive += 1"])  # += targets must be numeric
-    with pytest.raises(FX.EffectError, match="boolean or num"):
-        check(["name = 1"])  # string fields are not writable
+    with pytest.raises(FX.EffectError, match="quoted literal"):
+        check(["name = 1"])  # string fields take vocab literals only
+    with pytest.raises(FX.EffectError, match="vocabulary"):
+        check(["team = 'wizards'"])  # write literal must round-trip
+    check(["team = 'bandits' where coins > 3"])  # in-vocab write passes
+    with pytest.raises(FX.EffectError, match="player-keyed dict"):
+        check(["coins[choice] = 'bandits'"])  # keyed write needs a pdict
+    with pytest.raises(FX.EffectError, match="quoted literal"):
+        check(["investigated_alignments[choice] = 7"])
+    check(["investigated_alignments[choice] = 'bandits' where is_alive"])
     with pytest.raises(FX.EffectError, match="no phase with id"):
         check(["coins += 1 where chose(55)"])
     with pytest.raises(FX.EffectError, match="is_alive"):
