@@ -150,6 +150,9 @@ def _apply_block(block, reveal_bool_slots, ops, active) -> None:
         elif skind == FX.ST_SETD:
             # player-keyed dict entry write; key 0 / out-of-range = no-op
             ops.write_pdict(slot, vals[knode], vals[vnode], w)
+        elif skind == FX.ST_OVER:
+            # terminal winner rule (P11/P17): evaluated at the lowest seat
+            ops.game_over(vals[vnode], w)
         elif skind == FX.ST_SET and bank == FX.FXB_BOOL:
             ops.write_bool(slot, vals[vnode], w)
         elif skind == FX.ST_SET and bank == FX.FXB_STR:

@@ -125,11 +125,6 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
             out = out | (idx == int(m))
         return out
 
-    def first_true_row(mask):
-        """(P,R) i1 -> (1,R) i32 first-true row index (P if none)."""
-        idx = jax.lax.broadcasted_iota(jnp.int32, mask.shape, 0)
-        return jnp.min(jnp.where(mask, idx, P), axis=0, keepdims=True)
-
     def gather_by_choice_i(vals_i, choice):
         """vals (P,R) i32, choice (P,R) 1-based -> per-chooser vals[choice-1]."""
         out = jnp.zeros((P, R), jnp.int32)
@@ -342,16 +337,18 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
             for slot in reveal_slots:
                 self.st["blist"][slot] = jnp.where(w, 1, self.st["blist"][slot])
 
+        def game_over(self, val, w):
+            # ST_OVER: done + winner from the lowest-seat row (seat 1)
+            trigger = w[0:1]  # (1, R)
+            v0 = self._bpr(val)[0:1]
+            self.st["done"] = self.st["done"] | trigger
+            self.st["winner"] = jnp.where(trigger, v0, self.st["winner"])
+
     # ------------- mechanics (st holds i32 banks + i1 done) -------------------
 
     def apply_mechanics(st, entered, ph):
         blist, nlist, slist = st["blist"], st["nlist"], st["slist"]
         present = st["present"]
-
-        def alive_mask():
-            if lw.alive_bool >= 0:
-                return (blist[lw.alive_bool] != 0) & present
-            return present
 
         for m in lw.mechanics:
             active = entered & (ph == m.phase_index)  # (1, R) i1
@@ -395,30 +392,10 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
                         else:
                             slist[slot] = jnp.where(rmask, int(val), slist[slot])
             elif isinstance(m, T.LEffect):  # P20 generic effect interpreter
+                # includes the P11/P17 terminal winner programs (ST_OVER);
+                # the bespoke LGameOver branch is deleted
                 run_effect(m, _FxOps(st), active)
                 blist, nlist, slist = st["blist"], st["nlist"], st["slist"]
-            elif isinstance(m, T.LGameOver):
-                if m.mode == "team" and m.team_str_slot >= 0 and m.team_codes:
-                    alv = alive_mask()
-                    counts = [count_mask(alv & (slist[m.team_str_slot] == code))
-                              for code in m.team_codes]
-                    cstack = jnp.concatenate(counts, axis=0)  # (NT, R)
-                    best = jnp.max(cstack, axis=0, keepdims=True)
-                    idx = jax.lax.broadcasted_iota(jnp.int32, cstack.shape, 0)
-                    win = jnp.min(jnp.where(cstack == best, idx, len(m.team_codes)),
-                                  axis=0, keepdims=True) + 1
-                elif m.mode == "survivor":
-                    alv = alive_mask()
-                    any_alive = jnp.any(alv, axis=0, keepdims=True)
-                    win = jnp.where(any_alive, first_true_row(alv) + 1, 0)
-                elif m.mode == "score" and m.score_num >= 0:
-                    sc = jnp.where(present, nlist[m.score_num], jnp.int32(-(2**31) + 1))
-                    best = jnp.max(sc, axis=0, keepdims=True)
-                    win = first_true_row(sc == best) + 1
-                else:
-                    win = jnp.zeros((1, R), jnp.int32)
-                st["done"] = st["done"] | active
-                st["winner"] = jnp.where(active, win, st["winner"])
 
     # ------------- the kernel ------------------------------------------------
 

@@ -490,6 +490,16 @@ class _EffectOps:
         self.st = self.st._replace(
             bools=_apply_death(self.lw, self.st.bools, w, reveal_slots))
 
+    def game_over(self, val, w):
+        """ST_OVER (P11/P17): done + winner from the lowest-seat lane
+        (terminal expressions are room-uniform aggregations; seat 1 is
+        always present, so lane 0 carries the room's trigger/value)."""
+        trigger = w[:, 0]
+        v0 = self._bp(self._i(val))[:, 0]
+        self.st = self.st._replace(
+            done=self.st.done | trigger,
+            winner=jnp.where(trigger, v0, self.st.winner))
+
 
 def _mech_effects(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LEffect) -> GameState:
     """P20: one generic interpreter for effect programs — income (P12),
@@ -501,37 +511,8 @@ def _mech_effects(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LEffect
     return ops.st
 
 
-def _mech_game_over(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LGameOver) -> GameState:
-    B, P = st.present.shape
-    if m.mode == "team" and m.team_str_slot >= 0 and m.team_codes:
-        alive = _alive(lw, st)
-        counts = jnp.stack(
-            [
-                jnp.sum(alive & (st.strs[..., m.team_str_slot] == code), axis=1, dtype=jnp.int32)
-                for code in m.team_codes
-            ],
-            axis=1,
-        )  # (B, NT) minority-first
-        best = jnp.max(counts, axis=1, keepdims=True)
-        win = jnp.argmax(counts == best, axis=1).astype(jnp.int32) + 1
-    elif m.mode == "survivor":
-        alive = _alive(lw, st)
-        any_alive = jnp.any(alive, axis=1)
-        win = jnp.where(any_alive, jnp.argmax(alive, axis=1).astype(jnp.int32) + 1, 0)
-    elif m.mode == "score" and m.score_num >= 0:
-        score = jnp.where(st.present, st.nums[..., m.score_num], jnp.int32(-(2**31) + 1))
-        win = jnp.argmax(score, axis=1).astype(jnp.int32) + 1  # first max = lowest id
-    else:
-        win = jnp.zeros((B,), jnp.int32)
-    return st._replace(
-        done=st.done | active,
-        winner=jnp.where(active, win, st.winner),
-    )
-
-
 _MECH_FNS = {
     T.LRoleAssign: _mech_role_assign,
-    T.LGameOver: _mech_game_over,
     T.LEffect: _mech_effects,
 }
 

@@ -14,6 +14,7 @@ import dataclasses
 from typing import Any
 
 from game_engine_tpu.gamespec import conditions as C
+from game_engine_tpu.gamespec import effects as FXw
 from game_engine_tpu.gamespec.compile import compile_game
 from game_engine_tpu.gamespec.expr import PredicateError, parse_predicate
 from game_engine_tpu.gamespec.parser import parse_game_spec
@@ -384,6 +385,16 @@ def _semantic_gap_issues(spec: GameSpec, game) -> list[Issue]:
                     f"{', '.join(sorted(M.HINTS) + sorted(M.ANCHOR_HINTS) + sorted(M.CHOICE_HINTS))})",
                 ))
             elif not any(isinstance(mech, cls) for mech in cp.program.on_enter):
+                if hname == "winner" and any(
+                        isinstance(mech, M.Effects)
+                        and any(isinstance(s, FXw.SOver)
+                                for b in mech.program for s in b)
+                        for mech in cp.program.on_enter):
+                    issues.append(Issue(
+                        ERROR, f"{where}.mechanics",
+                        "winner hint is overridden by a declared `over` "
+                        "statement in the same phase — remove one of them"))
+                    continue
                 issues.append(Issue(
                     ERROR, f"{where}.mechanics",
                     f"declared mechanic {hname!r} could not be attached — "
@@ -392,13 +403,19 @@ def _semantic_gap_issues(spec: GameSpec, game) -> list[Issue]:
                     "declared field of the right type)",
                 ))
             elif hname == "winner":
-                # terminals always carry a GameOver; verify the hinted MODE
+                # terminals carry a GameOver unless a declared `over`
+                # statement took the terminal rule; verify the hinted MODE
                 # won, and a named score field was honored verbatim
                 want = {"survivor": "survivor", "team": "team"}.get(
                     _harg if isinstance(_harg, str) else "", "score")
-                got = next(mech for mech in cp.program.on_enter
-                           if isinstance(mech, M.GameOver))
-                if got.mode != want:
+                got = next((mech for mech in cp.program.on_enter
+                            if isinstance(mech, M.GameOver)), None)
+                if got is None:
+                    issues.append(Issue(
+                        ERROR, f"{where}.mechanics",
+                        "winner hint is overridden by a declared `over` "
+                        "statement in the same phase — remove one of them"))
+                elif got.mode != want:
                     issues.append(Issue(
                         ERROR, f"{where}.mechanics",
                         f"winner hint requested {want!r} mode but the game "

@@ -55,6 +55,8 @@ Expression surface (the textual mini-language):
                FIELD -= EXPR [where EXPR]
                kill [where EXPR]
                reset FIELD [where EXPR]         (restore template default)
+               over EXPR [where EXPR]           (end the game; winner =
+                                                 EXPR at the lowest seat)
                ---                              (block separator)
   builtins     seat        1-based own seat id
                n_players   number of present seats in the room
@@ -302,7 +304,18 @@ class SSetKey:
     where: Expr = ONE
 
 
-Stmt = Union[SSet, SAdd, SKill, SReset, SSetKey]
+@dataclasses.dataclass(frozen=True)
+class SOver:
+    """over EXPR — end the game with winner = EXPR (P11/P17 terminal
+    rules as IR). Both the guard and the value are evaluated at the
+    LOWEST seat (seat 1, always present) since terminal expressions are
+    room-uniform aggregations; winner 0 means 'nobody'."""
+
+    value: Expr
+    where: Expr = ONE
+
+
+Stmt = Union[SSet, SAdd, SKill, SReset, SSetKey, SOver]
 Block = tuple[Stmt, ...]
 Program = tuple[Block, ...]  # blocks sequence; statements within a block
 # read the block-entry snapshot
@@ -559,6 +572,20 @@ def parse_statement(src: str, env: dict[str, Expr]) -> Optional[Stmt]:
         if p.peek()[0] != "end":
             raise EffectError(f"trailing tokens in {src!r}")
         return SKill(where=w)
+    # over EXPR [where EXPR]  (terminal winner rule; `over = ...` stays a
+    # field write so a game may still declare a field literally named over)
+    if (toks[0] == ("name", "over")
+            and toks[1] not in (("op", "="), ("op", "["), ("op", "+="),
+                                ("op", "-="))):
+        p = _Parser(toks[1:], env)
+        value = p.expr()
+        where: Expr = ONE
+        if p.peek() == ("name", "where"):
+            p.next()
+            where = p.expr()
+        if p.peek()[0] != "end":
+            raise EffectError(f"trailing tokens in {src!r}")
+        return SOver(value, where)
     # reset FIELD [where EXPR]
     if toks[0] == ("name", "reset") and len(toks) > 1 and toks[1][0] == "name":
         field = toks[1][1]
@@ -730,6 +757,12 @@ def check_program(
                     raise EffectError(
                         "kill requires a declared is_alive boolean field")
                 continue
+            if isinstance(st, SOver):
+                if isinstance(st.value, EStrLit) or isinstance(st.where, EStrLit):
+                    raise EffectError("string literals cannot be written")
+                check_expr(st.value)
+                check_expr(st.where)
+                continue
             slot = layout.get(st.field)
             if slot is None:
                 raise EffectError(f"unknown field {st.field!r} in write")
@@ -801,7 +834,7 @@ def program_fields(program: Program) -> set[str]:
     out: set[str] = set()
     for block in program:
         for st in block:
-            if not isinstance(st, SKill):
+            if not isinstance(st, (SKill, SOver)):
                 out.add(st.field)
             for e in _stmt_exprs(st):
                 for node in _walk(e):
@@ -855,7 +888,7 @@ ARG_MAX, ARG_MIN = range(2)
 _ARG_CODE = {"max": ARG_MAX, "min": ARG_MIN}
 _CMP_CODE = {"eq": 0, "ne": 1, "ge": 2, "le": 3, "gt": 4, "lt": 5}  # OP_*
 
-ST_SET, ST_ADD, ST_KILL, ST_RESET, ST_SETD = range(5)
+ST_SET, ST_ADD, ST_KILL, ST_RESET, ST_SETD, ST_OVER = range(6)
 # bank codes in stmt rows / NK_FIELD — match tables.AB_*
 FXB_BOOL, FXB_NUM, FXB_STR, FXB_ODICT, FXB_PDICT = range(5)
 
@@ -954,6 +987,9 @@ def lower_program(
         for st in block:
             if isinstance(st, SKill):
                 stmts.append((ST_KILL, 0, 0, 0, lx(st.where), 0))
+                continue
+            if isinstance(st, SOver):
+                stmts.append((ST_OVER, 0, 0, lx(st.value), lx(st.where), 0))
                 continue
             if isinstance(st, SReset):
                 slot = layout.slot(st.field)
@@ -1201,3 +1237,55 @@ def speaker_rotate_program(speaker_field: str, rounds_field: str,
         stmts.append(SSet(can_vote_field, ENot(is_sp)))
     stmts.extend(SReset(f) for f in reset_fields)
     return (tuple(stmts),)
+
+
+def game_over_program(mode: str, team_field: Optional[str] = None,
+                      team_order: tuple = (),
+                      score_field: Optional[str] = None) -> Program:
+    """P11/P17: terminal winner rules as ONE IR statement — the last
+    bespoke scoring kernels deleted from all four executors (VERDICT r4).
+
+    * team:     winner = 1 + index of the FIRST team (minority-first
+                order) whose living-member count equals the max count
+                (reference tie rule: ties favor the minority team).
+    * survivor: winner = lowest living seat, 0 when none.
+    * score:    winner = argmax of the score field over present seats,
+                ties to the lowest seat (P6 convention).
+    * none:     winner = 0.
+    """
+    if mode == "team" and team_field and team_order:
+        alive = EAlive()
+        counts = [EReduce("count", ONE,
+                          EAnd(ECmp("eq", EField(team_field), EStrLit(str(t))),
+                               alive))
+                  for t in team_order]
+        best = counts[0]
+        for c in counts[1:]:
+            best = EBin("max", best, c)
+        win: Expr = ZERO
+        for idx in range(len(team_order) - 1, -1, -1):
+            win = EWhere(ECmp("eq", counts[idx], best), EConst(idx + 1), win)
+        return ((SOver(win),),)
+    if mode == "survivor":
+        return ((SOver(EArgBest("min", ESeat(), EAlive())),),)
+    if mode == "score" and score_field:
+        return ((SOver(EArgBest("max", EField(score_field), ONE)),),)
+    return ((SOver(ZERO),),)
+
+
+def game_over_program_for(go, layout: StateLayout) -> Program:
+    """game_over_program with the legacy kernels' field guards: a team
+    mode whose team field is missing/non-string (or with no team order)
+    and a score mode whose score field is missing/non-num degrade to
+    winner = 0, exactly like the retired bespoke kernels' else-branches."""
+    mode = go.mode
+    if mode == "team":
+        ts = layout.get(go.team_field) if go.team_field else None
+        if ts is None or ts.bank != BANK_STR or not go.team_order:
+            mode = "none"
+    if mode == "score":
+        ss = layout.get(go.score_field) if go.score_field else None
+        if ss is None or ss.bank != BANK_NUM:
+            mode = "none"
+    return game_over_program(mode, go.team_field or None,
+                             tuple(go.team_order), go.score_field or None)

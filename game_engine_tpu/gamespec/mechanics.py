@@ -1068,7 +1068,16 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
             mechanics.append(Effects(program=prog, reveal_bools=reveal_bools))
 
         if ph.is_terminal:
-            mechanics.append(_terminal_game_over(ph))
+            # a DECLARED `over` statement IS the terminal rule (P17): the
+            # default GameOver would run after it and overwrite the winner
+            from game_engine_tpu.gamespec import effects as FX
+
+            declared_over = any(
+                isinstance(mc, Effects)
+                and any(isinstance(s, FX.SOver) for b in mc.program for s in b)
+                for mc in mechanics)
+            if not declared_over:
+                mechanics.append(_terminal_game_over(ph))
 
         out[pid] = PhaseProgram(phase_id=pid, record=records[pid], on_enter=tuple(mechanics))
     return out

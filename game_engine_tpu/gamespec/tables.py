@@ -112,6 +112,11 @@ class LRoleAssign:
 
 @dataclasses.dataclass(frozen=True)
 class LGameOver:
+    """Terminal winner METADATA (P11/P17) — mode/team/score slots for
+    policy observation shaping and reward assignment. Never executed:
+    the winner rule itself lowers into Lowered.mechanics as an effect-IR
+    program (effects.game_over_program)."""
+
     phase_index: int
     mode: str
     team_str_slot: int  # -1
@@ -121,7 +126,7 @@ class LGameOver:
 
 
 LoweredMech = Union[
-    LRoleAssign, LGameOver, LEffect,
+    LRoleAssign, LEffect,
 ]
 
 
@@ -153,6 +158,10 @@ class Lowered:
     # branches: per phase list of (LoweredCond, next_index)
     branches: list[list[tuple[LoweredCond, int]]]
     mechanics: list[LoweredMech]  # in application order
+    # terminal winner metadata (P11/P17) for observation/reward shaping;
+    # the EXECUTABLE winner rule lowers into `mechanics` as an effect-IR
+    # program (game_over_program)
+    game_overs: tuple
     alive_bool: int  # is_alive slot or -1
     # bank defaults
     bool_defaults: np.ndarray  # (NB,)
@@ -314,6 +323,7 @@ def lower(game: CompiledGame) -> Lowered:
     rec_odict_slot = np.full(NP, -1, dtype=np.int32)
     branches: list[list[tuple[LoweredCond, int]]] = [[] for _ in range(NP)]
     mechanics: list[LoweredMech] = []
+    game_overs: list[LGameOver] = []  # metadata only (never executed)
 
     for cp in game.phases:
         i = cp.index
@@ -440,8 +450,13 @@ def lower(game: CompiledGame) -> Lowered:
                 mechanics.append(_lower_fx(
                     FX.set_bool_all_program(mech.fields), i))
             elif isinstance(mech, M.GameOver):
+                # P11/P17: the terminal winner rule EXECUTES as an effect-IR
+                # program (game_over_program — the bespoke kernels are
+                # deleted); LGameOver survives as pure metadata for policy
+                # observation shaping and reward assignment (policies/net.py,
+                # train/ppo.py)
                 team_slot = layout.get(mech.team_field) if mech.team_field else None
-                mechanics.append(
+                game_overs.append(
                     LGameOver(
                         phase_index=i,
                         mode=mech.mode,
@@ -451,6 +466,8 @@ def lower(game: CompiledGame) -> Lowered:
                         score_num=layout.num_index(mech.score_field) if mech.score_field else -1,
                     )
                 )
+                mechanics.append(_lower_fx(
+                    FX.game_over_program_for(mech, layout), i))
 
     bool_defaults = np.zeros(NB, dtype=bool)
     num_defaults = np.zeros(NN, dtype=np.int32)
@@ -493,6 +510,7 @@ def lower(game: CompiledGame) -> Lowered:
         rec_odict_slot=rec_odict_slot,
         branches=branches,
         mechanics=mechanics,
+        game_overs=tuple(game_overs),
         alive_bool=layout.bool_index("is_alive") if layout.get("is_alive") else -1,
         bool_defaults=bool_defaults,
         num_defaults=num_defaults,

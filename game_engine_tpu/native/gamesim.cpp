@@ -38,7 +38,8 @@ enum FxNode { FX_CONST, FX_FIELD, FX_SEAT, FX_NPLAYERS, FX_CHOICE,
               FX_EQCOUNT, FX_RANK, FX_REDUCE, FX_ARGBEST };
 enum FxBin { FXBIN_ADD, FXBIN_SUB, FXBIN_MUL, FXBIN_MIN, FXBIN_MAX };
 enum FxRed { FXRED_SUM, FXRED_MAX, FXRED_MIN, FXRED_COUNT };
-enum FxStmt { FXST_SET, FXST_ADD, FXST_KILL, FXST_RESET, FXST_SETD };
+enum FxStmt { FXST_SET, FXST_ADD, FXST_KILL, FXST_RESET, FXST_SETD,
+              FXST_OVER };
 enum FxBank { FXB_BOOL, FXB_NUM, FXB_STR, FXB_ODICT, FXB_PDICT };
 enum Bank { AB_BOOL, AB_NUM, AB_STR, AB_CONST };
 enum Op { OP_EQ, OP_NE, OP_GE, OP_LE, OP_GT, OP_LT };
@@ -429,6 +430,9 @@ void apply_on_enter(const Game& g, Room& r) {
                         vals[st[3]][p];
                   break;
                 }
+                case FXST_OVER:  // P11/P17: winner from the lowest seat
+                  if (p == 0) { r.done = true; r.winner = vals[st[3]][0]; }
+                  break;
                 default:  // FXST_ADD (int32 wrap, not UB)
                   r.nums[p * g.NN + st[2]] = (int32_t)(
                       (uint32_t)r.nums[p * g.NN + st[2]]
@@ -439,34 +443,8 @@ void apply_on_enter(const Game& g, Room& r) {
         }
         break;
       }
-      case MECH_OVER: {  // P11
-        r.done = true;
-        if (q[0] == 0 && q[1] >= 0 && q[3] > 0) {  // team mode
-          int best = -1, win = 0;
-          for (int ti = 0; ti < q[3]; ++ti) {
-            int code = g.pool[q[2] + ti], c = 0;
-            for (int p = 0; p < r.n; ++p)
-              if (alive(g, r, p) && r.strs[p * g.NS + q[1]] == code) c++;
-            if (c > best) { best = c; win = ti + 1; }
-          }
-          r.winner = win;
-        } else if (q[0] == 3) {  // survivor: last one standing (lowest id)
-          int win = 0;
-          for (int p = 0; p < r.n; ++p)
-            if (alive(g, r, p)) { win = p + 1; break; }
-          r.winner = win;
-        } else if (q[0] == 1 && q[5] >= 0) {  // score mode
-          int best = INT32_MIN, win = 0;
-          for (int p = 0; p < r.n; ++p) {
-            int s = r.nums[p * g.NN + q[5]];
-            if (s > best) { best = s; win = p + 1; }
-          }
-          r.winner = win;
-        } else {
-          r.winner = 0;
-        }
-        break;
-      }
+      // MECH_OVER retired: P11/P17 terminal winner rules now arrive as
+      // MECH_EFFECTS programs ending in FXST_OVER (one IR interpreter)
     }
   }
 }

@@ -135,11 +135,6 @@ def pack(lowered: Lowered) -> np.ndarray:
                     settings.extend([code, bank, slot, val])
             s_off, s_n = pool.add(settings)
             mech(MECH_ROLES, m.phase_index, [m.role_str_slot, s_off, s_n // 4])
-        elif isinstance(m, T.LGameOver):
-            mode = {"team": 0, "score": 1, "none": 2, "survivor": 3}[m.mode]
-            t_off, t_n = pool.add(m.team_codes)
-            mech(MECH_OVER, m.phase_index,
-                 [mode, m.team_str_slot, t_off, t_n, m.alive_bool, m.score_num])
         else:
             raise TypeError(m)
 

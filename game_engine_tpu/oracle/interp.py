@@ -202,7 +202,11 @@ class OracleRoom:
         elif isinstance(mech, M.SetBoolAll):
             self._apply_effects(FX.set_bool_all_program(mech.fields), ())
         elif isinstance(mech, M.GameOver):
-            self._game_over(mech)
+            # P11/P17 terminal rules run through the SAME effect-IR
+            # interpreter as every other mechanic (the bespoke winner
+            # kernel is deleted from all four executors — VERDICT r4)
+            self._apply_effects(
+                FX.game_over_program_for(mech, self.game.layout), ())
 
     def _role_assign(self, ra: M.RoleAssign) -> None:
         multiset = M.role_multiset(ra, self.n)
@@ -330,6 +334,13 @@ class OracleRoom:
                 for p in range(1, self.n + 1):
                     if self._fx_eval(st.where, p, snap) == 0:
                         continue
+                    if isinstance(st, FX.SOver):
+                        # guard + value pinned to the lowest seat (room-
+                        # uniform terminal expressions)
+                        if p == 1:
+                            self.done = True
+                            self.winner = _i32(self._fx_eval(st.value, p, snap))
+                        continue
                     if isinstance(st, FX.SKill):
                         self._kill(p, reveal_bools)
                         continue
@@ -363,32 +374,6 @@ class OracleRoom:
                         row[st.field] = v != 0
                     else:
                         row[st.field] = v
-
-    def _game_over(self, go: M.GameOver) -> None:
-        self.done = True
-        if go.mode == "team":
-            counts = []
-            for ti, team in enumerate(go.team_order):
-                c = sum(
-                    1
-                    for p in self.players.values()
-                    if str(p.get(go.team_field, "")).lower() == team and p.get("is_alive", True)
-                )
-                counts.append((c, ti))
-            # max alive count; ties favor minority team = earliest in order
-            best = max(c for c, _ in counts)
-            for c, ti in counts:
-                if c == best:
-                    self.winner = ti + 1
-                    break
-        elif go.mode == "survivor":
-            alive = [p for p in range(1, self.n + 1) if self.players[p].get("is_alive", True)]
-            self.winner = alive[0] if alive else 0  # last one standing (lowest id)
-        elif go.mode == "score":
-            scores = [(-self.players[p].get(go.score_field, 0), p) for p in range(1, self.n + 1)]
-            self.winner = min(scores)[1]
-        else:
-            self.winner = 0
 
     # -- transition (P3/P4/P5) ------------------------------------------------
 

@@ -79,10 +79,8 @@ def field_visibility(lowered: Lowered) -> dict[str, int]:
 
 def minority_team_code(lowered: Lowered):
     """String code of the coordinating (minority/'evil') team, or None."""
-    from game_engine_tpu.gamespec.tables import LGameOver
-
-    for m in lowered.mechanics:
-        if isinstance(m, LGameOver) and m.mode == "team" and m.team_codes:
+    for m in lowered.game_overs:
+        if m.mode == "team" and m.team_codes:
             return int(m.team_codes[0])
     return None
 

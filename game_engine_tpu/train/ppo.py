@@ -54,10 +54,7 @@ class PPOConfig:
 
 
 def _game_over_mech(lowered: Lowered) -> LGameOver | None:
-    for m in lowered.mechanics:
-        if isinstance(m, LGameOver):
-            return m
-    return None
+    return lowered.game_overs[0] if lowered.game_overs else None
 
 
 def terminal_rewards(lowered: Lowered, state: GameState, ended: jax.Array) -> jax.Array:

@@ -38,7 +38,7 @@ def team_masks(lowered: Lowered, state) -> jax.Array:
     score games (auction/market FFAs have no teams; the meaningful
     cross-play question is 'does the learned seat beat a scripted field',
     and winner==1 is exactly seat 1's victory in score mode)."""
-    go = next((m for m in lowered.mechanics if isinstance(m, LGameOver)), None)
+    go = next(iter(lowered.game_overs), None)
     if go is not None and go.mode == "team" and go.team_codes:
         return state.strs[..., go.team_str_slot] == go.team_codes[0]
     if lowered.game.layout.get("is_speaker") is not None:

@@ -65,9 +65,7 @@ def test_battle_archetype_survivor_parity():
     issues, _ = validate_doc(doc, name="royale")
     assert not errors(issues), [str(i) for i in errors(issues)]
     lowered = lower(compile_game(spec))
-    from game_engine_tpu.gamespec.tables import LGameOver
-
-    go = next(m for m in lowered.mechanics if isinstance(m, LGameOver))
+    go = next(iter(lowered.game_overs))
     assert go.mode == "survivor"
     eng = BatchedEngine(lowered)
     for seed in (0, 5):
