@@ -49,14 +49,55 @@ class StaticAsset(str):
         return s
 
 
+def _load_llm_complete(llm_cmd: Optional[str], llm_entry: Optional[str]):
+    """Build a completion function for the generate-dsl model seam.
+
+    --llm-cmd:   shell command; receives the prompt on stdin and must print
+                 the completion (YAML, optionally fenced) on stdout. The
+                 900 s ceiling mirrors the reference's poll limit
+                 (src/app/api/generate-dsl/route.ts:51-56).
+    --llm-entry: 'module:function' Python entrypoint resolving to
+                 complete(prompt: str) -> str.
+    """
+    if llm_cmd:
+        import subprocess
+
+        def complete(prompt: str) -> str:
+            p = subprocess.run(llm_cmd, shell=True, input=prompt.encode(),
+                               capture_output=True, timeout=900)
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"llm-cmd exited {p.returncode}: "
+                    f"{p.stderr.decode(errors='replace')[:300]}")
+            return p.stdout.decode(errors="replace")
+
+        return complete
+    if llm_entry:
+        import importlib
+
+        mod, _, fn = llm_entry.partition(":")
+        complete = getattr(importlib.import_module(mod), fn or "complete")
+        if not callable(complete):
+            raise TypeError(f"--llm-entry {llm_entry!r} is not callable")
+        return complete
+    return None
+
+
 class AppContext:
     def __init__(self, storage_path: Optional[str] = None, games_path: Optional[str] = None,
                  backend: str = "jax", chat_lm: Optional[str] = None,
-                 bot_ckpts: Optional[list] = None):
+                 bot_ckpts: Optional[list] = None, llm_cmd: Optional[str] = None,
+                 llm_entry: Optional[str] = None):
         self.storage = MemoryStorage(storage_path)
         persist_dir = (storage_path + ".rooms") if storage_path else None
         self.host = GameHost(games_path, backend=backend, persist_dir=persist_dir,
                              chat_lm=chat_lm, bot_ckpts=bot_ckpts)
+        # /api/generate-dsl model seam (reference: 3 gpt-5 calls behind
+        # src/app/api/generate-dsl/route.ts:19-48). A deployment brings its
+        # own model as a shell command (prompt on stdin -> YAML on stdout)
+        # or a Python entrypoint; without one the deterministic archetype
+        # generator serves the endpoint, loudly, as before.
+        self._llm_complete = _load_llm_complete(llm_cmd, llm_entry)
         self._restore_playing_rooms()
 
     def _restore_playing_rooms(self) -> None:
@@ -168,9 +209,15 @@ class AppContext:
                 if not name:
                     return 400, {"error": "gameName required"}
                 gen_report: list[str] = []
+                hook = None
+                if self._llm_complete is not None:
+                    from game_engine_tpu.dslgen.llm_adapter import make_llm_hook
+
+                    hook = make_llm_hook(self._llm_complete,
+                                         report=gen_report)
                 doc = generate_from_description(
                     name, str(body.get("gameDescription", "")),
-                    report=gen_report)
+                    report=gen_report, llm_hook=hook)
                 issues, spec = validate_doc(doc, name=name)
                 errs = _errors(issues)
                 if errs or spec is None:
@@ -298,9 +345,11 @@ class AppContext:
 def make_server(port: int = 0, storage_path: Optional[str] = None,
                 games_path: Optional[str] = None, backend: str = "jax",
                 chat_lm: Optional[str] = None,
-                bot_ckpts: Optional[list] = None) -> ThreadingHTTPServer:
+                bot_ckpts: Optional[list] = None,
+                llm_cmd: Optional[str] = None,
+                llm_entry: Optional[str] = None) -> ThreadingHTTPServer:
     ctx = AppContext(storage_path, games_path, backend=backend, chat_lm=chat_lm,
-                     bot_ckpts=bot_ckpts)
+                     bot_ckpts=bot_ckpts, llm_cmd=llm_cmd, llm_entry=llm_entry)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -415,9 +464,20 @@ def main():  # pragma: no cover
                          "checkpoint (policies/net.py) for matching games; "
                          "repeatable, e.g. --bot-ckpt "
                          "werewolf=docs/checkpoints/attn_werewolf_u120.npz")
+    ap.add_argument("--llm-cmd", default=None, metavar="SHELL_CMD",
+                    help="external model for /api/generate-dsl: a shell "
+                         "command receiving the generation prompt on stdin "
+                         "and printing YAML on stdout (e.g. a curl to a "
+                         "local model server); invalid output retries with "
+                         "validator feedback, then falls back loudly to "
+                         "the deterministic generator")
+    ap.add_argument("--llm-entry", default=None, metavar="MODULE:FUNC",
+                    help="like --llm-cmd but a Python entrypoint "
+                         "complete(prompt)->str, imported in-process")
     args = ap.parse_args()
     srv = make_server(args.port, args.storage, backend=args.backend,
-                      chat_lm=args.chat_lm, bot_ckpts=args.bot_ckpt)
+                      chat_lm=args.chat_lm, bot_ckpts=args.bot_ckpt,
+                      llm_cmd=args.llm_cmd, llm_entry=args.llm_entry)
     print(f"game host listening on :{srv.server_address[1]}")
     srv.serve_forever()
 

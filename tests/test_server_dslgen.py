@@ -111,3 +111,93 @@ def test_llm_fallback_reports_substitution():
     assert "model output rejected" in joined, report
     assert "deterministic fallback" in joined
     assert "description coverage" in joined  # substitute's own honesty
+
+
+def _moon_game_yaml() -> str:
+    """An out-of-archetype game a scripted 'model' returns: potlatch's
+    structure re-themed to dreamshard trading (fields the deterministic
+    vocabularies know nothing about)."""
+    import os
+
+    import yaml
+
+    doc = yaml.safe_load(open(os.path.join(games_dir(), "potlatch.yaml")))
+    text = yaml.safe_dump(doc, sort_keys=False)
+    for a, b in (("coins", "dreamshards"), ("gifts_received", "blessings"),
+                 ("gift", "dream"), ("Gift", "Dream"), ("feast", "moon"),
+                 ("host", "raven"), ("Host", "Raven")):
+        text = text.replace(a, b)
+    return text
+
+
+@pytest.fixture()
+def llm_server(tmp_path):
+    """Server wired to a fake external model via --llm-cmd (a shell script
+    that consumes the prompt on stdin and prints YAML on stdout)."""
+    gdir = tmp_path / "games"
+    shutil.copytree(games_dir(), gdir)
+    script = tmp_path / "fake_model.py"
+    script.write_text(
+        "import sys\n"
+        "prompt = sys.stdin.read()\n"
+        "assert 'Game description:' in prompt  # got the real prompt\n"
+        f"sys.stdout.write('''```yaml\n{_moon_game_yaml()}\n```''')\n")
+    import sys as _sys
+
+    srv = make_server(port=0, games_path=str(gdir),
+                      llm_cmd=f"{_sys.executable} {script}")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+
+
+def test_generate_dsl_with_external_model_over_http(llm_server):
+    """VERDICT r4 item 5: with a model behind --llm-cmd, /api/generate-dsl
+    produces an out-of-archetype game, WARNING-FREE (no coverage warning,
+    no fallback notice), that then plays to completion."""
+    code, data = req(llm_server, "POST", "/api/generate-dsl",
+                     {"gameName": "Raven Moot",
+                      "gameDescription": "three-eyed ravens trade "
+                      "dreamshards under a waxing moon; the most blessed "
+                      "raven prevails"})
+    assert code == 200, data
+    assert data["warnings"] == [], data["warnings"]
+    assert "dreamshards" in data["yaml"]  # the model's game, not a fallback
+
+    code, d = req(llm_server, "POST", "/api/rooms/create",
+                  {"gameName": "raven-moot", "playerName": "R"})
+    assert code == 200, d
+    rid = d["room"]["roomId"]
+    req(llm_server, "POST", "/api/rooms/add-bot", {"roomId": rid})
+    code, snap = req(llm_server, "POST", f"/api/rooms/{rid}/start", {"seed": 9})
+    assert code == 200, snap
+    for _ in range(200):
+        code, snap = req(llm_server, "POST", f"/api/rooms/{rid}/continue")
+        if snap["done"]:
+            break
+        for pid in snap.get("waiting_on", []):
+            req(llm_server, "POST", f"/api/rooms/{rid}/vote",
+                {"playerId": pid, "option": 1})
+    assert snap["done"] and snap["winner"] >= 1
+
+
+def test_generate_dsl_bad_model_falls_back_loudly(tmp_path):
+    """A model that prints garbage retries with feedback, then the
+    deterministic generator substitutes — with the WARNING surfaced."""
+    gdir = tmp_path / "games"
+    shutil.copytree(games_dir(), gdir)
+    srv = make_server(port=0, games_path=str(gdir),
+                      llm_cmd="echo 'not: [valid'")
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        code, data = req(srv, "POST", "/api/generate-dsl",
+                         {"gameName": "Garble",
+                          "gameDescription": "a hidden-role night "
+                          "elimination deduction game"})
+        assert code == 200, data
+        assert any("model output rejected" in w for w in data["warnings"]), \
+            data["warnings"]
+    finally:
+        srv.shutdown()
