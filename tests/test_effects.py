@@ -25,7 +25,7 @@ from game_engine_tpu.policies.scripted import oracle_policy
 from tests.test_parity import assert_state_matches
 
 EFFECT_GAMES = ["gift-circle", "handshake-pact", "speed-track",
-                "relic-draft", "tide-pool"]
+                "relic-draft", "tide-pool", "storm-forge"]
 
 
 @pytest.fixture(scope="module", params=EFFECT_GAMES)

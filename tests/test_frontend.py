@@ -340,7 +340,8 @@ def test_bluff_court_through_the_ui(server):
     "market-raid", "last-stand", "odd-one-out", "gold-rush", "bounty-arena",
     "midnight-circle", "auction-house", "relic-auction", "trophy-arena",
     "gift-circle", "handshake-pact", "speed-track", "relic-draft",
-    "tide-pool", "cult-of-the-depths", "potlatch",
+    "tide-pool", "cult-of-the-depths", "potlatch", "raven-moot",
+    "storm-forge",
 ])
 def test_every_catalog_game_playable_through_the_ui(server, game):
     """Completeness guard: every shipped catalog game plays to completion
