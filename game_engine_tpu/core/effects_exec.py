@@ -115,9 +115,12 @@ def run_effect(mech, ops, active) -> None:
 
     Each block reads the snapshot ops.snapshot() captures at its start;
     writes land in statement order (P20)."""
+    flush = getattr(ops, "flush", None)
     for block in mech.blocks:
         ops.snapshot()
         _apply_block(block, mech.reveal_bool_slots, ops, active)
+        if flush is not None:
+            flush()
 
 
 def run_effects_merged(mechs, ops, actives) -> None:
@@ -132,6 +135,9 @@ def run_effects_merged(mechs, ops, actives) -> None:
     for mech, active in zip(mechs, actives):
         (block,) = mech.blocks
         _apply_block(block, mech.reveal_bool_slots, ops, active)
+    flush = getattr(ops, "flush", None)
+    if flush is not None:
+        flush()
 
 
 def _apply_block(block, reveal_bool_slots, ops, active) -> None:

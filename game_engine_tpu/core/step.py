@@ -39,6 +39,15 @@ from game_engine_tpu.gamespec.tables import (
 
 _U32 = jnp.uint32
 
+# Effect-IR write-combining (docs/PERF.md round 4). When True, _EffectOps
+# accumulates each statement's bank write into a per-slot effective column
+# and flushes ONE update per touched slot at block end, instead of a
+# dynamic-update-slice per statement — shorter live ranges for the banks
+# and one select chain per slot for XLA to fuse. Bit-identical by
+# construction (the pending column IS the statement-ordered select chain);
+# pinned by the golden fixture. Toggled by utils/ab_writes.py for A/B.
+DEFERRED_WRITES = True
+
 
 def splitmix32_jax(x):
     """uint32 splitmix — must match gamespec.mechanics.splitmix32 exactly."""
@@ -273,6 +282,9 @@ class _EffectOps:
         st = self.st
         self.sb, self.sn, self.ss = st.bools, st.nums, st.strs
         self.pe = PredEval(self.lw, st)
+        # deferred write-combining: slot -> effective (B, P) column, seeded
+        # from the snapshot on first touch; flush() lands them all at once
+        self._pend = {"b": {}, "n": {}, "s": {}}
 
     # -- dtype helpers ------------------------------------------------------
 
@@ -440,24 +452,57 @@ class _EffectOps:
     def stmt_mask(self, wval, active):
         return self._b(self._bp(wval)) & self.st.present & active[:, None]
 
+    def _cur(self, bank, slot):
+        """Effective current column: pending write-combined value if this
+        slot was already written since the snapshot, else the live bank."""
+        pend = self._pend[bank]
+        if slot in pend:
+            return pend[slot]
+        arr = {"b": self.st.bools, "n": self.st.nums, "s": self.st.strs}[bank]
+        return arr[..., slot]
+
     def write_bool(self, slot, val, w):
-        cur = self.st.bools[..., slot]
-        self.st = self.st._replace(
-            bools=self.st.bools.at[..., slot].set(
-                jnp.where(w, self._bp(self._b(val)), cur)))
+        cur = self._cur("b", slot)
+        new = jnp.where(w, self._bp(self._b(val)), cur)
+        if DEFERRED_WRITES:
+            self._pend["b"][slot] = new
+        else:
+            self.st = self.st._replace(
+                bools=self.st.bools.at[..., slot].set(new))
 
     def write_num(self, slot, val, w, add):
-        cur = self.st.nums[..., slot]
+        cur = self._cur("n", slot)
         val = self._bp(self._i(val))
-        new = cur + val if add else val
-        self.st = self.st._replace(
-            nums=self.st.nums.at[..., slot].set(jnp.where(w, new, cur)))
+        new = jnp.where(w, cur + val if add else val, cur)
+        if DEFERRED_WRITES:
+            self._pend["n"][slot] = new
+        else:
+            self.st = self.st._replace(
+                nums=self.st.nums.at[..., slot].set(new))
 
     def write_str(self, slot, val, w):
-        cur = self.st.strs[..., slot]
-        self.st = self.st._replace(
-            strs=self.st.strs.at[..., slot].set(
-                jnp.where(w, self._bp(self._i(val)).astype(cur.dtype), cur)))
+        cur = self._cur("s", slot)
+        new = jnp.where(w, self._bp(self._i(val)).astype(cur.dtype), cur)
+        if DEFERRED_WRITES:
+            self._pend["s"][slot] = new
+        else:
+            self.st = self.st._replace(
+                strs=self.st.strs.at[..., slot].set(new))
+
+    def flush(self):
+        """Land every pending column with one update per touched slot."""
+        st = self.st
+        pb, pn, ps = self._pend["b"], self._pend["n"], self._pend["s"]
+        bools, nums, strs = st.bools, st.nums, st.strs
+        for slot, col in pb.items():
+            bools = bools.at[..., slot].set(col)
+        for slot, col in pn.items():
+            nums = nums.at[..., slot].set(col)
+        for slot, col in ps.items():
+            strs = strs.at[..., slot].set(col)
+        if pb or pn or ps:
+            self.st = st._replace(bools=bools, nums=nums, strs=strs)
+        self._pend = {"b": {}, "n": {}, "s": {}}
 
     def write_pdict(self, slot, key, val, w):
         """pdict[seat][key] = val for masked seats; one-hot over the tiny
@@ -487,6 +532,16 @@ class _EffectOps:
                     jnp.where(w[..., None], 0, cur).astype(cur.dtype)))
 
     def kill(self, w, reveal_slots):
+        if DEFERRED_WRITES:
+            # same statement-ordered semantics as _apply_death, composed
+            # into the pending columns: alive &= ~death, reveals |= death
+            if self.lw.alive_bool >= 0:
+                cur = self._cur("b", self.lw.alive_bool)
+                self._pend["b"][self.lw.alive_bool] = cur & ~w
+            for slot in reveal_slots:
+                cur = self._cur("b", slot)
+                self._pend["b"][slot] = cur | w
+            return
         self.st = self.st._replace(
             bools=_apply_death(self.lw, self.st.bools, w, reveal_slots))
 
