@@ -41,6 +41,10 @@ class LMConfig:
     n_layers: int = 3
     n_heads: int = 4
     max_len: int = 448  # ctx incl. roster + quoted boards (~320 chars) + reply
+    # trained on grounded field Q&A (the context's G= fact segment)?
+    # gates whether the serving tier may answer state questions
+    # (server.chat.lm_may_serve); old checkpoints load as False
+    grounded: bool = False
 
 
 _FOLD = str.maketrans({"—": "-", "–": "-", "’": "'", "“": '"', "”": '"'})
@@ -250,19 +254,53 @@ def _rand_name(h: int) -> str:
     return name
 
 
+def _grounded_query(fields: list[str], players: dict, h: int) -> str:
+    """A state question naming a declared field (and sometimes a subject
+    player), phrased so server.chat._field_answer resolves it — the
+    grounded slice of the corpus (round-4: the learned tier now trains on
+    exactly the queries the lm_ok gate used to route away from it)."""
+    from game_engine_tpu.gamespec.mechanics import splitmix32
+
+    f = fields[h % len(fields)]
+    fw = f.replace("_", " ")
+    h = splitmix32(h)
+    pids = sorted(int(p) for p in players)
+    subj = pids[h % len(pids)]
+    subj_name = str(players.get(str(subj), {}).get("name") or f"Player {subj}")
+    h = splitmix32(h)
+    forms = (
+        f"what is your {fw}?",
+        f"what is {subj_name}'s {fw}?",
+        f"how many {fw} do you have?",
+        f"tell me your {fw}",
+        f"what's player {subj}'s {fw}?",
+        f"do you have {fw}?",
+    )
+    return forms[h % len(forms)]
+
+
 def build_corpus(games=("werewolf", "two-truths-and-a-lie"), seeds=range(150),
                  max_pairs: int = 30000) -> list[tuple[str, str]]:
     """(context, reply) pairs harvested by playing oracle rooms and asking
-    the template composer at every phase step. Deterministic."""
+    the template composer at every phase step. Deterministic.
+
+    Pairs come from plan_reply directly (context and composed reply are
+    both in the plan), so grounded field answers — which bot_reply's
+    lm_ok gate routes away from the hook — are trained too: one of the
+    four per-step draws asks about a declared state field, with the
+    room's real field visibility so hidden-field refusals are learned."""
     from game_engine_tpu.gamespec.compile import compile_game
     from game_engine_tpu.gamespec.parser import load_builtin
+    from game_engine_tpu.gamespec.tables import lower
     from game_engine_tpu.oracle.interp import OracleRoom
+    from game_engine_tpu.policies.net import field_visibility
     from game_engine_tpu.policies.scripted import oracle_policy
     from game_engine_tpu.server.chat import ChatRoom
 
     pairs: list[tuple[str, str]] = []
     for gname in games:
         game = compile_game(load_builtin(gname))
+        vis = dict(field_visibility(lower(game)))
         for seed in seeds:
             room = OracleRoom(game, n_players=5 + seed % 4, seed=seed)
             # unique-per-room roster names: real rooms carry arbitrary
@@ -285,14 +323,8 @@ def build_corpus(games=("werewolf", "two-truths-and-a-lie"), seeds=range(150),
                     else:
                         room.players[p]["name"] = _rand_name(
                             _smx((seed * 9176 + p * 331 + ghash) & 0xFFFFFFFF))
-            chat = ChatRoom("corpus", seed=seed)
-            contexts: list[str] = []
-
-            def hook(ctx: str) -> Optional[str]:
-                contexts.append(ctx)
-                return None  # fall through to the template composer
-
-            chat.lm_hook = hook
+            chat = ChatRoom("corpus", seed=seed, visibility=vis)
+            fields = sorted(f for f in room.players[1] if f != "name")
             for t in range(400):
                 room.step(oracle_policy(room, t, seed))
                 snap = {
@@ -304,18 +336,24 @@ def build_corpus(games=("werewolf", "two-truths-and-a-lie"), seeds=range(150),
                     ],
                 }
                 # several queries per simulated step: the oracle stepping
-                # dominates corpus cost, extra (sender, query) draws are free
-                for j in range(3):
-                    q = _QUERIES[(seed * 7 + t + j * 5) % len(_QUERIES)]
+                # dominates corpus cost, extra (sender, query) draws are
+                # free. Draw 3 is a grounded field question — the slice
+                # the lm_ok gate used to hide from the student entirely.
+                for j in range(4):
+                    if j == 3 and fields:
+                        from game_engine_tpu.gamespec.mechanics import splitmix32 as _s
+
+                        q = _grounded_query(
+                            fields, snap["player_states"],
+                            _s((seed * 131 + t * 17 + 5) & 0xFFFFFFFF))
+                    else:
+                        q = _QUERIES[(seed * 7 + t + j * 5) % len(_QUERIES)]
                     who = _SENDERS[(seed * 5 + t * 3 + j * 101) % len(_SENDERS)]
                     chat.post(1, who, q)
-                    n_ctx = len(contexts)
-                    msg = chat.bot_reply(1, who, q, snap)
-                    # only pair when THIS reply consulted the hook — grounded
-                    # field answers skip the LM (lm_ok) and must not attach
-                    # to a stale context
-                    if msg is not None and len(contexts) > n_ctx:
-                        pairs.append((contexts[-1], msg.message))
+                    plan = chat.plan_reply(1, who, q, snap)
+                    if plan is not None:
+                        pairs.append((plan["context"], plan["composed"]))
+                        chat.commit_reply(plan, None)
                     if len(pairs) >= max_pairs:
                         break
                 if room.done or len(pairs) >= max_pairs:
@@ -449,4 +487,7 @@ def make_lm_hook(ckpt_path: str):
     def hook(ctx: str) -> Optional[str]:
         return greedy_reply(params, cfg, ctx) or None
 
+    # grounded-trained checkpoints may serve field questions (the commit
+    # path still verifies the value before trusting the decode)
+    hook.grounded = bool(cfg.grounded)
     return hook

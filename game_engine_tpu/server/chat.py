@@ -94,7 +94,8 @@ def _score_rows(players: dict) -> list:
 
 def lm_context(kind: str, bot: int, sender_name: str, text: str,
                snapshot: dict[str, Any], variant: int = 0,
-               sus_name: str = "", visibility: Optional[dict] = None) -> str:
+               sus_name: str = "", visibility: Optional[dict] = None,
+               grounded: Optional[dict] = None) -> str:
     """Serialize the reply-relevant state into the compact conditioning
     string consumed by the on-TPU chat LM (policies/chat_lm.py). The SAME
     serializer builds the self-distillation corpus, so serving inputs stay
@@ -131,6 +132,16 @@ def lm_context(kind: str, bot: int, sender_name: str, text: str,
     inv = ",".join(
         f"{k}:{v}" for k, v in sorted(
             (me.get("investigated_alignments") or {}).items())[:3])
+    # grounded field-question segment (K=field plans only): the subject,
+    # field name, VALUE (visible fields only — a hidden field's value is
+    # withheld from the context entirely, so the student cannot leak what
+    # it never sees) and two flags: p/h public-or-hidden, s/o self-or-other.
+    g = ""
+    if grounded is not None:
+        g = (f"|G={grounded['subj_name'][:12]};{grounded['fname']};"
+             f"{grounded['val'] if not grounded['hidden'] else ''};"
+             f"{'h' if grounded['hidden'] else 'p'}"
+             f"{'s' if grounded['is_self'] else 'o'}")
     return (
         f"K={kind}|P={snapshot.get('current_phase_name') or 'the game'}"
         f"|B={bot}|N={me.get('name') or f'Player {bot}'}"
@@ -139,8 +150,29 @@ def lm_context(kind: str, bot: int, sender_name: str, text: str,
         f"|Ns={roster}|X={sus_name or ''}|L={_alive_board(players)}"
         f"|Fl={_fallen_board(players, snapshot.get('deadPlayers', []))}"
         f"|F={_facts_board(players, bot, visibility)}"
-        f"|Sc={board}|I={inv}|Q={text[:60]}"
+        f"|Sc={board}|I={inv}{g}|Q={text[:60]}"
     )
+
+
+def lm_may_serve(lm_hook, plan: dict) -> bool:
+    """Whether the learned tier may answer this plan. Ungrounded intents
+    are always LM-eligible; grounded field questions additionally require
+    a hook that declares grounded training (``hook.grounded`` — set by
+    policies.chat_lm.make_lm_hook from the checkpoint's config), so an old
+    ungrounded checkpoint keeps the round-3 template bypass."""
+    return bool(plan.get("lm_ok", True)) or bool(getattr(lm_hook, "grounded",
+                                                         False))
+
+
+def grounded_reply_ok(reply: str, g: dict) -> bool:
+    """Deterministic faithfulness check for a learned grounded reply:
+    must name the field; visible facts must quote the exact value."""
+    if not re.search(rf"\b{re.escape(g['fname'])}\b", reply, re.IGNORECASE):
+        return False
+    if g.get("hidden") or g.get("val") is None:
+        return True
+    return re.search(rf"(?<![\w-]){re.escape(str(g['val']))}(?![\w-])",
+                     reply) is not None
 
 
 class ChatRoom:
@@ -221,7 +253,8 @@ class ChatRoom:
         if plan is None:
             return None
         lm_text = (self.lm_hook(plan["context"])
-                   if self.lm_hook and plan.get("lm_ok", True) else None)
+                   if self.lm_hook and lm_may_serve(self.lm_hook, plan)
+                   else None)
         return self.commit_reply(plan, lm_text)
 
     def plan_reply(self, sender_id: int, sender_name: str, text: str,
@@ -264,7 +297,7 @@ class ChatRoom:
                                   snapshot, h2)
         if fact is not None:
             kind = "field"
-            composed = fact
+            composed = fact["text"]
         else:
             composed = self._compose(kind, bot, sender_id, sender_name, text,
                                      snapshot, h2)
@@ -277,12 +310,16 @@ class ChatRoom:
             "context": lm_context(kind, bot, sender_name, text, snapshot,
                                   variant=h2,
                                   sus_name=_pname(players, sus) if sus else "",
-                                  visibility=self.visibility),
+                                  visibility=self.visibility,
+                                  grounded=fact),
             "composed": composed,
-            # grounded field answers carry exact state values; the current
-            # LM is not trained on them, so the template tier serves these
-            # even under --chat-lm (correctness over roleplay)
+            # grounded field answers carry exact state values; only an LM
+            # trained with the G= fact segment (hook.grounded) may serve
+            # them, and commit_reply still verifies the value appears in
+            # the decode before trusting it (correctness over roleplay)
             "lm_ok": kind != "field",
+            "grounded": ({"fname": fact["fname"], "val": fact["val"],
+                          "hidden": fact["hidden"]} if fact else None),
             "bot": bot,
             "bot_name": bot_name,
             "private": private,
@@ -292,7 +329,17 @@ class ChatRoom:
 
     def commit_reply(self, plan: dict, lm_text: Optional[str]) -> ChatMessage:
         """Post the planned reply — the lm_hook output when non-empty, else
-        the deterministic template composition."""
+        the deterministic template composition.
+
+        Grounded plans verify the decode before trusting it: a visible
+        fact's reply must quote the field name and the exact value, and a
+        hidden fact's refusal must still name the field (it CANNOT leak the
+        value — the G= context withholds it). A failed check falls back to
+        the composed template, so the learned tier is fail-safe on exactly
+        the queries where being wrong is worst."""
+        g = plan.get("grounded")
+        if lm_text and g is not None and not grounded_reply_ok(lm_text, g):
+            lm_text = None
         return self.post(
             plan["bot"], plan["bot_name"], lm_text or plan["composed"],
             visibility="private" if plan["private"] else "public",
@@ -351,14 +398,19 @@ class ChatRoom:
 
     def _field_answer(self, bot: int, sender_id: int, sender_name: str,
                       text: str, snapshot: dict[str, Any],
-                      h: int) -> Optional[str]:
+                      h: int) -> Optional[dict]:
         """P-grounded answer when a QUESTION names a declared player-state
         field: public fields are answered truthfully from the live state
         (any field, any subject player); hidden (self/team-visible) fields
         get a guarded refusal that still names the field — never a generic
         deflection, and never a leak. The reference's ChatBotNode answers
         from the full game context (agent/game_agent_v2.py:351-466); this
-        is its determinized twin for state questions."""
+        is its determinized twin for state questions.
+
+        Returns None when no declared field is being asked about, else a
+        dict: text (the composed answer), subj_name, fname, val (None for
+        hidden fields), hidden, is_self — the structured fact that rides
+        the LM context's G= segment and verifies a learned reply."""
         if not self._QUESTION_RE.search(text):
             return None
         players = snapshot.get("player_states", {})
@@ -402,7 +454,9 @@ class ChatRoom:
                     f"Only {subj_name} knows their {fname}.",
                     f"You'd have to ask {subj_name} about their {fname} — not that they'd tell you.",
                 ]
-            return pool[h % len(pool)]
+            return {"text": pool[h % len(pool)], "subj_name": subj_name,
+                    "fname": fname, "val": None, "hidden": True,
+                    "is_self": subject == bot}
         v = row[field]
         if isinstance(v, bool):
             val = "yes" if v else "no"
@@ -422,7 +476,9 @@ class ChatRoom:
                 f"{subj_name}'s {fname} is {val}.",
                 f"Last I looked, {subj_name} has {fname} {val}.",
             ]
-        return pool[h % len(pool)]
+        return {"text": pool[h % len(pool)], "subj_name": subj_name,
+                "fname": fname, "val": val, "hidden": False,
+                "is_self": subject == bot}
 
     def _compose(self, kind: str, bot: int, sender_id: int, sender_name: str,
                  text: str, snapshot: dict[str, Any], h: int) -> str:

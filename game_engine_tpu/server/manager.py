@@ -916,8 +916,9 @@ class GameHost:
             # must not block every other room's HTTP requests. The per-room
             # chat mutex keeps this room's message order deterministic.
             lm_text = None
+            from game_engine_tpu.server.chat import lm_may_serve
             if (plan is not None and chat.lm_hook is not None
-                    and plan.get("lm_ok", True)):
+                    and lm_may_serve(chat.lm_hook, plan)):
                 try:
                     lm_text = chat.lm_hook(plan["context"])
                 except Exception:  # noqa: BLE001 — fall back to the template

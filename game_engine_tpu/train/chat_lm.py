@@ -43,8 +43,11 @@ def main() -> None:
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    # grounded=True: the corpus includes field Q&A conditioned on the G=
+    # fact segment, so the shipped checkpoint may serve state questions
+    # (server.chat.lm_may_serve; commit_reply verifies each decode)
     cfg = C.LMConfig(d_model=args.d_model, n_layers=args.layers,
-                     max_len=args.max_len)
+                     max_len=args.max_len, grounded=True)
     t0 = time.time()
     pairs = C.build_corpus(seeds=range(args.seeds), max_pairs=args.max_pairs)
     toks, masks = zip(*(C.encode_pair(c, r, cfg) for c, r in pairs))
@@ -88,16 +91,26 @@ def main() -> None:
     # decode (the round-2 garble metric). Published in docs/PERF.md.
     import re as _re
 
+    from game_engine_tpu.server.chat import grounded_reply_ok
+
     eval_pairs = C.build_corpus(seeds=range(args.seeds, args.seeds + 25),
-                                max_pairs=600)
+                                max_pairs=700)
     em = 0
     name_oblig = name_met = 0
+    g_total = g_em = g_faithful = 0
     def fold(s):  # the byte vocab folds em-dashes/smart quotes to ASCII
         return s.translate(C._FOLD)
 
     for ctx, ref in eval_pairs:
         out = C.greedy_reply(params, cfg, ctx)
         em += int(fold(out) == fold(ref))
+        gm = _re.search(r"\|G=([^|;]*);([^|;]*);([^|;]*);(h|p)(s|o)", ctx)
+        if gm:  # grounded field question: the round-4 faithfulness metric
+            g_total += 1
+            g_em += int(fold(out) == fold(ref))
+            g_faithful += int(grounded_reply_ok(fold(out), {
+                "fname": gm.group(2), "val": gm.group(3) or None,
+                "hidden": gm.group(4) == "h"}))
         m = _re.search(r"\|Ns=([^|]*)", ctx)
         roster = [e.split(":", 1)[1] for e in m.group(1).split(",")
                   if ":" in e] if m else []
@@ -111,6 +124,9 @@ def main() -> None:
         "exact_match": round(em / max(1, len(eval_pairs)), 4),
         "name_copy_obligations": name_oblig,
         "name_copy_rate": round(name_met / max(1, name_oblig), 4),
+        "grounded_pairs": g_total,
+        "grounded_exact_match": round(g_em / max(1, g_total), 4),
+        "grounded_faithful_rate": round(g_faithful / max(1, g_total), 4),
     }
     print("HELD-OUT", json.dumps(metrics))
     with open(args.out.replace(".npz", "") + ".metrics.json", "w") as f:
