@@ -1,0 +1,132 @@
+"""Pipelined ("async") PPO learner: overlap rollout collection with the
+PPO update by running them as two independently-dispatched device programs
+with one update of parameter staleness.
+
+Round-4 lever for the attn arch's throughput gap (VERDICT r3 #8 /
+docs/PERF.md): the sync train step serializes unroll -> GAE -> epochs in
+ONE program, so a chip alternates between the rollout's engine-step
+kernels and the update's gradient matmuls. Here the stages become:
+
+    actor  device: traj_{k+1} = unroll(theta_k, state_k)      (stale by 1)
+    learner device: theta_{k+1} = ppo_epochs(theta_k, traj_k)
+
+Both dispatches leave the host without blocking (jax async dispatch), so
+on DIFFERENT devices they genuinely overlap; params hop learner->actor
+and trajectories actor->learner as device-to-device copies each round.
+The PPO ratio machinery already prices the staleness: traj_k stores the
+behavior policy's log-probs, and the first epoch's clipped ratios treat
+theta_k exactly as they treat any post-epoch params in the sync step.
+
+The honest throughput algebra for an ON-DEVICE environment (the engine
+IS a TPU program, unlike host-env RL where async hides environment
+latency): with rollout time r and update time u per round,
+
+    2-device pipeline:        1 / max(r, u)   rounds/s
+    2-device data-parallel:   2 / (r + u)     rounds/s
+
+pipeline/DP = (r+u)/(2*max(r,u)) <= 1 — equality ONLY at r == u. A
+data-parallel mesh is never slower and is bit-stable (no staleness), so
+the pipeline is the right tool only when DP is unavailable (e.g. two
+heterogeneous chips, or a reserved inference chip that would otherwise
+idle). utils/ab_async.py measures both claims; docs/PERF.md records them.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from game_engine_tpu.gamespec.tables import Lowered
+from game_engine_tpu.policies import net as N
+from game_engine_tpu.train.ppo import PPOConfig, gae, make_unroll, ppo_loss
+
+
+def make_pipeline(lowered: Lowered, cfg: PPOConfig,
+                  tx: optax.GradientTransformation,
+                  actor_device=None, learner_device=None):
+    """Build (collect, update) as separately-jitted programs.
+
+    collect(params, state, key) -> (state', key', traj, last_obs)
+    update(params, opt_state, traj, last_obs) -> (params', opt_state', metrics)
+
+    Placement: pass distinct jax devices to overlap the stages; with both
+    None (or equal) the pair degenerates to the sync step split in two —
+    the single-device A/B control.
+    """
+    unroll = make_unroll(lowered, cfg)
+
+    def collect(params, state, key):
+        state, key, traj = unroll(params, state, key)
+        # the bootstrap observation rides with the trajectory so the
+        # learner program never touches engine state
+        last_obs = N.observe(lowered, state).astype(jnp.bfloat16)
+        return state, key, traj, last_obs
+
+    def update(params, opt_state, traj, last_obs):
+        _, last_v = N.apply_net(params, last_obs, cfg.net, lowered)
+        adv, ret = gae(traj, last_v, cfg)
+
+        def loss_fn(p):
+            return ppo_loss(p, traj, adv, ret, cfg, lowered)
+
+        loss = jnp.float32(0)
+        metrics = {}
+        for _ in range(cfg.epochs):
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+        metrics = dict(metrics)
+        metrics["loss"] = loss
+        metrics["episodes"] = jnp.sum(traj.done.astype(jnp.int32))
+        return params, opt_state, metrics
+
+    jc = jax.jit(collect, device=actor_device) if actor_device is not None \
+        else jax.jit(collect)
+    ju = jax.jit(update, device=learner_device) if learner_device is not None \
+        else jax.jit(update)
+    return jc, ju
+
+
+def run_pipelined(lowered: Lowered, cfg: PPOConfig, tx, params, opt_state,
+                  state, key, n_updates: int,
+                  actor_device=None, learner_device=None, pipeline=None):
+    """Drive the two-stage pipeline for n_updates rounds.
+
+    Round k dispatches collect(theta_k, ...) — producing traj_{k+1} with
+    one update of staleness — and update(theta_k, traj_k) back-to-back
+    WITHOUT host syncs between them: jax's async dispatch lets both
+    programs be in flight at once, so on two devices they overlap. The
+    host only pays the device-to-device hops (params learner->actor,
+    trajectory actor->learner) each round. Returns
+    (params, opt_state, state, key, last_metrics).
+
+    Pass a prebuilt ``pipeline=(collect, update)`` to reuse compiled
+    programs across calls (timing harnesses); by default the pair is
+    built (and compiled) fresh."""
+    collect, update = pipeline if pipeline is not None else make_pipeline(
+        lowered, cfg, tx, actor_device, learner_device)
+
+    def to_a(t):
+        return jax.device_put(t, actor_device) if actor_device is not None else t
+
+    def to_l(t):
+        return jax.device_put(t, learner_device) if learner_device is not None else t
+
+    a_params = to_a(params)
+    state, key = to_a(state), to_a(key)
+    # priming rollout: the pipeline consumes traj_k while producing
+    # traj_{k+1}, so round 0 starts with one already-collected buffer
+    state, key, traj, last_obs = collect(a_params, state, key)
+    metrics = {}
+    for _ in range(n_updates):
+        # enqueue the NEXT rollout under the current (stale) actor params
+        # first, then the update — neither call blocks the host, so the
+        # two programs are concurrently in flight on their devices
+        nxt = collect(a_params, state, key)
+        params, opt_state, metrics = update(
+            params, opt_state, to_l(traj), to_l(last_obs))
+        a_params = to_a(params)  # theta hops learner -> actor
+        state, key, traj, last_obs = nxt
+    return params, opt_state, state, key, metrics
