@@ -55,7 +55,7 @@ class RoleDef:
 class Blueprint:
     name: str
     description: str
-    archetype: str  # 'elimination' | 'rounds' | 'battle' | 'bluff' | 'market' | 'minority' | 'auction'
+    archetype: str  # 'elimination' | 'rounds' | 'battle' | 'bluff' | 'market' | 'minority' | 'auction' | 'gifting' | 'conversion'
     min_players: int = 4
     roles: tuple[RoleDef, ...] = ()
     # mechanic MIXES composed into the base archetype's phase graph, e.g.
@@ -1600,6 +1600,8 @@ def _generate_base(bp: Blueprint) -> dict[str, Any]:
         return _gen_auction(bp)
     if bp.archetype == "minority":
         return _gen_minority(bp)
+    if bp.archetype == "conversion":
+        return _gen_conversion(bp)
     if bp.archetype == "gifting":
         return _gen_gifting(bp)
     raise ValueError(f"unknown archetype {bp.archetype!r}")
@@ -1719,6 +1721,249 @@ def _gen_gifting(bp: Blueprint, win_coins: int = 12, start_coins: int = 3,
     }
 
 
+# ---------------------------------------------------------------------------
+# conversion archetype: hidden-team recruitment through the P20 effect IR's
+# string-write surface (team flips are vocab-coded SSet statements — the
+# mechanic family that was inexpressible before round 4's general writes;
+# the reference referee performs these as free update_player_state writes,
+# agent/tools/backend_tools.py:204-225)
+# ---------------------------------------------------------------------------
+
+
+def _gen_conversion(bp: Blueprint, max_rounds: int = 12) -> dict[str, Any]:
+    leader = next((r for r in bp.roles if r.night_action == "convert"), None)
+    filler = next((r for r in bp.roles if not r.night_action), None)
+    leader_name = leader.name if leader else "Prophet"
+    filler_name = filler.name if filler else "Villager"
+    fields = {
+        "name": {"type": "string", "example": "Player A",
+                 "description": "Public display name."},
+        "role": {"type": "string", "example": leader_name,
+                 "description": f"Hidden origin ({leader_name} or "
+                                f"{filler_name}). Conversion changes team, "
+                                "never role."},
+        "team": {"type": "string", "example": "cult",
+                 "description": "Current allegiance ('cult' or 'free'); "
+                                "conversion flips free to cult."},
+        "is_alive": {"type": "boolean", "example": True,
+                     "description": "Whether the player is still in the game."},
+        "role_revealed": {"type": "boolean", "example": False,
+                          "description": "Whether this player's origin has "
+                                         "been shown to all."},
+        "rounds": {"type": "num", "example": 0,
+                   "description": f"Completed night cycles (caps at "
+                                  f"{max_rounds}, tracked on seat 1)."},
+        "marks": {"type": "dict", "example": {"3": "claimed"},
+                  "description": "The cult's private memory of whom each "
+                                 "member has claimed."},
+    }
+    template = {"name": "", "role": "", "team": "", "is_alive": True,
+                "role_revealed": False, "rounds": 0, "marks": {}}
+
+    def example_row(name, role, team):
+        return {**template, "name": name, "role": role, "team": team}
+
+    names = ["Alpha", "Beta", "Gamma", "Delta", "Echo", "Foxtrot", "Golf",
+             "Hotel"]
+    players_example = {
+        "1": example_row(names[0], leader_name, "cult"),
+        **{str(i + 2): example_row(nm, filler_name, "free")
+           for i, nm in enumerate(names[1:])},
+    }
+    tools = ["clearCanvas", "createPhaseIndicator", "createTextDisplay",
+             "createAvatarSet", "createVotingPanel", "createResultDisplay",
+             "createTimer", "createRoleCard", "createNightOverlay",
+             "markPlayerDead", "createScoreBoard"]
+    phases = {
+        0: _ui_phase(
+            "Game Introduction",
+            f"Introduce the hidden {leader_name.lower()}, the nightly "
+            "conversion, and the day banishments.",
+            [
+                _tool_action("Clear all previous UI elements", "clearCanvas"),
+                _tool_action("Create public phase indicator",
+                             "createPhaseIndicator"),
+                _tool_action("Display rules and win conditions",
+                             "createTextDisplay"),
+                _tool_action("Create avatar set overlay", "createAvatarSet"),
+            ],
+            {"id": 1, "name": "Initiation"},
+        ),
+        1: {
+            "name": "Initiation",
+            "description": f"Deal the hidden origins: one {leader_name} "
+                           f"begins the cult; every other player starts a "
+                           f"free {filler_name}.",
+            "mechanics": ["role_assignment"],
+            "actions": [
+                _tool_action("Clear the canvas", "clearCanvas"),
+                _tool_action("TIER 3 - INDIVIDUAL: show each player their "
+                             "private origin", "createRoleCard"),
+            ],
+            "completion_criteria": {
+                "type": "UI_displayed",
+                "description": "Origins dealt.",
+            },
+            "next_phase": {"id": 2, "name": "Night Whisper"},
+        },
+        2: _action_phase(
+            "Night Whisper",
+            "The cult gathers in the dark; each living cult member whispers "
+            "to one player they would claim.",
+            [
+                _tool_action("Clear the canvas, keep death markers",
+                             "clearCanvas"),
+                _tool_action("TIER 1 - PUBLIC: night indicator",
+                             "createPhaseIndicator", "createNightOverlay"),
+                _tool_action("TIER 2 - GROUP: private claiming panel for "
+                             "the cult", "createVotingPanel"),
+            ],
+            "Every living cult member has whispered.",
+            "multiple_players_action", "All living cult members",
+            "player.team == 'cult' and player.is_alive == true",
+            {"id": 3, "name": "Dawn"},
+        ) | {"mechanics": ["target"]},
+        3: {
+            "name": "Dawn",
+            "description": "Morning breaks; any player claimed by the cult "
+                           "in the night quietly joins it.",
+            "actions": [
+                _tool_action("Clear the canvas, keep death markers",
+                             "clearCanvas"),
+                _tool_action("TIER 1 - PUBLIC: morning breaks with no "
+                             "visible change", "createTextDisplay"),
+            ],
+            "completion_criteria": {
+                "type": "UI_displayed",
+                "description": "Morning breaks.",
+            },
+            "next_phase": {"id": 4, "name": "Day Counsel"},
+            "mechanics": [{"effects": [
+                "let recruiter = chose(2) and team == 'cult' and alive and choice != seat",
+                "let claimed = incoming(1, choice, recruiter) > 0",
+                "marks[choice] = 'claimed' where recruiter",
+                "team = 'cult' where team == 'free' and alive and claimed",
+                "rounds += 1 where seat == 1",
+            ]}],
+        },
+        4: _timer_phase(
+            "Day Counsel",
+            "The players gather and trade suspicions.",
+            [
+                _tool_action("Clear the canvas, keep death markers",
+                             "clearCanvas"),
+                _tool_action("TIER 1 - PUBLIC: counsel prompt",
+                             "createTextDisplay", "createTimer"),
+            ],
+            {"id": 5, "name": "Accusation"},
+        ),
+        5: _action_phase(
+            "Accusation",
+            "Each living player points at the one they would banish.",
+            [
+                _tool_action("Clear the canvas, keep death markers",
+                             "clearCanvas"),
+                _tool_action("TIER 1 - PUBLIC: pointing panel for all "
+                             "living players", "createVotingPanel"),
+            ],
+            "Every living player has pointed.",
+            "all_players_action", "All living players",
+            "player.is_alive == true",
+            {"id": 6, "name": "Banishment"},
+        ) | {"mechanics": ["target"]},
+        6: {
+            "name": "Banishment",
+            "description": "The player most accused is banished and their "
+                           "origin is shown to all.",
+            "mechanics": ["vote_elimination"],
+            "actions": [
+                _tool_action("Clear the canvas, keep death markers",
+                             "clearCanvas"),
+                _tool_action("TIER 1 - PUBLIC: announce the banishment",
+                             "createResultDisplay", "markPlayerDead"),
+            ],
+            "completion_criteria": {
+                "type": "UI_displayed",
+                "description": "The banishment is shown.",
+            },
+            "next_phase": {"id": 7, "name": "Reckoning"},
+        },
+        7: {
+            "name": "Reckoning",
+            "description": "Count the living allegiances to learn whether "
+                           "the cult has prevailed.",
+            "actions": [
+                _tool_action("Clear the canvas, keep death markers",
+                             "clearCanvas"),
+                _tool_action("TIER 1 - PUBLIC: brief reckoning display",
+                             "createTextDisplay"),
+            ],
+            "completion_criteria": {
+                "type": "UI_displayed",
+                "description": "Reckoning read; the route is set.",
+            },
+            "next_phase": {
+                "If no living cult remain (the cult is broken), the game ends.":
+                    {"id": 99, "name": "Game Over"},
+                "If no living free remain (every player claimed), the game ends.":
+                    {"id": 99, "name": "Game Over"},
+                f"If any player has {max_rounds} or more rounds":
+                    {"id": 99, "name": "Game Over"},
+                "Otherwise, the cult calls another night.":
+                    {"id": 2, "name": "Night Whisper"},
+            },
+        },
+        99: {
+            "name": "Game Over",
+            "description": "The prevailing allegiance is named.",
+            "mechanics": [{"winner": "team"}],
+            "actions": [
+                _tool_action("Clear the canvas, keep death markers",
+                             "clearCanvas"),
+                _tool_action("TIER 1 - PUBLIC: name the prevailing "
+                             "allegiance", "createResultDisplay",
+                             "createScoreBoard"),
+            ],
+            "completion_criteria": {
+                "type": "UI_displayed",
+                "description": "The tale ends.",
+            },
+            "next_phase": None,
+        },
+    }
+    return {
+        "declaration": {
+            "description": bp.description,
+            "is_multiplayer": True,
+            "min_players": max(bp.min_players, 5),
+            "roles": [
+                {"name": leader_name,
+                 "description": "Begins the cult; whispers to one player "
+                                "each night to convert them."},
+                {"name": filler_name,
+                 "description": "Starts free; votes by day and may be "
+                                "converted by night."},
+            ],
+            "player_states": fields,
+            "player_states_template": {"player_states": {"1": template}},
+            "players_example": {"tools": tools,
+                                "player_states": players_example},
+            "audience_groups": {
+                # the group predicate must carry liveness: branch sentences
+                # naming the group ("no living cult remain") resolve to this
+                # criteria, and a banished cultist must not keep the
+                # cult-broken terminal false forever
+                "cult": {
+                    "description": "The cult's private circle.",
+                    "selection_criteria":
+                        "player.team == 'cult' and player.is_alive == true",
+                },
+            },
+        },
+        "phases": phases,
+    }
+
+
 # -- description mining: roles, counts, player minimums ----------------------
 #
 # The reference's generator is gpt-5 and accepts anything; the built-in path
@@ -1811,6 +2056,14 @@ _AUCTION_WORDS = re.compile(
     r"\b(auction\w*|sealed[- ]bids?|highest bid\w*|bid(?:s|ding)? (?:for|on|war))\b",
     re.IGNORECASE,
 )
+_CONVERT_WORDS = re.compile(
+    r"\b(convert\w*|recruit\w*|cults?|cultists?|indoctrinat\w*|"
+    r"assimilat\w*|brainwash\w*|infect\w*|zombif\w*|"
+    r"pull\w* (?:them |players? )?into the fold|join\w* the fold)\b",
+    re.IGNORECASE)
+_CONVERT_LEADER_NAME = (
+    r"(prophets?|cult leaders?|high priest(?:ess)?e?s?|patient zero|"
+    r"vampire lords?|puppet ?masters?|hive queens?|zombie kings?)")
 _NIGHT_WORDS = re.compile(
     r"\b(night|hidden role|mafia|impostor|assassin|deduction|werewol\w+|secret(?:ly)? kill)\b",
     re.IGNORECASE,
@@ -1874,13 +2127,14 @@ def description_coverage(description: str) -> dict[str, Any]:
     consumed: set[str] = set()
     vocab_res = (
         _NIGHT_WORDS, _BATTLE_WORDS, _MINORITY_WORDS, _BLUFF_WORDS,
-        _MARKET_WORDS, _AUCTION_WORDS, _GIFT_WORDS, _ROUNDS_WORDS,
-        _PLAYERS_RE, _COVERAGE_EXTRA,
+        _MARKET_WORDS, _AUCTION_WORDS, _GIFT_WORDS, _CONVERT_WORDS,
+        _ROUNDS_WORDS, _PLAYERS_RE, _COVERAGE_EXTRA,
     )
     for rx in vocab_res:
         for m in rx.finditer(text):
             consumed.update(re.findall(r"[a-z][a-z'-]+", m.group(0)))
-    for pat in (_KILLER_NAME, _PROTECT_NAME, _INVEST_NAME, _FILLER_NAME):
+    for pat in (_KILLER_NAME, _PROTECT_NAME, _INVEST_NAME, _FILLER_NAME,
+                _CONVERT_LEADER_NAME):
         for m in re.finditer(pat, text, re.IGNORECASE):
             consumed.update(re.findall(r"[a-z][a-z'-]+", m.group(0)))
     unconsumed = sorted({w for w in content if w not in consumed})
@@ -1921,6 +2175,24 @@ def generate_from_description(
             "(dslgen/llm_adapter.py llm_hook) for arbitrary games.")
     roles: tuple[RoleDef, ...] = ()
     extras: tuple[str, ...] = ()
+    # conversion vocabulary outranks night vocabulary: "the cult converts a
+    # villager each night" is a recruitment game that happens to mention
+    # night, not an elimination game — resolved by the P20 string-write IR
+    if _CONVERT_WORDS.search(description):
+        archetype = "conversion"
+        lm = re.search(_CONVERT_LEADER_NAME, description, re.IGNORECASE)
+        fm = re.search(_FILLER_NAME, description, re.IGNORECASE)
+        roles = (
+            RoleDef(_singular_title(lm.group(1)) if lm else "Prophet",
+                    "cult", "convert",
+                    "Begins the cult; converts one player each night."),
+            RoleDef(_singular_title(fm.group(1)) if fm else "Villager",
+                    "free", "",
+                    "Starts free; votes by day, may be converted by night."),
+        )
+        return generate(Blueprint(
+            name=name, description=description, archetype=archetype,
+            roles=roles, min_players=_mine_min_players(description, 5)))
     # night/role vocabulary FIRST: "werewolves steal gold at night" is an
     # elimination game that happens to mention market words, not a market
     # game (round-1 precedence, kept) — but if the description ALSO talks

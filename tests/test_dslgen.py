@@ -198,3 +198,86 @@ def test_catalog_games_match_generator(name):
     desc = on_disk["declaration"]["description"]
     assert on_disk == generate_from_description(name, desc)
     assert any(p.get("mechanics") for p in on_disk["phases"].values())
+
+
+# ---------------------------------------------------------------------------
+# conversion archetype (round 4): recruitment via the IR's string-write
+# surface — team flips are vocab-coded SSet statements the generator now
+# emits directly (reference equivalent: free update_player_state writes,
+# agent/tools/backend_tools.py:204-225)
+# ---------------------------------------------------------------------------
+
+_CULT_DESC = (
+    "A hidden prophet leads a secret cult among seven villagers. Each "
+    "night the cult recruits one villager into the fold; each day the "
+    "village votes to banish a suspect. The cult wins when every "
+    "living player has been converted."
+)
+
+
+def test_conversion_archetype_selected_over_night_words():
+    """'recruits ... each night' must pick conversion, not elimination —
+    the convert vocabulary outranks the night vocabulary."""
+    doc = generate_from_description("shadow-fold", _CULT_DESC)
+    names = {ph["name"] for ph in doc["phases"].values()}
+    assert "Dawn" in names and "Banishment" in names
+    roles = {r["name"] for r in doc["declaration"]["roles"]}
+    assert roles == {"Prophet", "Villager"}
+    # the conversion program is a declared effects: mechanic
+    dawn = next(p for p in doc["phases"].values() if p["name"] == "Dawn")
+    stmts = dawn["mechanics"][0]["effects"]
+    assert any("team = 'cult'" in s for s in stmts)
+
+
+def test_generated_conversion_validates_and_both_teams_win():
+    doc = generate_from_description("shadow-fold", _CULT_DESC)
+    issues, spec = validate_doc(doc, name="shadow-fold")
+    assert spec is not None
+    assert not errors(issues), [str(i) for i in errors(issues)]
+    game = compile_game(spec)
+    winners = set()
+    saw_conversion = saw_mark = False
+    for seed in range(60):
+        room = OracleRoom(game, n_players=6, seed=seed)
+        for t in range(2000):
+            room.step(oracle_policy(room, t, seed))
+            if room.done:
+                break
+        assert room.done, f"seed {seed} never terminated"
+        winners.add(room.winner)
+        for p in room.players.values():
+            if p.get("role") == "Villager" and p.get("team") == "cult":
+                saw_conversion = True
+            if any(v == "claimed" for v in (p.get("marks") or {}).values()):
+                saw_mark = True
+        if winners == {1, 2} and saw_conversion and saw_mark:
+            break
+    assert saw_conversion, "no Villager was ever converted"
+    assert saw_mark, "no marks entry was ever written"
+    assert winners == {1, 2}, f"only teams {winners} ever won"
+
+
+def test_generated_conversion_engine_parity():
+    doc = generate_from_description("shadow-fold", _CULT_DESC)
+    spec = parse_game_spec(doc, name="shadow-fold")
+    lowered = lower(compile_game(spec))
+    eng = BatchedEngine(lowered)
+    for seed in (0, 3):
+        room = OracleRoom(lowered.game, n_players=6, seed=seed)
+        state = init_state(lowered, 1, 6, np.uint32(seed))
+        for t in range(600):
+            room.step(oracle_policy(room, t, seed))
+            state = eng.step(state, scripted_actions(lowered, state))
+            assert_state_matches(lowered, room, state, 0, t)
+            if room.done:
+                break
+        assert room.done
+
+
+def test_conversion_leader_name_mined():
+    doc = generate_from_description(
+        "hive", "A hive queen secretly assimilates crewmates each night; "
+                "the crew votes to banish a suspect each day.")
+    roles = {r["name"] for r in doc["declaration"]["roles"]}
+    assert "Hive queen" in roles, roles
+    assert "Crewmate" in roles or "Crew" in roles, roles
