@@ -1602,6 +1602,8 @@ def _generate_base(bp: Blueprint) -> dict[str, Any]:
         return _gen_minority(bp)
     if bp.archetype == "conversion":
         return _gen_conversion(bp)
+    if bp.archetype == "pressluck":
+        return _gen_pressluck(bp)
     if bp.archetype == "gifting":
         return _gen_gifting(bp)
     raise ValueError(f"unknown archetype {bp.archetype!r}")
@@ -1964,6 +1966,130 @@ def _gen_conversion(bp: Blueprint, max_rounds: int = 12) -> dict[str, Any]:
     }
 
 
+# ---------------------------------------------------------------------------
+# pressluck archetype: press-your-luck banking through the P20 effect IR's
+# conditional `reset` statement — the bust rule restores the stash to its
+# template default when the round's growth would cross the limit (same
+# block, later write wins — P20 statement order over snapshot reads)
+# ---------------------------------------------------------------------------
+
+
+def _gen_pressluck(bp: Blueprint, win_points: int = 10, bust_limit: int = 5,
+                   max_rounds: int = 60) -> dict[str, Any]:
+    fields = {
+        "name": {"type": "string", "example": "Player A",
+                 "description": "Public display name."},
+        "points": {"type": "num", "example": 0,
+                   "description": f"Banked points; {win_points} wins the game."},
+        "stash": {"type": "num", "example": 0,
+                  "description": f"Unbanked points at risk; swept to 0 past "
+                                 f"{bust_limit}."},
+        "pick": {"type": "num", "example": 0,
+                 "description": "This round's choice (1-2 press on, 3 bank), "
+                                "0 when unset."},
+        "rounds": {"type": "num", "example": 0,
+                   "description": f"Completed rounds (the game caps at "
+                                  f"{max_rounds})."},
+    }
+    template = {"name": "", "points": 0, "stash": 0, "pick": 0, "rounds": 0}
+    tools = ["clearCanvas", "createPhaseIndicator", "createTextDisplay",
+             "createAvatarSet", "createVotingPanel", "createResultDisplay",
+             "createScoreBoard"]
+    phases = {
+        0: _ui_phase(
+            "Game Introduction",
+            f"Introduce the press-your-luck run: grow a risky stash, bank "
+            f"it before busting past {bust_limit}, first to {win_points} "
+            "banked points wins.",
+            [
+                _tool_action("Clear all previous UI elements", "clearCanvas"),
+                _tool_action("Create public phase indicator",
+                             "createPhaseIndicator"),
+                _tool_action("Display rules and win conditions",
+                             "createTextDisplay"),
+                _tool_action("Create avatar set overlay", "createAvatarSet"),
+            ],
+            {"id": 1, "name": "Risk Choice"},
+        ),
+        1: _action_phase(
+            "Risk Choice",
+            "Every player secretly picks risk 1 or 2 to press on, or 3 to "
+            "bank the stash.",
+            [
+                _tool_action("Clear previous UI", "clearCanvas"),
+                _tool_action("Create risk choice phase indicator",
+                             "createPhaseIndicator"),
+                _tool_action("Create the risk pick panel (options 1-3) for "
+                             "every player", "createVotingPanel"),
+            ],
+            "All players have picked and pick set for each.",
+            "all_players_action", "All players",
+            "player.points >= 0",
+            {"id": 2, "name": "Bust Resolution"},
+        ) | {"mechanics": [{"option": 3}]},
+        2: {
+            "name": "Bust Resolution",
+            "description": "Resolve the round: stashes grow by the risk "
+                           "taken, bankers convert the stash to points, and "
+                           f"any stash grown past {bust_limit} busts to "
+                           "nothing.",
+            "actions": [
+                _tool_action("Clear pick UI", "clearCanvas"),
+                _tool_action("Display who banked, who pressed and who "
+                             "busted", "createResultDisplay"),
+                _tool_action("Show the standings", "createScoreBoard"),
+            ],
+            "completion_criteria": {
+                "type": "UI_displayed",
+                "description": "Bust Resolution has been displayed to all "
+                               "players.",
+            },
+            "next_phase": {
+                f"If any player has {win_points} or more points":
+                    {"id": 99, "name": "Game Over"},
+                f"If any player has {max_rounds} or more rounds":
+                    {"id": 99, "name": "Game Over"},
+                "Otherwise the run continues":
+                    {"id": 1, "name": "Risk Choice"},
+            },
+            "mechanics": [{"effects": [
+                "let presser = chose(1) and pick > 0",
+                "stash += pick where presser and pick <= 2",
+                "points += stash where presser and pick == 3",
+                "reset stash where presser and pick == 3",
+                f"reset stash where presser and pick <= 2 and "
+                f"stash + pick > {bust_limit}",
+                "pick = 0",
+                "rounds += 1 where seat == 1",
+            ]}],
+        },
+        99: _ui_phase(
+            "Game Over — Champion",
+            "Congratulate the player with the most banked points.",
+            [
+                _tool_action("Clear non-persistent UI", "clearCanvas"),
+                _tool_action("Display the winner and final points",
+                             "createResultDisplay"),
+            ],
+            None,
+        ) | {"mechanics": [{"winner": {"score": "points"}}]},
+    }
+    return {
+        "declaration": {
+            "description": bp.description,
+            "is_multiplayer": True,
+            "min_players": max(bp.min_players, 3),
+            "player_states": fields,
+            "player_states_template": {"player_states": {"1": template}},
+            "players_example": {"tools": tools,
+                                "player_states": {"1": {**template,
+                                                        "name": "Alpha"}}},
+            "audience_groups": {},
+        },
+        "phases": phases,
+    }
+
+
 # -- description mining: roles, counts, player minimums ----------------------
 #
 # The reference's generator is gpt-5 and accepts anything; the built-in path
@@ -2056,6 +2182,11 @@ _AUCTION_WORDS = re.compile(
     r"\b(auction\w*|sealed[- ]bids?|highest bid\w*|bid(?:s|ding)? (?:for|on|war))\b",
     re.IGNORECASE,
 )
+_PRESSLUCK_WORDS = re.compile(
+    r"\b(press(?:es|ing)? (?:your |their |on)?luck|bust\w*|bank\w*|"
+    r"push(?:es|ing)? (?:your |their )?luck|stash\w*|risk\w* it|"
+    r"greed\w*|one more roll|cash(?:es|ing)? (?:out|in))\b",
+    re.IGNORECASE)
 _CONVERT_WORDS = re.compile(
     r"\b(convert\w*|recruit\w*|cults?|cultists?|indoctrinat\w*|"
     r"assimilat\w*|brainwash\w*|infect\w*|zombif\w*|"
@@ -2128,7 +2259,7 @@ def description_coverage(description: str) -> dict[str, Any]:
     vocab_res = (
         _NIGHT_WORDS, _BATTLE_WORDS, _MINORITY_WORDS, _BLUFF_WORDS,
         _MARKET_WORDS, _AUCTION_WORDS, _GIFT_WORDS, _CONVERT_WORDS,
-        _ROUNDS_WORDS, _PLAYERS_RE, _COVERAGE_EXTRA,
+        _PRESSLUCK_WORDS, _ROUNDS_WORDS, _PLAYERS_RE, _COVERAGE_EXTRA,
     )
     for rx in vocab_res:
         for m in rx.finditer(text):
@@ -2209,6 +2340,11 @@ def generate_from_description(
         # each other" is a gifting circle, not a raid market) — resolved by
         # the P20 effect-IR archetype
         archetype = "gifting"
+    elif _PRESSLUCK_WORDS.search(description):
+        # banking/bust vocabulary outranks bare economy words ("bank the
+        # stash before busting" is a press-your-luck run, not a market) —
+        # resolved by the P20 effect IR's conditional reset
+        archetype = "pressluck"
     elif _MINORITY_WORDS.search(description):
         archetype = "minority"
     elif _BLUFF_WORDS.search(description):

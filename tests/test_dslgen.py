@@ -281,3 +281,55 @@ def test_conversion_leader_name_mined():
     roles = {r["name"] for r in doc["declaration"]["roles"]}
     assert "Hive queen" in roles, roles
     assert "Crewmate" in roles or "Crew" in roles, roles
+
+
+# ---------------------------------------------------------------------------
+# pressluck archetype (round 4): press-your-luck banking via the IR's
+# conditional `reset` statement (tide-pool's bust rule as a generator family)
+# ---------------------------------------------------------------------------
+
+_HOARD_DESC = (
+    "Gamblers press their luck at the dragon's hoard: each round grow a "
+    "risky stash or bank it as treasure before a bust sweeps it away. "
+    "First to ten banked treasures wins."
+)
+
+
+def test_pressluck_archetype_selected_over_market_words():
+    """Banking/bust vocabulary must pick pressluck, not market, even though
+    'treasure' is an economy word."""
+    doc = generate_from_description("dragon-hoard", _HOARD_DESC)
+    names = {ph["name"] for ph in doc["phases"].values()}
+    assert "Bust Resolution" in names
+    resolution = next(p for p in doc["phases"].values()
+                      if p["name"] == "Bust Resolution")
+    stmts = resolution["mechanics"][0]["effects"]
+    assert any(s.startswith("reset stash") for s in stmts)
+
+
+def test_generated_pressluck_runs_with_busts_and_parity():
+    doc = generate_from_description("dragon-hoard", _HOARD_DESC)
+    issues, spec = validate_doc(doc, name="dragon-hoard")
+    assert spec is not None
+    assert not errors(issues), [str(i) for i in errors(issues)]
+    lowered = lower(compile_game(spec))
+    eng = BatchedEngine(lowered)
+    busted = False
+    for seed in (0, 2):
+        room = OracleRoom(lowered.game, n_players=4, seed=seed)
+        state = init_state(lowered, 1, 4, np.uint32(seed))
+        prev = None
+        for t in range(600):
+            room.step(oracle_policy(room, t, seed))
+            state = eng.step(state, scripted_actions(lowered, state))
+            assert_state_matches(lowered, room, state, 0, t)
+            if prev:
+                for p, st in room.players.items():
+                    if (prev[p]["stash"] > 0 and st["stash"] == 0
+                            and st["points"] == prev[p]["points"]):
+                        busted = True
+            prev = {p: dict(st) for p, st in room.players.items()}
+            if room.done:
+                break
+        assert room.done
+    assert busted, "no stash ever busted"
