@@ -1604,6 +1604,10 @@ def _generate_base(bp: Blueprint) -> dict[str, Any]:
         return _gen_conversion(bp)
     if bp.archetype == "pressluck":
         return _gen_pressluck(bp)
+    if bp.archetype == "racing":
+        return _gen_racing(bp)
+    if bp.archetype == "draft":
+        return _gen_draft(bp)
     if bp.archetype == "gifting":
         return _gen_gifting(bp)
     raise ValueError(f"unknown archetype {bp.archetype!r}")
@@ -2090,6 +2094,248 @@ def _gen_pressluck(bp: Blueprint, win_points: int = 10, bust_limit: int = 5,
     }
 
 
+# ---------------------------------------------------------------------------
+# racing archetype: positional race through the P20 effect IR's eqcount
+# collision rule — a racer advances only when nobody matched their speed
+# ---------------------------------------------------------------------------
+
+
+def _gen_racing(bp: Blueprint, track_len: int = 10,
+                max_rounds: int = 40) -> dict[str, Any]:
+    fields = {
+        "name": {"type": "string", "example": "Player A",
+                 "description": "Public display name."},
+        "position": {"type": "num", "example": 0,
+                     "description": f"Track position; {track_len} finishes "
+                                    "the race."},
+        "speed_pick": {"type": "num", "example": 0,
+                       "description": "This round's secret speed (1-3), 0 "
+                                      "when unset."},
+        "rounds": {"type": "num", "example": 0,
+                   "description": f"Completed racing rounds (caps at "
+                                  f"{max_rounds})."},
+    }
+    template = {"name": "", "position": 0, "speed_pick": 0, "rounds": 0}
+    tools = ["clearCanvas", "createPhaseIndicator", "createTextDisplay",
+             "createAvatarSet", "createVotingPanel", "createResultDisplay",
+             "createScoreBoard"]
+    phases = {
+        0: _ui_phase(
+            "Game Introduction",
+            f"Introduce the race: secret speeds, collisions on matched "
+            f"picks, first to {track_len} wins.",
+            [
+                _tool_action("Clear all previous UI elements", "clearCanvas"),
+                _tool_action("Create public phase indicator",
+                             "createPhaseIndicator"),
+                _tool_action("Display rules and win conditions",
+                             "createTextDisplay"),
+                _tool_action("Create avatar set overlay", "createAvatarSet"),
+            ],
+            {"id": 1, "name": "Speed Selection"},
+        ),
+        1: _action_phase(
+            "Speed Selection",
+            "Every racer secretly picks a speed between 1 and 3 for this "
+            "round.",
+            [
+                _tool_action("Clear previous UI", "clearCanvas"),
+                _tool_action("Create speed selection phase indicator",
+                             "createPhaseIndicator"),
+                _tool_action("Create the speed pick panel (options 1-3) for "
+                             "every racer", "createVotingPanel"),
+            ],
+            "All racers have picked and speed_pick set for each.",
+            "all_players_action", "All racers",
+            "player.position >= 0",
+            {"id": 2, "name": "Movement Resolution"},
+        ) | {"mechanics": [{"option": 3}]},
+        2: {
+            "name": "Movement Resolution",
+            "description": "Resolve the round: every racer whose speed was "
+                           "unique advances that many spaces; racers who "
+                           "matched speeds collide and stay put.",
+            "actions": [
+                _tool_action("Clear pick UI", "clearCanvas"),
+                _tool_action("Display who advanced and who collided",
+                             "createResultDisplay"),
+                _tool_action("Show the track standings", "createScoreBoard"),
+            ],
+            "completion_criteria": {
+                "type": "UI_displayed",
+                "description": "Movement Resolution has been displayed to "
+                               "all players.",
+            },
+            "next_phase": {
+                f"If any player has {track_len} or more position":
+                    {"id": 99, "name": "Game Over"},
+                f"If any player has {max_rounds} or more rounds":
+                    {"id": 99, "name": "Game Over"},
+                "Otherwise the race continues":
+                    {"id": 1, "name": "Speed Selection"},
+            },
+            "mechanics": [{"effects": [
+                "let racer = chose(1) and speed_pick > 0",
+                "position += speed_pick where racer and "
+                "eqcount(speed_pick, racer) == 1",
+                "speed_pick = 0",
+                "rounds += 1 where seat == 1",
+            ]}],
+        },
+        99: _ui_phase(
+            "Game Over — Fastest Racer",
+            "Congratulate the racer furthest along the track.",
+            [
+                _tool_action("Clear non-persistent UI", "clearCanvas"),
+                _tool_action("Display the winner and final positions",
+                             "createResultDisplay"),
+            ],
+            None,
+        ) | {"mechanics": [{"winner": {"score": "position"}}]},
+    }
+    return {
+        "declaration": {
+            "description": bp.description,
+            "is_multiplayer": True,
+            "min_players": max(bp.min_players, 3),
+            "player_states": fields,
+            "player_states_template": {"player_states": {"1": template}},
+            "players_example": {"tools": tools,
+                                "player_states": {"1": {**template,
+                                                        "name": "Alpha"}}},
+            "audience_groups": {},
+        },
+        "phases": phases,
+    }
+
+
+# ---------------------------------------------------------------------------
+# draft archetype: simultaneous exclusive claims from a shared shrinking
+# pool through the P20 effect IR — rank(choice)==0 against the block-entry
+# snapshot (lowest contested seat wins, the P6 tie convention)
+# ---------------------------------------------------------------------------
+
+
+def _gen_draft(bp: Blueprint, pool: int = 6,
+               max_rounds: int = 5) -> dict[str, Any]:
+    fields = {
+        "name": {"type": "string", "example": "Player A",
+                 "description": "Public display name."},
+        **{f"has{i}": {"type": "boolean", "example": False,
+                       "description": f"Holds prize {i} (worth {i} gold)."}
+           for i in range(1, pool + 1)},
+        "gold": {"type": "num", "example": 0,
+                 "description": "Total value of the claimed prizes."},
+        "pool_left": {"type": "num", "example": pool,
+                      "description": "Prizes still unclaimed on the table."},
+        "rounds": {"type": "num", "example": 0,
+                   "description": f"Completed draft rounds (caps at "
+                                  f"{max_rounds})."},
+    }
+    template = {"name": "", **{f"has{i}": False for i in range(1, pool + 1)},
+                "gold": 0, "pool_left": pool, "rounds": 0}
+    tools = ["clearCanvas", "createPhaseIndicator", "createTextDisplay",
+             "createAvatarSet", "createVotingPanel", "createResultDisplay",
+             "createScoreBoard"]
+    claim_stmts = [
+        f"has{i} = 1 where picker and choice == {i} and count(has{i}) == 0 "
+        f"and rank(choice, picker) == 0" for i in range(1, pool + 1)]
+    gold_expr = " + ".join(
+        f"{i} * has{i}" if i > 1 else "has1" for i in range(1, pool + 1))
+    pool_expr = f"{pool} - " + " - ".join(
+        f"count(has{i})" for i in range(1, pool + 1))
+    phases = {
+        0: _ui_phase(
+            "Game Introduction",
+            f"Introduce the draft: {pool} prizes on the table, simultaneous "
+            "secret claims, contested prizes go to the lowest seat.",
+            [
+                _tool_action("Clear all previous UI elements", "clearCanvas"),
+                _tool_action("Create public phase indicator",
+                             "createPhaseIndicator"),
+                _tool_action("Display rules and win conditions",
+                             "createTextDisplay"),
+                _tool_action("Create avatar set overlay", "createAvatarSet"),
+            ],
+            {"id": 1, "name": "Prize Pick"},
+        ),
+        1: _action_phase(
+            "Prize Pick",
+            f"Every collector secretly points at one of the {pool} prizes.",
+            [
+                _tool_action("Clear previous UI", "clearCanvas"),
+                _tool_action("Create draft phase indicator",
+                             "createPhaseIndicator"),
+                _tool_action(f"Create the prize pick panel (options 1-{pool})"
+                             " for every collector", "createVotingPanel"),
+            ],
+            "All collectors have pointed at a prize.",
+            "all_players_action", "All collectors",
+            "player.gold >= 0",
+            {"id": 2, "name": "Claim Resolution"},
+        ) | {"mechanics": [{"option": pool}]},
+        2: {
+            "name": "Claim Resolution",
+            "description": "Resolve the claims: each unclaimed prize goes "
+                           "to the lowest-seated collector pointing at it, "
+                           "collections are revalued, and the table is "
+                           "recounted.",
+            "actions": [
+                _tool_action("Clear pick UI", "clearCanvas"),
+                _tool_action("Display who claimed what",
+                             "createResultDisplay"),
+                _tool_action("Show the collection values",
+                             "createScoreBoard"),
+            ],
+            "completion_criteria": {
+                "type": "UI_displayed",
+                "description": "Claim Resolution has been displayed to all "
+                               "players.",
+            },
+            "next_phase": {
+                "If any player has 0 or fewer pool_left":
+                    {"id": 99, "name": "Game Over"},
+                f"If any player has {max_rounds} or more rounds":
+                    {"id": 99, "name": "Game Over"},
+                "Otherwise the draft continues":
+                    {"id": 1, "name": "Prize Pick"},
+            },
+            "mechanics": [{"effects": [
+                "let picker = chose(1)",
+                *claim_stmts,
+                "---",
+                f"gold = {gold_expr}",
+                f"pool_left = {pool_expr}",
+                "rounds += 1 where seat == 1",
+            ]}],
+        },
+        99: _ui_phase(
+            "Game Over — Richest Collection",
+            "Congratulate the collector with the most valuable prizes.",
+            [
+                _tool_action("Clear non-persistent UI", "clearCanvas"),
+                _tool_action("Display the winner and final collections",
+                             "createResultDisplay"),
+            ],
+            None,
+        ) | {"mechanics": [{"winner": {"score": "gold"}}]},
+    }
+    return {
+        "declaration": {
+            "description": bp.description,
+            "is_multiplayer": True,
+            "min_players": max(bp.min_players, 3),
+            "player_states": fields,
+            "player_states_template": {"player_states": {"1": template}},
+            "players_example": {"tools": tools,
+                                "player_states": {"1": {**template,
+                                                        "name": "Alpha"}}},
+            "audience_groups": {},
+        },
+        "phases": phases,
+    }
+
+
 # -- description mining: roles, counts, player minimums ----------------------
 #
 # The reference's generator is gpt-5 and accepts anything; the built-in path
@@ -2182,6 +2428,13 @@ _AUCTION_WORDS = re.compile(
     r"\b(auction\w*|sealed[- ]bids?|highest bid\w*|bid(?:s|ding)? (?:for|on|war))\b",
     re.IGNORECASE,
 )
+_RACING_WORDS = re.compile(
+    r"\b(rac\w+|track|laps?|finish line|sprint\w*|speed\w*|"
+    r"collid\w*|collision\w*|overtak\w*)\b", re.IGNORECASE)
+_DRAFT_WORDS = re.compile(
+    r"\b(drafts?|drafting|shared pool|shrinking pool|snake draft|"
+    r"claim\w* (?:a |one )?(?:prize|relic|card|item)s?|"
+    r"pick\w* from (?:a|the) (?:pool|table|pile))\b", re.IGNORECASE)
 _PRESSLUCK_WORDS = re.compile(
     r"\b(press(?:es|ing)? (?:your |their |on)?luck|bust\w*|bank\w*|"
     r"push(?:es|ing)? (?:your |their )?luck|stash\w*|risk\w* it|"
@@ -2259,7 +2512,8 @@ def description_coverage(description: str) -> dict[str, Any]:
     vocab_res = (
         _NIGHT_WORDS, _BATTLE_WORDS, _MINORITY_WORDS, _BLUFF_WORDS,
         _MARKET_WORDS, _AUCTION_WORDS, _GIFT_WORDS, _CONVERT_WORDS,
-        _PRESSLUCK_WORDS, _ROUNDS_WORDS, _PLAYERS_RE, _COVERAGE_EXTRA,
+        _PRESSLUCK_WORDS, _RACING_WORDS, _DRAFT_WORDS, _ROUNDS_WORDS,
+        _PLAYERS_RE, _COVERAGE_EXTRA,
     )
     for rx in vocab_res:
         for m in rx.finditer(text):
@@ -2345,6 +2599,12 @@ def generate_from_description(
         # stash before busting" is a press-your-luck run, not a market) —
         # resolved by the P20 effect IR's conditional reset
         archetype = "pressluck"
+    elif _DRAFT_WORDS.search(description):
+        # draft vocabulary outranks economy words ("claim a prize from the
+        # shared pool" is a draft, not a market) — IR rank()==0 claims
+        archetype = "draft"
+    elif _RACING_WORDS.search(description):
+        archetype = "racing"
     elif _MINORITY_WORDS.search(description):
         archetype = "minority"
     elif _BLUFF_WORDS.search(description):

@@ -333,3 +333,44 @@ def test_generated_pressluck_runs_with_busts_and_parity():
                 break
         assert room.done
     assert busted, "no stash ever busted"
+
+
+# ---------------------------------------------------------------------------
+# racing + draft archetypes (round 4): with these, every IR-only catalog
+# family (transfers, reciprocity, racing, draft, press-your-luck,
+# conversion) has a generator archetype
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("name,desc,phase,field", [
+    ("moon-rally",
+     "Rovers race across the lunar track picking secret speeds; matched "
+     "speeds collide and stall. First across the finish line wins.",
+     "Movement Resolution", "position"),
+    ("relic-rush",
+     "Collectors draft relics from a shared shrinking pool; contested "
+     "claims go to the lowest seat. Richest collection wins.",
+     "Claim Resolution", "gold"),
+])
+def test_racing_and_draft_archetypes(name, desc, phase, field):
+    doc = generate_from_description(name, desc)
+    names = {p["name"] for p in doc["phases"].values()}
+    assert phase in names, names
+    issues, spec = validate_doc(doc, name=name)
+    assert spec is not None
+    assert not errors(issues), [str(i) for i in errors(issues)]
+    lowered = lower(compile_game(spec))
+    eng = BatchedEngine(lowered)
+    winners = set()
+    for seed in (0, 4):
+        room = OracleRoom(lowered.game, n_players=4, seed=seed)
+        state = init_state(lowered, 1, 4, np.uint32(seed))
+        for t in range(600):
+            room.step(oracle_policy(room, t, seed))
+            state = eng.step(state, scripted_actions(lowered, state))
+            assert_state_matches(lowered, room, state, 0, t)
+            if room.done:
+                break
+        assert room.done
+        winners.add(room.winner)
+        assert max(room.field_values(field)) > 0
+    assert winners  # someone won in every run
