@@ -3,7 +3,7 @@
 The reference generates game DSLs with three sequential gpt-5 calls taking
 ~10 minutes (reference: agent/dsl_agent.py:157-371, README.md:48). This
 module generates the same YAML contract deterministically (milliseconds)
-from a structured Blueprint covering the six social-game archetypes the
+from a structured Blueprint covering the twelve social-game archetypes the
 engine's mechanics library executes:
 
   * 'elimination' — hidden-roles night/day cycle (werewolf-like): an evil
