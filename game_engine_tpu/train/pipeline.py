@@ -82,11 +82,11 @@ def make_pipeline(lowered: Lowered, cfg: PPOConfig,
         metrics["episodes"] = jnp.sum(traj.done.astype(jnp.int32))
         return params, opt_state, metrics
 
-    jc = jax.jit(collect, device=actor_device) if actor_device is not None \
-        else jax.jit(collect)
-    ju = jax.jit(update, device=learner_device) if learner_device is not None \
-        else jax.jit(update)
-    return jc, ju
+    # placement flows from the arguments: run_pipelined commits state/params
+    # to the actor device and the trajectory to the learner device with
+    # device_put, and jax runs each compiled program where its (committed)
+    # inputs live — no deprecated jit(device=...) needed
+    return jax.jit(collect), jax.jit(update)
 
 
 def run_pipelined(lowered: Lowered, cfg: PPOConfig, tx, params, opt_state,
