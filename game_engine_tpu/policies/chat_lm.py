@@ -45,6 +45,10 @@ class LMConfig:
     # gates whether the serving tier may answer state questions
     # (server.chat.lm_may_serve); old checkpoints load as False
     grounded: bool = False
+    # trained with the Pe= persona segment (server.chat personas)? gates
+    # whether serving contexts carry the persona id; old checkpoints load
+    # as False and keep byte-identical contexts
+    personas: bool = False
 
 
 _FOLD = str.maketrans({"—": "-", "–": "-", "’": "'", "“": '"', "”": '"'})
@@ -324,6 +328,10 @@ def build_corpus(games=("werewolf", "two-truths-and-a-lie"), seeds=range(150),
                         room.players[p]["name"] = _rand_name(
                             _smx((seed * 9176 + p * 331 + ghash) & 0xFFFFFFFF))
             chat = ChatRoom("corpus", seed=seed, visibility=vis)
+            # the student trains on the Pe= persona segment so its decodes
+            # can reproduce each bot's tics (serving emits Pe= only for
+            # persona-trained checkpoints — hook.personas)
+            chat.persona_ctx = True
             fields = sorted(f for f in room.players[1] if f != "name")
             for t in range(400):
                 room.step(oracle_policy(room, t, seed))
@@ -490,4 +498,5 @@ def make_lm_hook(ckpt_path: str):
     # grounded-trained checkpoints may serve field questions (the commit
     # path still verifies the value before trusting the decode)
     hook.grounded = bool(cfg.grounded)
+    hook.personas = bool(cfg.personas)
     return hook

@@ -95,7 +95,8 @@ def _score_rows(players: dict) -> list:
 def lm_context(kind: str, bot: int, sender_name: str, text: str,
                snapshot: dict[str, Any], variant: int = 0,
                sus_name: str = "", visibility: Optional[dict] = None,
-               grounded: Optional[dict] = None) -> str:
+               grounded: Optional[dict] = None,
+               persona: Optional[int] = None) -> str:
     """Serialize the reply-relevant state into the compact conditioning
     string consumed by the on-TPU chat LM (policies/chat_lm.py). The SAME
     serializer builds the self-distillation corpus, so serving inputs stay
@@ -136,6 +137,10 @@ def lm_context(kind: str, bot: int, sender_name: str, text: str,
     # field name, VALUE (visible fields only — a hidden field's value is
     # withheld from the context entirely, so the student cannot leak what
     # it never sees) and two flags: p/h public-or-hidden, s/o self-or-other.
+    # persona segment (Pe=): the bot's stable voice id — only emitted for
+    # persona-trained students (hook.personas), so an older checkpoint
+    # keeps byte-identical serving contexts
+    pe = f"|Pe={persona}" if persona is not None else ""
     g = ""
     if grounded is not None:
         g = (f"|G={grounded['subj_name'][:12]};{grounded['fname']};"
@@ -150,8 +155,50 @@ def lm_context(kind: str, bot: int, sender_name: str, text: str,
         f"|Ns={roster}|X={sus_name or ''}|L={_alive_board(players)}"
         f"|Fl={_fallen_board(players, snapshot.get('deadPlayers', []))}"
         f"|F={_facts_board(players, bot, visibility)}"
-        f"|Sc={board}|I={inv}{g}|Q={text[:60]}"
+        f"|Sc={board}|I={inv}{pe}{g}|Q={text[:60]}"
     )
+
+
+# Personas: a deterministic per-(room, bot) voice for the template tier —
+# the determinized slice of the reference ChatBotNode's free roleplay
+# (agent/game_agent_v2.py:385-416 prompts gpt for in-character banter; here
+# a stable persona colors every composed reply with opening/closing tics
+# while the content stays state-grounded). Grounded field answers are NEVER
+# decorated: correctness outranks roleplay on exact-value replies.
+PERSONAS: tuple[tuple[str, tuple[str, ...], tuple[str, ...]], ...] = (
+    ("gruff", ("Hmph.", "Make it quick."),
+     ("Enough talk.", "Back to it.")),
+    ("cheery", ("Oh hey!", "Ooh —"),
+     ("This is fun!", "Good luck out there!")),
+    ("cryptic", ("The signs are plain.", "As foretold —"),
+     ("Watch the shadows.", "All is not what it seems.")),
+    ("nervous", ("Oh, um —", "Wait, wait."),
+     ("I don't like this one bit.", "Let's be careful, alright?")),
+    ("braggart", ("Listen up.", "Easy one."),
+     ("Nobody reads this table like me.", "You'll see I'm right.")),
+    ("dry", ("Noted.", "Sure."),
+     ("Thrilling.", "Carry on.")),
+)
+
+
+def persona_of(seed: int, bot: int) -> int:
+    """Stable persona id for a bot in a room — a pure function of the
+    room seed and seat, so journal replay and the corpus reproduce it."""
+    return splitmix32((seed * 0x9E37 + bot * 7919) & 0xFFFFFFFF) % len(PERSONAS)
+
+
+def decorate_persona(text: str, pid: int, h: int) -> str:
+    """Color a composed reply with the persona's tics: a third of replies
+    get the opening tic, a third the closing, a third stay plain — the
+    same statement-ordered determinism as every pool pick."""
+    name, opens, closes = PERSONAS[pid]
+    h3 = splitmix32((h ^ (pid * 0x85EB)) & 0xFFFFFFFF)
+    roll = h3 % 3
+    if roll == 0:
+        return f"{opens[h3 // 3 % len(opens)]} {text}"
+    if roll == 1:
+        return f"{text} {closes[h3 // 3 % len(closes)]}"
+    return text
 
 
 def lm_may_serve(lm_hook, plan: dict) -> bool:
@@ -193,6 +240,10 @@ class ChatRoom:
         # codes: 0 public, 1 self-only, 2 team) — grounded answers reveal
         # public values truthfully and guard hidden ones; None = all public
         self.visibility = visibility or {}
+        # emit the Pe= persona segment in LM contexts even without a hook
+        # (the corpus builder sets this so the student trains on it;
+        # serving also emits it whenever the hook declares hook.personas)
+        self.persona_ctx = False
         self.messages: list[ChatMessage] = []
         self._ids = itertools.count(1)
 
@@ -295,12 +346,14 @@ class ChatRoom:
         # for hidden fields) — never a deflection
         fact = self._field_answer(bot, sender_id, sender_name, text,
                                   snapshot, h2)
+        pid = persona_of(self.seed, bot)
         if fact is not None:
             kind = "field"
-            composed = fact["text"]
+            composed = fact["text"]  # never decorated: exact values first
         else:
-            composed = self._compose(kind, bot, sender_id, sender_name, text,
-                                     snapshot, h2)
+            composed = decorate_persona(
+                self._compose(kind, bot, sender_id, sender_name, text,
+                              snapshot, h2), pid, h2)
         bot_name = players.get(str(bot), {}).get("name") or f"Player {bot}"
         # the reply inherits the triggering message's clock so journal
         # replay reproduces timestamps exactly
@@ -311,7 +364,10 @@ class ChatRoom:
                                   variant=h2,
                                   sus_name=_pname(players, sus) if sus else "",
                                   visibility=self.visibility,
-                                  grounded=fact),
+                                  grounded=fact,
+                                  persona=(pid if (self.persona_ctx or getattr(
+                                      self.lm_hook, "personas", False))
+                                           else None)),
             "composed": composed,
             # grounded field answers carry exact state values; only an LM
             # trained with the G= fact segment (hook.grounded) may serve

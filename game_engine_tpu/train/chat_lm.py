@@ -47,7 +47,7 @@ def main() -> None:
     # fact segment, so the shipped checkpoint may serve state questions
     # (server.chat.lm_may_serve; commit_reply verifies each decode)
     cfg = C.LMConfig(d_model=args.d_model, n_layers=args.layers,
-                     max_len=args.max_len, grounded=True)
+                     max_len=args.max_len, grounded=True, personas=True)
     t0 = time.time()
     pairs = C.build_corpus(seeds=range(args.seeds), max_pairs=args.max_pairs)
     toks, masks = zip(*(C.encode_pair(c, r, cfg) for c, r in pairs))

@@ -60,3 +60,90 @@ def test_keyword_responses_deterministic():
     ra = a.bot_reply(1, "Al", "I suspect player 3 is the werewolf", _snapshot())
     rb = b.bot_reply(1, "Al", "I suspect player 3 is the werewolf", _snapshot())
     assert ra.message == rb.message and ra.playerId == rb.playerId
+
+
+# ---------------------------------------------------------------------------
+# personas (round 4): a stable per-(room, bot) voice on the template tier
+# ---------------------------------------------------------------------------
+
+def _ww_snapshot(n=5):
+    return {
+        "current_phase_name": "Day Discussion",
+        "deadPlayers": [],
+        "player_states": {
+            str(i): {"name": f"P{i}", "is_alive": True} for i in range(1, n + 1)
+        },
+    }
+
+
+def test_persona_is_stable_and_tics_come_from_one_pool():
+    from game_engine_tpu.server.chat import PERSONAS, ChatRoom, persona_of
+
+    room = ChatRoom("r", seed=11)
+    snap = _ww_snapshot()
+    pid = persona_of(11, 3)
+    mine = set(PERSONAS[pid][1]) | set(PERSONAS[pid][2])
+    others = set()
+    for j, (_, o, c) in enumerate(PERSONAS):
+        if j != pid:
+            others |= set(o) | set(c)
+    others -= mine  # tics shared across personas (none today) can't distinguish
+    saw_tic = False
+    for i in range(24):
+        room.post(1, "V", f"to Bot 3: hello there {i}")
+        msg = room.bot_reply(1, "V", f"to Bot 3: hello there {i}", snap)
+        assert msg is not None
+        if any(msg.message.startswith(t) or msg.message.endswith(t)
+               for t in mine):
+            saw_tic = True
+        assert not any(msg.message.startswith(t) or msg.message.endswith(t)
+                       for t in others), msg.message
+    assert saw_tic, "persona tics never appeared in 24 replies"
+    assert persona_of(11, 3) == pid  # pure function
+
+
+def test_grounded_field_answers_are_never_decorated():
+    from game_engine_tpu.server.chat import PERSONAS, ChatRoom
+
+    room = ChatRoom("r", seed=11)
+    snap = _ww_snapshot()
+    for st in snap["player_states"].values():
+        st["coins"] = 7
+    all_tics = set()
+    for _, o, c in PERSONAS:
+        all_tics |= set(o) | set(c)
+    for i in range(8):
+        q = f"to Bot 2: what is your coins? ({i})"
+        room.post(1, "V", q)
+        plan = room.plan_reply(1, "V", q, snap)
+        assert plan["lm_ok"] is False  # grounded plan
+        assert not any(plan["composed"].startswith(t) or
+                       plan["composed"].endswith(t) for t in all_tics)
+        room.commit_reply(plan, None)
+
+
+def test_pe_segment_gated_on_persona_support():
+    from game_engine_tpu.server.chat import ChatRoom
+
+    snap = _ww_snapshot()
+    room = ChatRoom("r", seed=11)
+    room.post(1, "V", "to Bot 3: hello")
+    plan = room.plan_reply(1, "V", "to Bot 3: hello", snap)
+    assert "|Pe=" not in plan["context"]  # no hook, no corpus flag
+
+    room2 = ChatRoom("r", seed=11)
+    room2.persona_ctx = True
+    room2.post(1, "V", "to Bot 3: hello")
+    plan2 = room2.plan_reply(1, "V", "to Bot 3: hello", snap)
+    assert "|Pe=" in plan2["context"]
+
+    room3 = ChatRoom("r", seed=11)
+    def hook(ctx):
+        return None
+    hook.personas = True
+    room3.lm_hook = hook
+    room3.post(1, "V", "to Bot 3: hello")
+    plan3 = room3.plan_reply(1, "V", "to Bot 3: hello", snap)
+    assert "|Pe=" in plan3["context"]
+    # identical plans modulo the Pe segment: same persona id both ways
+    assert plan2["context"] == plan3["context"]
