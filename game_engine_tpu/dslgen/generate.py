@@ -1763,7 +1763,11 @@ def _gen_conversion(bp: Blueprint, max_rounds: int = 12) -> dict[str, Any]:
                   "description": "The cult's private memory of whom each "
                                  "member has claimed."},
     }
-    template = {"name": "", "role": "", "team": "", "is_alive": True,
+    # template team defaults to 'free' (role assignment overwrites it per
+    # role) so BOTH team literals survive vocabulary mining even when a
+    # degraded doc ships without players_example ('cult' rides the field
+    # example) — the conversion program's writes/compares must stay valid
+    template = {"name": "", "role": "", "team": "free", "is_alive": True,
                 "role_revealed": False, "rounds": 0, "marks": {}}
 
     def example_row(name, role, team):

@@ -90,6 +90,10 @@ def _string_vocab(decl: Declaration, field: FieldSpec) -> list[str]:
         for r in decl.roles:
             add(r.name)
     add(field.example)
+    # the template default MUST be encodable — `reset field` restores it,
+    # and a doc shipped without players_example still has to round-trip
+    # every literal its programs compare or write
+    add(field.default)
     for row in decl.players_example.values():
         add(row.get(field.name))
     # literals from audience criteria that mention this field

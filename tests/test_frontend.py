@@ -341,7 +341,7 @@ def test_bluff_court_through_the_ui(server):
     "midnight-circle", "auction-house", "relic-auction", "trophy-arena",
     "gift-circle", "handshake-pact", "speed-track", "relic-draft",
     "tide-pool", "cult-of-the-depths", "potlatch", "raven-moot",
-    "storm-forge",
+    "storm-forge", "shadow-fold", "dragon-hoard", "moon-rally",
 ])
 def test_every_catalog_game_playable_through_the_ui(server, game):
     """Completeness guard: every shipped catalog game plays to completion

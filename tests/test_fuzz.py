@@ -87,6 +87,16 @@ def _random_blueprint(rng):
             archetype="battle", min_players=3,
         )
     if rng.random() < 0.5:
+        # the round-4 IR-program families: conversion / pressluck /
+        # racing / draft — mutation must not break their declared programs
+        arch = ("conversion", "pressluck", "racing",
+                "draft")[int(rng.integers(4))]
+        return Blueprint(
+            name=f"fuzz-{arch}-{rng.integers(100)}",
+            description=f"a {arch} party game",
+            archetype=arch, min_players=3 + int(rng.integers(3)),
+        )
+    if rng.random() < 0.5:
         return Blueprint(
             name=f"fuzz-bluff-{rng.integers(100)}",
             description="coup-like bluff and challenge game",
