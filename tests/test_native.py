@@ -93,3 +93,24 @@ def test_cpp_selfplay_throughput():
     # CPU baseline sanity: the native sim should do >100k steps/s single-core
     assert sps > 100_000, f"cpp selfplay too slow: {sps:.0f} steps/s"
     print(f"\ncpp selfplay: {sps/1e6:.2f}M steps/s, {episodes/dt:.0f} episodes/s")
+
+
+def _catalog_games():
+    import os
+
+    from game_engine_tpu.gamespec.parser import games_dir
+
+    return sorted(fn[:-5] for fn in os.listdir(games_dir())
+                  if fn.endswith(".yaml"))
+
+
+@pytest.mark.parametrize("game", _catalog_games())
+def test_every_catalog_game_cpp_parity(game):
+    """Catalog-wide guard: EVERY shipped game runs one full episode with
+    bit-identical C++/oracle state (new games land with native parity by
+    construction, not by remembering to add a test)."""
+    spec = load_builtin(game)
+    lowered = lower(compile_game(spec))
+    n = max(getattr(spec.declaration, "min_players", 0) or 4, 4)
+    n = min(n, lowered.P)
+    run_differential(lowered, n_players=n, seed=17, max_steps=600)
