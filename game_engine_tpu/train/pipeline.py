@@ -35,7 +35,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from game_engine_tpu.gamespec.tables import Lowered
 from game_engine_tpu.policies import net as N
@@ -128,5 +130,77 @@ def run_pipelined(lowered: Lowered, cfg: PPOConfig, tx, params, opt_state,
         params, opt_state, metrics = update(
             params, opt_state, to_l(traj), to_l(last_obs))
         a_params = to_a(params)  # theta hops learner -> actor
+        state, key, traj, last_obs = nxt
+    return params, opt_state, state, key, metrics
+
+
+# ---------------------------------------------------------------------------
+# Disaggregated submesh pipeline: the scale form of the two-device split —
+# the actor half of the chips runs the environment+sampling SPMD over its
+# own ('data','model') mesh while the learner half runs the PPO epochs over
+# its mesh, with trajectory/parameter resharding hops between them. This is
+# the TPU-native shape of an actor/learner service split (ICI transfers
+# instead of a replay-buffer network); the same 1/max(r,u) vs 2/(r+u)
+# algebra in the module docstring decides when it beats plain DP.
+# ---------------------------------------------------------------------------
+
+
+def submeshes(n_actor: int, n_learner: int) -> tuple[Mesh, Mesh]:
+    """Two disjoint ('data','model') meshes over the visible devices:
+    devices [0, n_actor) collect, [n_actor, n_actor+n_learner) update."""
+    devs = jax.devices()
+    assert n_actor + n_learner <= len(devs), (
+        f"need {n_actor}+{n_learner} devices, have {len(devs)}")
+    actor = Mesh(np.array(devs[:n_actor]).reshape(n_actor, 1),
+                 axis_names=("data", "model"))
+    learner = Mesh(
+        np.array(devs[n_actor:n_actor + n_learner]).reshape(n_learner, 1),
+        axis_names=("data", "model"))
+    return actor, learner
+
+
+def _replicated(mesh: Mesh, tree):
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P(*([None] * jnp.ndim(x))))), tree)
+
+
+def _batch_sharded(mesh: Mesh, tree, batch_axis: int):
+    """Shard each leaf's batch axis over the mesh's 'data' axis (axis 0 for
+    engine state / bootstrap obs, axis 1 for (T, B, ...) trajectories)."""
+    def put(x):
+        spec = [None] * x.ndim
+        spec[batch_axis] = "data"
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree_util.tree_map(put, tree)
+
+
+def run_pipelined_sharded(lowered: Lowered, cfg: PPOConfig, tx, params,
+                          opt_state, state, key, n_updates: int,
+                          actor_mesh: Mesh, learner_mesh: Mesh,
+                          pipeline=None):
+    """run_pipelined over device GROUPS: rooms shard over the actor mesh's
+    'data' axis during collection; the trajectory reshards onto the learner
+    mesh for the update; fresh params reshard back. Same math, same one
+    update of staleness — GSPMD keeps each stage SPMD within its mesh, and
+    the cross-mesh device_put is the only inter-group traffic."""
+    collect, update = pipeline if pipeline is not None else make_pipeline(
+        lowered, cfg, tx)
+    a_params = _replicated(actor_mesh, params)
+    state = _batch_sharded(actor_mesh, state, 0)
+    key = _replicated(actor_mesh, key)
+    params = _replicated(learner_mesh, params)
+    opt_state = _replicated(learner_mesh, opt_state)
+
+    state, key, traj, last_obs = collect(a_params, state, key)
+    metrics = {}
+    for _ in range(n_updates):
+        nxt = collect(a_params, state, key)
+        params, opt_state, metrics = update(
+            params, opt_state,
+            _batch_sharded(learner_mesh, traj, 1),
+            _batch_sharded(learner_mesh, last_obs, 0))
+        a_params = _replicated(actor_mesh, params)
         state, key, traj, last_obs = nxt
     return params, opt_state, state, key, metrics

@@ -85,3 +85,27 @@ def test_pipeline_two_device_placement():
                     jax.tree_util.tree_leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-6)
+
+
+def test_disaggregated_submesh_pipeline_matches_single_device():
+    """4 actor chips collect SPMD while 4 learner chips update — the scale
+    form of the actor/learner split. Same math as the single-device
+    pipeline to float-reduction tolerance, same episode count."""
+    import numpy as np
+
+    from game_engine_tpu.train.pipeline import (run_pipelined,
+                                                run_pipelined_sharded,
+                                                submeshes)
+
+    lowered, cfg, tx, params, opt_state, state, key = _setup(horizon=4)
+    am, lm = submeshes(4, 4)
+    p1, _, _, _, m1 = run_pipelined_sharded(
+        lowered, cfg, tx, params, opt_state, state, key, 3, am, lm)
+    p0, _, _, _, m0 = run_pipelined(
+        lowered, cfg, tx, params, opt_state, state, key, 3)
+    assert int(m1["episodes"]) == int(m0["episodes"])
+    assert abs(float(m1["loss"]) - float(m0["loss"])) < 1e-3
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p0)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), atol=5e-4)
