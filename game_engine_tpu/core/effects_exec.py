@@ -118,7 +118,8 @@ def run_effect(mech, ops, active) -> None:
     flush = getattr(ops, "flush", None)
     for block in mech.blocks:
         ops.snapshot()
-        _apply_block(block, mech.reveal_bool_slots, ops, active)
+        _apply_block(block, mech.reveal_bool_slots, ops, active,
+                     mech.deal_tables)
         if flush is not None:
             flush()
 
@@ -134,20 +135,26 @@ def run_effects_merged(mechs, ops, actives) -> None:
     ops.snapshot()
     for mech, active in zip(mechs, actives):
         (block,) = mech.blocks
-        _apply_block(block, mech.reveal_bool_slots, ops, active)
+        _apply_block(block, mech.reveal_bool_slots, ops, active,
+                     mech.deal_tables)
     flush = getattr(ops, "flush", None)
     if flush is not None:
         flush()
 
 
-def _apply_block(block, reveal_bool_slots, ops, active) -> None:
+def _apply_block(block, reveal_bool_slots, ops, active, deal_tables=()) -> None:
     nodes, stmts = block
     vals: list = []
     for kind, p0, p1, p2 in nodes:
         vals.append(_eval_node(kind, p0, p1, p2, vals, ops))
     for skind, bank, slot, vnode, wnode, knode in stmts:
         w = ops.stmt_mask(vals[wnode], active)
-        if skind == FX.ST_KILL:
+        if skind == FX.ST_DEAL:
+            # P10: vnode indexes the mech's multiset table; knode is the
+            # salt expression. Rank/assignment in ops.deal; the write
+            # rides the standard string path (write-combining included).
+            ops.write_str(slot, ops.deal(deal_tables[vnode], vals[knode]), w)
+        elif skind == FX.ST_KILL:
             ops.kill(w, reveal_bool_slots)
         elif skind == FX.ST_RESET:
             # dict banks: clear to empty (bool/num/str resets lower to

@@ -295,6 +295,43 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
             w = jnp.min(jnp.where(win, prow() + 1, P + 1), axis=0, keepdims=True)
             return jnp.where(any_m, w, 0)
 
+        def deal(self, table, salt):
+            """ST_DEAL (P10 as IR): multiset code by splitmix32-key rank,
+            unrolled over the static player axis — bit-identical to
+            step.py's deal and the retired LRoleAssign kernel (salt 0)."""
+            present = self.st["present"]
+            pid_c = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0).astype(_U32)
+            saltu = self._bpr(salt).astype(_U32)
+            keys = _mix(self.st["seed"] * _U32(0x100) + pid_c
+                        + saltu * _U32(0x9E3779B9))
+            keys = jnp.where(present, keys, _U32(0xFFFFFFFF))
+            rows = []
+            for p in range(P):
+                r_p = jnp.zeros((1, R), jnp.int32)
+                for q in range(P):
+                    if q == p:
+                        continue
+                    less = keys[q : q + 1] < keys[p : p + 1]
+                    tie = (keys[q : q + 1] == keys[p : p + 1]) & (q < p)
+                    r_p = r_p + _b2i(less | tie)
+                rows.append(r_p)
+            rank = jnp.concatenate(rows, axis=0)  # (P, R)
+            n_present = count_mask(present)
+            prow_c = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+            tab = np.asarray(table, dtype=np.int32)
+            codes_rows = jnp.zeros((P, R), jnp.int32)
+            for n in range(1, P + 1):
+                row_const = jnp.zeros((P, 1), jnp.int32)
+                for p in range(P):
+                    code = int(tab[n, p])
+                    if code:
+                        row_const = jnp.where(prow_c == p, code, row_const)
+                codes_rows = jnp.where(n_present == n, row_const, codes_rows)
+            code = jnp.zeros((P, R), jnp.int32)
+            for rr in range(P):
+                code = jnp.where(rank == rr, codes_rows[rr : rr + 1], code)
+            return code
+
         def stmt_mask(self, wval, active):
             return (self._bpr(wval) != 0) & self.st["present"] & active
 
@@ -347,55 +384,12 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
     # ------------- mechanics (st holds i32 banks + i1 done) -------------------
 
     def apply_mechanics(st, entered, ph):
-        blist, nlist, slist = st["blist"], st["nlist"], st["slist"]
-        present = st["present"]
-
         for m in lw.mechanics:
             active = entered & (ph == m.phase_index)  # (1, R) i1
-            if isinstance(m, T.LRoleAssign):
-                pid_c = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0).astype(_U32)
-                keys = _mix(st["seed"] * _U32(0x100) + pid_c)
-                keys = jnp.where(present, keys, _U32(0xFFFFFFFF))
-                rows = []
-                for p in range(P):
-                    r_p = jnp.zeros((1, R), jnp.int32)
-                    for q in range(P):
-                        if q == p:
-                            continue
-                        less = keys[q : q + 1] < keys[p : p + 1]
-                        tie = (keys[q : q + 1] == keys[p : p + 1]) & (q < p)
-                        r_p = r_p + _b2i(less | tie)
-                    rows.append(r_p)
-                rank = jnp.concatenate(rows, axis=0)  # (P, R)
-                n_present = count_mask(present)
-                prow_c = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-                codes_rows = jnp.zeros((P, R), jnp.int32)
-                for n in range(1, P + 1):
-                    row_const = jnp.zeros((P, 1), jnp.int32)
-                    for p in range(P):
-                        code = int(m.role_codes_by_n[n, p])
-                        if code:
-                            row_const = jnp.where(prow_c == p, code, row_const)
-                    codes_rows = jnp.where(n_present == n, row_const, codes_rows)
-                role_code = jnp.zeros((P, R), jnp.int32)
-                for rr in range(P):
-                    role_code = jnp.where(rank == rr, codes_rows[rr : rr + 1], role_code)
-                wmask = active & present
-                slist[m.role_str_slot] = jnp.where(wmask, role_code, slist[m.role_str_slot])
-                for code, triples in m.role_settings:
-                    rmask = wmask & (role_code == code)
-                    for bank, slot, val in triples:
-                        if bank == AB_BOOL:
-                            blist[slot] = jnp.where(rmask, int(bool(val)), blist[slot])
-                        elif bank == AB_NUM:
-                            nlist[slot] = jnp.where(rmask, int(val), nlist[slot])
-                        else:
-                            slist[slot] = jnp.where(rmask, int(val), slist[slot])
-            elif isinstance(m, T.LEffect):  # P20 generic effect interpreter
-                # includes the P11/P17 terminal winner programs (ST_OVER);
-                # the bespoke LGameOver branch is deleted
-                run_effect(m, _FxOps(st), active)
-                blist, nlist, slist = st["blist"], st["nlist"], st["slist"]
+            # P20: ONE generic effect interpreter runs every mechanic —
+            # including the P11/P17 terminal winner programs (ST_OVER) and
+            # the P10 role deal (ST_DEAL); all bespoke branches are deleted
+            run_effect(m, _FxOps(st), active)
 
     # ------------- the kernel ------------------------------------------------
 

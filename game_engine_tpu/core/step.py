@@ -214,41 +214,6 @@ def _phase_mask_lookup(mask_np: np.ndarray, idx: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
-def _mech_role_assign(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LRoleAssign) -> GameState:
-    B, P = st.present.shape
-    pids = jnp.arange(P, dtype=jnp.uint32)[None, :]
-    keys = splitmix32_jax(st.seed[:, None] * _U32(0x100) + pids)
-    keys = jnp.where(st.present, keys, jnp.uint32(0xFFFFFFFF))
-    # stable rank via O(P^2) comparisons — equals argsort-of-stable-argsort
-    # but stays elementwise (TPU sorts cost ~50us/step even when masked out);
-    # identical math in the pallas kernel and the C++ sim
-    lt = keys[:, None, :] < keys[:, :, None]  # (B, q, p): key_q < key_p
-    tie = (keys[:, None, :] == keys[:, :, None]) & (
-        jnp.arange(P)[None, :, None] > jnp.arange(P)[None, None, :]
-    )
-    rank = jnp.sum((lt | tie).astype(jnp.int32), axis=2)  # (B, P)
-    n = jnp.sum(st.present, axis=1, dtype=jnp.int32)
-    codes_rows = _table_select(m.role_codes_by_n, n)  # (B, P)
-    role_code = _gather_by_choice(codes_rows, rank + 1)  # (B, P)
-
-    wmask = active[:, None] & st.present
-    strs = st.strs.at[..., m.role_str_slot].set(
-        jnp.where(wmask, role_code.astype(st.strs.dtype),
-                  st.strs[..., m.role_str_slot])
-    )
-    bools, nums = st.bools, st.nums
-    for code, triples in m.role_settings:
-        rmask = wmask & (role_code == code)
-        for bank, slot, val in triples:
-            if bank == AB_BOOL:
-                bools = bools.at[..., slot].set(jnp.where(rmask, val != 0, bools[..., slot]))
-            elif bank == AB_NUM:
-                nums = nums.at[..., slot].set(jnp.where(rmask, jnp.int32(val), nums[..., slot]))
-            else:
-                strs = strs.at[..., slot].set(jnp.where(rmask, jnp.asarray(val, strs.dtype), strs[..., slot]))
-    return st._replace(bools=bools, nums=nums, strs=strs)
-
-
 def _apply_death(lw: Lowered, bools: jax.Array, death: jax.Array,
                  reveal_slots) -> jax.Array:
     """death: (B, P) mask — clear is_alive and set P15 reveal flags."""
@@ -447,6 +412,31 @@ class _EffectOps:
         w = jnp.min(jnp.where(win, self._seat, self.P + 1), axis=1, keepdims=True)
         return jnp.where(any_m, w, 0)
 
+    def deal(self, table, salt):
+        """ST_DEAL (P10 as IR): per-seat value code from the multiset
+        table, RNG-permuted by splitmix32 keys. salt 0 reproduces the
+        retired LRoleAssign kernel bit-for-bit; a nonzero salt re-deals.
+
+        Stable rank via O(P^2) comparisons — equals argsort-of-stable-
+        argsort but stays elementwise (TPU sorts cost ~50us/step even
+        when masked out); identical math in the Pallas kernel, the C++
+        sim and the oracle."""
+        st = self.st
+        B, P = self.B, self.P
+        pids = jnp.arange(P, dtype=jnp.uint32)[None, :]
+        saltu = self._bp(self._i(salt)).astype(jnp.uint32)
+        keys = splitmix32_jax(st.seed[:, None] * _U32(0x100) + pids
+                              + saltu * _U32(0x9E3779B9))
+        keys = jnp.where(st.present, keys, jnp.uint32(0xFFFFFFFF))
+        lt = keys[:, None, :] < keys[:, :, None]  # (B, q, p): key_q < key_p
+        tie = (keys[:, None, :] == keys[:, :, None]) & (
+            jnp.arange(P)[None, :, None] > jnp.arange(P)[None, None, :]
+        )
+        rank = jnp.sum((lt | tie).astype(jnp.int32), axis=2)  # (B, P)
+        n = jnp.sum(st.present, axis=1, dtype=jnp.int32)
+        codes_rows = _table_select(np.asarray(table, dtype=np.int32), n)
+        return _gather_by_choice(codes_rows, rank + 1)  # (B, P) codes
+
     # -- statement writes ---------------------------------------------------
 
     def stmt_mask(self, wval, active):
@@ -567,7 +557,6 @@ def _mech_effects(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LEffect
 
 
 _MECH_FNS = {
-    T.LRoleAssign: _mech_role_assign,
     T.LEffect: _mech_effects,
 }
 

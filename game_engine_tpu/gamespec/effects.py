@@ -55,6 +55,12 @@ Expression surface (the textual mini-language):
                FIELD -= EXPR [where EXPR]
                kill [where EXPR]
                reset FIELD [where EXPR]         (restore template default)
+               deal FIELD [salt EXPR] [where EXPR]
+                                                (RNG-permute the field's
+                                                 players_example multiset
+                                                 over present seats — P10;
+                                                 salt 0 = the initial deal,
+                                                 a nonzero salt re-deals)
                over EXPR [where EXPR]           (end the game; winner =
                                                  EXPR at the lowest seat)
                ---                              (block separator)
@@ -315,7 +321,52 @@ class SOver:
     where: Expr = ONE
 
 
-Stmt = Union[SSet, SAdd, SKill, SReset, SSetKey, SOver]
+@dataclasses.dataclass(frozen=True)
+class SDeal:
+    """deal FIELD [salt EXPR] [where EXPR] — RNG-permute the field's
+    players_example multiset over the present seats (P10 as IR; the last
+    bespoke kernel family, deleted from all four executors in round 4).
+
+    Pinned semantics (SEMANTICS.md P10): seat q (0-based) draws the u32
+    key splitmix32(seed*256 + q + u32(salt_q)*0x9E3779B9); absent seats
+    key 0xFFFFFFFF; rank = stable ascending order (key ties to the lower
+    seat). The written value is deal_multiset(counts, filler, n)[rank]
+    for n present seats. With the default salt 0 this is bit-identical
+    to the retired LRoleAssign kernel; a nonzero salt (e.g. a round
+    counter) re-deals with a fresh permutation — mid-game re-deals the
+    bespoke kernel could never express. The rank is computed over ALL
+    present seats; `where` only gates which seats' writes land.
+
+    (counts, filler) are resolved from the declaration's players_example
+    by mechanics.resolve_deals; the parser leaves counts None and
+    check_program rejects unresolved deals."""
+
+    field: str
+    # value name -> example-count weight; None until resolve_deals runs
+    counts: Optional[tuple[tuple[str, int], ...]] = None
+    filler: str = ""  # surplus seats take this (the most-common) value
+    salt: Expr = ZERO
+    where: Expr = ONE
+
+
+def deal_multiset(counts, filler: str, n_players: int) -> list[str]:
+    """The concrete n-player multiset a deal permutes (P10): replicate the
+    example counts, extend with the filler, trim filler copies first then
+    from the end of declaration order."""
+    base: list[str] = []
+    for name, c in counts:
+        base.extend([name] * c)
+    if len(base) < n_players:
+        base.extend([filler] * (n_players - len(base)))
+    elif len(base) > n_players:
+        while len(base) > n_players and base.count(filler) > 1:
+            base.remove(filler)
+        while len(base) > n_players:
+            base.pop()
+    return base
+
+
+Stmt = Union[SSet, SAdd, SKill, SReset, SSetKey, SOver, SDeal]
 Block = tuple[Stmt, ...]
 Program = tuple[Block, ...]  # blocks sequence; statements within a block
 # read the block-entry snapshot
@@ -586,6 +637,24 @@ def parse_statement(src: str, env: dict[str, Expr]) -> Optional[Stmt]:
         if p.peek()[0] != "end":
             raise EffectError(f"trailing tokens in {src!r}")
         return SOver(value, where)
+    # deal FIELD [salt EXPR] [where EXPR]  (`deal = ...` stays a field
+    # write so a game may still declare a field literally named deal)
+    if (toks[0] == ("name", "deal") and len(toks) > 1
+            and toks[1][0] == "name"
+            and toks[1][1] not in ("where", "salt")):
+        field = toks[1][1]
+        p = _Parser(toks[2:], env)
+        salt: Expr = ZERO
+        where: Expr = ONE
+        if p.peek() == ("name", "salt"):
+            p.next()
+            salt = p.expr()
+        if p.peek() == ("name", "where"):
+            p.next()
+            where = p.expr()
+        if p.peek()[0] != "end":
+            raise EffectError(f"trailing tokens in {src!r}")
+        return SDeal(field, salt=salt, where=where)
     # reset FIELD [where EXPR]
     if toks[0] == ("name", "reset") and len(toks) > 1 and toks[1][0] == "name":
         field = toks[1][1]
@@ -774,6 +843,27 @@ def check_program(
                         "only boolean, num, string and dict fields reset")
                 check_expr(st.where)
                 continue
+            if isinstance(st, SDeal):
+                if slot.bank != BANK_STR:
+                    raise EffectError(
+                        f"deal target {st.field!r} must be a string field "
+                        f"(it is {slot.bank})")
+                if st.counts is None:
+                    raise EffectError(
+                        f"deal target {st.field!r} has no players_example "
+                        "values to deal — every example row must give the "
+                        "field a value so the multiset is defined")
+                for name, _c in st.counts:
+                    if not any(v.lower() == name.lower()
+                               for v in slot.vocab):
+                        raise EffectError(
+                            f"deal multiset value {name!r} is not in the "
+                            f"vocabulary of field {st.field!r}")
+                if isinstance(st.salt, EStrLit) or isinstance(st.where, EStrLit):
+                    raise EffectError("string literals cannot be written")
+                check_expr(st.salt)
+                check_expr(st.where)
+                continue
             def _vocab_write_ok(lit: EStrLit) -> None:
                 if lit.value == "":
                     return  # '' clears (code 0 is reserved for unset)
@@ -846,6 +936,8 @@ def program_fields(program: Program) -> set[str]:
 def _stmt_exprs(st: Stmt) -> tuple:
     if isinstance(st, (SKill, SReset)):
         return (st.where,)
+    if isinstance(st, SDeal):
+        return (st.salt, st.where)
     if isinstance(st, SSetKey):
         return (st.key, st.value, st.where)
     return (st.value, st.where)
@@ -888,7 +980,7 @@ ARG_MAX, ARG_MIN = range(2)
 _ARG_CODE = {"max": ARG_MAX, "min": ARG_MIN}
 _CMP_CODE = {"eq": 0, "ne": 1, "ge": 2, "le": 3, "gt": 4, "lt": 5}  # OP_*
 
-ST_SET, ST_ADD, ST_KILL, ST_RESET, ST_SETD, ST_OVER = range(6)
+ST_SET, ST_ADD, ST_KILL, ST_RESET, ST_SETD, ST_OVER, ST_DEAL = range(7)
 # bank codes in stmt rows / NK_FIELD — match tables.AB_*
 FXB_BOOL, FXB_NUM, FXB_STR, FXB_ODICT, FXB_PDICT = range(5)
 
@@ -917,8 +1009,17 @@ def lower_program(
     add_pred,  # Callable[[Pred], int] — tables._PredPool.add_pred
     phase_mask_words,  # Callable[[frozenset[int]], tuple[int, int]]
     has_alive: bool,
+    deal_tables: Optional[list] = None,  # out: (P+1, P) int-tuple tables
+    max_players: int = 0,  # table height for ST_DEAL rows
 ) -> tuple[LoweredBlock, ...]:
-    """Lower a checked Program into flat blocks (ints only)."""
+    """Lower a checked Program into flat blocks (ints only).
+
+    ST_DEAL statements expand their (counts, filler) multisets into
+    vocab-coded (max_players+1, max_players) tables appended to
+    `deal_tables` (the stmt row's value slot holds the table index).
+    Callers lowering deal-bearing programs must pass both a sink list and
+    the game's max seat count, and carry the tables alongside the blocks
+    (tables.LEffect.deal_tables)."""
 
     def lower_block(block: Block) -> LoweredBlock:
         pool = _NodePool()
@@ -1014,6 +1115,28 @@ def lower_program(
                 else:  # arr and friends never pass check_program
                     raise EffectError(
                         f"reset target {st.field!r} is a {slot.bank} field")
+                continue
+            if isinstance(st, SDeal):
+                # deal FIELD — vocab-coded multiset table, RNG-permuted
+                # assignment (P10 as IR). Table row n is the n-player
+                # multiset, 0-padded to max_players columns; row 0 all-pad.
+                slot = layout.slot(st.field)
+                if st.counts is None:
+                    raise EffectError(
+                        f"deal {st.field!r} was not resolved before lowering")
+                if deal_tables is None or max_players <= 0:
+                    raise EffectError(
+                        "deal statement lowered without a deal_tables sink")
+                table = tuple(
+                    tuple(slot.encode(name) for name in
+                          deal_multiset(st.counts, st.filler, n))
+                    + (0,) * (max_players - n)
+                    for n in range(max_players + 1)
+                )
+                deal_tables.append(table)
+                stmts.append((ST_DEAL, FXB_STR, slot.index,
+                              len(deal_tables) - 1, lx(st.where),
+                              lx(st.salt)))
                 continue
             if isinstance(st, SSetKey):
                 # FIELD[KEY] = 'literal' — vocab-coded pdict entry write

@@ -76,6 +76,7 @@ import enum
 import re
 from typing import Optional
 
+from game_engine_tpu.gamespec import effects as FX
 from game_engine_tpu.gamespec.expr import Pred, parse_predicate, PredicateError, TRUE
 from game_engine_tpu.gamespec.layout import (
     BANK_BOOL,
@@ -553,18 +554,86 @@ def _build_role_assign(spec: GameSpec, layout: StateLayout) -> Optional[RoleAssi
 
 def role_multiset(ra: RoleAssign, n_players: int) -> list[str]:
     """P10: concrete role list (unpermuted) for n players."""
-    base: list[str] = []
-    for name, c in ra.role_counts:
-        base.extend([name] * c)
-    if len(base) < n_players:
-        base.extend([ra.filler_role] * (n_players - len(base)))
-    elif len(base) > n_players:
-        # trim filler copies first, then from the end of declaration order
-        while len(base) > n_players and base.count(ra.filler_role) > 1:
-            base.remove(ra.filler_role)
-        while len(base) > n_players:
-            base.pop()
-    return base
+    return FX.deal_multiset(ra.role_counts, ra.filler_role, n_players)
+
+
+def role_assign_program(ra: RoleAssign, layout: StateLayout) -> "FX.Program":
+    """Lower a RoleAssign to an effect-IR program (round 4: the bespoke
+    P10 kernels are deleted from all four executors; role assignment is a
+    `deal` statement plus guarded constant-per-role writes).
+
+    Block 1 deals the role multiset (salt 0 — bit-identical to the
+    retired kernel); block 2 reads the just-dealt role and applies the
+    constant-per-role example fields, exactly the retired kernel's
+    role_settings pass."""
+    block1 = (FX.SDeal(ra.role_field, counts=ra.role_counts,
+                       filler=ra.filler_role),)
+    sets: list = []
+    for rname, fields in ra.role_fields:
+        guard = FX.ECmp("eq", FX.EField(ra.role_field), FX.EStrLit(rname))
+        for fname, val in fields:
+            s = layout.slot(fname)
+            if s.bank == BANK_BOOL:
+                sets.append(FX.SSet(fname, FX.EConst(1 if val else 0),
+                                    where=guard))
+            elif s.bank == BANK_NUM:
+                try:
+                    iv = int(val)
+                except (TypeError, ValueError):
+                    continue
+                sets.append(FX.SSet(fname, FX.EConst(iv), where=guard))
+            elif s.bank == BANK_STR:
+                sets.append(FX.SSet(fname, FX.EStrLit(str(val)), where=guard))
+    return (block1, tuple(sets)) if sets else (block1,)
+
+
+def resolve_deals(program: "FX.Program", spec: GameSpec,
+                  layout: StateLayout) -> "FX.Program":
+    """Fill declared `deal` statements' (counts, filler) from
+    players_example (P10). `deal role` with a declared role list resolves
+    exactly like the analyzer's Role Assignment detection (declaration
+    order + example counts, surplus to the most-common role); any other
+    string field resolves to its example value counts in first-appearance
+    order, surplus to the most-common value (ties to first appearance).
+    Loud-or-correct: raises EffectError when no example row gives the
+    field a value."""
+    if not any(isinstance(st, FX.SDeal)
+               for block in program for st in block):
+        return program
+    decl = spec.declaration
+    out_blocks = []
+    for block in program:
+        out: list = []
+        for st in block:
+            if not isinstance(st, FX.SDeal) or st.counts is not None:
+                out.append(st)
+                continue
+            if st.field == "role" and decl.roles:
+                ra = _build_role_assign(spec, layout)
+                if ra is not None:
+                    out.append(dataclasses.replace(
+                        st, counts=ra.role_counts, filler=ra.filler_role))
+                    continue
+            counts: dict[str, int] = {}
+            for row in decl.players_example.values():
+                v = row.get(st.field)
+                if isinstance(v, str) and v:
+                    for k in counts:
+                        if k.lower() == v.lower():
+                            counts[k] += 1
+                            break
+                    else:
+                        counts[v] = 1
+            if not counts:
+                raise FX.EffectError(
+                    f"deal target {st.field!r} has no players_example "
+                    "values to deal — every example row must give the "
+                    "field a value so the multiset is defined")
+            filler = max(counts.items(), key=lambda kv: kv[1])[0]
+            out.append(dataclasses.replace(
+                st, counts=tuple(counts.items()), filler=filler))
+        out_blocks.append(tuple(out))
+    return tuple(out_blocks)
 
 
 def splitmix32(x: int) -> int:
@@ -1052,11 +1121,10 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
         for hname, harg in ph.mechanic_hints:
             if hname != "effects" or harg is None:
                 continue
-            from game_engine_tpu.gamespec import effects as FX
-
             lines = list(harg) if isinstance(harg, tuple) else [harg]
             try:
                 prog = FX.parse_program(lines)
+                prog = resolve_deals(prog, spec, layout)
                 FX.check_program(
                     prog, layout, frozenset(spec.phases),
                     has_alive="is_alive" in fields,
@@ -1070,8 +1138,6 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
         if ph.is_terminal:
             # a DECLARED `over` statement IS the terminal rule (P17): the
             # default GameOver would run after it and overwrite the winner
-            from game_engine_tpu.gamespec import effects as FX
-
             declared_over = any(
                 isinstance(mc, Effects)
                 and any(isinstance(s, FX.SOver) for b in mc.program for s in b)

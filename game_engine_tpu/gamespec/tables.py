@@ -98,16 +98,9 @@ class LEffect:
     # tuple of (nodes, stmts) blocks; see effects.lower_program
     blocks: tuple
     reveal_bool_slots: tuple[int, ...] = ()  # P15 flags applied by `kill`
-
-
-@dataclasses.dataclass(frozen=True)
-class LRoleAssign:
-    phase_index: int
-    role_str_slot: int
-    # role_codes_by_n[n][rank] = role code for rank under n players (0 pad)
-    role_codes_by_n: np.ndarray  # (P+1, P) int32
-    # per role code: ((bank, slot, value), ...)
-    role_settings: tuple[tuple[int, tuple[tuple[int, int, int], ...]], ...]
+    # ST_DEAL multiset tables, (P+1, P) int tuples indexed by the stmt
+    # row's value slot (P10 as IR — effects.SDeal)
+    deal_tables: tuple = ()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -125,9 +118,7 @@ class LGameOver:
     score_num: int  # -1
 
 
-LoweredMech = Union[
-    LRoleAssign, LEffect,
-]
+LoweredMech = LEffect  # every mechanic family lowers to the P20 IR
 
 
 @dataclasses.dataclass
@@ -284,14 +275,17 @@ def lower(game: CompiledGame) -> Lowered:
         return bits & 0xFFFFFFFF, (bits >> 32) & 0xFFFFFFFF
 
     def _lower_fx(prog, i: int, reveal=()) -> "LEffect":
+        dts: list = []
         blocks = FX.lower_program(
             prog, layout, pool.add_pred, _pmask_words,
             has_alive=layout.get("is_alive") is not None,
+            deal_tables=dts, max_players=P,
         )
         return LEffect(
             phase_index=i,
             blocks=blocks,
             reveal_bool_slots=tuple(layout.bool_index(f) for f in reveal),
+            deal_tables=tuple(dts),
         )
 
     phase_is_action = np.zeros(NP, dtype=bool)
@@ -416,36 +410,11 @@ def lower(game: CompiledGame) -> Lowered:
                          *mech.reset_odicts, *mech.reset_pdicts)),
                     i))
             elif isinstance(mech, M.RoleAssign):
-                role_slot = layout.slot(mech.role_field)
-                codes_by_n = np.zeros((P + 1, P), dtype=np.int32)
-                for n in range(1, P + 1):
-                    ms = M.role_multiset(mech, n)
-                    for rank, rname in enumerate(ms):
-                        codes_by_n[n, rank] = role_slot.encode(rname)
-                settings = []
-                for rname, fields in mech.role_fields:
-                    code = role_slot.encode(rname)
-                    triples = []
-                    for fname, val in fields:
-                        s = layout.slot(fname)
-                        if s.bank == BANK_BOOL:
-                            triples.append((AB_BOOL, s.index, 1 if val else 0))
-                        elif s.bank == BANK_NUM:
-                            try:
-                                triples.append((AB_NUM, s.index, int(val)))
-                            except (TypeError, ValueError):
-                                pass
-                        elif s.bank == BANK_STR:
-                            triples.append((AB_STR, s.index, s.encode(val)))
-                    settings.append((code, tuple(triples)))
-                mechanics.append(
-                    LRoleAssign(
-                        phase_index=i,
-                        role_str_slot=role_slot.index,
-                        role_codes_by_n=codes_by_n,
-                        role_settings=tuple(settings),
-                    )
-                )
+                # P10 lowers to the generic IR (round 4): a `deal` block
+                # plus guarded constant-per-role writes — the bespoke
+                # LRoleAssign kernels are deleted from all four executors
+                mechanics.append(_lower_fx(
+                    M.role_assign_program(mech, layout), i))
             elif isinstance(mech, M.SetBoolAll):
                 mechanics.append(_lower_fx(
                     FX.set_bool_all_program(mech.fields), i))

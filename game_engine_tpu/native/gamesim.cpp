@@ -21,7 +21,8 @@ constexpr int32_t MAGIC = 0x47534D31;
 enum Sections {
   SEC_HEADER = 1, SEC_ATOMS, SEC_PRED_OFF, SEC_TERM_OFF, SEC_LITS, SEC_PHASE,
   SEC_RECTRUE, SEC_RECFALSE, SEC_PDTRANS, SEC_CONDS, SEC_BRANCH_OFF,
-  SEC_BRANCHES, SEC_MECHS, SEC_POOL, SEC_DEFAULTS, SEC_ROLETAB,
+  SEC_BRANCHES, SEC_MECHS, SEC_POOL, SEC_DEFAULTS,
+  SEC_ROLETAB /* retired r4: deals ride the pool */,
 };
 enum CondType { COND_ALWAYS, COND_COUNTCMP, COND_ALLPRESENT, COND_PREVIN, COND_AND };
 // MECH_NIGHT (P7), MECH_VOTE (P6), MECH_SCORE (P8), MECH_ROTATE (P9),
@@ -39,7 +40,7 @@ enum FxNode { FX_CONST, FX_FIELD, FX_SEAT, FX_NPLAYERS, FX_CHOICE,
 enum FxBin { FXBIN_ADD, FXBIN_SUB, FXBIN_MUL, FXBIN_MIN, FXBIN_MAX };
 enum FxRed { FXRED_SUM, FXRED_MAX, FXRED_MIN, FXRED_COUNT };
 enum FxStmt { FXST_SET, FXST_ADD, FXST_KILL, FXST_RESET, FXST_SETD,
-              FXST_OVER };
+              FXST_OVER, FXST_DEAL };
 enum FxBank { FXB_BOOL, FXB_NUM, FXB_STR, FXB_ODICT, FXB_PDICT };
 enum Bank { AB_BOOL, AB_NUM, AB_STR, AB_CONST };
 enum Op { OP_EQ, OP_NE, OP_GE, OP_LE, OP_GT, OP_LT };
@@ -77,7 +78,6 @@ struct Game {
   std::vector<int32_t> mechs;      // n x (2 + MECH_PARAMS)
   std::vector<int32_t> pool;
   std::vector<int32_t> bool_def, num_def, str_def;
-  std::vector<int32_t> roletab;    // (P+1) x P
 
   int ph(int i, int field) const { return phase[i * PHASE_ROW + field]; }
 };
@@ -199,29 +199,8 @@ void apply_on_enter(const Game& g, Room& r) {
     if (m[1] != r.phase) continue;
     const int32_t* q = m + 2;
     switch (m[0]) {
-      case MECH_ROLES: {  // P10
-        std::vector<uint32_t> keys(r.n);
-        for (int p = 0; p < r.n; ++p) keys[p] = splitmix32(r.seed * 0x100u + (uint32_t)p);
-        std::vector<int> order(r.n);
-        std::iota(order.begin(), order.end(), 0);
-        std::stable_sort(order.begin(), order.end(),
-                         [&](int a, int b) { return keys[a] < keys[b]; });
-        std::vector<int> rank(r.n);
-        for (int i = 0; i < r.n; ++i) rank[order[i]] = i;
-        int role_slot = q[0], s_off = q[1], s_n = q[2];
-        for (int p = 0; p < r.n; ++p) {
-          int code = g.roletab[r.n * g.P + rank[p]];
-          r.strs[p * g.NS + role_slot] = code;
-          for (int s = 0; s < s_n; ++s) {
-            const int32_t* row = &g.pool[s_off + s * 4];
-            if (row[0] != code) continue;
-            if (row[1] == AB_BOOL) r.bools[p * g.NB + row[2]] = (uint8_t)(row[3] != 0);
-            else if (row[1] == AB_NUM) r.nums[p * g.NN + row[2]] = row[3];
-            else r.strs[p * g.NS + row[2]] = row[3];
-          }
-        }
-        break;
-      }
+      // MECH_ROLES retired (round 4): P10 role assignment arrives as a
+      // MECH_EFFECTS program whose first block is an FXST_DEAL statement
       case MECH_EFFECTS: {  // P20: the generic effect-IR interpreter
         int off = q[0], n_blocks = q[1], rv_off = q[2], rv_n = q[3];
         int n = r.n;
@@ -403,6 +382,26 @@ void apply_on_enter(const Game& g, Room& r) {
           }
           for (int si = 0; si < n_stmts; ++si) {
             const int32_t* st = &stmts[si * 6];
+            if (st[0] == FXST_DEAL) {
+              // P10 as IR: rank ALL seats by splitmix32 key (salt node
+              // st[5]; salt 0 = the retired MECH_ROLES permutation, ties
+              // to the lower seat); `where` (st[4]) only gates writes.
+              // st[3] is the pool offset of the (P+1, P) multiset table.
+              std::vector<uint32_t> keys(n);
+              for (int p = 0; p < n; ++p)
+                keys[p] = splitmix32(r.seed * 0x100u + (uint32_t)p +
+                                     (uint32_t)vals[st[5]][p] * 0x9E3779B9u);
+              std::vector<int> order(n);
+              std::iota(order.begin(), order.end(), 0);
+              std::stable_sort(order.begin(), order.end(),
+                               [&](int a, int b) { return keys[a] < keys[b]; });
+              for (int i = 0; i < n; ++i) {
+                int p = order[i];
+                if (vals[st[4]][p] == 0) continue;
+                r.strs[p * g.NS + st[2]] = g.pool[st[3] + n * g.P + i];
+              }
+              continue;
+            }
             for (int p = 0; p < n; ++p) {
               if (vals[st[4]][p] == 0) continue;
               switch (st[0]) {
@@ -610,7 +609,6 @@ void* gs_create(const int32_t* blob, int64_t len) {
         g->num_def.assign(v.begin() + g->NB, v.begin() + g->NB + g->NN);
         g->str_def.assign(v.begin() + g->NB + g->NN, v.end());
         break;
-      case SEC_ROLETAB: g->roletab = v; break;
       default: break;
     }
     i += 2 + n;

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from game_engine_tpu.gamespec import effects as FX
 from game_engine_tpu.gamespec import tables as T
 from game_engine_tpu.gamespec.tables import Lowered
 
@@ -32,11 +33,12 @@ SEC_BRANCHES = 12
 SEC_MECHS = 13
 SEC_POOL = 14
 SEC_DEFAULTS = 15
-SEC_ROLETAB = 16
+# SEC 16 was SEC_ROLETAB — retired in round 4 (P10 deals ride the pool
+# inside MECH_EFFECTS ST_DEAL rows); the tag number stays reserved
 
 COND_ALWAYS, COND_COUNTCMP, COND_ALLPRESENT, COND_PREVIN, COND_AND = range(5)
-# NIGHT (P7), VOTE (P6), SCORE (P8), ROTATE (P9), SETBOOL, BLUFF (P14) and
-# MINORITY (P16) are retired ids — those families
+# NIGHT (P7), VOTE (P6), SCORE (P8), ROTATE (P9), ROLES (P10), SETBOOL,
+# BLUFF (P14) and MINORITY (P16) are retired ids — those families
 # now lower to MECH_EFFECTS programs; numbering stays stable for the C++ ABI.
 (MECH_NIGHT, MECH_VOTE, MECH_SCORE, MECH_ROTATE, MECH_ROLES, MECH_SETBOOL,
  MECH_OVER, MECH_BLUFF, MECH_MINORITY, MECH_EFFECTS) = range(10)
@@ -115,7 +117,12 @@ def pack(lowered: Lowered) -> np.ndarray:
     for m in lw.mechanics:
         if isinstance(m, T.LEffect):
             # P20 effect program: per block [n_nodes, n_stmts,
-            # node rows (4 ints), stmt rows (6 ints)], all in the pool
+            # node rows (4 ints), stmt rows (6 ints)], all in the pool.
+            # ST_DEAL rows carry their (P+1, P) multiset table in the
+            # pool too: the stmt row's value slot is rewritten from the
+            # mech-local table index to the table's pool offset.
+            table_off = [pool.add([v for trow in tab for v in trow])[0]
+                         for tab in m.deal_tables]
             desc: list[int] = []
             for nodes, stmts in m.blocks:
                 desc.append(len(nodes))
@@ -123,18 +130,14 @@ def pack(lowered: Lowered) -> np.ndarray:
                 for row in nodes:
                     desc.extend(_i32(x) for x in row)
                 for row in stmts:
+                    if row[0] == FX.ST_DEAL:
+                        row = (row[0], row[1], row[2],
+                               table_off[row[3]], row[4], row[5])
                     desc.extend(_i32(x) for x in row)
             d_off, _ = pool.add(desc)
             rv_off, rv_n = pool.add(m.reveal_bool_slots)
             mech(MECH_EFFECTS, m.phase_index,
                  [d_off, len(m.blocks), rv_off, rv_n])
-        elif isinstance(m, T.LRoleAssign):
-            settings = []
-            for code, triples in m.role_settings:
-                for bank, slot, val in triples:
-                    settings.extend([code, bank, slot, val])
-            s_off, s_n = pool.add(settings)
-            mech(MECH_ROLES, m.phase_index, [m.role_str_slot, s_off, s_n // 4])
         else:
             raise TypeError(m)
 
@@ -176,12 +179,6 @@ def pack(lowered: Lowered) -> np.ndarray:
         len(lw.atoms), len(lw.preds), maxv,
     ]
 
-    roletab: list[int] = []
-    for m in lw.mechanics:
-        if isinstance(m, T.LRoleAssign):
-            roletab = [int(x) for x in m.role_codes_by_n.flatten()]
-            break
-
     def sec(sid, data):
         data = [int(x) for x in data]
         return [sid, len(data)] + data
@@ -205,5 +202,4 @@ def pack(lowered: Lowered) -> np.ndarray:
         SEC_DEFAULTS,
         list(lw.bool_defaults.astype(np.int32)) + list(lw.num_defaults) + list(lw.str_defaults),
     )
-    blob += sec(SEC_ROLETAB, roletab)
     return np.asarray(blob, dtype=np.int32)

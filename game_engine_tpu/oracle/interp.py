@@ -143,7 +143,11 @@ class OracleRoom:
         """Apply ONE analyzer mechanic to the live room (tests use this to
         hand-check pinned semantics on crafted states)."""
         if isinstance(mech, M.RoleAssign):
-            self._role_assign(mech)
+            # P10 executes through the SAME effect-IR interpreter as every
+            # other mechanic (round 4 — the bespoke kernel is deleted from
+            # all four executors): a `deal` block + guarded role settings
+            self._apply_effects(
+                M.role_assign_program(mech, self.game.layout), ())
         elif isinstance(mech, M.NightResolve):
             self._apply_effects(
                 FX.night_resolve_program(
@@ -207,17 +211,6 @@ class OracleRoom:
             # kernel is deleted from all four executors — VERDICT r4)
             self._apply_effects(
                 FX.game_over_program_for(mech, self.game.layout), ())
-
-    def _role_assign(self, ra: M.RoleAssign) -> None:
-        multiset = M.role_multiset(ra, self.n)
-        perm = M.role_permutation(self.seed, self.n)
-        settings = dict(ra.role_fields)
-        for p in range(self.n):
-            role = multiset[perm[p]]
-            row = self.players[p + 1]
-            row[ra.role_field] = role
-            for fname, val in settings.get(role, ()):
-                row[fname] = val
 
     def _kill(self, pid: int, reveal_bools) -> None:
         """P15: death clears is_alive and reveals the role flags."""
@@ -331,6 +324,22 @@ class OracleRoom:
         for block in program:
             snap = {q: dict(self.players[q]) for q in self.players}
             for st in block:
+                if isinstance(st, FX.SDeal):
+                    # P10: rank ALL seats by splitmix32 key (salt 0 = the
+                    # retired bespoke kernel's permutation; ties to the
+                    # lower seat); `where` only gates which writes land
+                    ms = FX.deal_multiset(st.counts, st.filler, self.n)
+                    keys = []
+                    for q in range(self.n):
+                        salt = self._fx_eval(st.salt, q + 1, snap) & 0xFFFFFFFF
+                        keys.append(M.splitmix32(
+                            (self.seed * 0x100 + q
+                             + salt * 0x9E3779B9) & 0xFFFFFFFF))
+                    order = sorted(range(self.n), key=lambda q: (keys[q], q))
+                    for r, q in enumerate(order):
+                        if self._fx_eval(st.where, q + 1, snap) != 0:
+                            self.players[q + 1][st.field] = ms[r]
+                    continue
                 for p in range(1, self.n + 1):
                     if self._fx_eval(st.where, p, snap) == 0:
                         continue
