@@ -3,7 +3,7 @@
 The reference generates game DSLs with three sequential gpt-5 calls taking
 ~10 minutes (reference: agent/dsl_agent.py:157-371, README.md:48). This
 module generates the same YAML contract deterministically (milliseconds)
-from a structured Blueprint covering the twelve social-game archetypes the
+from a structured Blueprint covering the thirteen social-game archetypes the
 engine's mechanics library executes:
 
   * 'elimination' — hidden-roles night/day cycle (werewolf-like): an evil
@@ -55,7 +55,7 @@ class RoleDef:
 class Blueprint:
     name: str
     description: str
-    archetype: str  # 'elimination' | 'rounds' | 'battle' | 'bluff' | 'market' | 'minority' | 'auction' | 'gifting' | 'conversion'
+    archetype: str  # 'elimination' | 'rounds' | 'battle' | 'bluff' | 'market' | 'minority' | 'auction' | 'gifting' | 'conversion' | 'pressluck' | 'racing' | 'draft' | 'masquerade'
     min_players: int = 4
     roles: tuple[RoleDef, ...] = ()
     # mechanic MIXES composed into the base archetype's phase graph, e.g.
@@ -1606,6 +1606,10 @@ def _generate_base(bp: Blueprint) -> dict[str, Any]:
         return _gen_pressluck(bp)
     if bp.archetype == "racing":
         return _gen_racing(bp)
+    if bp.archetype == "masquerade":
+        return _gen_masquerade(
+            bp, mask_names=_mine_mask_names(bp.description),
+            win_coins=_mine_first_to(bp.description, 12))
     if bp.archetype == "draft":
         return _gen_draft(bp)
     if bp.archetype == "gifting":
@@ -2340,6 +2344,144 @@ def _gen_draft(bp: Blueprint, pool: int = 6,
     }
 
 
+# ---------------------------------------------------------------------------
+# masquerade archetype: identity rotation through the P20 effect IR's `deal`
+# statement — a fresh mask permutation lands EVERY round (`deal mask salt
+# rounds`), the mid-game re-deal the retired bespoke role-assign kernel
+# could never express (round 4; catalog witness games/masquerade-gala.yaml)
+# ---------------------------------------------------------------------------
+
+
+def _gen_masquerade(bp: Blueprint,
+                    mask_names: tuple[str, ...] = ("Fox", "Owl", "Crane"),
+                    win_coins: int = 12,
+                    max_rounds: int = 40) -> dict[str, Any]:
+    rare, common, trap = mask_names[0], mask_names[1], mask_names[2]
+    fields = {
+        "name": {"type": "string", "example": "Player A",
+                 "description": "Public display name."},
+        "coins": {"type": "num", "example": 0,
+                  "description": f"Coins earned; {win_coins} wins the game."},
+        "mask": {"type": "string", "example": rare,
+                 "description": f"The mask dealt this round ({rare}, "
+                                f"{common} or {trap})."},
+        "toast_pick": {"type": "num", "example": 0,
+                       "description": "This round's choice (1 sip, 2 toast), "
+                                      "0 when unset."},
+        "rounds": {"type": "num", "example": 0,
+                   "description": f"Completed rounds (the game caps at "
+                                  f"{max_rounds})."},
+    }
+    template = {"name": "", "coins": 0, "mask": "", "toast_pick": 0,
+                "rounds": 0}
+    tools = ["clearCanvas", "createPhaseIndicator", "createTextDisplay",
+             "createAvatarSet", "createVotingPanel", "createResultDisplay",
+             "createScoreBoard"]
+    # the example rows ARE the deal multiset (one rare, one trap, commons
+    # fill — resolve_deals reads counts + most-common filler from here)
+    example_masks = (rare, common, trap, common)
+    example_names = ("Alpha", "Beta", "Gamma", "Delta")
+    phases = {
+        0: _ui_phase(
+            "Game Introduction",
+            f"Introduce the masquerade: a fresh mask is dealt every round, "
+            f"and the race is to {win_coins} coins.",
+            [
+                _tool_action("Clear all previous UI elements", "clearCanvas"),
+                _tool_action("Create public phase indicator",
+                             "createPhaseIndicator"),
+                _tool_action("Display rules and win conditions",
+                             "createTextDisplay"),
+                _tool_action("Create avatar set overlay", "createAvatarSet"),
+            ],
+            {"id": 1, "name": "Toast Choice"},
+        ),
+        1: _action_phase(
+            "Toast Choice",
+            "Every guest secretly picks 1 to sip quietly or 2 to make a "
+            "bold toast.",
+            [
+                _tool_action("Clear previous UI", "clearCanvas"),
+                _tool_action("Create toast choice phase indicator",
+                             "createPhaseIndicator"),
+                _tool_action("Create the toast pick panel (options 1-2) for "
+                             "every guest", "createVotingPanel"),
+            ],
+            "All guests have picked and toast_pick set for each.",
+            "all_players_action", "All guests",
+            "player.coins >= 0",
+            {"id": 2, "name": "Masked Reveal"},
+        ) | {"mechanics": [{"option": 2}]},
+        2: {
+            "name": "Masked Reveal",
+            "description": "Resolve the round: deal every guest a fresh "
+                           f"mask, then quiet sippers earn 1 coin unless the "
+                           f"{trap} mask found them and bold toasters earn 3 "
+                           f"coins while wearing the {rare} mask.",
+            "actions": [
+                _tool_action("Clear pick UI", "clearCanvas"),
+                _tool_action("Display the dealt masks and who earned coins",
+                             "createResultDisplay"),
+                _tool_action("Show the coin standings", "createScoreBoard"),
+            ],
+            "completion_criteria": {
+                "type": "UI_displayed",
+                "description": "Masked Reveal has been displayed to all "
+                               "players.",
+            },
+            "next_phase": {
+                f"If any player has {win_coins} or more coins":
+                    {"id": 99, "name": "Game Over"},
+                f"If any player has {max_rounds} or more rounds":
+                    {"id": 99, "name": "Game Over"},
+                "Otherwise the masquerade goes on":
+                    {"id": 1, "name": "Toast Choice"},
+            },
+            "mechanics": [{"effects": [
+                "deal mask salt rounds",
+                "---",
+                "coins += 1 where chose(1) and toast_pick == 1 and "
+                f"mask != '{trap}'",
+                "coins += 3 where chose(1) and toast_pick == 2 and "
+                f"mask == '{rare}'",
+                "toast_pick = 0",
+                # per-seat salt: every seat must count rounds or its key
+                # would never change between deals
+                "rounds += 1",
+            ]}],
+        },
+        99: _ui_phase(
+            "Game Over — Toast of the Masquerade",
+            "Congratulate the guest with the most coins.",
+            [
+                _tool_action("Clear non-persistent UI", "clearCanvas"),
+                _tool_action("Display the winner and final coins",
+                             "createResultDisplay"),
+            ],
+            None,
+        ) | {"mechanics": [{"winner": {"score": "coins"}}]},
+    }
+    return {
+        "declaration": {
+            "description": bp.description,
+            "is_multiplayer": True,
+            "min_players": max(bp.min_players, 4),
+            "player_states": fields,
+            "player_states_template": {"player_states": {"1": template}},
+            "players_example": {
+                "tools": tools,
+                "player_states": {
+                    str(i + 1): {**template, "name": example_names[i],
+                                 "mask": example_masks[i]}
+                    for i in range(4)
+                },
+            },
+            "audience_groups": {},
+        },
+        "phases": phases,
+    }
+
+
 # -- description mining: roles, counts, player minimums ----------------------
 #
 # The reference's generator is gpt-5 and accepts anything; the built-in path
@@ -2435,6 +2577,19 @@ _AUCTION_WORDS = re.compile(
 _RACING_WORDS = re.compile(
     r"\b(rac\w+|track|laps?|finish line|sprint\w*|speed\w*|"
     r"collid\w*|collision\w*|overtak\w*)\b", re.IGNORECASE)
+# words the masquerade archetype genuinely models (the deal statement,
+# choice flavor, table talk) — consumed for coverage accounting only when
+# masquerade vocabulary is present, never used for archetype selection
+_MASQ_CONTEXT = re.compile(
+    r"\b(deals?|dealt|re-?deals?|fresh|guests?|sip\w*|toasts?\w*|"
+    r"quiet\w*|bold\w*|ball(?:room)?s?|identit\w*|wear\w*|revel\w*)\b",
+    re.IGNORECASE)
+_MASQ_WORDS = re.compile(
+    r"\b(masquerades?|masked ball|masks?|unmask\w*|costume\w*|"
+    r"disguise\w*|gala)\b", re.IGNORECASE)
+# "Fox, Owl and Crane masks" — the named masks become the deal multiset
+_MASQ_NAMES_RX = re.compile(
+    r"((?:[A-Z][a-z]+(?:,\s*|\s+and\s+)){2}[A-Z][a-z]+)\s+masks?")
 _DRAFT_WORDS = re.compile(
     r"\b(drafts?|drafting|shared pool|shrinking pool|snake draft|"
     r"claim\w* (?:a |one )?(?:prize|relic|card|item)s?|"
@@ -2516,9 +2671,20 @@ def description_coverage(description: str) -> dict[str, Any]:
     vocab_res = (
         _NIGHT_WORDS, _BATTLE_WORDS, _MINORITY_WORDS, _BLUFF_WORDS,
         _MARKET_WORDS, _AUCTION_WORDS, _GIFT_WORDS, _CONVERT_WORDS,
-        _PRESSLUCK_WORDS, _RACING_WORDS, _DRAFT_WORDS, _ROUNDS_WORDS,
-        _PLAYERS_RE, _COVERAGE_EXTRA,
+        _PRESSLUCK_WORDS, _RACING_WORDS, _DRAFT_WORDS, _MASQ_WORDS,
+        _ROUNDS_WORDS, _PLAYERS_RE, _COVERAGE_EXTRA,
     )
+    if _MASQ_WORDS.search(text):
+        for m in _MASQ_CONTEXT.finditer(text):
+            consumed.update(re.findall(r"[a-z][a-z'-]+", m.group(0)))
+    for m in _FIRST_TO_RX.finditer(text):
+        consumed.update(re.findall(r"[a-z][a-z'-]+", m.group(0)))
+    # named masks ("Fox, Owl and Crane masks") are understood: they become
+    # the deal multiset of the masquerade archetype
+    for m in re.finditer(
+            r"((?:[a-z][a-z'-]+(?:,\s*|\s+and\s+)){2}[a-z][a-z'-]+)"
+            r"\s+masks?", text):
+        consumed.update(re.findall(r"[a-z][a-z'-]+", m.group(1)))
     for rx in vocab_res:
         for m in rx.finditer(text):
             consumed.update(re.findall(r"[a-z][a-z'-]+", m.group(0)))
@@ -2535,6 +2701,34 @@ def description_coverage(description: str) -> dict[str, Any]:
 # below this fraction of consumed content words, the generated archetype
 # game likely is NOT the described game — generation warns loudly
 COVERAGE_WARN_THRESHOLD = 0.5
+
+
+_NUM_WORDS_EXT = {**_NUM_WORDS, "nine": 9, "ten": 10, "eleven": 11,
+                  "twelve": 12, "thirteen": 13, "fourteen": 14,
+                  "fifteen": 15, "sixteen": 16, "twenty": 20}
+_FIRST_TO_RX = re.compile(
+    r"\bfirst\b(?:\s+\w+){0,2}?\s+to\s+(\d+|"
+    + "|".join(_NUM_WORDS_EXT) + r")\b", re.IGNORECASE)
+
+
+def _mine_first_to(description: str, default: int) -> int:
+    """'First to twelve coins wins' -> 12 (digit or number word)."""
+    m = _FIRST_TO_RX.search(description)
+    if not m:
+        return default
+    tok = m.group(1).lower()
+    return int(tok) if tok.isdigit() else _NUM_WORDS_EXT[tok]
+
+
+def _mine_mask_names(description: str) -> tuple[str, str, str]:
+    """'the Fox, Owl and Crane masks' -> ('Fox', 'Owl', 'Crane'): first
+    name is the rare paying mask, second the common filler, third the trap
+    (declaration-order convention of the masquerade archetype)."""
+    m = _MASQ_NAMES_RX.search(description)
+    if not m:
+        return ("Fox", "Owl", "Crane")
+    names = tuple(re.findall(r"[A-Z][a-z]+", m.group(1)))
+    return names if len(names) == 3 else ("Fox", "Owl", "Crane")
 
 
 def generate_from_description(
@@ -2609,6 +2803,10 @@ def generate_from_description(
         archetype = "draft"
     elif _RACING_WORDS.search(description):
         archetype = "racing"
+    elif _MASQ_WORDS.search(description):
+        # mask/identity-rotation vocabulary: a fresh deal every round via
+        # the IR's `deal ... salt` statement (nothing else re-permutes)
+        archetype = "masquerade"
     elif _MINORITY_WORDS.search(description):
         archetype = "minority"
     elif _BLUFF_WORDS.search(description):

@@ -364,6 +364,10 @@ def _semantic_gap_issues(spec: GameSpec, game) -> list[Issue]:
                 try:
                     prog = FXm.parse_program(
                         [str(x) for x in lines if x is not None])
+                    # `deal` statements carry no multiset until resolved
+                    # against players_example — same pre-check step the
+                    # analyzer runs (mechanics.analyze)
+                    prog = M.resolve_deals(prog, spec, game.layout)
                     FXm.check_program(
                         prog, game.layout, frozenset(spec.phases),
                         has_alive="is_alive" in decl.field_names(),

@@ -374,3 +374,77 @@ def test_racing_and_draft_archetypes(name, desc, phase, field):
         winners.add(room.winner)
         assert max(room.field_values(field)) > 0
     assert winners  # someone won in every run
+
+
+# ---------------------------------------------------------------------------
+# masquerade archetype (round 4): identity rotation via the IR's `deal`
+# statement with a live salt — a fresh mask permutation every round, the
+# mid-game re-deal the retired bespoke role-assign kernel could not express
+# ---------------------------------------------------------------------------
+
+_GALA_DESC = (
+    "Guests at a midnight masquerade are dealt a fresh mask every round "
+    "from the Serpent, Sparrow and Thorn masks; quiet sippers and bold "
+    "toasters earn coins by what the masks allow. First to twelve coins "
+    "wins the gala."
+)
+
+
+def test_masquerade_archetype_mines_mask_names():
+    from game_engine_tpu.dslgen.generate import _mine_mask_names
+
+    assert _mine_mask_names(_GALA_DESC) == ("Serpent", "Sparrow", "Thorn")
+    assert _mine_mask_names("a plain masked ball") == ("Fox", "Owl", "Crane")
+    doc = generate_from_description("velvet-gala", _GALA_DESC)
+    reveal = next(p for p in doc["phases"].values()
+                  if p["name"] == "Masked Reveal")
+    stmts = reveal["mechanics"][0]["effects"]
+    assert stmts[0] == "deal mask salt rounds"
+    # the mined mask names parameterize the scoring rules
+    assert any("'Serpent'" in s for s in stmts)
+    assert any("'Thorn'" in s for s in stmts)
+
+
+def test_generated_masquerade_redeal_runs_with_parity():
+    doc = generate_from_description("velvet-gala", _GALA_DESC)
+    issues, spec = validate_doc(doc, name="velvet-gala")
+    assert spec is not None
+    assert not errors(issues), [str(i) for i in errors(issues)]
+    lowered = lower(compile_game(spec))
+    eng = BatchedEngine(lowered)
+    for seed in (0, 3):
+        room = OracleRoom(lowered.game, n_players=5, seed=seed)
+        state = init_state(lowered, 1, 5, np.uint32(seed))
+        perms, prev = set(), 0
+        for t in range(900):
+            room.step(oracle_policy(room, t, seed))
+            state = eng.step(state, scripted_actions(lowered, state))
+            assert_state_matches(lowered, room, state, 0, t)
+            r0 = room.players[1].get("rounds")
+            if r0 != prev:
+                perms.add(tuple(room.players[p]["mask"]
+                                for p in range(1, 6)))
+                prev = r0
+            if room.done:
+                break
+        assert room.done
+        assert len(perms) > 1, "the deal never re-dealt"
+        # every deal is the 5-seat multiset: 1 rare, 1 trap, 3 common
+        for pm in perms:
+            assert sorted(pm) == ["Serpent", "Sparrow", "Sparrow",
+                                  "Sparrow", "Thorn"]
+
+
+def test_masquerade_mines_win_target_and_covers_description():
+    from game_engine_tpu.dslgen.generate import (
+        _mine_first_to, description_coverage, COVERAGE_WARN_THRESHOLD)
+
+    assert _mine_first_to("first to 20 trophies", 12) == 20
+    assert _mine_first_to("first guest to seven coins wins", 12) == 7
+    assert _mine_first_to("no target here", 12) == 12
+    doc = generate_from_description(
+        "quick-gala", "A masked ball; first to 9 coins wins.")
+    assert "If any player has 9 or more coins" in doc["phases"][2]["next_phase"]
+    # the full gala description is understood well enough not to warn
+    cov = description_coverage(_GALA_DESC)
+    assert cov["score"] >= COVERAGE_WARN_THRESHOLD, cov["unconsumed"]
