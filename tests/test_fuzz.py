@@ -88,9 +88,10 @@ def _random_blueprint(rng):
         )
     if rng.random() < 0.5:
         # the round-4 IR-program families: conversion / pressluck /
-        # racing / draft — mutation must not break their declared programs
+        # racing / draft / masquerade — mutation must not break their
+        # declared programs (masquerade exercises the `deal ... salt` path)
         arch = ("conversion", "pressluck", "racing",
-                "draft")[int(rng.integers(4))]
+                "draft", "masquerade")[int(rng.integers(5))]
         return Blueprint(
             name=f"fuzz-{arch}-{rng.integers(100)}",
             description=f"a {arch} party game",
