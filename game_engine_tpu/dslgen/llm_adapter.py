@@ -80,6 +80,26 @@ Rules:
   {{winner: team|survivor|richest|{{score: <num field>}}}} (terminal only),
   {{reveal: <bool field>}}, kill / protect (on night action phases), and
   the choice kinds target / {{option: <max>}} / submit on action phases.
+- NOVEL RESOLUTION RULES are declared as an effects program:
+  {{effects: [<statement>, ...]}} on the resolving phase. Statements are
+  guarded per-player field writes evaluated simultaneously per block
+  (split blocks with the statement "---"; later blocks see earlier
+  blocks' writes):
+    FIELD = EXPR | FIELD += EXPR | FIELD -= EXPR   [where EXPR]
+    FIELD = 'Literal'                              (vocabulary string write)
+    FIELD[choice] = 'Literal'                      (per-player dict write)
+    kill [where EXPR]                              (death + role reveal)
+    reset FIELD [where EXPR]                       (restore template default)
+    deal FIELD [salt EXPR] [where EXPR]            (RNG-permute the field's
+                                                    players_example values
+                                                    over seats; a changing
+                                                    salt re-deals each round)
+    over EXPR [where EXPR]                         (end game; winner = EXPR
+                                                    at the lowest seat)
+  Expressions: int arithmetic on own fields, seat, nplayers, choice,
+  chose(PHASE_ID), at(EXPR, FIELD), string compares FIELD == 'Value',
+  let NAME = EXPR, and cross-player aggregations sum/max/min/count/
+  argmax/argmin/rank/eqcount/incoming(...) over a predicate.
 - every declared player_states field must be read or written by some phase.
 {feedback}"""
 
