@@ -29,6 +29,7 @@ DEFAULT_GAMES = (
     "cult-of-the-depths",  # string-write conversion
     "raven-moot",          # llm-seam demo game
     "storm-forge",         # adversarial 6-block ~40-statement program
+    "masquerade-gala",     # ST_DEAL every round (P10-as-IR hot path)
 )
 
 
