@@ -220,3 +220,48 @@ def test_pallas_parity(gala):
     pal_state, pal_eps = pal(state2)
     _states_equal(ref_state, pal_state)
     assert int(ref_eps) == int(pal_eps) and int(ref_eps) > 0
+
+
+def test_deal_where_gates_writes_not_rank(gala):
+    """Pinned: rank is computed over ALL present seats; `where` only gates
+    which writes land — a guarded seat keeps its old value but still
+    occupies its rank in the permutation (so the ungated seats see exactly
+    the same masks they would with no guard)."""
+    lowered = gala
+    layout = lowered.game.layout
+    spec_counts = (("Fox", 1), ("Owl", 2), ("Crane", 1))
+    ungated = ((FX.SDeal("mask", counts=spec_counts, filler="Owl"),),)
+    gated = ((FX.SDeal("mask", counts=spec_counts, filler="Owl",
+                       where=FX.ECmp("ne", FX.ESeat(), FX.EConst(2))),),)
+    for seed in range(6):
+        a = OracleRoom(lowered.game, n_players=5, seed=seed)
+        b = OracleRoom(lowered.game, n_players=5, seed=seed)
+        a._apply_effects(ungated, ())
+        b._apply_effects(gated, ())
+        for p in range(1, 6):
+            if p == 2:
+                assert b.players[p]["mask"] == "", "guarded seat was written"
+            else:
+                assert b.players[p]["mask"] == a.players[p]["mask"], (
+                    "guard changed another seat's deal")
+
+
+def test_deal_salt_changes_permutation_deterministically(gala):
+    """Same salt -> same permutation; different salts -> (eventually)
+    different permutations; salt 0 equals the retired-kernel formula."""
+    lowered = gala
+    counts = (("Fox", 1), ("Owl", 2), ("Crane", 1))
+    def masks_with_salt(seed, salt):
+        room = OracleRoom(lowered.game, n_players=5, seed=seed)
+        prog = ((FX.SDeal("mask", counts=counts, filler="Owl",
+                          salt=FX.EConst(salt)),),)
+        room._apply_effects(prog, ())
+        return tuple(room.players[p]["mask"] for p in range(1, 6))
+    for seed in range(4):
+        assert masks_with_salt(seed, 3) == masks_with_salt(seed, 3)
+        distinct = {masks_with_salt(seed, s) for s in range(8)}
+        assert len(distinct) > 1, f"seed {seed}: salts never changed the deal"
+        # salt 0 == retired formula: multiset[perm[p]]
+        ms = FX.deal_multiset(counts, "Owl", 5)
+        perm = M.role_permutation(seed, 5)
+        assert masks_with_salt(seed, 0) == tuple(ms[perm[p]] for p in range(5))
