@@ -47,6 +47,14 @@ _U32 = jnp.uint32
 # construction (the pending column IS the statement-ordered select chain);
 # pinned by the golden fixture. Toggled by utils/ab_writes.py for A/B.
 DEFERRED_WRITES = True
+# With deferred writes on, emit flush updates in ascending slot order
+# instead of first-touch order — a pure HLO-emission-order lever for the
+# TPU scheduler (VERDICT r3's untried statement-reordering theory reduced
+# to its only observable residue once writes are combined). Bit-identical
+# by construction: the per-slot columns are unchanged, only the order the
+# independent .at[slot].set updates are emitted in changes. Toggled by
+# utils/ab_writes.py for A/B.
+SORTED_FLUSH = False
 
 
 def splitmix32_jax(x):
@@ -483,6 +491,9 @@ class _EffectOps:
         """Land every pending column with one update per touched slot."""
         st = self.st
         pb, pn, ps = self._pend["b"], self._pend["n"], self._pend["s"]
+        if SORTED_FLUSH:
+            pb, pn, ps = dict(sorted(pb.items())), dict(sorted(pn.items())), \
+                dict(sorted(ps.items()))
         bools, nums, strs = st.bools, st.nums, st.strs
         for slot, col in pb.items():
             bools = bools.at[..., slot].set(col)

@@ -38,8 +38,9 @@ def main() -> None:
 
     lowered = lower(compile_game(load_builtin(game)))
 
-    def build(deferred: bool):
+    def build(deferred: bool, sorted_flush: bool = False):
         S.DEFERRED_WRITES = deferred
+        S.SORTED_FLUSH = sorted_flush
         roll = compiled_rollout(lowered, steps, auto_reset=True)
         st, eps = roll(init_state(lowered, batch, 8,
                                   np.arange(batch, dtype=np.uint32)))
@@ -48,24 +49,25 @@ def main() -> None:
 
     print("building deferred…", flush=True)
     roll_d, st_d = build(True)
+    print("building deferred+sorted-flush…", flush=True)
+    roll_s, st_s = build(True, sorted_flush=True)
     print("building per-statement…", flush=True)
     roll_p, st_p = build(False)
     S.DEFERRED_WRITES = True
+    S.SORTED_FLUSH = False
 
-    times = {"deferred": [], "per_stmt": []}
+    states = {"deferred": st_d, "sorted": st_s, "per_stmt": st_p}
+    rolls = {"deferred": roll_d, "sorted": roll_s, "per_stmt": roll_p}
+    times = {name: [] for name in rolls}
     for i in range(iters):
-        for name, roll, st in (("deferred", roll_d, st_d),
-                               ("per_stmt", roll_p, st_p)):
+        for name, roll in rolls.items():
             t0 = time.perf_counter()
-            st, eps = roll(st)
+            st, eps = roll(states[name])
             _ = int(eps)
             times[name].append(time.perf_counter() - t0)
-            if name == "deferred":
-                st_d = st
-            else:
-                st_p = st
-        print(f"iter {i}: d={times['deferred'][-1]:.3f}s "
-              f"p={times['per_stmt'][-1]:.3f}s", flush=True)
+            states[name] = st
+        print(f"iter {i}: " + " ".join(
+            f"{n[0]}={times[n][-1]:.3f}s" for n in rolls), flush=True)
 
     out = {"batch": batch, "steps": steps, "iters": iters, "game": game}
     for name, ts in times.items():
