@@ -2587,9 +2587,14 @@ _MASQ_CONTEXT = re.compile(
 _MASQ_WORDS = re.compile(
     r"\b(masquerades?|masked ball|masks?|unmask\w*|costume\w*|"
     r"disguise\w*|gala)\b", re.IGNORECASE)
-# "Fox, Owl and Crane masks" — the named masks become the deal multiset
-_MASQ_NAMES_RX = re.compile(
-    r"((?:[A-Z][a-z]+(?:,\s*|\s+and\s+)){2}[A-Z][a-z]+)\s+masks?")
+# "Fox, Owl and Crane masks" — the named masks become the deal multiset.
+# One template, two compilations: cased for mining (proper-noun mask
+# names), case-insensitive for coverage accounting over lowered text.
+_MASQ_NAMES_TPL = (
+    r"((?:{w}(?:,\s*(?:and\s+)?|\s+and\s+)){{2}}{w})\s+masks?")
+_MASQ_NAMES_RX = re.compile(_MASQ_NAMES_TPL.format(w=r"[A-Z][a-z]+"))
+_MASQ_NAMES_CI_RX = re.compile(
+    _MASQ_NAMES_TPL.format(w=r"[a-z][a-z'-]+"), re.IGNORECASE)
 _DRAFT_WORDS = re.compile(
     r"\b(drafts?|drafting|shared pool|shrinking pool|snake draft|"
     r"claim\w* (?:a |one )?(?:prize|relic|card|item)s?|"
@@ -2681,9 +2686,7 @@ def description_coverage(description: str) -> dict[str, Any]:
         consumed.update(re.findall(r"[a-z][a-z'-]+", m.group(0)))
     # named masks ("Fox, Owl and Crane masks") are understood: they become
     # the deal multiset of the masquerade archetype
-    for m in re.finditer(
-            r"((?:[a-z][a-z'-]+(?:,\s*|\s+and\s+)){2}[a-z][a-z'-]+)"
-            r"\s+masks?", text):
+    for m in _MASQ_NAMES_CI_RX.finditer(text):
         consumed.update(re.findall(r"[a-z][a-z'-]+", m.group(1)))
     for rx in vocab_res:
         for m in rx.finditer(text):
@@ -2803,14 +2806,16 @@ def generate_from_description(
         archetype = "draft"
     elif _RACING_WORDS.search(description):
         archetype = "racing"
-    elif _MASQ_WORDS.search(description):
-        # mask/identity-rotation vocabulary: a fresh deal every round via
-        # the IR's `deal ... salt` statement (nothing else re-permutes)
-        archetype = "masquerade"
     elif _MINORITY_WORDS.search(description):
         archetype = "minority"
     elif _BLUFF_WORDS.search(description):
         archetype = "bluff"
+    elif _MASQ_WORDS.search(description):
+        # mask/identity-rotation vocabulary: a fresh deal every round via
+        # the IR's `deal ... salt` statement. Checked AFTER minority and
+        # bluff — mask/costume words are common flavor in those families
+        # ("hide behind costumes and challenge claims" is a bluff game)
+        archetype = "masquerade"
     elif _AUCTION_WORDS.search(description):
         # auction vocabulary outranks generic economy words ("bidding" alone
         # is a market keyword; "bidding for lots" is an auction); with
