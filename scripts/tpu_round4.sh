@@ -1,28 +1,42 @@
 #!/bin/bash
 # Round-4 TPU measurement queue — run serially (ONE TPU client at a time,
 # CLAUDE.md). Each step logs to docs/r4_tpu_runs/ and continues on failure.
-# Launched by the relay watcher the moment the axon backend answers.
+# Launched by the relay watcher when the axon backend answers; steps whose
+# log already holds a JSON result line are SKIPPED, so a flapping relay
+# can resume the queue without repeating finished measurements.
 cd /root/repo
 OUT=docs/r4_tpu_runs
 mkdir -p "$OUT"
+captured() {  # log already has a JSON object line => measurement landed
+  [ -f "$OUT/$1.log" ] && grep -qE '^\{.*\}$' "$OUT/$1.log"
+}
 run() {
   name=$1; tmo=$2; shift 2
+  if captured "$name"; then
+    echo "=== $name already captured, skipping ==="
+    return 0
+  fi
   echo "=== $name start $(date -u +%H:%M:%S) ==="
   timeout "$tmo" "$@" 2>&1 | tee "$OUT/$name.log"
   echo "=== $name exit $? $(date -u +%H:%M:%S) ==="
 }
 # 1. headline confirm @4096 (first post-write-combining driver-comparable number)
 run bench_4096 2400 python bench.py 4096 1024 16
-# 2. write-combining A/B (VERDICT #2 lever measurement)
+# 2. write-combining A/B incl. the sorted-flush variant (VERDICT #2 lever)
 run ab_writes 2400 python -m game_engine_tpu.utils.ab_writes 4096 1024 16
-# 3. per-game breadth incl. the five IR-only games + storm-forge (VERDICT #7)
+# 3. per-game breadth incl. the five IR-only games + storm-forge +
+#    masquerade-gala's ST_DEAL hot path (VERDICT #7)
 run bench_games 3600 python -m game_engine_tpu.utils.bench_games 4096 1024 5
 # 4. 65k-room headline
 run bench_65k 2400 python bench.py 65536 256 16
 # 5. grounded+persona chat LM retrain (VERDICT #6) — lands beside the old
 #    checkpoint; promoted manually after metrics review
-run chat_lm_r4 5400 python -m game_engine_tpu.train.chat_lm --steps 3000 \
-    --out docs/checkpoints/chat_lm_r4.npz
+if [ -f docs/checkpoints/chat_lm_r4.metrics.json ]; then
+  echo "=== chat_lm_r4 already captured (metrics file), skipping ==="
+else
+  run chat_lm_r4 5400 python -m game_engine_tpu.train.chat_lm --steps 3000 \
+      --out docs/checkpoints/chat_lm_r4.npz
+fi
 # 6. async learner A/B (VERDICT #8)
 run ab_async 3600 python -m game_engine_tpu.utils.ab_async 8192 16 2 16 attn
 # 7. policy-in-the-loop headline
