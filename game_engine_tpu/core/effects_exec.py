@@ -77,7 +77,11 @@ def _eval_node(kind: int, p0: int, p1: int, p2: int, vals: list, ops):
         if hasattr(ops, "cmp"):
             return ops.cmp(p0, vals[p1], vals[p2])
         a, b = vals[p1], vals[p2]
-        cond = [a == b, a != b, a >= b, a <= b, a > b, a < b][p0]
+        # p0 is static — trace only the one comparison (a list literal
+        # would trace all six and leave five dead ops for DCE)
+        cond = (a == b if p0 == 0 else a != b if p0 == 1
+                else a >= b if p0 == 2 else a <= b if p0 == 3
+                else a > b if p0 == 4 else a < b)
         return jnp.where(cond, jnp.int32(1), jnp.int32(0))
     if kind == FX.NK_NOT:
         if hasattr(ops, "not_"):

@@ -363,7 +363,8 @@ def _semantic_gap_issues(spec: GameSpec, game) -> list[Issue]:
                 lines = list(_harg) if isinstance(_harg, tuple) else [_harg]
                 try:
                     prog = FXm.parse_program(
-                        [str(x) for x in lines if x is not None])
+                        [str(x) for x in lines if x is not None],
+                        reserved=frozenset(decl.field_names()))
                     # `deal` statements carry no multiset until resolved
                     # against players_example — same pre-check step the
                     # analyzer runs (mechanics.analyze)

@@ -351,8 +351,9 @@ class SDeal:
 
 def deal_multiset(counts, filler: str, n_players: int) -> list[str]:
     """The concrete n-player multiset a deal permutes (P10): replicate the
-    example counts, extend with the filler, trim filler copies first then
-    from the end of declaration order."""
+    example counts, extend with the filler, trim SURPLUS filler copies
+    first (at least one filler always survives while trimming), then trim
+    from the end of declaration order. Pinned by the golden fixture."""
     base: list[str] = []
     for name, c in counts:
         base.extend([name] * c)
@@ -512,7 +513,12 @@ class _Parser:
     def unary(self) -> Expr:
         if self.peek() == ("op", "-"):
             self.next()
-            return EBin("sub", ZERO, self.unary())
+            inner = self.unary()
+            if isinstance(inner, EConst):
+                # fold so -2147483648 (INT32_MIN) is representable: the
+                # positive literal alone would fail the int32 range check
+                return EConst(-inner.value)
+            return EBin("sub", ZERO, inner)
         return self.atom()
 
     def atom(self) -> Expr:
@@ -705,12 +711,21 @@ def parse_statement(src: str, env: dict[str, Expr]) -> Optional[Stmt]:
     return SAdd(field, value, where)
 
 
-def parse_program(lines: list, *, strict_lines: bool = True) -> Program:
+def parse_program(lines: list, *, strict_lines: bool = True,
+                  reserved=frozenset()) -> Program:
     """Parse an `effects:` hint payload (list of statement strings; "---"
     entries split blocks) into a Program. `let` bindings are scoped to the
-    whole program and substituted inline."""
+    whole program and substituted inline.
+
+    `reserved` (the game's declared field names, passed by the analyzer
+    and the validator) makes `let coins = ...` over a declared field a
+    loud error: the binding would silently shadow every subsequent READ
+    of the field while statement heads kept writing the real field —
+    the parser substitutes env names before check_program can see the
+    collision."""
     if isinstance(lines, (str, bytes)):
         lines = [lines]
+    reserved = frozenset(reserved)
     env: dict[str, Expr] = {}
     blocks: list[Block] = []
     cur: list[Stmt] = []
@@ -723,7 +738,13 @@ def parse_program(lines: list, *, strict_lines: bool = True) -> Program:
                 blocks.append(tuple(cur))
                 cur = []
             continue
+        before = set(env)
         st = parse_statement(s, env)
+        clash = (set(env) - before) & reserved
+        if clash:
+            raise EffectError(
+                f"let binding {sorted(clash)[0]!r} shadows a declared state "
+                "field — rename the binding")
         if st is not None:
             cur.append(st)
     if cur:
@@ -809,6 +830,32 @@ def check_program(
                                 f"vocabulary of field {b.name!r} "
                                 f"({', '.join(repr(v) for v in bslot.vocab if v)})"
                                 " — the comparison could never be true")
+                # field-vs-field compares involving a string field: the
+                # executors compare vocab CODES, which only align when the
+                # two fields share one vocabulary (each field's vocab is
+                # mined independently in first-appearance order) — make
+                # the silent-wrong cases loud instead
+                fa, fb = node.a, node.b
+                if isinstance(fa, EField) and isinstance(fb, EField):
+                    sa, sb = layout.get(fa.name), layout.get(fb.name)
+                    if (sa is not None and sb is not None
+                            and BANK_STR in (sa.bank, sb.bank)):
+                        if sa.bank != sb.bank:
+                            raise EffectError(
+                                f"{fa.name!r} and {fb.name!r} compare a "
+                                "string field against a non-string field — "
+                                "compare the string field against a "
+                                "vocabulary literal instead")
+                        if (fa.name != fb.name
+                                and node.op in ("eq", "ne")
+                                and tuple(v.lower() for v in sa.vocab)
+                                != tuple(v.lower() for v in sb.vocab)):
+                            raise EffectError(
+                                f"{fa.name!r} and {fb.name!r} have different "
+                                "vocabularies — their codes do not align, so "
+                                "==/!= between them would be silently wrong; "
+                                "give both fields identical example value "
+                                "sets or compare against literals")
             elif isinstance(node, (EBin, EAnd, EOr, EWhere, EAt, EIncoming,
                                    EEqCount, ERank, EReduce, EArgBest, ENot)):
                 for f in dataclasses.fields(node):
@@ -853,7 +900,7 @@ def check_program(
                         f"deal target {st.field!r} has no players_example "
                         "values to deal — every example row must give the "
                         "field a value so the multiset is defined")
-                for name, _c in st.counts:
+                for name in [n for n, _c in st.counts] + [st.filler]:
                     if not any(v.lower() == name.lower()
                                for v in slot.vocab):
                         raise EffectError(
@@ -962,7 +1009,9 @@ def program_choice_phases(program: Program) -> set[int]:
 # A lowered block is (nodes, stmts):
 #   nodes: tuple of 4-int rows [kind, p0, p1, p2], children strictly before
 #          parents, deduplicated — an expression DAG in evaluation order;
-#   stmts: tuple of 5-int rows [skind, bank, slot, value_node, where_node].
+#   stmts: tuple of 6-int rows [skind, bank, slot, value_node,
+#   where_node, key_node] — key_node carries ST_SETD keys and ST_DEAL
+#   salt nodes, 0 elsewhere.
 # The encoding is position-independent ints only, so native/pack.py ships it
 # to the C++ simulator verbatim.
 
@@ -1109,8 +1158,13 @@ def lower_program(
                                   pool.add(NK_CONST, 1 if slot.default else 0),
                                   lx(st.where), 0))
                 elif slot.bank == BANK_NUM:
+                    try:
+                        dv = int(slot.default or 0)
+                    except (TypeError, ValueError):
+                        dv = 0  # non-numeric template default reads as 0
+                        # everywhere (tables.num_default does the same)
                     stmts.append((ST_SET, FXB_NUM, slot.index,
-                                  pool.add(NK_CONST, int(slot.default or 0)),
+                                  pool.add(NK_CONST, dv),
                                   lx(st.where), 0))
                 else:  # arr and friends never pass check_program
                     raise EffectError(

@@ -1123,7 +1123,8 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
                 continue
             lines = list(harg) if isinstance(harg, tuple) else [harg]
             try:
-                prog = FX.parse_program(lines)
+                prog = FX.parse_program(
+                    lines, reserved=frozenset(fields))
                 prog = resolve_deals(prog, spec, layout)
                 FX.check_program(
                     prog, layout, frozenset(spec.phases),

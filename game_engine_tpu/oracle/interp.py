@@ -292,7 +292,9 @@ class OracleRoom:
             for q in range(1, self.n + 1):
                 if ev(e.mask, q, snap) != 0 and ev(e.key, q, snap) == p:
                     total += ev(e.val, q, snap)
-            return total
+            # wrap like the executors' int32 adds (sequential int32
+            # addition == one final wrap of the unbounded sum)
+            return _i32(total)
         if isinstance(e, FX.EEqCount):
             kp = ev(e.key, p, snap)
             return sum(1 for q in range(1, self.n + 1)
@@ -356,10 +358,21 @@ class OracleRoom:
                     if isinstance(st, FX.SReset):
                         slot = self.game.layout.slot(st.field)
                         from game_engine_tpu.gamespec.layout import (
-                            BANK_ODICT, BANK_PDICT)
-                        self.players[p][st.field] = (
-                            {} if slot.bank in (BANK_ODICT, BANK_PDICT)
-                            else slot.default)
+                            BANK_ODICT, BANK_PDICT, BANK_NUM, BANK_STR)
+                        if slot.bank in (BANK_ODICT, BANK_PDICT):
+                            dv = {}
+                        elif slot.bank == BANK_STR:
+                            # canonical vocab casing, like the lowered
+                            # ST_SET const (encode->decode round trip)
+                            dv = slot.decode(slot.encode(slot.default))
+                        elif slot.bank == BANK_NUM:
+                            try:  # non-numeric default reads as 0 in the
+                                dv = int(slot.default or 0)  # coded banks
+                            except (TypeError, ValueError):
+                                dv = 0
+                        else:
+                            dv = bool(slot.default)
+                        self.players[p][st.field] = dv
                         continue
                     row = self.players[p]
                     slot = self.game.layout.slot(st.field)
