@@ -45,7 +45,10 @@ _U32 = jnp.uint32
 _GOLDEN = 0x9E3779B9
 _MIX = 0x85EBCA6B
 # the shared splitmix32 mixer — one definition for all executors' RNG contract
-from game_engine_tpu.core.step import splitmix32_jax as _mix  # noqa: E402
+from game_engine_tpu.core.step import (  # noqa: E402
+    _phase_mask_lookup,
+    splitmix32_jax as _mix,
+)
 
 
 def _b2i(x):
@@ -118,12 +121,9 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
     def count_mask(mask):
         return jnp.sum(_b2i(mask), axis=0, keepdims=True)  # (1, R)
 
-    def phase_in(mask_np, idx):
-        members = np.nonzero(mask_np)[0] - 1
-        out = jnp.zeros(idx.shape, bool)
-        for m in members:
-            out = out | (idx == int(m))
-        return out
+    # shared with the scan executor — one copy of the (NP+1)-offset
+    # membership decoding (step._phase_mask_lookup is shape-agnostic)
+    phase_in = _phase_mask_lookup
 
     def gather_by_choice_i(vals_i, choice):
         """vals (P,R) i32, choice (P,R) 1-based -> per-chooser vals[choice-1]."""
@@ -132,12 +132,6 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
             out = jnp.where(choice == q + 1, vals_i[q : q + 1], out)
         return out
 
-    def take_row_i(vals_i, idx):
-        """vals (P,R) i32, idx (1,R) 0-based -> (1,R) i32 (0 out of range)."""
-        out = jnp.zeros(idx.shape, jnp.int32)
-        for q in range(P):
-            out = jnp.where(idx == q, vals_i[q : q + 1], out)
-        return out
 
     def prow():
         return jax.lax.broadcasted_iota(jnp.int32, (P, R), 0)
@@ -549,7 +543,13 @@ def make_pallas_rollout(lowered: Lowered, num_steps: int, block_rooms: int = 256
             done, winner = st["done"], st["winner"]
 
             # ---- episodes + auto-reset ----
-            eps_o[:] = eps_o[:] + _b2i(done)
+            # count only fresh completions (done transitioning false->true
+            # this step) — a room that was BORN done (an instant-end
+            # start-phase `over`, re-set by the post-reset apply_mechanics
+            # below) carries done=true into this iteration and must not be
+            # recounted; engine.py counts `new.done & ~st.done` identically
+            done_in = scal[2:3] != 0
+            eps_o[:] = eps_o[:] + _b2i(done & ~done_in)
             new_seed = _mix(seed ^ _U32(0xDECAF000))
             for b in range(NB):
                 blist[b] = jnp.where(done, bool_defaults[b], blist[b])

@@ -152,14 +152,6 @@ def _player_onehot(idx0: jax.Array, P: int) -> jax.Array:
     return idx0[..., None] == jnp.arange(P, dtype=jnp.int32)
 
 
-def _take_player(arr: jax.Array, idx: jax.Array) -> jax.Array:
-    """arr (B, P), idx (B,) 0-based -> arr[b, idx[b]] (0/False when out of range)."""
-    oh = _player_onehot(idx, arr.shape[1])
-    if arr.dtype == jnp.bool_:
-        return jnp.any(arr & oh, axis=-1)
-    return jnp.sum(jnp.where(oh, arr, 0), axis=-1)
-
-
 def _gather_by_choice(vals: jax.Array, choice: jax.Array) -> jax.Array:
     """vals (B, P), choice (B, P) 1-based -> out[b, p] = vals[b, choice[b,p]-1]."""
     oh = _player_onehot(choice - 1, vals.shape[1])  # (B, P, P)
@@ -329,8 +321,11 @@ class _EffectOps:
         return jnp.maximum(a, b)
 
     def cmp(self, op, a, b):
+        # op is static — trace only the one comparison
         a, b = self._i(a), self._i(b)
-        return [a == b, a != b, a >= b, a <= b, a > b, a < b][op]
+        return (a == b if op == 0 else a != b if op == 1
+                else a >= b if op == 2 else a <= b if op == 3
+                else a > b if op == 4 else a < b)
 
     def not_(self, a):
         return ~self._b(a)
@@ -557,7 +552,7 @@ class _EffectOps:
             winner=jnp.where(trigger, v0, self.st.winner))
 
 
-def _mech_effects(lw: Lowered, st: GameState, pe: PredEval, active, m: T.LEffect) -> GameState:
+def _mech_effects(lw: Lowered, st: GameState, active, m: T.LEffect) -> GameState:
     """P20: one generic interpreter for effect programs — income (P12),
     raids (P13), auctions (P19) and DSL-declared `effects:` all run here."""
     from game_engine_tpu.core.effects_exec import run_effect
@@ -590,7 +585,6 @@ def apply_on_enter(lowered: Lowered, state: GameState, entered: jax.Array, new_p
     """
     from game_engine_tpu.core.effects_exec import run_effects_merged
 
-    pe = PredEval(lowered, state)
     mechs = lowered.mechanics
     i = 0
     while i < len(mechs):
@@ -613,7 +607,7 @@ def apply_on_enter(lowered: Lowered, state: GameState, entered: jax.Array, new_p
             i = j
         else:
             active = entered & (new_phase == m.phase_index)
-            state = _MECH_FNS[type(m)](lowered, state, pe, active, m)
+            state = _MECH_FNS[type(m)](lowered, state, active, m)
             i += 1
     return state
 
@@ -783,12 +777,12 @@ def make_step(lowered: Lowered):
     return step
 
 
-_jit_cache: dict[int, object] = {}
-
-
 def jit_step(lowered: Lowered):
-    """jit-compiled step for a lowered game (cached per Lowered identity)."""
-    key = id(lowered)
-    if key not in _jit_cache:
-        _jit_cache[key] = jax.jit(make_step(lowered), donate_argnums=(0,))
-    return _jit_cache[key]
+    """jit-compiled step for a lowered game, cached ON the Lowered object
+    (an id()-keyed module dict would pin every Lowered + executable for
+    process lifetime)."""
+    fn = getattr(lowered, "_jit_step", None)
+    if fn is None:
+        fn = jax.jit(make_step(lowered), donate_argnums=(0,))
+        object.__setattr__(lowered, "_jit_step", fn)
+    return fn

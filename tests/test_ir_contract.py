@@ -131,3 +131,27 @@ def test_non_numeric_num_default_resets_to_zero():
     for room in _lockstep(doc, seeds=(0,)):
         for p in range(1, 6):
             assert room.players[p]["aux"] == 0
+
+
+def test_instant_end_rooms_count_episodes_identically():
+    """A start phase whose on-enter program ends the game instantly makes
+    every room 'born done'. The engine counts episodes as done
+    transitioning false->true, so such rooms count ZERO episodes; the
+    Pallas kernel used to recount the carried done flag every iteration."""
+    from game_engine_tpu.core.engine import compiled_rollout
+    from game_engine_tpu.core.pallas_rollout import make_pallas_rollout
+
+    doc = copy.deepcopy(_fuzz_doc(["score += 1"]))
+    doc["phases"][0]["mechanics"] = [{"effects": ["over 1"]}]
+    issues, spec = validate_doc(doc, name="instant-end")
+    assert spec is not None and not errors(issues), \
+        [str(i) for i in errors(issues)]
+    lowered = lower(compile_game(spec))
+    B, steps = 8, 12
+    state = init_state(lowered, B, 5, np.arange(B, dtype=np.uint32))
+    assert bool(state.done.all()), "start-phase over should make rooms born done"
+    ref_state, ref_eps = compiled_rollout(lowered, steps)(state)
+    pal = make_pallas_rollout(lowered, steps, block_rooms=8, interpret=True)
+    state2 = init_state(lowered, B, 5, np.arange(B, dtype=np.uint32))
+    _pal_state, pal_eps = pal(state2)
+    assert int(ref_eps) == int(pal_eps) == 0, (int(ref_eps), int(pal_eps))
