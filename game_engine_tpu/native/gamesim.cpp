@@ -613,6 +613,19 @@ void* gs_create(const int32_t* blob, int64_t len) {
     }
     i += 2 + n;
   }
+  // loud-or-correct: every mechanic family lowers to MECH_EFFECTS since
+  // round 4 — a blob carrying a retired mech id (e.g. MECH_ROLES from a
+  // pre-round-4 pack.py) would otherwise simulate visibly wrong with no
+  // error (roles never assigned)
+  {
+    int n_mech = (int)g->mechs.size() / (2 + MECH_PARAMS);
+    for (int mi = 0; mi < n_mech; ++mi) {
+      if (g->mechs[mi * (2 + MECH_PARAMS)] != MECH_EFFECTS) {
+        delete g;
+        return nullptr;
+      }
+    }
+  }
   return g;
 }
 

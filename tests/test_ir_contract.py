@@ -155,3 +155,87 @@ def test_instant_end_rooms_count_episodes_identically():
     state2 = init_state(lowered, B, 5, np.arange(B, dtype=np.uint32))
     _pal_state, pal_eps = pal(state2)
     assert int(ref_eps) == int(pal_eps) == 0, (int(ref_eps), int(pal_eps))
+
+
+def test_gated_deal_four_way():
+    """`deal ... where ...` through the jitted engine, the C++ sim and the
+    Pallas interpreter (the gating semantics were previously pinned only
+    at the oracle level): rank over ALL present seats, writes gated."""
+    from game_engine_tpu.core.engine import compiled_rollout
+    from game_engine_tpu.core.pallas_rollout import make_pallas_rollout
+    from tests.test_pallas import _states_equal
+
+    doc = _fuzz_doc([
+        "deal badge salt rounds where seat != 2",
+        "---",
+        "score += 1 where badge == 'Ash'",
+    ])
+    issues, spec = validate_doc(doc, name="gated-deal")
+    assert spec is not None and not errors(issues), \
+        [str(i) for i in errors(issues)]
+    lowered = lower(compile_game(spec))
+
+    # oracle vs engine lockstep; seat 2's badge must keep its default
+    for seed in (0, 2):
+        room = OracleRoom(lowered.game, n_players=5, seed=seed)
+        eng = BatchedEngine(lowered)
+        state = init_state(lowered, 1, 5, np.uint32(seed))
+        for t in range(300):
+            room.step(oracle_policy(room, t, seed))
+            state = eng.step(state, scripted_actions(lowered, state))
+            assert_state_matches(lowered, room, state, 0, t)
+            if room.done:
+                break
+        assert room.done
+        assert room.players[2]["badge"] == "", "gated seat was dealt"
+        assert any(room.players[p]["badge"] for p in (1, 3, 4, 5)), \
+            "no ungated seat was ever dealt"
+
+    # C++ full-episode differential
+    from game_engine_tpu.native import available
+    if available():
+        from tests.test_native import run_differential
+        for seed in (0, 4):
+            run_differential(lowered, n_players=5, seed=seed, max_steps=300)
+
+    # pallas interpret
+    B, steps = 8, 60
+    state = init_state(lowered, B, 5, np.arange(B, dtype=np.uint32))
+    ref_state, ref_eps = compiled_rollout(lowered, steps)(state)
+    pal = make_pallas_rollout(lowered, steps, block_rooms=8, interpret=True)
+    state2 = init_state(lowered, B, 5, np.arange(B, dtype=np.uint32))
+    pal_state, pal_eps = pal(state2)
+    _states_equal(ref_state, pal_state)
+    assert int(ref_eps) == int(pal_eps)
+
+
+def test_native_rejects_retired_mech_blob():
+    """A blob carrying a retired mech id (pre-round-4 MECH_ROLES) must be
+    rejected loudly by gs_create, not simulated with roles never dealt."""
+    from game_engine_tpu.native import available
+
+    if not available():
+        pytest.skip("native backend unavailable")
+    import ctypes
+
+    from game_engine_tpu.gamespec.parser import load_builtin
+    from game_engine_tpu.native import lib as NL
+    from game_engine_tpu.native.pack import MECH_ROLES, SEC_MECHS, pack
+
+    lowered = lower(compile_game(load_builtin("werewolf")))
+    blob = np.ascontiguousarray(pack(lowered)).copy()
+    # rewrite the first mech row's id to the retired MECH_ROLES
+    i = 1
+    while i + 2 <= len(blob):
+        sid, n = int(blob[i]), int(blob[i + 1])
+        if sid == SEC_MECHS:
+            blob[i + 2] = MECH_ROLES
+            break
+        i += 2 + n
+    else:
+        raise AssertionError("no SEC_MECHS section found")
+    h = NL._lib.gs_create(
+        blob.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(blob))
+    assert not h, "gs_create accepted a blob with a retired mech id"
+    # the unmodified blob still loads (CppGame raises on rejection)
+    NL.CppGame(lowered)
