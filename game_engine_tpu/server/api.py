@@ -35,7 +35,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Optional
 from urllib.parse import parse_qs, urlparse
 
-from game_engine_tpu.server.manager import GameHost
+from game_engine_tpu.server.manager import GameHost, RoomGone
 from game_engine_tpu.server.storage import MemoryStorage
 
 
@@ -336,6 +336,8 @@ class AppContext:
                         snap["truncated"] = truncated
                     return 200, snap
             return 404, {"error": f"no route {method} {path}"}
+        except RoomGone:
+            return 410, {"error": "room state no longer available"}
         except KeyError as e:
             return 400, {"error": f"missing or unknown field: {e}"}
         except (ValueError, TypeError) as e:
@@ -410,7 +412,11 @@ def make_server(port: int = 0, storage_path: Optional[str] = None,
                             )
                             self.wfile.flush()
                             return
-                        last = snap.get("stateVersion")
+                        # compare against the SAME composite the check
+                        # reads — the snapshot's stateVersion is the bare
+                        # engine t and would never equal (t<<20 | chat),
+                        # turning the cheap check into a per-tick rebuild
+                        last = ver
                         self.wfile.write(f"data: {json.dumps(snap)}\n\n".encode())
                         self.wfile.flush()
                     _time.sleep(0.3)

@@ -51,9 +51,28 @@ class RoomJournal:
 
     def append(self, event: dict[str, Any]) -> None:
         if self._fh is None:  # reattached after restore
+            self._repair_tail()
             self._fh = open(self.path, "a", encoding="utf-8")
         self._fh.write(json.dumps(event) + "\n")
         self._fh.flush()
+
+    def _repair_tail(self) -> None:
+        """A crash mid-append can leave a torn final line. load() already
+        drops it on restore, but appending after it would MERGE the next
+        event into the fragment — one unparseable line mid-file that makes
+        a second restart discard every later event. Truncate to the end of
+        the last complete line before reattaching. (Compaction bounds the
+        file, so reading it whole is fine.)"""
+        try:
+            with open(self.path, "rb") as f:
+                data = f.read()
+        except OSError:
+            return
+        if not data or data.endswith(b"\n"):
+            return
+        cut = data.rfind(b"\n") + 1
+        with open(self.path, "rb+") as f:
+            f.truncate(cut)
 
     def rewrite(self, header: dict[str, Any], events: list[dict[str, Any]]) -> None:
         """Compaction: atomically replace the file with header + events

@@ -427,6 +427,11 @@ class _NativeRooms:
         ]
 
 
+class RoomGone(LookupError):
+    """The room was ended between a caller's liveness check and the
+    handler body (the global lock is released around slow sections)."""
+
+
 class GameHost:
     """Rooms -> engine slots; human action queues; state/items projection."""
 
@@ -515,12 +520,18 @@ class GameHost:
         key = f"{game_name}#r{rounds_per_player}"
         if key not in self._slots:
             spec = None
+            fuzzy = None
             for fn in sorted(os.listdir(self._games_path)):
                 if fn.endswith((".yaml", ".yml")):
-                    s = load_game_spec(os.path.join(self._games_path, fn))
-                    if s.name == game_name or game_name.lower() in s.name.lower():
-                        spec = s
+                    s2 = load_game_spec(os.path.join(self._games_path, fn))
+                    if s2.name == game_name:
+                        spec = s2  # exact name always wins
                         break
+                    # substring fallback ("werewolf" -> "werewolf-(mafia)")
+                    # must not shadow an exact match later in file order
+                    if fuzzy is None and game_name.lower() in s2.name.lower():
+                        fuzzy = s2
+            spec = spec or fuzzy
             if spec is None:
                 raise KeyError(f"unknown game {game_name!r}")
             lowered = lower(compile_game(spec, GameConfig(rounds_per_player=rounds_per_player)))
@@ -823,6 +834,11 @@ class GameHost:
                         self._texts[room_id].setdefault(int(ev["pid"]), {})[
                             str(ev["field"])
                         ] = {str(k): str(v) for k, v in (ev.get("content") or {}).items()}
+                        # live _store_text bumps the revision; replay must
+                        # too, or a projection cached at this engine t keeps
+                        # serving the pre-text overlay after restore
+                        self._text_rev[room_id] = (
+                            self._text_rev.get(room_id, 0) + 1)
                     elif kind == "snap":
                         self._apply_snapshot(room_id, ev)
             except Exception:
@@ -865,7 +881,11 @@ class GameHost:
             chat_mutex = self._chat_locks.setdefault(room_id, threading.Lock())
         with chat_mutex:
             with self._lock:
-                chat = self._chats[room_id]
+                chat = self._chats.get(room_id)
+                if chat is None or room_id not in self._rooms:
+                    # ended between the caller's liveness check and here
+                    # (the global lock is released around the chat mutex)
+                    raise RoomGone(room_id)
                 names = player_names or {}
                 sender_name = names.get(player_id, f"Player {player_id}")
                 # journal carries the wall clock so replay reproduces chat
@@ -878,7 +898,12 @@ class GameHost:
                 if replay_bot is GameHost._REPLAY_RECOMPUTE:
                     slots_key, slot = self._rooms[room_id]
                     gs = self._slots[slots_key]
-                    snap = gs.snapshot_raw(slot, names)
+                    # the PROJECTED snapshot: free-text submissions are
+                    # overlaid (a raw snapshot still carries the engine's
+                    # {"1": "submitted"} marker, so chat answers about
+                    # statements/submitted fields would contradict the
+                    # board every client renders)
+                    snap = self._project_now(room_id, gs, slot, names)
                     try:
                         plan = chat.plan_reply(player_id, sender_name, text,
                                                snap)
@@ -1143,11 +1168,18 @@ class GameHost:
         projection instead of re-decoding (deep-copied — callers mutate)."""
         import copy as _copy
 
-        ver = (gs.version(slot), self._text_rev.get(room_id, 0))
+        names = player_names or self._names.get(room_id)
+        # cache key includes the names: API reads always pass the room's
+        # name map, and a names-only gate would bypass the cache on every
+        # poll/SSE push — re-running the projector per read churns item
+        # ids and (for phases without clearCanvas) accumulates duplicate
+        # items, breaking bit-identical replay of the items state
+        ver = (gs.version(slot), self._text_rev.get(room_id, 0),
+               tuple(sorted((names or {}).items())))
         cached = self._proj_cache.get(room_id)
-        if player_names is None and cached is not None and cached[0] == ver:
+        if cached is not None and cached[0] == ver:
             return _copy.deepcopy(cached[1])
-        snap = gs.snapshot_raw(slot, player_names or self._names.get(room_id))
+        snap = gs.snapshot_raw(slot, names)
         # free-text overlay: submitted content replaces the FSM's odict
         # markers (content is cosmetic to the engine; see queue_action);
         # bots, which type nothing, get deterministic seeded stand-ins
@@ -1176,8 +1208,7 @@ class GameHost:
             snap, prev_items=gs.items[slot], prev_dead=gs.prev_dead[slot]
         )
         gs.prev_dead[slot] = list(snap.get("deadPlayers", []))
-        if player_names is None:
-            self._proj_cache[room_id] = (ver, _copy.deepcopy(snap))
+        self._proj_cache[room_id] = (ver, _copy.deepcopy(snap))
         return snap
 
     def snapshot(self, room_id: str, player_names: Optional[dict[int, str]] = None) -> dict[str, Any]:
