@@ -30,44 +30,67 @@ from game_engine_tpu.train.ppo import (
     Rollout,
     actor_mask,
     gae,
+    team_masks,
     terminal_rewards,
 )
-from game_engine_tpu.train.run import team_masks
+
 
 
 @dataclasses.dataclass
 class League:
-    """Host-side snapshot pool with prioritized opponent sampling."""
+    """Host-side snapshot pool with prioritized opponent sampling.
+
+    Snapshots carry STABLE monotonically-assigned ids: once the pool is
+    full, every snapshot evicts the oldest entry, so raw list positions
+    shift under the caller — sample_opponent therefore hands back the id,
+    and record_result resolves by id (a result for an already-evicted
+    snapshot is dropped, never misapplied to a shifted neighbor)."""
 
     max_size: int = 8
     snapshot_every: int = 50
-    params_pool: list = dataclasses.field(default_factory=list)
-    # EMA of learner win-rate against each snapshot (sample losers more)
-    learner_winrate: list = dataclasses.field(default_factory=list)
+    pool: list = dataclasses.field(default_factory=list)  # {id, params, winrate}
     _updates: int = 0
+    _next_id: int = 0
+
+    @property
+    def params_pool(self) -> list:
+        return [e["params"] for e in self.pool]
+
+    @property
+    def learner_winrate(self) -> list:
+        return [e["winrate"] for e in self.pool]
+
+    def ids(self) -> list:
+        return [e["id"] for e in self.pool]
 
     def maybe_snapshot(self, params) -> bool:
         self._updates += 1
         if (self._updates - 1) % self.snapshot_every == 0:
-            self.params_pool.append(jax.tree_util.tree_map(jnp.copy, params))
-            self.learner_winrate.append(0.5)
-            if len(self.params_pool) > self.max_size:
-                self.params_pool.pop(0)
-                self.learner_winrate.pop(0)
+            self.pool.append({
+                "id": self._next_id,
+                "params": jax.tree_util.tree_map(jnp.copy, params),
+                "winrate": 0.5,  # EMA of learner win-rate (sample losers more)
+            })
+            self._next_id += 1
+            if len(self.pool) > self.max_size:
+                self.pool.pop(0)
             return True
         return False
 
     def sample_opponent(self, rng: np.random.Generator) -> tuple[int, Any]:
-        assert self.params_pool, "snapshot before sampling"
+        assert self.pool, "snapshot before sampling"
         # prioritize opponents the learner loses to
-        w = np.asarray([max(1e-3, 1.0 - r) for r in self.learner_winrate])
-        idx = int(rng.choice(len(self.params_pool), p=w / w.sum()))
-        return idx, self.params_pool[idx]
+        w = np.asarray([max(1e-3, 1.0 - e["winrate"]) for e in self.pool])
+        pos = int(rng.choice(len(self.pool), p=w / w.sum()))
+        return self.pool[pos]["id"], self.pool[pos]["params"]
 
-    def record_result(self, idx: int, learner_win_rate: float, ema: float = 0.1) -> None:
-        self.learner_winrate[idx] = (
-            (1 - ema) * self.learner_winrate[idx] + ema * learner_win_rate
-        )
+    def record_result(self, sid: int, learner_win_rate: float, ema: float = 0.1) -> None:
+        for e in self.pool:
+            if e["id"] == sid:
+                e["winrate"] = (1 - ema) * e["winrate"] + ema * learner_win_rate
+                return
+        # snapshot evicted between sampling and recording — drop the stale
+        # result rather than shifting it onto a neighbor
 
 
 def make_league_train_step(lowered: Lowered, cfg: PPOConfig, tx: optax.GradientTransformation):

@@ -45,16 +45,16 @@ from game_engine_tpu.train.ppo import PPOConfig, gae, make_unroll, ppo_loss
 
 
 def make_pipeline(lowered: Lowered, cfg: PPOConfig,
-                  tx: optax.GradientTransformation,
-                  actor_device=None, learner_device=None):
+                  tx: optax.GradientTransformation):
     """Build (collect, update) as separately-jitted programs.
 
     collect(params, state, key) -> (state', key', traj, last_obs)
     update(params, opt_state, traj, last_obs) -> (params', opt_state', metrics)
 
-    Placement: pass distinct jax devices to overlap the stages; with both
-    None (or equal) the pair degenerates to the sync step split in two —
-    the single-device A/B control.
+    Placement is NOT decided here: run_pipelined places each call by
+    device_put-ing committed inputs (derive-placement-from-operands), so
+    the same pair overlaps on two devices or degenerates to the sync
+    split on one.
     """
     unroll = make_unroll(lowered, cfg)
 
@@ -108,7 +108,7 @@ def run_pipelined(lowered: Lowered, cfg: PPOConfig, tx, params, opt_state,
     programs across calls (timing harnesses); by default the pair is
     built (and compiled) fresh."""
     collect, update = pipeline if pipeline is not None else make_pipeline(
-        lowered, cfg, tx, actor_device, learner_device)
+        lowered, cfg, tx)
 
     def to_a(t):
         return jax.device_put(t, actor_device) if actor_device is not None else t

@@ -19,6 +19,7 @@ import dataclasses
 from typing import NamedTuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 import optax
 
@@ -65,8 +66,14 @@ def terminal_rewards(lowered: Lowered, state: GameState, ended: jax.Array) -> ja
         return jnp.zeros((B, P), jnp.float32)
     if go.mode == "team" and go.team_str_slot >= 0 and go.team_codes:
         team = state.strs[..., go.team_str_slot]
-        codes = jnp.asarray(go.team_codes, jnp.int32)  # minority-first, winner = idx+1
-        win_code = jnp.take(codes, jnp.clip(state.winner - 1, 0, len(go.team_codes) - 1))
+        # unrolled select over the tiny static table — a jnp.take here is
+        # a dynamic gather in the rollout scan's hot path (invariant 3:
+        # TPU lowers tiny-table gathers to the slow kCustom kernel)
+        from game_engine_tpu.core.step import _table_select
+
+        win_code = _table_select(
+            np.asarray(go.team_codes, np.int32),
+            jnp.clip(state.winner - 1, 0, len(go.team_codes) - 1))
         r = jnp.where(team == win_code[:, None], 1.0, -1.0)
     elif go.mode == "score":
         pidx = jnp.arange(1, P + 1, dtype=jnp.int32)[None, :]
@@ -217,6 +224,23 @@ def ppo_loss(params, traj: Rollout, adv, ret, cfg: PPOConfig,
     }
 
 
+def team_masks(lowered: Lowered, state) -> jax.Array:
+    """(B, P) — the 'protagonist' side for cross-play eval: the minority
+    ('evil') team, speakers for speaker games, or SEAT 1 in free-for-all
+    score games (auction/market FFAs have no teams; the meaningful
+    cross-play question is 'does the learned seat beat a scripted field',
+    and winner==1 is exactly seat 1's victory in score mode)."""
+    go = next(iter(lowered.game_overs), None)
+    if go is not None and go.mode == "team" and go.team_codes:
+        return state.strs[..., go.team_str_slot] == go.team_codes[0]
+    if lowered.game.layout.get("is_speaker") is not None:
+        slot = lowered.game.layout.bool_index("is_speaker")
+        return state.bools[..., slot]
+    P = state.present.shape[1]
+    seat1 = jnp.arange(P, dtype=jnp.int32)[None, :] == 0
+    return jnp.broadcast_to(seat1, state.present.shape) & state.present
+
+
 def make_train_step(lowered: Lowered, cfg: PPOConfig, tx: optax.GradientTransformation):
     unroll = make_unroll(lowered, cfg)
 
@@ -227,6 +251,7 @@ def make_train_step(lowered: Lowered, cfg: PPOConfig, tx: optax.GradientTransfor
         state, key, traj = unroll(params, state, key)
         _, last_v = N.apply_net(params, N.observe(lowered, state), cfg.net, lowered)
         adv, ret = gae(traj, last_v, cfg)
+        loss, metrics = jnp.float32(0.0), {}  # epochs=0: rollout-only run
         for _ in range(cfg.epochs):
             (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, traj, adv, ret

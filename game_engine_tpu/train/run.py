@@ -28,25 +28,8 @@ from game_engine_tpu.gamespec.compile import compile_game
 from game_engine_tpu.gamespec.parser import load_builtin
 from game_engine_tpu.gamespec.tables import Lowered, lower, LGameOver
 from game_engine_tpu.policies import net as N
-from game_engine_tpu.train.ppo import PPOConfig, actor_mask, init_training, make_train_step
+from game_engine_tpu.train.ppo import PPOConfig, actor_mask, init_training, make_train_step, team_masks
 from game_engine_tpu.utils.checkpoint import save_tree
-
-
-def team_masks(lowered: Lowered, state) -> jax.Array:
-    """(B, P) — the 'protagonist' side for cross-play eval: the minority
-    ('evil') team, speakers for speaker games, or SEAT 1 in free-for-all
-    score games (auction/market FFAs have no teams; the meaningful
-    cross-play question is 'does the learned seat beat a scripted field',
-    and winner==1 is exactly seat 1's victory in score mode)."""
-    go = next(iter(lowered.game_overs), None)
-    if go is not None and go.mode == "team" and go.team_codes:
-        return state.strs[..., go.team_str_slot] == go.team_codes[0]
-    if lowered.game.layout.get("is_speaker") is not None:
-        slot = lowered.game.layout.bool_index("is_speaker")
-        return state.bools[..., slot]
-    P = state.present.shape[1]
-    seat1 = jnp.arange(P, dtype=jnp.int32)[None, :] == 0
-    return jnp.broadcast_to(seat1, state.present.shape) & state.present
 
 
 def make_eval(lowered: Lowered, cfg: PPOConfig, learned_side: bool, n_steps: int = 256):

@@ -94,7 +94,7 @@ def main() -> None:
 
     # --- pipelined, one device (overlap control) --------------------------
     def pipe_rounds(n, adev=None, ldev=None):
-        pair = make_pipeline(lowered, cfg, tx, adev, ldev)
+        pair = make_pipeline(lowered, cfg, tx)
         run_pipelined(lowered, cfg, tx, params, opt_state, state0, key,
                       2, actor_device=adev, learner_device=ldev,
                       pipeline=pair)  # warm/compile

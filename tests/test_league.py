@@ -24,19 +24,24 @@ def test_league_pool_management():
     snaps = [lg.maybe_snapshot(p) for _ in range(8)]
     assert snaps == [True, False, True, False, True, False, True, False]
     assert len(lg.params_pool) == 3  # capped
+    ids = lg.ids()
+    assert ids == [1, 2, 3], ids  # id 0 evicted; ids are STABLE, not positions
     rng = np.random.default_rng(0)
-    idx, opp = lg.sample_opponent(rng)
-    assert 0 <= idx < 3
+    sid, opp = lg.sample_opponent(rng)
+    assert sid in ids
     # losing opponents get sampled more
     for _ in range(20):
-        lg.record_result(0, 0.0)  # learner always loses to snapshot 0
-        lg.record_result(1, 1.0)
-        lg.record_result(2, 1.0)
-    counts = [0, 0, 0]
+        lg.record_result(ids[0], 0.0)  # learner always loses to this one
+        lg.record_result(ids[1], 1.0)
+        lg.record_result(ids[2], 1.0)
+    counts = {i: 0 for i in ids}
     for _ in range(300):
         i, _ = lg.sample_opponent(rng)
         counts[i] += 1
-    assert counts[0] > counts[1] and counts[0] > counts[2]
+    assert counts[ids[0]] > counts[ids[1]] and counts[ids[0]] > counts[ids[2]]
+    # a result for an evicted id is dropped, not misapplied
+    lg.record_result(0, 1.0)
+    assert lg.ids() == ids
 
 
 def test_league_train_step(ww):
