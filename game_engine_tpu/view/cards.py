@@ -71,6 +71,7 @@ def normalize_position(position: str) -> str:
 # tool name -> card type, for the DM projection
 TOOL_TO_CARD: dict[str, str] = {
     "createCharacterCard": "character_card",
+    "createRoleCard": "character_card",  # hidden-role deal card (same UI)
     "createActionButton": "action_button",
     "createPhaseIndicator": "phase_indicator",
     "createTextDisplay": "text_display",

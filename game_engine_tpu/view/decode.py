@@ -51,11 +51,15 @@ def decode_native(
                     else slot.decode(int(read["strs"][p, slot.index]))
                 )
             elif slot.bank == BANK_PDICT:
-                row[f.name] = {
-                    str(q + 1): slot.decode(int(read["pdict"][p, slot.index, q]))
-                    for q in range(n)
-                    if int(read["pdict"][p, slot.index, q]) != 0
-                }
+                # one numpy scalar read per cell (this runs after every
+                # engine step via the projection path)
+                cells = read["pdict"][p, slot.index]
+                d: dict[str, Any] = {}
+                for q in range(n):
+                    c = int(cells[q])
+                    if c:
+                        d[str(q + 1)] = slot.decode(c)
+                row[f.name] = d
             elif slot.bank == BANK_ODICT:
                 row[f.name] = {"1": "submitted"} if int(read["odict"][p, slot.index]) else {}
             elif slot.bank == BANK_ARR:

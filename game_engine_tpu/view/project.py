@@ -60,10 +60,14 @@ def _alive_names(snapshot: dict[str, Any]) -> list[str]:
 
 
 def _audience(tier: Optional[int], description: str, targets: list[str], all_ids: list[str]):
-    """(audience_type, audience_ids) from the action's tier annotation."""
+    """(audience_type, audience_ids) from the action's tier annotation.
+
+    A TIER 3 private card with an EMPTY target set stays empty — falling
+    back to all_ids would broadcast explicitly-private content (e.g. a
+    role card whose targeted actor just died) to every seat. Tier-2 group
+    messages likewise go to the (possibly empty) matching group."""
     if tier == 3 or (tier == 2 and not _EXCEPT_RE.search(description)):
-        ids = targets or all_ids
-        return False, ids
+        return False, list(targets)
     if tier == 2:  # group message to everyone except the actors
         ids = [i for i in all_ids if i not in targets] or all_ids
         return False, ids
@@ -80,14 +84,19 @@ class Projector:
     def _next_id(self, items: list[Item]) -> str:
         # id derivation: max(existing numeric ids, counter) + 1
         # (reference: src/app/page.tsx:855-862)
-        mx = self._counter
+        self._sync_counter(items)
+        self._counter += 1
+        return str(self._counter)
+
+    def _sync_counter(self, items: list[Item]) -> None:
+        """Raise the counter above every numeric id in `items` — one scan
+        is only load-bearing after a journal restore hands prev_items to a
+        fresh Projector; the monotonic counter covers everything else."""
         for it in items:
             try:
-                mx = max(mx, int(it.id))
+                self._counter = max(self._counter, int(it.id))
             except ValueError:
                 pass
-        self._counter = mx + 1
-        return str(self._counter)
 
     def project(
         self,
@@ -120,7 +129,20 @@ class Projector:
                     items = clear_canvas(items, exempt=exempt)
                     continue
                 if tool == "markPlayerDead":
-                    continue  # state-side effect; death markers render below
+                    # phases that ALSO list createDeathMarker render their
+                    # markers through that card; a phase with only
+                    # markPlayerDead must render here or the death is never
+                    # shown (the caller advances prev_dead after every
+                    # projection, consuming newly_dead)
+                    phase_tools = {t for a in spec_phase.actions
+                                   for t in a.tools}
+                    if "createDeathMarker" not in phase_tools and newly_dead:
+                        new_items = self._make(
+                            "death_marker", tool, action.description, phase,
+                            snapshot, False, [], targets, all_ids,
+                            newly_dead, items)
+                        items.extend(new_items)
+                    continue
                 card = TOOL_TO_CARD.get(tool)
                 if card is None:
                     continue
@@ -145,10 +167,14 @@ class Projector:
               targets, all_ids, newly_dead, items) -> list[Item]:
         players = snapshot["player_states"]
         rp = phase.program.record
+        sp = next((p for p in all_ids if players[p].get("is_speaker")), None)
         out: list[Item] = []
 
+        self._sync_counter(items)
+
         def nid():
-            return self._next_id(items + out)
+            self._counter += 1
+            return str(self._counter)
 
         if card == "phase_indicator":
             out.append(make_item(nid(), card, phase.name, currentPhase=phase.name,
@@ -164,7 +190,6 @@ class Projector:
                 options = [str(i) for i in range(1, hi + 1)]
                 # guess votes read better as the actual statements (the
                 # reference voters pick among the speaker's statements)
-                sp = next((p for p in all_ids if players[p].get("is_speaker")), None)
                 stmts = (players.get(sp, {}).get("statements") or {}) if sp else {}
                 if len(stmts) == hi:
                     options = [str(stmts.get(str(i + 1), i + 1)) for i in range(hi)]
@@ -201,7 +226,6 @@ class Projector:
             out.append(make_item(nid(), card, "Scoreboard", title="Scoreboard",
                                  entries=entries, sort="desc"))
         elif card == "turn_indicator":
-            sp = next((pid for pid in all_ids if players[pid].get("is_speaker")), None)
             if sp is not None:
                 out.append(make_item(
                     nid(), card, "Current Speaker",
@@ -209,7 +233,6 @@ class Projector:
                     label="Speaker",
                 ))
         elif card == "statement_board":
-            sp = next((pid for pid in all_ids if players[pid].get("is_speaker")), None)
             stmts = list((players.get(sp, {}).get("statements") or {}).values()) if sp else []
             revealed = bool(players.get(sp, {}).get("lie_revealed")) if sp else False
             lie = int(players.get(sp, {}).get("lie_index", 0) or 0) if sp else 0
@@ -248,6 +271,18 @@ class Projector:
         return ""
 
     def _score_field(self) -> Optional[str]:
+        # the compiled terminal rule names the score field for 13 of the
+        # 25 catalog games (pearls, coins, position, ...); the name-based
+        # candidates are only a fallback for games with no score terminal
+        from game_engine_tpu.gamespec.mechanics import GameOver
+
+        for phase in self.game.phases:
+            if not phase.terminal:
+                continue
+            for mech in phase.program.on_enter:
+                if (isinstance(mech, GameOver) and mech.mode == "score"
+                        and mech.score_field):
+                    return mech.score_field
         for cand in ("total_score", "score", "points"):
             if cand in self.game.spec.declaration.field_names():
                 return cand
@@ -269,14 +304,30 @@ class Projector:
         # team games: winner indexes the minority-first team order
         from game_engine_tpu.gamespec.mechanics import GameOver
 
-        for phase in self.game.phases:
-            if not phase.terminal:
-                continue
+        def _from(phase):
             for mech in phase.program.on_enter:
                 if isinstance(mech, GameOver):
                     if mech.mode == "team" and winner <= len(mech.team_order):
                         return mech.team_order[winner - 1]
-                    if mech.mode == "score":
-                        row = snapshot["player_states"].get(str(winner), {})
-                        return row.get("name", f"Player {winner}")
+                    # score AND survivor winners are player ids
+                    row = snapshot["player_states"].get(str(winner), {})
+                    return row.get("name", f"Player {winner}")
+            return None
+
+        # the snapshot's current phase IS the terminal the game ended in —
+        # multi-terminal games (gold-rush 98 score / 99 team) would
+        # otherwise take the first terminal's mode in id order
+        try:
+            cur = self.game.phase_by_id(snapshot.get("current_phase_id"))
+        except (KeyError, TypeError):
+            cur = None
+        if cur is not None and cur.terminal:
+            t = _from(cur)
+            if t is not None:
+                return t
+        for phase in self.game.phases:
+            if phase.terminal:
+                t = _from(phase)
+                if t is not None:
+                    return t
         return f"Player {winner}"

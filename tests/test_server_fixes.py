@@ -98,3 +98,86 @@ def test_exact_game_name_beats_substring(tmp_path):
     host2 = GameHost(games_path=gdir, backend="native")
     slots2 = host2._game_slots("grand-auction")
     assert slots2.lowered.game.spec.name == n_decoy
+
+
+# -- view-layer review fixes -------------------------------------------------
+
+
+def test_role_card_tool_renders_character_cards(tmp_path):
+    """createRoleCard (used by midnight-circle/cult/shadow-fold) maps to
+    the character_card renderer; it used to be missing from TOOL_TO_CARD,
+    so hidden-role games never showed anyone their role."""
+    from game_engine_tpu.view.cards import TOOL_TO_CARD
+
+    assert TOOL_TO_CARD["createRoleCard"] == "character_card"
+    gdir = _gdir(tmp_path, "midnight-circle.yaml")
+    host = GameHost(games_path=gdir, backend="native")
+    host.start_room("r", "midnight-circle", 5, seed=3, human_seats=[1])
+    snap = host.run_until_input_needed("r", max_steps=12)
+    cards = [i for i in snap["items"] if i["type"] == "character_card"]
+    assert cards, "no character cards rendered after role assignment"
+    # private: each card visible to exactly one seat
+    for c in cards:
+        d = c.get("data") or {}
+        assert d.get("audience_type") is False
+        assert len(d.get("audience_ids") or []) == 1
+
+
+def test_scoreboard_uses_game_over_score_field():
+    """tide-pool scores by 'pearls' (GameOver.score_field); the old
+    hardcoded candidate list rendered an empty board for 13 games."""
+    from game_engine_tpu.gamespec.compile import compile_game
+    from game_engine_tpu.gamespec.parser import load_builtin
+    from game_engine_tpu.view.project import Projector
+
+    game = compile_game(load_builtin("tide-pool"))
+    proj = Projector(game)
+    assert proj._score_field() == "pearls"
+    snap = {
+        "current_phase_id": 2,  # Tide Resolution lists createScoreBoard
+        "done": False, "winner": 0, "deadPlayers": [],
+        "player_states": {
+            "1": {"name": "A", "pearls": 4, "stash": 0, "dive_pick": 0,
+                  "rounds": 1},
+            "2": {"name": "B", "pearls": 2, "stash": 1, "dive_pick": 0,
+                  "rounds": 1},
+        },
+    }
+    items = proj.project(snap)
+    boards = [i for i in items if i.type == "score_board"]
+    assert boards, "no scoreboard rendered in the resolution phase"
+    entries = boards[-1].data.get("entries")
+    assert entries and {e["name"]: e["score"] for e in entries} ==         {"A": 4, "B": 2}
+
+
+def test_multi_terminal_winner_text_uses_ending_terminal(tmp_path):
+    """gold-rush has a score terminal (98) and a team terminal (99); a
+    team win must display the team name, not the score branch's player
+    name from whichever terminal sorts first."""
+    from game_engine_tpu.gamespec.compile import compile_game
+    from game_engine_tpu.gamespec.parser import load_builtin
+    from game_engine_tpu.gamespec.tables import lower
+    from game_engine_tpu.view.project import Projector
+
+    game = compile_game(load_builtin("gold-rush"))
+    proj = Projector(game)
+    team_terms = [
+        (p, m) for p in game.phases if p.terminal
+        for m in p.program.on_enter
+        if getattr(m, "mode", None) == "team"
+    ]
+    assert team_terms, "gold-rush lost its team terminal?"
+    phase, mech = team_terms[0]
+    snap = {"current_phase_id": phase.dsl_id, "done": True, "winner": 1,
+            "player_states": {"1": {"name": "Alice"}}}
+    txt = proj._winner_text(1, snap)
+    assert txt == mech.team_order[0], (txt, mech.team_order)
+
+
+def test_tier3_empty_targets_stay_private():
+    from game_engine_tpu.view.project import _audience
+
+    aud_type, ids = _audience(3, "TIER 3 - PRIVATE: your role", [], ["1", "2"])
+    assert aud_type is False and ids == [], "empty tier-3 audience broadcast"
+    aud_type, ids = _audience(3, "TIER 3", ["2"], ["1", "2"])
+    assert ids == ["2"]
