@@ -191,7 +191,9 @@ class ConditionContext:
     def resolve_group(self, word: str, living: bool) -> Optional[Pred]:
         """Resolve a group word like 'Werewolves' to a player predicate."""
         w = word.lower()
-        candidates = {w, _singularize(w), _pluralize(w)}
+        # fixed priority order — a set would make which of several
+        # matching entries wins depend on hash order (determinism pin)
+        candidates = list(dict.fromkeys((w, _singularize(w), _pluralize(w))))
         base: Optional[Pred] = None
         # 1. audience group (these already encode aliveness when relevant)
         for c in candidates:
@@ -260,12 +262,17 @@ _RE_NONE_REMAIN = re.compile(
     r"|\ball\s+([A-Za-z_]+)\s+(?:are\s+|have been\s+|were\s+)?eliminated\b",
     re.IGNORECASE,
 )
+# articles must not be captured as the group word ("outnumber the living
+# Villagers" used to capture 'the' -> unresolvable -> AlwaysTrue)
+_ART = r"(?:the\s+|any\s+|all\s+)?"
 _RE_GE = re.compile(
-    r"\b(?:living|alive)?\s*([A-Za-z_]+)\s+(?:are\s+)?equal(?:\s+to)?\s+or\s+outnumber\s+(?:living|alive)?\s*([A-Za-z_]+)",
+    r"\b" + _ART + r"(?:living\s+|alive\s+)?([A-Za-z_]+)\s+(?:are\s+)?equal(?:\s+to)?\s+or\s+outnumber\s+"
+    + _ART + r"(?:living\s+|alive\s+)?([A-Za-z_]+)",
     re.IGNORECASE,
 )
 _RE_GT = re.compile(
-    r"\b(?:living|alive)?\s*([A-Za-z_]+)\s+outnumber\s+(?:living|alive)?\s*([A-Za-z_]+)",
+    r"\b" + _ART + r"(?:living\s+|alive\s+)?([A-Za-z_]+)\s+outnumber\s+"
+    + _ART + r"(?:living\s+|alive\s+)?([A-Za-z_]+)",
     re.IGNORECASE,
 )
 _RE_FOLLOWS = re.compile(r"\bfollows\s+(?:a\s+|an\s+|the\s+)?(.+)$", re.IGNORECASE)
@@ -316,6 +323,10 @@ def _compile_clause(clause: str, ctx: ConditionContext) -> tuple[Optional[Cond],
     if m:
         word = m.group(1) or m.group(2)
         pred = ctx.resolve_group(word, living=True)
+        if pred is None and word.lower() in ("players", "player", "souls",
+                                             "contestants", "survivors"):
+            # generic all-players phrasing: "no living players remain"
+            pred = ctx.alive_pred()
         if pred is not None:
             return CountCmp(left=pred, op="eq", right=0), True
 

@@ -78,6 +78,12 @@ from typing import Optional
 
 from game_engine_tpu.gamespec import effects as FX
 from game_engine_tpu.gamespec.expr import Pred, parse_predicate, PredicateError, TRUE
+
+
+class MechanicHintError(ValueError):
+    """A P18 hint that cannot take effect (loud-or-correct: the serving
+    path never runs dslgen/validate.py, so a malformed declared hint must
+    fail compilation rather than put a silent no-op phase in play)."""
 from game_engine_tpu.gamespec.layout import (
     BANK_BOOL,
     BANK_NUM,
@@ -286,7 +292,9 @@ _RE_FIELD_FALSE = re.compile(r"\b([A-Za-z_][A-Za-z0-9_]*)\s*(?:=|set to)\s*false
 _RE_FIELD_SET = re.compile(
     r"\b([A-Za-z_][A-Za-z0-9_]*)\s+(?:set|updated|recorded|filled)\b", re.IGNORECASE
 )
-_RE_RANGE = re.compile(r"\(\s*1\s*[-–]\s*(\d+)\s*\)|options?\s+1\s*(?:,\s*\d+)*\s*,\s*(\d+)")
+_RE_RANGE = re.compile(
+    r"\(\s*1\s*[-–]\s*(\d+)\s*\)|options?\s+1\s*(?:,\s*\d+)*\s*,\s*(\d+)",
+    re.IGNORECASE)
 
 _TARGET_WORDS = re.compile(
     r"\b(eliminat\w*|protect\w*|investigat\w*|target\w*|kill\w*|challeng\w*|raid\w*|steal\w*|rob\w*)\b",
@@ -532,7 +540,10 @@ def _build_role_assign(spec: GameSpec, layout: StateLayout) -> Optional[RoleAssi
                     continue
                 vals = {repr(row.get(f.name)) for row in rows if f.name in row}
                 if len(vals) == 1:
-                    v = rows[0].get(f.name)
+                    # from a row that HAS the field — rows[0] may omit it,
+                    # which would set the literal None ('None' for strings,
+                    # False for bools) instead of the constant
+                    v = next(row[f.name] for row in rows if f.name in row)
                     # only set if it differs across roles somewhere
                     others = {
                         repr(orow.get(f.name))
@@ -817,12 +828,9 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
         role_names = {r.name.lower() for r in decl.roles}
 
         def is_rolelike(team: str) -> bool:
-            if team.endswith("ves"):
-                s = team[:-3] + "f"  # werewolves -> werewolf
-            elif team.endswith("s"):
-                s = team[:-1]
-            else:
-                s = team
+            from game_engine_tpu.gamespec.conditions import _singularize
+
+            s = _singularize(team)
             return s in role_names or team in role_names
 
         team_order = tuple(sorted(vals, key=lambda t: (not is_rolelike(t), t)))
@@ -856,6 +864,11 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
                 continue
             if isinstance(harg, tuple):  # {winner: {score: field}}
                 kv = dict(harg)
+                if "score" not in kv:
+                    raise MechanicHintError(
+                        f"winner mapping {sorted(kv)} has no 'score' key — "
+                        "declare {winner: {score: <num field>}} or a mode "
+                        "string (team/survivor/richest)")
                 f = kv.get("score")
                 f = f if (f in fields and layout.slot(f).bank == BANK_NUM) else None
                 f = f or score_like_field or resource_field
@@ -952,7 +965,16 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
                            or _PROTECT_PHASE_RE.search(_phase_text(spec.phases[c])))
                        and c not in kill_ph]
             if kill_ph:
-                kill_pred = _safe_pred(spec.phases[kill_ph[0]].completion.target_condition)
+                # kill_pred comes from the FIRST kill phase only — P7 pins
+                # "kill target = plurality of the killer-phase choices"
+                # (one killer phase per night). kill_ph often contains
+                # text-matched false positives (gold-rush's Sheriff
+                # investigation mentions elimination), so OR-ing every
+                # matched phase's predicate would let investigators vote
+                # kills; a true two-killer night needs per-phase declared
+                # `mechanics: [{effects: ...}]` programs instead.
+                kill_pred = _safe_pred(
+                    spec.phases[kill_ph[0]].completion.target_condition)
                 protect_pred = (
                     _safe_pred(spec.phases[prot_ph[0]].completion.target_condition) if prot_ph else TRUE
                 )

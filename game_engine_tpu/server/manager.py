@@ -534,6 +534,18 @@ class GameHost:
             spec = spec or fuzzy
             if spec is None:
                 raise KeyError(f"unknown game {game_name!r}")
+            # loud-or-correct on the SERVING path: /api/generate-dsl runs
+            # the validator, but hand-dropped YAML reaches here directly —
+            # a game with validator ERRORS (unattachable hints, broken
+            # predicates, unreachable terminals) must fail room creation,
+            # not play with silent no-op phases
+            from game_engine_tpu.dslgen.validate import errors, validate_spec
+
+            errs = errors(validate_spec(spec))
+            if errs:
+                raise ValueError(
+                    f"game {spec.name!r} failed validation: "
+                    + "; ".join(str(e) for e in errs[:3]))
             lowered = lower(compile_game(spec, GameConfig(rounds_per_player=rounds_per_player)))
             cls = _NativeRooms if self._backend == "native" else _GameSlots
             self._slots[key] = cls(lowered)

@@ -121,3 +121,46 @@ def test_any_player_n_or_fewer_field():
     stocked = {"pool_left": 3}
     assert eval_condition(cond, _players(empty, stocked), prev_phase_id=1)
     assert not eval_condition(cond, _players(stocked, stocked), prev_phase_id=1)
+
+
+# -- round-4 review fixes -----------------------------------------------------
+
+
+def test_articles_before_group_words():
+    """'outnumber the living Villagers' used to capture 'the' as the group
+    word and compile to AlwaysTrue (progression bias would then end the
+    game with the wrong winner)."""
+    from game_engine_tpu.gamespec import conditions as C
+    from game_engine_tpu.gamespec.parser import load_builtin
+
+    ctx = C.ConditionContext(load_builtin("werewolf-(mafia)"))
+    for sent in (
+        "If living Werewolves are equal to or outnumber the living Villagers",
+        "If the Werewolves outnumber the Villagers",
+        "If any Werewolves outnumber all Villagers",
+    ):
+        cond, ok = C.compile_branch_condition(sent, ctx)
+        assert ok, sent
+        assert type(cond).__name__ == "CountCmp", (sent, cond)
+
+
+def test_no_players_remain_compiles():
+    from game_engine_tpu.gamespec import conditions as C
+    from game_engine_tpu.gamespec.parser import load_builtin
+
+    ctx = C.ConditionContext(load_builtin("werewolf-(mafia)"))
+    cond, ok = C.compile_branch_condition("If no living players remain", ctx)
+    assert ok and type(cond).__name__ == "CountCmp"
+
+
+def test_resolve_group_candidate_order_deterministic():
+    """Candidates are probed in fixed priority order (word, singular,
+    plural) — a set would make the winner hash-order dependent when
+    several candidates match different entries."""
+    from game_engine_tpu.gamespec import conditions as C
+    from game_engine_tpu.gamespec.parser import load_builtin
+
+    ctx = C.ConditionContext(load_builtin("werewolf-(mafia)"))
+    a = ctx.resolve_group("Werewolves", living=True)
+    for _ in range(5):
+        assert ctx.resolve_group("Werewolves", living=True) == a

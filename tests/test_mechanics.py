@@ -124,3 +124,55 @@ def test_splitmix_determinism():
     perms = {tuple(M.role_permutation(s, 6)) for s in range(50)}
     assert len(perms) > 10  # actually shuffles
     assert sorted(M.role_permutation(7, 6)) == [0, 1, 2, 3, 4, 5]
+
+
+# -- round-4 review fixes -----------------------------------------------------
+
+
+def test_role_settings_value_from_row_having_field():
+    """The constant-per-role value must come from a row that HAS the
+    field; rows[0] may omit it, which used to set the literal None."""
+    import copy
+
+    from game_engine_tpu.gamespec.layout import build_layout
+    from game_engine_tpu.gamespec.parser import load_builtin
+
+    spec = load_builtin("werewolf-(mafia)")
+    doc_rows = spec.declaration.players_example
+    # drop 'team' from the FIRST werewolf row only
+    rows = {k: dict(v) for k, v in doc_rows.items()}
+    wolf_ids = [k for k, v in rows.items() if v.get("role") == "Werewolf"]
+    assert wolf_ids, "no werewolf example row"
+    # a second wolf row that HAS team, while the FIRST one drops it
+    new_id = max(int(k) for k in map(int, rows)) + 1
+    rows[new_id] = dict(rows[wolf_ids[0]])
+    rows[wolf_ids[0]].pop("team")
+    spec2 = copy.deepcopy(spec)
+    object.__setattr__(spec2.declaration, "players_example", rows)
+    layout = build_layout(spec2.declaration)
+    ra = M._build_role_assign(spec2, layout)
+    team_settings = {r: dict(fs).get("team") for r, fs in ra.role_fields}
+    assert team_settings.get("Werewolf") not in (None, "None"), team_settings
+
+
+def test_option_range_detection_case_insensitive():
+    assert M._RE_RANGE.search("Options 1, 2, 3") is not None
+    assert M._RE_RANGE.search("options 1, 2, 3") is not None
+    assert M._RE_RANGE.search("(1-4)") is not None
+
+
+def test_winner_mapping_without_score_is_loud():
+    """{winner: {mode: survivor}} must not silently become score mode."""
+    import pytest
+
+    import yaml as _yaml
+
+    from game_engine_tpu.gamespec.compile import compile_game
+    from game_engine_tpu.gamespec.parser import games_dir, parse_game_spec
+    import os
+
+    doc = _yaml.safe_load(open(os.path.join(games_dir(), "tide-pool.yaml")))
+    doc["phases"][99]["mechanics"] = [{"winner": {"mode": "survivor"}}]
+    spec = parse_game_spec(doc, name="bad-winner")
+    with pytest.raises(M.MechanicHintError, match="no 'score' key"):
+        compile_game(spec)

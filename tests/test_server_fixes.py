@@ -181,3 +181,23 @@ def test_tier3_empty_targets_stay_private():
     assert aud_type is False and ids == [], "empty tier-3 audience broadcast"
     aud_type, ids = _audience(3, "TIER 3", ["2"], ["1", "2"])
     assert ids == ["2"]
+
+
+def test_serving_path_validates_games(tmp_path):
+    """Hand-dropped YAML with validator ERRORS (here: an unreachable
+    terminal) must fail room creation loudly instead of playing with
+    silent no-op phases — the serving path never runs /api/generate-dsl's
+    validation."""
+    gdir = _gdir(tmp_path, "tide-pool.yaml")
+    doc = yaml.safe_load(open(os.path.join(gdir, "tide-pool.yaml")))
+    # break the graph: the resolution phase loops to itself only, so no
+    # terminal is reachable
+    doc["phases"][2]["next_phase"] = {"Otherwise the diving continues":
+                                      {"id": 1, "name": "Depth Choice"}}
+    with open(os.path.join(gdir, "broken.yaml"), "w") as f:
+        yaml.safe_dump(doc, f, sort_keys=False)
+    host = GameHost(games_path=gdir, backend="native")
+    with pytest.raises(ValueError, match="failed validation"):
+        host.start_room("r", "broken", 4, seed=1, human_seats=[1])
+    # the intact copy still starts
+    host.start_room("ok", "tide-pool", 4, seed=1, human_seats=[1])
