@@ -439,14 +439,23 @@ def _make_decoder(params, cfg: LMConfig):
     return jax.jit(decode)
 
 
+# bounded: each entry pins a params dict + compiled executable; unbounded
+# growth leaked every previously-loaded checkpoint for process lifetime
 _DECODER_CACHE: dict[tuple, Any] = {}
+_DECODER_CACHE_MAX = 4
 
 
-def greedy_reply(params, cfg: LMConfig, ctx: str, max_new: int = 128) -> str:
-    """Deterministic greedy decode of a reply for a context string."""
+def greedy_reply(params, cfg: LMConfig, ctx: str, max_new: int = 192) -> str:
+    """Deterministic greedy decode of a reply for a context string.
+
+    Returns "" (caller falls back to the template tier) when the decode
+    runs out of token budget before EOS — a truncated roster/status reply
+    would factually misreport the board."""
     key = (id(params), dataclasses.astuple(cfg))
     dec = _DECODER_CACHE.get(key)
     if dec is None:
+        while len(_DECODER_CACHE) >= _DECODER_CACHE_MAX:
+            _DECODER_CACHE.pop(next(iter(_DECODER_CACHE)))
         dec = _DECODER_CACHE[key] = (_make_decoder(params, cfg), params)
     # keep the FULL context (training saw it untruncated — encode_pair only
     # clips at max_len total); generation just uses whatever room is left
@@ -464,13 +473,21 @@ def greedy_reply(params, cfg: LMConfig, ctx: str, max_new: int = 128) -> str:
             break
         reply_toks.append(t)
     out = decode_tokens(reply_toks).strip()
-    if not hit_eos and " " in out:
-        # token budget ran out mid-word: trim to the last complete word
-        out = out[: out.rfind(" ")].rstrip(" ,;:-")
+    if not hit_eos:
+        # budget exhausted before EOS: keep only COMPLETE sentences — a
+        # mid-list clip ("Still standing: A, B," missing seats) would
+        # misreport the board; with no finished sentence at all, hand the
+        # turn to the template tier ("" -> hook returns None)
+        cut = max(out.rfind("."), out.rfind("!"), out.rfind("?"))
+        return out[: cut + 1] if cut > 0 else ""
     return out
 
 
 def save(path: str, params: dict[str, Any], cfg: LMConfig) -> None:
+    # np.savez silently appends '.npz' to a bare path; normalize so that
+    # save(p) and load(p) always agree on the file name
+    if not path.endswith(".npz"):
+        path += ".npz"
     np.savez(path, __config__=json.dumps(dataclasses.asdict(cfg)),
              **{k: np.asarray(v) for k, v in params.items()})
 

@@ -190,9 +190,15 @@ def persona_of(seed: int, bot: int) -> int:
 def decorate_persona(text: str, pid: int, h: int) -> str:
     """Color a composed reply with the persona's tics: a third of replies
     get the opening tic, a third the closing, a third stay plain — the
-    same statement-ordered determinism as every pool pick."""
+    same statement-ordered determinism as every pool pick.
+
+    The roll derives from (h mod 12, pid) ONLY — exactly the values the
+    LM context exposes (R= and Pe=) — so the decoration is a pure
+    function of the student's conditioning. Hashing the full h made
+    byte-identical contexts carry different targets (irreducible noise
+    that floors the distillation loss and garbles greedy decodes)."""
     name, opens, closes = PERSONAS[pid]
-    h3 = splitmix32((h ^ (pid * 0x85EB)) & 0xFFFFFFFF)
+    h3 = splitmix32(((h % 12) ^ (pid * 0x85EB)) & 0xFFFFFFFF)
     roll = h3 % 3
     if roll == 0:
         return f"{opens[h3 // 3 % len(opens)]} {text}"
@@ -211,13 +217,21 @@ def lm_may_serve(lm_hook, plan: dict) -> bool:
                                                          False))
 
 
+_REFUSAL_RE = re.compile(
+    r"\b(hidden|secret|private|business|knows|ask|tell(?:ing)?|"
+    r"won'?t|can'?t|cannot|not\s+say(?:ing)?)\b", re.IGNORECASE)
+
+
 def grounded_reply_ok(reply: str, g: dict) -> bool:
     """Deterministic faithfulness check for a learned grounded reply:
-    must name the field; visible facts must quote the exact value."""
+    must name the field; visible facts must quote the exact value; hidden
+    facts must read as a REFUSAL — a decode that names the field but
+    asserts a fabricated value ("My role is werewolf.") used to pass and
+    could coincide with (and so leak) the real hidden value."""
     if not re.search(rf"\b{re.escape(g['fname'])}\b", reply, re.IGNORECASE):
         return False
     if g.get("hidden") or g.get("val") is None:
-        return True
+        return _REFUSAL_RE.search(reply) is not None
     return re.search(rf"(?<![\w-]){re.escape(str(g['val']))}(?![\w-])",
                      reply) is not None
 
@@ -347,18 +361,19 @@ class ChatRoom:
         fact = self._field_answer(bot, sender_id, sender_name, text,
                                   snapshot, h2)
         pid = persona_of(self.seed, bot)
+        players_all = snapshot.get("player_states", {})
+        sus = self._pick_suspect(bot, sender_id, players_all, h2)
         if fact is not None:
             kind = "field"
             composed = fact["text"]  # never decorated: exact values first
         else:
             composed = decorate_persona(
                 self._compose(kind, bot, sender_id, sender_name, text,
-                              snapshot, h2), pid, h2)
+                              snapshot, h2, suspect=sus), pid, h2)
         bot_name = players.get(str(bot), {}).get("name") or f"Player {bot}"
         # the reply inherits the triggering message's clock so journal
         # replay reproduces timestamps exactly
         trigger_ts = self.messages[-1].timestamp if self.messages else None
-        sus = self._pick_suspect(bot, sender_id, players, h2)
         return {
             "context": lm_context(kind, bot, sender_name, text, snapshot,
                                   variant=h2,
@@ -537,13 +552,15 @@ class ChatRoom:
                 "is_self": subject == bot}
 
     def _compose(self, kind: str, bot: int, sender_id: int, sender_name: str,
-                 text: str, snapshot: dict[str, Any], h: int) -> str:
+                 text: str, snapshot: dict[str, Any], h: int,
+                 suspect: Optional[int] = None) -> str:
         players = snapshot.get("player_states", {})
         me = players.get(str(bot), {})
         phase = snapshot.get("current_phase_name") or "the game"
         dead = [str(d) for d in snapshot.get("deadPlayers", [])]
         alive = [pid for pid, row in players.items() if row.get("is_alive", True)]
-        suspect = self._pick_suspect(bot, sender_id, players, h)
+        if suspect is None:  # plan_reply passes the shared pick; direct
+            suspect = self._pick_suspect(bot, sender_id, players, h)  # callers
         sus_name = self._name(players, suspect) if suspect else None
 
         if kind == "greeting":

@@ -147,3 +147,37 @@ def test_pe_segment_gated_on_persona_support():
     assert "|Pe=" in plan3["context"]
     # identical plans modulo the Pe segment: same persona id both ways
     assert plan2["context"] == plan3["context"]
+
+
+# -- round-4 review fixes -----------------------------------------------------
+
+
+def test_persona_decoration_recoverable_from_context():
+    """The decoration roll must be a pure function of (h mod 12, persona)
+    — exactly what the LM context exposes (R=, Pe=) — or byte-identical
+    contexts carry different targets and the student trains on noise."""
+    from game_engine_tpu.server.chat import decorate_persona
+
+    for pid in range(6):
+        for r in range(12):
+            outs = {decorate_persona("base reply.", pid, h)
+                    for h in (r, r + 12, r + 24, r + 9996)}
+            assert len(outs) == 1, (pid, r, outs)
+
+
+def test_grounded_hidden_requires_refusal_shape():
+    """A decode naming a hidden field but asserting a value must FAIL the
+    gate (it could coincide with, and so leak, the real hidden value)."""
+    from game_engine_tpu.server.chat import grounded_reply_ok
+
+    g = {"fname": "role", "val": None, "hidden": True}
+    assert not grounded_reply_ok("My role is werewolf.", g)
+    assert grounded_reply_ok(
+        "My role is my business, Alba.", g)
+    assert grounded_reply_ok(
+        "Nice try — my role stays hidden until the game says otherwise.", g)
+    assert grounded_reply_ok("Only Boro knows their role.", g)
+    # visible facts still require the exact value
+    g2 = {"fname": "coins", "val": "7", "hidden": False}
+    assert grounded_reply_ok("My coins is 7.", g2)
+    assert not grounded_reply_ok("My coins is 9.", g2)
