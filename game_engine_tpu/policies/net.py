@@ -10,8 +10,11 @@ value head.
 Observation design (``obs_dim`` static per compiled game):
   per player: [bool bank, num bank (scaled), one-hot str banks,
                phase one-hot, acted flag, alive-count fraction]
-Hidden-role information is included (centralized training, self-play); a
-masked "public view" variant can be derived from view/project.py later.
+observe() defaults to the MASKED hidden-role view (field_visibility:
+self-only bookkeeping, team-visible roles for the coordinating minority,
+P15 reveal flags re-publicizing a dead seat's role); every trainer uses
+it. masked=False gives the full-information centralized view for
+debug/ablation.
 """
 
 from __future__ import annotations
@@ -54,14 +57,31 @@ def field_visibility(lowered: Lowered) -> dict[str, int]:
             out[f.name] = VIS_SELF
         else:
             out[f.name] = VIS_PUBLIC
-    # action bookkeeping written in phases that target a strict subset of
-    # players is the actors' own information (a public night_action flag
-    # would leak who holds a night role)
-    from game_engine_tpu.gamespec.expr import Const
+    # action bookkeeping is the actors' own information exactly when the
+    # phase SELECTS its actors by hidden fields (a public night_action
+    # flag would leak who holds a night role). A phase whose target
+    # predicate reads only PUBLIC fields (day votes: can_vote/is_alive)
+    # keeps its writes public — the game's central public signal. (The
+    # old isinstance(pred, Const) carve-out was dead: every catalog
+    # action phase has a non-trivial predicate, so even day-vote
+    # bookkeeping was masked VIS_SELF.)
+    from game_engine_tpu.gamespec.expr import collect_atoms
+
+    base_vis = dict(out)
+    if team_grouped:
+        for name in ("team", "role"):
+            if name in base_vis:
+                base_vis[name] = VIS_TEAM
 
     for cp in lowered.game.phases:
-        if isinstance(cp.target_pred, Const):
-            continue  # everyone acts: the writes are public (day votes)
+        try:
+            atoms = list(collect_atoms(cp.target_pred))
+        except Exception:  # noqa: BLE001 — unknown pred shape: be private
+            atoms = None
+        if atoms is not None and all(
+                base_vis.get(a.field, VIS_PUBLIC) == VIS_PUBLIC
+                for a in atoms):
+            continue  # selected by public info only: writes stay public
         rp = cp.program.record
         for name in rp.set_bool_true + rp.set_bool_false:
             out[name] = VIS_SELF
@@ -74,6 +94,28 @@ def field_visibility(lowered: Lowered) -> dict[str, int]:
         for name in ("team", "role"):
             if name in out:
                 out[name] = VIS_TEAM
+    return out
+
+
+_REVEAL_RE = _re.compile(r"reveal", _re.IGNORECASE)
+
+
+def _phase_public_acting(lowered: Lowered) -> np.ndarray:
+    """(NP,) bool — whether WHO-has-acted in each phase is public info
+    (the phase selects actors by public fields only). In a night phase a
+    public acted flag leaks who holds a night role the moment the phase
+    sits partially complete (bots acted, human hasn't)."""
+    from game_engine_tpu.gamespec.expr import collect_atoms
+
+    vis = field_visibility(lowered)
+    out = np.zeros((lowered.NP,), dtype=bool)
+    for cp in lowered.game.phases:
+        try:
+            atoms = list(collect_atoms(cp.target_pred))
+        except Exception:  # noqa: BLE001
+            atoms = None
+        out[cp.index] = atoms is not None and all(
+            vis.get(a.field, VIS_PUBLIC) == VIS_PUBLIC for a in atoms)
     return out
 
 
@@ -136,16 +178,32 @@ def observe(lowered: Lowered, state: GameState, masked: bool = True) -> jax.Arra
         same_team = jnp.zeros((B, P, P), bool)
     is_self = jnp.broadcast_to(jnp.eye(P, dtype=bool)[None], (B, P, P))
 
+    # P15: a seat whose reveal flag is set (death announcements) has its
+    # role/team PUBLICLY revealed — static masking alone would hide "the
+    # lynched player was a Villager" forever, a core public signal
+    revealed = None
+    if masked:
+        for f in lowered.game.spec.declaration.fields:
+            if _REVEAL_RE.search(f.name):
+                rs = lay.get(f.name)
+                if rs is not None and rs.bank == "bool":
+                    revealed = state.bools[..., rs.index]  # (B, P) targets
+                    break
+
     def mask_for(field: str) -> jax.Array:
         """(B, viewer P, target P) — may the viewer see this field?"""
         if not masked:
             return jnp.ones((B, P, P), bool)
         v = vis.get(field, VIS_PUBLIC)
         if v == VIS_SELF:
-            return is_self
-        if v == VIS_TEAM:
-            return is_self | same_team
-        return jnp.ones((B, P, P), bool)
+            m = is_self
+        elif v == VIS_TEAM:
+            m = is_self | same_team
+        else:
+            return jnp.ones((B, P, P), bool)
+        if revealed is not None and field in ("role", "team"):
+            m = m | revealed[:, None, :]
+        return m
 
     # per-field feature blocks, expanded to (B, viewer, target, width) —
     # computed in bfloat16: the net consumes bf16 and these (B,P,P,F0)
@@ -166,7 +224,20 @@ def observe(lowered: Lowered, state: GameState, masked: bool = True) -> jax.Arra
         m = mask_for(f.name)[..., None]  # (B, V, T, 1)
         blocks.append(jnp.where(m, feat[:, None, :, :], dt(0)))
     alive = _alive(lowered, state)
-    blocks.append(jnp.broadcast_to(state.acted.astype(dt)[:, None, :, None], (B, P, P, 1)))
+    acted = state.acted
+    if masked:
+        # who-acted is public only in publicly-targeted phases; elsewhere
+        # each viewer sees their own acted bit (partial night completion
+        # used to broadcast exactly which seats hold night roles)
+        from game_engine_tpu.core.step import _table_select
+
+        pub = _table_select(
+            _phase_public_acting(lowered).astype(np.int32), state.phase) != 0
+        acted_vt = acted[:, None, :] & (pub[:, None, None] | is_self)
+        blocks.append(acted_vt.astype(dt)[..., None])
+    else:
+        blocks.append(jnp.broadcast_to(
+            acted.astype(dt)[:, None, :, None], (B, P, P, 1)))
     blocks.append(jnp.broadcast_to(alive.astype(dt)[:, None, :, None], (B, P, P, 1)))
     room = jnp.concatenate(blocks, axis=-1).reshape(B, P, -1)  # (B, V, T*F0)
 

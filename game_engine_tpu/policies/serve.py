@@ -20,7 +20,7 @@ flags.
 
 from __future__ import annotations
 
-import functools
+import dataclasses
 from typing import Any, Optional
 
 import jax
@@ -46,13 +46,12 @@ def infer_net_config(params: dict[str, Any]) -> N.NetConfig:
     layers = 0
     while f"w{layers}" in params:
         layers += 1
-    heads = 1
-    if arch == "attn":
-        # hp = max(32, hidden // 2); head count divides hp — stored single
-        # head by default; infer from qkv only if shapes ever disambiguate
-        heads = 1
+    # attn head count does NOT affect parameter shapes (w_qkv is
+    # (hp, 3*hp) for any nh) so it cannot be inferred — it rides in the
+    # .tree.json sidecar meta; absent meta defaults to 1 (every shipped
+    # checkpoint), and load_policy overrides from meta when present
     return N.NetConfig(hidden=hidden, layers=layers, arch=arch,
-                       attn_heads=heads)
+                       attn_heads=1)
 
 
 def load_policy(path: str) -> tuple[dict[str, Any], N.NetConfig]:
@@ -75,7 +74,11 @@ def load_policy(path: str) -> tuple[dict[str, Any], N.NetConfig]:
         raise ValueError(
             f"checkpoint {path}: {len(leaves)} leaves vs {len(keys)} keys")
     params = {k: jnp.asarray(v) for k, v in zip(keys, leaves)}
-    return params, infer_net_config(params)
+    cfg = infer_net_config(params)
+    heads = int((meta.get("meta") or {}).get("attn_heads", 0))
+    if heads:
+        cfg = dataclasses.replace(cfg, attn_heads=heads)
+    return params, cfg
 
 
 class PolicyBots:
@@ -87,7 +90,7 @@ class PolicyBots:
         self.params = params
         self.cfg = cfg
         self.ckpt_path = ckpt_path
-        self._greedy = jax.jit(functools.partial(self._greedy_fn))
+        self._greedy = jax.jit(self._greedy_fn)
 
     def _greedy_fn(self, state: GameState) -> jax.Array:
         """(B, P) int32 greedy choices: argmax over legal-masked logits.

@@ -148,7 +148,8 @@ def main(argv=None):
                 import os
 
                 os.makedirs(args.league_dir, exist_ok=True)
-                save_tree(os.path.join(args.league_dir, f"snap_u{u:05d}"), params)
+                save_tree(os.path.join(args.league_dir, f"snap_u{u:05d}"),
+                          params, meta={"attn_heads": cfg.net.attn_heads})
             metrics = dict(metrics)
             metrics["opponent"] = opp_idx
             metrics["pool_size"] = len(league.params_pool)
@@ -162,7 +163,8 @@ def main(argv=None):
         if u % args.eval_every == 0 or u == args.updates:
             print(json.dumps({"event": "eval", "update": u, **run_evals()}))
             if args.checkpoint:
-                save_tree(f"{args.checkpoint}_u{u}", params)
+                save_tree(f"{args.checkpoint}_u{u}", params,
+                          meta={"attn_heads": cfg.net.attn_heads})
     return params
 
 

@@ -52,13 +52,21 @@ def load_state(path: str) -> GameState:
         return GameState(**{f: jnp.asarray(z[f]) for f in _FIELDS})
 
 
-def save_tree(path: str, tree) -> None:
-    """Checkpoint an arbitrary pytree (params, opt_state) as npz + treedef."""
+def save_tree(path: str, tree, meta: dict | None = None) -> None:
+    """Checkpoint an arbitrary pytree (params, opt_state) as npz + treedef.
+
+    ``meta`` rides in the .tree.json (e.g. the attn head count, which is
+    not recoverable from parameter shapes). The sidecar name derives from
+    the STEM so save_tree('x.npz') and load_policy('x.npz') agree (it
+    used to write 'x.npz.tree.json', which load_policy never found —
+    the host then silently served scripted bots)."""
+    stem = path[:-4] if path.endswith(".npz") else path
     leaves, treedef = jax.tree_util.tree_flatten(tree)
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
-    np.savez_compressed(path if path.endswith(".npz") else path + ".npz", **arrays)
-    with open(path + ".tree.json", "w", encoding="utf-8") as f:
-        json.dump({"treedef": str(treedef), "n": len(leaves)}, f)
+    np.savez_compressed(stem + ".npz", **arrays)
+    with open(stem + ".tree.json", "w", encoding="utf-8") as f:
+        json.dump({"treedef": str(treedef), "n": len(leaves),
+                   **({"meta": meta} if meta else {})}, f)
 
 
 def load_tree(path: str, like) -> object:

@@ -308,3 +308,51 @@ def test_loss_chunk_invariance(ww_lowered):
                 np.asarray(grads[k], np.float32),
                 np.asarray(base_grads[k], np.float32),
                 rtol=2e-3, atol=2e-4, err_msg=f"chunk={chunk} grad {k}")
+
+
+# -- round-4 review fixes: observation information rules ----------------------
+
+
+def test_day_vote_writes_are_public(ww_lowered):
+    """A phase selecting actors by PUBLIC fields (can_vote/is_alive) keeps
+    its recorded bookkeeping public; the old Const-only carve-out masked
+    even day-vote writes VIS_SELF."""
+    from game_engine_tpu.policies.net import (
+        VIS_PUBLIC, VIS_SELF, field_visibility)
+
+    vis = field_visibility(ww_lowered)
+    assert vis.get("vote_choice", VIS_PUBLIC) == VIS_PUBLIC, \
+        "day-vote bookkeeping masked self-only"
+    # night bookkeeping stays private (selected by hidden role)
+    assert vis.get("selected_target_id") == VIS_SELF
+
+
+def test_revealed_role_visible_to_all(ww_lowered):
+    """P15: once a seat's reveal flag is set, its role one-hot must be
+    visible to every viewer (the lynched player's role is announced)."""
+    import numpy as np
+
+    from game_engine_tpu.core.state import init_state
+    from game_engine_tpu.policies import net as N
+
+    state = init_state(ww_lowered, 1, 5, np.uint32(0))
+    lay = ww_lowered.game.layout
+    role_slot = lay.slot("role")
+    rev_slot = lay.bool_index("role_revealed")
+    # give seat 2 a role code and flip its reveal flag
+    strs = state.strs.at[0, 1, role_slot.index].set(2)
+    bools = state.bools.at[0, 1, rev_slot].set(True)
+    state = state._replace(strs=strs, bools=bools)
+    obs = np.asarray(N.observe(ww_lowered, state, masked=True))
+    # locate seat 2's role one-hot inside viewer 0's (non-teammate) row
+    per = N._per_player_dim(ww_lowered)
+    # offset of the role block within a player's feature slice
+    off = 0
+    for f in N._obs_fields(ww_lowered):
+        s = lay.slot(f.name)
+        w = 1 if s.bank in ("bool", "num") else max(2, len(s.vocab))
+        if f.name == "role":
+            break
+        off += w
+    viewer0_seat2 = obs[0, 0, per * 1 + off: per * 1 + off + max(2, len(role_slot.vocab))]
+    assert viewer0_seat2.sum() > 0, "revealed role still masked to others"
