@@ -171,6 +171,53 @@ def validate_spec(spec: GameSpec) -> list[Issue]:
         issues.append(Issue(ERROR, "compile", f"engine compilation failed: {e}"))
         return issues
     issues.extend(_semantic_gap_issues(spec, game))
+    issues.extend(_vocab_issues(spec, game))
+    return issues
+
+
+def _vocab_issues(spec: GameSpec, game) -> list[Issue]:
+    """String literals in predicates must resolve against the mined slot
+    vocabulary (layout.py _string_vocab) or the comparison is constant in
+    every executor: the field can never hold an unminable value, so `==`
+    never fires and `!=` always does — silently, identically in all four
+    executors, where parity tests can't see it. Make it loud here (the
+    effect-IR path already rejects these in effects.check_program)."""
+    from game_engine_tpu.gamespec.expr import collect_atoms
+    from game_engine_tpu.gamespec.layout import BANK_PDICT, BANK_STR
+
+    issues: list[Issue] = []
+
+    def check(pred, where: str) -> None:
+        try:
+            atoms = collect_atoms(pred)
+        except PredicateError:
+            return  # parse/complexity problems are reported elsewhere
+        for a in atoms:
+            slot = game.layout.get(a.field)
+            if slot is None or slot.bank not in (BANK_STR, BANK_PDICT):
+                continue
+            vals = a.value if isinstance(a.value, tuple) else (a.value,)
+            for v in vals:
+                if isinstance(v, str) and not any(
+                        x.lower() == v.lower() for x in slot.vocab):
+                    issues.append(Issue(
+                        WARNING, where,
+                        f"string literal {v!r} is not in the mined "
+                        f"vocabulary of field {a.field!r} "
+                        f"({', '.join(repr(x) for x in slot.vocab if x)}) — "
+                        "the field can never hold this value, so the "
+                        "comparison is constant",
+                    ))
+
+    for cp in game.phases:
+        check(cp.target_pred,
+              f"phases.{cp.dsl_id}.completion_criteria.target_players.condition")
+    for g in spec.declaration.audience_groups:
+        try:
+            check(parse_predicate(g.selection_criteria),
+                  f"audience_groups.{g.name}")
+        except PredicateError:
+            pass
     return issues
 
 

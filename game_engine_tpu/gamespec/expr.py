@@ -171,6 +171,22 @@ def _make_atom(field: str, op: str, value: Any) -> Pred:
         return Atom(field=field, op="eq", value=want)
     if op in ("in", "notin") and not isinstance(value, tuple):
         value = (value,)
+    # null comparisons have no pinned semantics: the table lowering would
+    # int(None)-crash on num fields and truthy-coerce on bool fields while
+    # the oracle evaluates `v == None` as always-False — reject loudly
+    # instead of diverging (CLAUDE.md invariant 1).
+    vals = value if isinstance(value, tuple) else (value,)
+    if any(v is None for v in vals):
+        raise PredicateError(
+            f"null/none comparison on field {field!r} is not supported — "
+            "compare against a concrete value")
+    # ordered comparisons on string literals would diverge: the oracle
+    # compares lexicographically, the engine compares vocab codes in
+    # mining order. No catalog game needs a string ordering; reject.
+    if op in ("ge", "le", "gt", "lt") and any(isinstance(v, str) for v in vals):
+        raise PredicateError(
+            f"ordered comparison {op} against string literal on field "
+            f"{field!r} is not supported — use ==/!=/in")
     return Atom(field=field, op=op, value=value)
 
 
@@ -213,18 +229,32 @@ def parse_predicate(src: str) -> Pred:
 # ---------------------------------------------------------------------------
 
 
+def _eq(v: Any, t: Any) -> bool:
+    """Equality with case-insensitive strings.
+
+    The table lowering resolves string literals against the slot vocab
+    case-insensitively (tables.py _lower_atom, layout.py Slot.encode), so
+    the jitted/native executors match 'Werewolf' == 'werewolf'. The oracle
+    must agree or three-way parity (CLAUDE.md invariant 1) breaks on any
+    casing mismatch between a DSL literal and the stored vocab spelling.
+    """
+    if isinstance(v, str) and isinstance(t, str):
+        return v.lower() == t.lower()
+    return v == t
+
+
 def _atom_eval(atom: Atom, player: dict[str, Any]) -> bool:
     v = player.get(atom.field)
     t = atom.value
     try:
         if atom.op == "eq":
-            return v == t
+            return _eq(v, t)
         if atom.op == "ne":
-            return v != t
+            return not _eq(v, t)
         if atom.op == "in":
-            return v in t
+            return any(_eq(v, x) for x in t)
         if atom.op == "notin":
-            return v not in t
+            return not any(_eq(v, x) for x in t)
         if v is None:
             return False
         if atom.op == "ge":
@@ -301,6 +331,8 @@ def to_dnf(pred: Pred) -> list[list[Atom]]:
             return [[]] if p.value else []
         if isinstance(p, Atom):
             if p.op == "in":
+                if len(p.value) > MAX_DNF_TERMS:
+                    raise PredicateError("predicate too complex (DNF blowup)")
                 return [[Atom(p.field, "eq", v)] for v in p.value]
             if p.op == "notin":
                 return [[Atom(p.field, "ne", v) for v in p.value]]
@@ -316,9 +348,17 @@ def to_dnf(pred: Pred) -> list[list[Atom]]:
             terms: list[list[Atom]] = [[]]
             for item in p.items:
                 sub = expand(item)
-                terms = [t + s for t in terms for s in sub]
-                if len(terms) > MAX_DNF_TERMS:
-                    raise PredicateError("predicate too complex (DNF blowup)")
+                # incremental cap: the full cross product must never be
+                # materialized before the size check runs, or the guard
+                # fails its memory purpose on e.g. two large `in` lists
+                new: list[list[Atom]] = []
+                for t in terms:
+                    for s in sub:
+                        new.append(t + s)
+                        if len(new) > MAX_DNF_TERMS:
+                            raise PredicateError(
+                                "predicate too complex (DNF blowup)")
+                terms = new
             return terms
         raise TypeError(p)
 

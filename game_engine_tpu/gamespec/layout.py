@@ -142,10 +142,11 @@ def _is_player_keyed(field: FieldSpec, decl: Declaration) -> bool:
     except ValueError:
         return False
     # player ids are small positive ints; statement keys 1..3 also qualify
-    # numerically, so additionally require values from a short string vocab
-    # that overlaps team/alignment words rather than free sentences.
+    # numerically, so additionally require single-word vocab values
+    # (team/alignment words) — any multi-word value means free text
+    # (statements, notes), which must stay an opaque mark-slot bank.
     vals = [v for d in samples for v in d.values()]
-    free_text = any(isinstance(v, str) and len(v.split()) > 3 for v in vals)
+    free_text = any(isinstance(v, str) and len(v.split()) > 1 for v in vals)
     return all(1 <= i <= 64 for i in ids) and not free_text
 
 

@@ -58,8 +58,32 @@ def _as_bool(v: Any, default: bool = False) -> bool:
     return bool(v)
 
 
+def _named_mapping(raw: Any, what: str) -> dict[str, Any]:
+    """Normalize a mapping-expected DSL section that may arrive list-shaped.
+
+    Generated docs sometimes emit ``player_states: [is_alive, role]`` or
+    ``audience_groups: [{name: wolves, ...}]``. Accept: a dict verbatim, a
+    list of names (-> empty metas), a list of dicts with a 'name' key.
+    Anything else raises a clear ValueError instead of an AttributeError
+    deep in .items() (the module's defensive-normalization contract).
+    """
+    if raw is None:
+        return {}
+    if isinstance(raw, dict):
+        return raw
+    if isinstance(raw, (list, tuple)):
+        out: dict[str, Any] = {}
+        for e in raw:
+            if isinstance(e, dict) and e.get("name"):
+                out[str(e["name"])] = e
+            elif isinstance(e, str) and e:
+                out[e] = {}
+        return out
+    raise ValueError(f"game DSL {what} must be a mapping, got {type(raw).__name__}")
+
+
 def _parse_fields(decl: dict[str, Any]) -> list[FieldSpec]:
-    raw_fields = decl.get("player_states") or {}
+    raw_fields = _named_mapping(decl.get("player_states"), "player_states")
     template = decl.get("player_states_template") or {}
     # template may be nested under a 'player_states' key, then keyed by id "1"
     trows = template.get("player_states", template) if isinstance(template, dict) else {}
@@ -164,12 +188,21 @@ def _parse_mechanic_hints(raw: Any) -> tuple[tuple[str, Any], ...]:
         return ()
     entries = raw if isinstance(raw, (list, tuple)) else [raw]
     out: list[tuple[str, Any]] = []
+    def _freeze(v: Any) -> Any:
+        # recursively hashable: nested lists/dicts inside a dict arg would
+        # otherwise make PhaseSpec unhashable far from the parse site
+        if isinstance(v, dict):
+            return tuple(sorted((str(a), _freeze(b)) for a, b in v.items()))
+        if isinstance(v, (list, tuple)):
+            return tuple(_freeze(x) for x in v)
+        return v
+
     for e in entries:
         if isinstance(e, dict):
             for k, v in e.items():
                 name = str(k).strip().lower().replace("-", "_")
                 if isinstance(v, dict):
-                    arg: Any = tuple(sorted((str(a), b) for a, b in v.items()))
+                    arg: Any = tuple(sorted((str(a), _freeze(b)) for a, b in v.items()))
                 elif isinstance(v, (list, tuple)):
                     arg = tuple(str(x) for x in v)
                 elif v is None:
@@ -252,16 +285,19 @@ def parse_game_spec(doc: dict[str, Any], name: str = "game") -> GameSpec:
     groups = tuple(
         AudienceGroup(
             name=str(gname),
-            description=str((g or {}).get("description", "")),
-            selection_criteria=str((g or {}).get("selection_criteria", "")),
+            description=str((g if isinstance(g, dict) else {}).get("description", "")),
+            selection_criteria=str((g if isinstance(g, dict) else {}).get("selection_criteria", "")),
         )
-        for gname, g in (decl.get("audience_groups") or {}).items()
+        for gname, g in _named_mapping(decl.get("audience_groups"), "audience_groups").items()
     )
 
+    # preserve a declared 0 (don't `or 1` it away) so validate.py's
+    # "min_players must be >= 1" ERROR stays reachable for the 0 case
+    min_players = _as_int(decl.get("min_players"))
     declaration = Declaration(
         description=str(decl.get("description", "")),
         is_multiplayer=_as_bool(decl.get("is_multiplayer"), default=True),
-        min_players=int(_as_int(decl.get("min_players")) or 1),
+        min_players=1 if min_players is None else min_players,
         roles=roles,
         fields=fields,
         players_example=players_example,
@@ -269,6 +305,14 @@ def parse_game_spec(doc: dict[str, Any], name: str = "game") -> GameSpec:
         tools=tools,
     )
 
+    if isinstance(raw_phases, (list, tuple)):
+        # list-shaped phases: take each item's declared id, else 1-based index
+        raw_phases = {
+            (p.get("id", i + 1) if isinstance(p, dict) else i + 1): p
+            for i, p in enumerate(raw_phases)
+        }
+    if not isinstance(raw_phases, dict):
+        raise ValueError("game DSL phases must be a mapping of phase id -> phase")
     phases: dict[int, PhaseSpec] = {}
     for key, raw in raw_phases.items():
         pid = _as_int(key)
@@ -325,10 +369,16 @@ def load_builtin(name: str) -> GameSpec:
     """
     d = games_dir()
     want = name.lower().replace(" ", "-")
-    for fn in sorted(os.listdir(d)):
-        if not fn.endswith((".yaml", ".yml")):
-            continue
-        stem = os.path.splitext(fn)[0].lower()
-        if want in stem or stem in want:
+    files = [fn for fn in sorted(os.listdir(d)) if fn.endswith((".yaml", ".yml"))]
+    stems = {fn: os.path.splitext(fn)[0].lower() for fn in files}
+    # exact stem match wins; the substring fallback needs a meaningful
+    # query (>= 3 chars), or a blank/1-char name silently loads the
+    # alphabetically-first game instead of failing
+    for fn, stem in stems.items():
+        if stem == want:
             return load_game_spec(os.path.join(d, fn))
+    if len(want) >= 3:
+        for fn, stem in stems.items():
+            if want in stem or stem in want:
+                return load_game_spec(os.path.join(d, fn))
     raise FileNotFoundError(f"no game DSL matching {name!r} in {d}")

@@ -448,3 +448,37 @@ def test_masquerade_mines_win_target_and_covers_description():
     # the full gala description is understood well enough not to warn
     cov = description_coverage(_GALA_DESC)
     assert cov["score"] >= COVERAGE_WARN_THRESHOLD, cov["unconsumed"]
+
+
+def test_out_of_vocab_condition_literal_warns():
+    """A string literal no mined vocab can hold makes the comparison
+    constant in every executor — the validator must say so loudly."""
+    from game_engine_tpu.dslgen.validate import validate_doc
+
+    doc = {
+        "declaration": {
+            "min_players": 2,
+            "player_states": {
+                "role": {"type": "string", "example": "Seer"},
+                "is_alive": {"type": "boolean", "example": True},
+            },
+            "roles": [{"name": "Seer"}, {"name": "Wolf"}],
+        },
+        "phases": {
+            0: {"name": "Intro", "next_phase": {"id": 1, "name": "Pick"}},
+            1: {"name": "Pick",
+                "completion_criteria": {
+                    "type": "player_action", "wait_for": "all_alive",
+                    "target_players": {"condition": "player.role == 'warlock'"}},
+                "next_phase": None},
+        },
+    }
+    issues, spec = validate_doc(doc, name="oov")
+    assert spec is not None
+    hits = [i for i in issues if "'warlock'" in i.message and "mined vocabulary" in i.message]
+    assert hits and hits[0].severity == "warning"
+    # an in-vocab literal (any casing) raises no vocab issue
+    doc["phases"][1]["completion_criteria"]["target_players"]["condition"] = \
+        "player.role == 'WOLF'"
+    issues2, _ = validate_doc(doc, name="oov2")
+    assert not [i for i in issues2 if "mined vocabulary" in i.message]

@@ -88,3 +88,48 @@ def test_all_shipped_criteria_compile(werewolf_spec, twotruths_spec):
             parse_predicate(g.selection_criteria)
         for ph in spec.phases.values():
             parse_predicate(ph.completion.target_condition)
+
+
+def test_string_compare_case_insensitive():
+    """The table lowering resolves string literals case-insensitively
+    (tables.py _lower_atom / layout.py Slot.encode); the oracle must agree
+    or parity breaks on any casing mismatch (CLAUDE.md invariant 1)."""
+    p = parse_predicate("player.role == 'werewolf'")
+    assert eval_predicate(p, {"role": "Werewolf"})
+    assert not eval_predicate(parse_predicate("player.role != 'WEREWOLF'"),
+                              {"role": "werewolf"})
+    assert eval_predicate(parse_predicate("player.role in ['doctor', 'SEER']"),
+                          {"role": "Seer"})
+    assert not eval_predicate(
+        parse_predicate("player.role not in ['doctor', 'SEER']"),
+        {"role": "Seer"})
+
+
+def test_null_comparison_rejected():
+    with pytest.raises(PredicateError):
+        parse_predicate("player.votes == null")
+    with pytest.raises(PredicateError):
+        parse_predicate("player.is_alive != none")
+    with pytest.raises(PredicateError):
+        parse_predicate("player.role in ['Seer', null]")
+
+
+def test_ordered_string_comparison_rejected():
+    # lexicographic (oracle) vs vocab-code order (engine) would diverge
+    with pytest.raises(PredicateError):
+        parse_predicate("player.role > 'Doctor'")
+    with pytest.raises(PredicateError):
+        parse_predicate("'Doctor' <= player.role")
+    # ordered numeric comparisons stay fine
+    assert eval_predicate(parse_predicate("player.coins > 2"), {"coins": 3})
+
+
+def test_dnf_blowup_capped():
+    many = ", ".join(f"'w{i}'" for i in range(200))
+    with pytest.raises(PredicateError):
+        to_dnf(parse_predicate(f"player.word in [{many}]"))
+    # And-product caps incrementally (never materializes the full product)
+    a = ", ".join(f"'a{i}'" for i in range(60))
+    b = ", ".join(f"'b{i}'" for i in range(60))
+    with pytest.raises(PredicateError):
+        to_dnf(parse_predicate(f"player.x in [{a}] and player.y in [{b}]"))

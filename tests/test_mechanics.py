@@ -176,3 +176,25 @@ def test_winner_mapping_without_score_is_loud():
     spec = parse_game_spec(doc, name="bad-winner")
     with pytest.raises(M.MechanicHintError, match="no 'score' key"):
         compile_game(spec)
+
+
+def test_short_statement_dicts_stay_opaque():
+    """Dict fields with small-int keys but multi-word values are free text
+    (statements/notes) -> opaque mark-slots, NOT a player-keyed matrix —
+    even when every value is 3 words or fewer."""
+    from game_engine_tpu.gamespec.layout import BANK_ODICT, BANK_PDICT, build_layout
+    from game_engine_tpu.gamespec.parser import parse_game_spec
+
+    doc = {
+        "declaration": {
+            "player_states": {
+                "statements": {"type": "dict",
+                               "example": {"1": "I ski daily", "2": "I hate cats"}},
+                "marks": {"type": "dict", "example": {"2": "claimed"}},
+            },
+        },
+        "phases": {0: {"name": "Intro", "next_phase": None}},
+    }
+    lay = build_layout(parse_game_spec(doc, name="st").declaration)
+    assert lay.slot("statements").bank == BANK_ODICT
+    assert lay.slot("marks").bank == BANK_PDICT

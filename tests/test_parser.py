@@ -78,3 +78,66 @@ def test_defensive_normalization():
     assert s.declaration.field("tag").type is FieldType.STRING
     assert s.phases[0].next_id == 1  # str phase ids tolerated
     assert s.phases[1].next_id is None  # dangling id 42 dropped -> terminal
+
+
+def test_list_shaped_sections_normalize():
+    """Generated docs sometimes emit list-shaped mapping sections; each is
+    normalized (names/dicts-with-name) instead of AttributeError-crashing."""
+    doc = {
+        "declaration": {
+            "player_states": ["is_alive", {"name": "role", "type": "string"}],
+            "audience_groups": [
+                {"name": "wolves", "selection_criteria": "player.role == 'wolf'"},
+            ],
+        },
+        "phases": [
+            {"name": "Intro", "next_phase": {"id": 2, "name": "End"}},
+            {"id": 2, "name": "End"},
+        ],
+    }
+    s = parse_game_spec(doc, name="listy")
+    assert {f.name for f in s.declaration.fields} == {"is_alive", "role"}
+    assert s.declaration.audience_groups[0].name == "wolves"
+    assert set(s.phases) == {1, 2}
+    assert s.phases[1].next_id == 2
+    # a string-shaped section is a clear ValueError, not an AttributeError
+    import pytest
+    with pytest.raises(ValueError, match="player_states"):
+        parse_game_spec({"declaration": {"player_states": "oops"},
+                         "phases": {0: {"name": "x"}}})
+
+
+def test_mechanic_hint_nested_args_hashable():
+    doc = {
+        "declaration": {"player_states": {"coins": {"type": "number"}}},
+        "phases": {
+            0: {"name": "Intro",
+                "mechanics": [{"deal": {"roles": ["Mafia", "Doctor"]}},
+                              {"income": {"coins": {"base": 1}}}],
+                "next_phase": None},
+        },
+    }
+    s = parse_game_spec(doc, name="hints")
+    hash(s.phases[0])  # must not raise: nested lists/dicts are frozen
+    (h1, a1), (h2, a2) = s.phases[0].mechanic_hints
+    assert h1 == "deal" and a1 == (("roles", ("Mafia", "Doctor")),)
+    assert h2 == "income" and a2 == (("coins", (("base", 1),)),)
+
+
+def test_min_players_zero_preserved():
+    doc = {"declaration": {"min_players": 0,
+                           "player_states": {"x": {"type": "boolean"}}},
+           "phases": {0: {"name": "Intro", "next_phase": None}}}
+    s = parse_game_spec(doc, name="zp")
+    assert s.declaration.min_players == 0  # validator rejects it loudly
+
+
+def test_load_builtin_guards():
+    import pytest
+    from game_engine_tpu.gamespec.parser import load_builtin
+    with pytest.raises(FileNotFoundError):
+        load_builtin("")
+    with pytest.raises(FileNotFoundError):
+        load_builtin("a")  # 1-char fuzzy queries must not match anything
+    assert load_builtin("werewolf (mafia)").name == "werewolf-(mafia)"
+    assert load_builtin("werewolf").name == "werewolf-(mafia)"  # fuzzy >= 3 chars
