@@ -1576,6 +1576,15 @@ def annotate_mechanics(doc: dict[str, Any]) -> dict[str, Any]:
 
 
 def generate(bp: Blueprint) -> dict[str, Any]:
+    # one extra at a time: stacking weaves on one graph is untested and can
+    # silently collide (market's and auction's coin-threshold branch keys
+    # are equal when win_coins == close_coins, so one terminal edge would
+    # be dropped by dict assignment) — reject loudly rather than emit a
+    # game with an unreachable terminal
+    if len(bp.extras) > 1:
+        raise ValueError(
+            f"blueprints compose at most one extra per base archetype "
+            f"(got {bp.extras!r})")
     doc = _generate_base(bp)
     for extra in bp.extras:
         mixer = _MIXERS.get((bp.archetype, extra))

@@ -3,7 +3,7 @@
 The reference generates arbitrary described games with three sequential
 gpt-5 calls and validates the result with a 976-line prompt (reference:
 agent/dsl_agent.py:157-371, agent/prompt/dsl_validation_node_prompt.txt).
-This framework's deterministic generator covers its seven archetypes and
+This framework's deterministic generator covers its thirteen archetypes and
 their mixes in milliseconds; for games OUTSIDE that space, this module is
 the documented integration point — bring any completion function
 (an API client, a local model, a human-in-the-loop editor) and get the

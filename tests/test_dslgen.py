@@ -482,3 +482,11 @@ def test_out_of_vocab_condition_literal_warns():
         "player.role == 'WOLF'"
     issues2, _ = validate_doc(doc, name="oov2")
     assert not [i for i in issues2 if "mined vocabulary" in i.message]
+
+
+def test_multiple_extras_rejected():
+    """Stacking weaves is untested and can silently collide on equal
+    coin-threshold branch keys — loud, not a dropped terminal edge."""
+    with pytest.raises(ValueError, match="at most one extra"):
+        generate(Blueprint("g", "stacked", "elimination",
+                           extras=("market", "auction")))
