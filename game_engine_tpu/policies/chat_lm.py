@@ -40,7 +40,11 @@ class LMConfig:
     d_model: int = 160
     n_layers: int = 3
     n_heads: int = 4
-    max_len: int = 448  # ctx incl. roster + quoted boards (~320 chars) + reply
+    # ctx incl. roster + quoted boards + the round-4 G=/Pe= grounded and
+    # persona segments (p99 ctx+reply ≈ 510 bytes over a 30-seed corpus;
+    # 448 silently clipped the training target of ~16% of pairs, teaching
+    # truncated replies with no EOS)
+    max_len: int = 576
     # trained on grounded field Q&A (the context's G= fact segment)?
     # gates whether the serving tier may answer state questions
     # (server.chat.lm_may_serve); old checkpoints load as False
@@ -64,6 +68,13 @@ def decode_tokens(toks) -> str:
         chr(int(t) - _NSPECIAL + _LO) for t in toks
         if _NSPECIAL <= int(t) < VOCAB
     )
+
+
+def pair_fits(ctx: str, reply: str, cfg: LMConfig) -> bool:
+    """True when BOS+ctx+SEP+reply+EOS fits max_len — encode_pair silently
+    truncates otherwise, which trains the student on a clipped reply with
+    no EOS (run-on decodes). Trainers drop (and count) misfits."""
+    return 3 + len(encode_text(ctx)) + len(encode_text(reply)) <= cfg.max_len
 
 
 def encode_pair(ctx: str, reply: str, cfg: LMConfig) -> tuple[np.ndarray, np.ndarray]:

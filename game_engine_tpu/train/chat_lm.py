@@ -36,7 +36,7 @@ def main() -> None:
                     help="rooms simulated per game for the corpus")
     ap.add_argument("--d-model", type=int, default=160)
     ap.add_argument("--layers", type=int, default=3)
-    ap.add_argument("--max-len", type=int, default=448)
+    ap.add_argument("--max-len", type=int, default=576)
     ap.add_argument("--out", default="chat_lm.npz")
     ap.add_argument("--cpu", action="store_true", help="force CPU (tests)")
     args = ap.parse_args()
@@ -50,6 +50,15 @@ def main() -> None:
                      max_len=args.max_len, grounded=True, personas=True)
     t0 = time.time()
     pairs = C.build_corpus(seeds=range(args.seeds), max_pairs=args.max_pairs)
+    # drop pairs encode_pair would truncate: a clipped reply has no EOS, so
+    # training on it teaches run-on decodes. Loud — a growing count means
+    # the context format outgrew max_len again (it did at 448 when the
+    # grounded G= and persona Pe= segments landed).
+    fit = [(c, r) for c, r in pairs if C.pair_fits(c, r, cfg)]
+    if len(fit) < len(pairs):
+        print(f"WARNING: dropped {len(pairs) - len(fit)} of {len(pairs)} "
+              f"pairs that overflow max_len={cfg.max_len}")
+    pairs = fit
     toks, masks = zip(*(C.encode_pair(c, r, cfg) for c, r in pairs))
     toks = np.stack(toks)
     masks = np.stack(masks)

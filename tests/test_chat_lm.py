@@ -177,3 +177,18 @@ def test_shipped_checkpoint_copies_default_numbered_handles():
             assert out.count(nm) <= ref.count(nm) + 1, (ctx, out, ref)
     assert oblig >= 10
     assert met / oblig >= 0.8, f"name copy {met}/{oblig} on numbered handles"
+
+
+def test_pair_fits_guards_silent_truncation():
+    """encode_pair silently clips over-long pairs (reply loses its EOS);
+    pair_fits is the trainer's drop predicate for exactly those pairs."""
+    cfg = C.LMConfig(d_model=32, n_layers=1, n_heads=2, max_len=64)
+    ctx, reply = "K=greeting|Q=hi", "Hello there, friend."
+    assert C.pair_fits(ctx, reply, cfg)
+    tok, mask = C.encode_pair(ctx, reply, cfg)
+    # the full reply+EOS carries loss when the pair fits
+    assert int(mask.sum()) == len(C.encode_text(reply)) + 1
+    long_reply = "x" * 100
+    assert not C.pair_fits(ctx, long_reply, cfg)
+    tok2, mask2 = C.encode_pair(ctx, long_reply, cfg)
+    assert int(mask2.sum()) < len(C.encode_text(long_reply)) + 1  # clipped
