@@ -1603,18 +1603,21 @@ def _generate_base(bp: Blueprint) -> dict[str, Any]:
         return _gen_battle(bp)
     if bp.archetype == "bluff":
         return _gen_bluff(bp)
+    # archetypes with a declared victory threshold honor a "first to N"
+    # in the description (digit or number word, _mine_first_to) — a
+    # described "first to twenty coins" must not generate a 10-coin game
     if bp.archetype == "market":
-        return _gen_market(bp)
+        return _gen_market(bp, win_coins=_mine_first_to(bp.description, 10))
     if bp.archetype == "auction":
-        return _gen_auction(bp)
+        return _gen_auction(bp, win_lots=_mine_first_to(bp.description, 3))
     if bp.archetype == "minority":
-        return _gen_minority(bp)
+        return _gen_minority(bp, win_points=_mine_first_to(bp.description, 5))
     if bp.archetype == "conversion":
         return _gen_conversion(bp)
     if bp.archetype == "pressluck":
-        return _gen_pressluck(bp)
+        return _gen_pressluck(bp, win_points=_mine_first_to(bp.description, 10))
     if bp.archetype == "racing":
-        return _gen_racing(bp)
+        return _gen_racing(bp, track_len=_mine_first_to(bp.description, 10))
     if bp.archetype == "masquerade":
         return _gen_masquerade(
             bp, mask_names=_mine_mask_names(bp.description),
@@ -1622,7 +1625,7 @@ def _generate_base(bp: Blueprint) -> dict[str, Any]:
     if bp.archetype == "draft":
         return _gen_draft(bp)
     if bp.archetype == "gifting":
-        return _gen_gifting(bp)
+        return _gen_gifting(bp, win_coins=_mine_first_to(bp.description, 12))
     raise ValueError(f"unknown archetype {bp.archetype!r}")
 
 
@@ -2724,12 +2727,16 @@ _FIRST_TO_RX = re.compile(
 
 
 def _mine_first_to(description: str, default: int) -> int:
-    """'First to twelve coins wins' -> 12 (digit or number word)."""
+    """'First to twelve coins wins' -> 12 (digit or number word).
+
+    Clamped to 2..60: a mined 1 would end the game on the first score and
+    a huge target would outlive the engine's round caps — both are more
+    plausibly mis-mined prose than intent."""
     m = _FIRST_TO_RX.search(description)
     if not m:
         return default
     tok = m.group(1).lower()
-    return int(tok) if tok.isdigit() else _NUM_WORDS_EXT[tok]
+    return max(2, min(60, int(tok) if tok.isdigit() else _NUM_WORDS_EXT[tok]))
 
 
 def _mine_mask_names(description: str) -> tuple[str, str, str]:

@@ -490,3 +490,29 @@ def test_multiple_extras_rejected():
     with pytest.raises(ValueError, match="at most one extra"):
         generate(Blueprint("g", "stacked", "elimination",
                            extras=("market", "auction")))
+
+
+def test_first_to_threshold_mined_across_archetypes():
+    """A described 'first to N' victory target parameterizes every
+    archetype that declares one — not just masquerade (round-4 fix:
+    'first to 20 coins' must not generate a 10-coin market)."""
+    cases = [
+        ("first to 20 coins", "traders collect coins from the market and "
+         "raid rivals; first to 20 coins wins", "20 or more coins"),
+        ("number words", "pick a door and blend in with the smallest "
+         "group; first to nine points wins", "9 or more points"),
+        ("racing track", "racers sprint down the track; first to fifteen "
+         "wins the race", "15 or more position"),
+        ("gifting", "gift a coin to a friend each round; first to sixteen "
+         "coins wins", "16 or more coins"),
+    ]
+    for label, desc, want in cases:
+        doc = generate_from_description("ft", desc)
+        branches = [k for ph in doc["phases"].values()
+                    if isinstance(ph.get("next_phase"), dict)
+                    for k in ph["next_phase"]]
+        assert any(want in k for k in branches), (label, branches)
+    # clamp: a mined 1 would end on the first score — floor at 2
+    from game_engine_tpu.dslgen.generate import _mine_first_to
+    assert _mine_first_to("first to 1 coin wins", 10) == 2
+    assert _mine_first_to("no target here", 10) == 10
