@@ -857,7 +857,8 @@ def _gen_bluff(bp: Blueprint) -> dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 
-def _gen_market(bp: Blueprint, win_coins: int = 10) -> dict[str, Any]:
+def _gen_market(bp: Blueprint, win_coins: int = 10,
+                income: int = 1) -> dict[str, Any]:
     fields = {
         "name": {"type": "string", "example": "Player A", "description": "Public display name."},
         "coins": {"type": "num", "example": 3,
@@ -883,7 +884,8 @@ def _gen_market(bp: Blueprint, win_coins: int = 10) -> dict[str, Any]:
         ),
         1: _ui_phase(
             "Market Income",
-            "Each player collects 1 coin from the market stall.",
+            f"Each player collects {income} "
+            f"coin{'s' if income != 1 else ''} from the market stall.",
             [
                 _tool_action("Clear previous UI", "clearCanvas"),
                 _tool_action("Create income phase indicator", "createPhaseIndicator"),
@@ -1607,11 +1609,17 @@ def _generate_base(bp: Blueprint) -> dict[str, Any]:
     # in the description (digit or number word, _mine_first_to) — a
     # described "first to twenty coins" must not generate a 10-coin game
     if bp.archetype == "market":
-        return _gen_market(bp, win_coins=_mine_first_to(bp.description, 10))
+        return _gen_market(
+            bp, win_coins=_mine_first_to(bp.description, 10),
+            income=_mine_income(bp.description, 1))
     if bp.archetype == "auction":
         return _gen_auction(bp, win_lots=_mine_first_to(bp.description, 3))
     if bp.archetype == "minority":
-        return _gen_minority(bp, win_points=_mine_first_to(bp.description, 5))
+        return _gen_minority(
+            bp, n_options=_mine_count(bp.description,
+                                      r"doors?|options?|choices?|paths?",
+                                      3, 2, 6),
+            win_points=_mine_first_to(bp.description, 5))
     if bp.archetype == "conversion":
         return _gen_conversion(bp)
     if bp.archetype == "pressluck":
@@ -1623,7 +1631,10 @@ def _generate_base(bp: Blueprint) -> dict[str, Any]:
             bp, mask_names=_mine_mask_names(bp.description),
             win_coins=_mine_first_to(bp.description, 12))
     if bp.archetype == "draft":
-        return _gen_draft(bp)
+        return _gen_draft(
+            bp, pool=_mine_count(bp.description,
+                                 r"prizes?|relics?|items?|cards?|treasures?|lots?",
+                                 6, 3, 10))
     if bp.archetype == "gifting":
         return _gen_gifting(bp, win_coins=_mine_first_to(bp.description, 12))
     raise ValueError(f"unknown archetype {bp.archetype!r}")
@@ -2666,7 +2677,10 @@ _COVERAGE_EXTRA = re.compile(
     r"\b(collects?|earns?|gains?|receives?|income|purses?|treasur\w+|"
     r"richest|wealth\w*|rivals?|morning|dawn|dusk|day|protect\w*|"
     r"investigat\w*|alignments?|suspic\w*|accus\w*|kill\w*|eliminat\w*|"
-    r"survive\w*|lots?|prizes?|pays?|claims?|caught|crowd\w*|arena)\b",
+    r"survive\w*|lots?|prizes?|pays?|claims?|caught|crowd\w*|arena|"
+    # nouns the count miners parameterize (doors -> n_options,
+    # relics/cards/treasures -> draft pool)
+    r"doors?|paths?|relics?|cards?|treasures?|items?)\b",
     re.IGNORECASE)
 
 
@@ -2737,6 +2751,32 @@ def _mine_first_to(description: str, default: int) -> int:
         return default
     tok = m.group(1).lower()
     return max(2, min(60, int(tok) if tok.isdigit() else _NUM_WORDS_EXT[tok]))
+
+
+def _mine_income(description: str, default: int) -> int:
+    """'each trader collects 2 coins' -> 2 — the per-round income, mined
+    with the same verb+amount shape the analyzer's P12 detector reads
+    (mechanics.py _INCOME_RE), so the mined sentence always re-attaches."""
+    m = re.search(
+        r"\b(?:gains?|collects?|receives?|earns?)\s+(\d+|"
+        + "|".join(_NUM_WORDS_EXT) + r")\s+coins?\b",
+        description, re.IGNORECASE)
+    if not m:
+        return default
+    tok = m.group(1).lower()
+    return max(1, min(5, int(tok) if tok.isdigit() else _NUM_WORDS_EXT[tok]))
+
+
+def _mine_count(description: str, noun_rx: str, default: int,
+                lo: int, hi: int) -> int:
+    """'pick one of 5 doors' / 'four prizes on the table' -> the count
+    before the noun (digit or number word), clamped to [lo, hi]."""
+    m = re.search(r"\b(\d+|" + "|".join(_NUM_WORDS_EXT) + r")\s+(?:"
+                  + noun_rx + r")\b", description, re.IGNORECASE)
+    if not m:
+        return default
+    tok = m.group(1).lower()
+    return max(lo, min(hi, int(tok) if tok.isdigit() else _NUM_WORDS_EXT[tok]))
 
 
 def _mine_mask_names(description: str) -> tuple[str, str, str]:

@@ -516,3 +516,28 @@ def test_first_to_threshold_mined_across_archetypes():
     from game_engine_tpu.dslgen.generate import _mine_first_to
     assert _mine_first_to("first to 1 coin wins", 10) == 2
     assert _mine_first_to("no target here", 10) == 10
+
+
+def test_described_counts_mined_into_archetypes():
+    """Door/prize counts and per-round income honor the description:
+    '5 doors' is a 5-option minority game, 'four relics' a 4-prize draft,
+    'collect 2 coins' a 2-coin income — each re-attaching through the
+    analyzer (the income sentence mirrors its P12 verb+amount shape)."""
+    from game_engine_tpu.gamespec import mechanics as M
+
+    doc = generate_from_description(
+        "d5", "pick one of 5 doors in secret; the smallest group scores")
+    assert "(1-5)" in doc["phases"][1]["description"] or \
+           "1-5" in str(doc["phases"][1])
+    doc = generate_from_description(
+        "r4", "collectors draft from a shared pool of four relics")
+    ps = doc["declaration"]["player_states"]
+    assert "has4" in ps and "has5" not in ps
+    doc = generate_from_description(
+        "m2", "traders collect 2 coins each round at the market "
+              "and raid rivals")
+    spec = parse_game_spec(doc, name="m2")
+    g = compile_game(spec)
+    inc = [m for pp in g.phases for m in pp.program.on_enter
+           if isinstance(m, M.ResourceIncome)]
+    assert inc and dict(inc[0].gains)["coins"] == 2
