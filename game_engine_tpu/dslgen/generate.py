@@ -1604,7 +1604,7 @@ def _generate_base(bp: Blueprint) -> dict[str, Any]:
     if bp.archetype == "battle":
         return _gen_battle(bp)
     if bp.archetype == "bluff":
-        return _gen_bluff(bp)
+        return _gen_bluff(_mine_bluff_roles(bp))
     # archetypes with a declared victory threshold honor a "first to N"
     # in the description (digit or number word, _mine_first_to) — a
     # described "first to twenty coins" must not generate a 10-coin game
@@ -1623,7 +1623,9 @@ def _generate_base(bp: Blueprint) -> dict[str, Any]:
     if bp.archetype == "conversion":
         return _gen_conversion(bp)
     if bp.archetype == "pressluck":
-        return _gen_pressluck(bp, win_points=_mine_first_to(bp.description, 10))
+        return _gen_pressluck(
+            bp, win_points=_mine_first_to(bp.description, 10),
+            bust_limit=_mine_bust_limit(bp.description, 5))
     if bp.archetype == "racing":
         return _gen_racing(bp, track_len=_mine_first_to(bp.description, 10))
     if bp.archetype == "masquerade":
@@ -2751,6 +2753,44 @@ def _mine_first_to(description: str, default: int) -> int:
         return default
     tok = m.group(1).lower()
     return max(2, min(60, int(tok) if tok.isdigit() else _NUM_WORDS_EXT[tok]))
+
+
+def _mine_bust_limit(description: str, default: int) -> int:
+    """'busting past 8' / 'bust at 8' -> 8: the press-your-luck stash
+    ceiling. Clamped to 3..20 (a limit of 1-2 busts almost every press)."""
+    m = re.search(
+        r"\bbust\w*\s+(?:past|at|over|above|beyond)\s+(\d+|"
+        + "|".join(_NUM_WORDS_EXT) + r")\b", description, re.IGNORECASE)
+    if not m:
+        return default
+    tok = m.group(1).lower()
+    return max(3, min(20, int(tok) if tok.isdigit() else _NUM_WORDS_EXT[tok]))
+
+
+# "the Duke, Captain or Inquisitor cards" — a 3-name proper-noun list
+# with a mandatory roles/cards suffix becomes the bluff archetype's court
+# (mandatory suffix, like the masquerade mask miner: a bare capitalized
+# list is more plausibly player names)
+_COURT_NAMES_RX = re.compile(
+    r"((?:[A-Z][a-z]+(?:,\s*(?:and\s+|or\s+)?|\s+(?:and|or)\s+)){2}"
+    r"[A-Z][a-z]+)\s+(?:roles?|cards?)")
+
+
+def _mine_bluff_roles(bp: Blueprint) -> Blueprint:
+    """Mine a described court ('claim the Duke, Captain or Inquisitor')
+    into the bluff archetype's role set; keep the default court when no
+    3-name proper-noun list appears. Explicit bp.roles win."""
+    if bp.roles:
+        return bp
+    m = _COURT_NAMES_RX.search(bp.description)
+    if not m:
+        return bp
+    names = re.findall(r"[A-Z][a-z]+", m.group(1))
+    if len(names) != 3 or len(set(names)) != 3:
+        return bp
+    roles = tuple(RoleDef(n, "court", "", f"The {n} of the court.")
+                  for n in names)
+    return dataclasses.replace(bp, roles=roles)
 
 
 def _mine_income(description: str, default: int) -> int:

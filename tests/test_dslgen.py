@@ -541,3 +541,22 @@ def test_described_counts_mined_into_archetypes():
     inc = [m for pp in g.phases for m in pp.program.on_enter
            if isinstance(m, M.ResourceIncome)]
     assert inc and dict(inc[0].gains)["coins"] == 2
+
+
+def test_bluff_court_and_bust_limit_mined():
+    """A 3-name proper-noun list with a roles/cards suffix becomes the
+    bluff court; 'busting past 8' sets the press-your-luck stash ceiling.
+    A bare capitalized list (player names) must NOT replace the court."""
+    doc = generate_from_description(
+        "court", "a bluffing game where you claim the Duke, Captain or "
+                 "Inquisitor cards and challenge suspected liars")
+    assert [r["name"] for r in doc["declaration"]["roles"]] == \
+        ["Duke", "Captain", "Inquisitor"]
+    doc = generate_from_description(
+        "plain", "Alice, Bob and Carol play a bluffing game of claims "
+                 "and challenges")
+    assert [r["name"] for r in doc["declaration"]["roles"]] == \
+        ["Duke", "Assassin", "Contessa"]
+    doc = generate_from_description(
+        "bust8", "press your luck and bank the stash before busting past 8")
+    assert "past 8" in doc["declaration"]["player_states"]["stash"]["description"]
