@@ -2682,7 +2682,9 @@ _COVERAGE_EXTRA = re.compile(
     r"survive\w*|lots?|prizes?|pays?|claims?|caught|crowd\w*|arena|"
     # nouns the count miners parameterize (doors -> n_options,
     # relics/cards/treasures -> draft pool)
-    r"doors?|paths?|relics?|cards?|treasures?|items?)\b",
+    r"doors?|paths?|relics?|cards?|treasures?|items?|"
+    # bluff-family flavor the challenge mechanic genuinely models
+    r"liars?|lying|suspects?\w*)\b",
     re.IGNORECASE)
 
 
@@ -2716,6 +2718,12 @@ def description_coverage(description: str) -> dict[str, Any]:
     # the deal multiset of the masquerade archetype
     for m in _MASQ_NAMES_CI_RX.finditer(text):
         consumed.update(re.findall(r"[a-z][a-z'-]+", m.group(1)))
+    # named court lists ("the Duke, Captain or Inquisitor cards") become
+    # the bluff archetype's role set; "busting past 8" sets its ceiling
+    for m in _COURT_NAMES_CI_RX.finditer(text):
+        consumed.update(re.findall(r"[a-z][a-z'-]+", m.group(1)))
+    for m in _BUST_LIMIT_CI_RX.finditer(text):
+        consumed.update(re.findall(r"[a-z][a-z'-]+", m.group(0)))
     for rx in vocab_res:
         for m in rx.finditer(text):
             consumed.update(re.findall(r"[a-z][a-z'-]+", m.group(0)))
@@ -2774,6 +2782,12 @@ def _mine_bust_limit(description: str, default: int) -> int:
 _COURT_NAMES_RX = re.compile(
     r"((?:[A-Z][a-z]+(?:,\s*(?:and\s+|or\s+)?|\s+(?:and|or)\s+)){2}"
     r"[A-Z][a-z]+)\s+(?:roles?|cards?)")
+# coverage-accounting twin over lowered text (the miner itself is cased)
+_COURT_NAMES_CI_RX = re.compile(
+    r"((?:[a-z][a-z'-]+(?:,\s*(?:and\s+|or\s+)?|\s+(?:and|or)\s+)){2}"
+    r"[a-z][a-z'-]+)\s+(?:roles?|cards?)", re.IGNORECASE)
+_BUST_LIMIT_CI_RX = re.compile(
+    r"\bbust\w*\s+(?:past|at|over|above|beyond)\s+\w+\b", re.IGNORECASE)
 
 
 def _mine_bluff_roles(bp: Blueprint) -> Blueprint:
