@@ -1621,24 +1621,29 @@ def _generate_base(bp: Blueprint) -> dict[str, Any]:
                                       3, 2, 6),
             win_points=_mine_first_to(bp.description, 5))
     if bp.archetype == "conversion":
-        return _gen_conversion(bp)
+        return _gen_conversion(bp, max_rounds=_mine_rounds(bp.description, 12))
     if bp.archetype == "pressluck":
         return _gen_pressluck(
             bp, win_points=_mine_first_to(bp.description, 10),
-            bust_limit=_mine_bust_limit(bp.description, 5))
+            bust_limit=_mine_bust_limit(bp.description, 5),
+            max_rounds=_mine_rounds(bp.description, 60))
     if bp.archetype == "racing":
-        return _gen_racing(bp, track_len=_mine_first_to(bp.description, 10))
+        return _gen_racing(bp, track_len=_mine_first_to(bp.description, 10),
+                           max_rounds=_mine_rounds(bp.description, 40))
     if bp.archetype == "masquerade":
         return _gen_masquerade(
             bp, mask_names=_mine_mask_names(bp.description),
-            win_coins=_mine_first_to(bp.description, 12))
+            win_coins=_mine_first_to(bp.description, 12),
+            max_rounds=_mine_rounds(bp.description, 40))
     if bp.archetype == "draft":
         return _gen_draft(
             bp, pool=_mine_count(bp.description,
                                  r"prizes?|relics?|items?|cards?|treasures?|lots?",
-                                 6, 3, 10))
+                                 6, 3, 10),
+            max_rounds=_mine_rounds(bp.description, 5))
     if bp.archetype == "gifting":
-        return _gen_gifting(bp, win_coins=_mine_first_to(bp.description, 12))
+        return _gen_gifting(bp, win_coins=_mine_first_to(bp.description, 12),
+                            max_rounds=_mine_rounds(bp.description, 30))
     raise ValueError(f"unknown archetype {bp.archetype!r}")
 
 
@@ -2761,6 +2766,17 @@ def _mine_first_to(description: str, default: int) -> int:
         return default
     tok = m.group(1).lower()
     return max(2, min(60, int(tok) if tok.isdigit() else _NUM_WORDS_EXT[tok]))
+
+
+def _mine_rounds(description: str, default: int) -> int:
+    """'play ten rounds' / 'best of 5 rounds' -> the round cap for
+    archetypes that declare one. Clamped to 2..100."""
+    m = re.search(r"\b(\d+|" + "|".join(_NUM_WORDS_EXT) + r")\s+rounds?\b",
+                  description, re.IGNORECASE)
+    if not m:
+        return default
+    tok = m.group(1).lower()
+    return max(2, min(100, int(tok) if tok.isdigit() else _NUM_WORDS_EXT[tok]))
 
 
 def _mine_bust_limit(description: str, default: int) -> int:

@@ -560,3 +560,17 @@ def test_bluff_court_and_bust_limit_mined():
     doc = generate_from_description(
         "bust8", "press your luck and bank the stash before busting past 8")
     assert "past 8" in doc["declaration"]["player_states"]["stash"]["description"]
+
+
+def test_round_cap_mined():
+    """'for ten rounds' / 'after 8 rounds' sets the archetype's round cap;
+    'each round' (no count) must not mis-mine."""
+    from game_engine_tpu.dslgen.generate import _mine_rounds
+    doc = generate_from_description(
+        "g10", "gift a coin to a friend each round for ten rounds")
+    branches = [k for ph in doc["phases"].values()
+                if isinstance(ph.get("next_phase"), dict)
+                for k in ph["next_phase"]]
+    assert any("10 or more rounds" in k for k in branches), branches
+    assert _mine_rounds("collect 2 coins each round", 60) == 60
+    assert _mine_rounds("best of 5 rounds", 60) == 5
