@@ -574,3 +574,30 @@ def test_round_cap_mined():
     assert any("10 or more rounds" in k for k in branches), branches
     assert _mine_rounds("collect 2 coins each round", 60) == 60
     assert _mine_rounds("best of 5 rounds", 60) == 5
+
+
+EMBER_RUN_DESC = ("Press your luck: stash points each round and bank the "
+                  "stash before busting past 8. First to 15 banked points "
+                  "wins; the run caps at 50 rounds.")
+
+
+def test_ember_run_catalog_copy_is_generator_output():
+    """games/ember-run.yaml witnesses the round-4 parameter miners (win
+    target 15, bust ceiling 8, round cap 50) — byte-exact generator
+    output for its own description, zero warnings."""
+    import os
+
+    import yaml
+
+    from game_engine_tpu.gamespec.parser import games_dir
+
+    rep: list = []
+    doc = generate_from_description("ember-run", EMBER_RUN_DESC, report=rep)
+    assert not rep, rep
+    with open(os.path.join(games_dir(), "ember-run.yaml"), encoding="utf-8") as f:
+        on_disk = yaml.safe_load(f)
+    assert on_disk == doc
+    ps = doc["declaration"]["player_states"]
+    assert "15" in ps["points"]["description"]
+    assert "past 8" in ps["stash"]["description"]
+    assert "50" in ps["rounds"]["description"]
