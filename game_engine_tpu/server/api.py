@@ -225,6 +225,13 @@ class AppContext:
                     return 422, {"error": "generated DSL failed validation",
                                  "issues": [str(i) for i in issues]}
                 path = os.path.join(self.host._games_path, f"{name}.yaml")
+                # a generated name can collide with an existing catalog
+                # entry (gameName "two truths and a lie" sanitizes to the
+                # parity-contract file's stem) — never clobber silently;
+                # re-generating on purpose takes {"overwrite": true}
+                if os.path.exists(path) and not body.get("overwrite"):
+                    return 409, {"error": f"game {name!r} already exists; "
+                                          "pass overwrite=true to replace it"}
                 with open(path, "w", encoding="utf-8") as f:
                     _yaml.safe_dump(doc, f, sort_keys=False, allow_unicode=True)
                 return 200, {

@@ -156,8 +156,10 @@ def test_generate_dsl_with_external_model_over_http(llm_server):
     """VERDICT r4 item 5: with a model behind --llm-cmd, /api/generate-dsl
     produces an out-of-archetype game, WARNING-FREE (no coverage warning,
     no fallback notice), that then plays to completion."""
+    # raven-moot is this test's own artifact, committed to the catalog —
+    # regenerating it is a deliberate overwrite
     code, data = req(llm_server, "POST", "/api/generate-dsl",
-                     {"gameName": "Raven Moot",
+                     {"gameName": "Raven Moot", "overwrite": True,
                       "gameDescription": "three-eyed ravens trade "
                       "dreamshards under a waxing moon; the most blessed "
                       "raven prevails"})
@@ -201,3 +203,20 @@ def test_generate_dsl_bad_model_falls_back_loudly(tmp_path):
             data["warnings"]
     finally:
         srv.shutdown()
+
+
+def test_generate_dsl_never_clobbers_existing_game(server):
+    """A generated name that sanitizes to an existing catalog stem (e.g.
+    the parity-contract two-truths file) must 409, not overwrite; an
+    explicit overwrite=true replaces it."""
+    code, data = req(server, "POST", "/api/generate-dsl",
+                     {"gameName": "Two Truths and a Lie",
+                      "gameDescription": "statements, truths and lies, "
+                                         "guess the lie each round"})
+    assert code == 409 and "already exists" in data["error"]
+    code, data = req(server, "POST", "/api/generate-dsl",
+                     {"gameName": "Two Truths and a Lie",
+                      "gameDescription": "statements, truths and lies, "
+                                         "guess the lie each round",
+                      "overwrite": True})
+    assert code == 200 and data["name"] == "two-truths-and-a-lie"
