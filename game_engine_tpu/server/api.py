@@ -17,7 +17,9 @@ Routes (reference: SURVEY.md §2.4, src/app/api/*):
   GET  /api/rooms/<roomId>/state?playerId=N  -> AgentState + visible items
                                        (items audience-gated, private fields masked)
   GET  /api/rooms/<roomId>/notes       game_notes narrative log
-  POST /api/generate-dsl               {gameName, gameDescription} -> new game YAML
+  POST /api/generate-dsl               {gameName, gameDescription[, overwrite]}
+                                       -> new game YAML (409 on name collision
+                                       without overwrite=true)
   GET  /api/debug/rooms                storage dump
   GET  /, /register, /library, /room, /play   web client pages
   GET  /static/<asset>                 client js/css (server/web/)
