@@ -146,8 +146,72 @@ def run_effects_merged(mechs, ops, actives) -> None:
         flush()
 
 
+def _stmt_write_keys(stmt, reveal_bool_slots, alive_slot):
+    """The (bank-tag, slot) keys a statement row writes."""
+    skind, bank, slot, _vnode, _wnode, _knode = stmt
+    if skind == FX.ST_KILL:
+        keys = [("b", s) for s in reveal_bool_slots]
+        if alive_slot >= 0:
+            keys.append(("b", alive_slot))
+        return keys
+    if skind == FX.ST_OVER:
+        return [("over", 0)]  # done/winner: all terminal rules one group
+    if skind == FX.ST_RESET:
+        return [("od" if bank == FX.FXB_ODICT else "pd", slot)]
+    if skind == FX.ST_SETD:
+        return [("pd", slot)]
+    if skind == FX.ST_DEAL or (skind == FX.ST_SET and bank == FX.FXB_STR):
+        return [("s", slot)]
+    if skind == FX.ST_SET and bank == FX.FXB_BOOL:
+        return [("b", slot)]
+    return [("n", slot)]  # ST_SET num / ST_ADD
+
+
+def grouped_stmt_order(stmts, reveal_bool_slots, alive_slot):
+    """Permutation of range(len(stmts)) grouping statements whose write
+    targets are connected, preserving declared order inside each group.
+
+    Valid because every read inside a block comes from the block's
+    snapshot (P20): two statements can only interfere through the slots
+    they WRITE, so any interleaving that keeps same-slot (transitively:
+    same union-find component) statements in declared order is
+    bit-identical. Groups are emitted in first-appearance order. This is
+    VERDICT r3 #2's statement-reordering lever — traced-op emission order
+    is XLA's initial HLO schedule, so packing each slot's select chain
+    contiguously shortens the chains' live ranges as the scheduler first
+    sees them. A/B: utils/ab_writes.py."""
+    keys = []
+    for i, stmt in enumerate(stmts):
+        ks = _stmt_write_keys(stmt, reveal_bool_slots, alive_slot)
+        keys.append(ks if ks else [("stmt", i)])  # slotless kill: free
+
+    parent: dict = {}
+
+    def find(k):
+        while parent[k] != k:
+            parent[k] = parent[parent[k]]
+            k = parent[k]
+        return k
+
+    for ks in keys:
+        for k in ks:
+            parent.setdefault(k, k)
+        for a, b in zip(ks, ks[1:]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+    groups: dict = {}  # root -> stmt indices (insertion order = first touch)
+    for i, ks in enumerate(keys):
+        groups.setdefault(find(ks[0]), []).append(i)
+    return [i for g in groups.values() for i in g]
+
+
 def _apply_block(block, reveal_bool_slots, ops, active, deal_tables=()) -> None:
     nodes, stmts = block
+    if getattr(ops, "group_stmts", False) and len(stmts) > 1:
+        order = grouped_stmt_order(stmts, reveal_bool_slots,
+                                   getattr(ops, "alive_slot", -1))
+        stmts = [stmts[i] for i in order]
     vals: list = []
     for kind, p0, p1, p2 in nodes:
         vals.append(_eval_node(kind, p0, p1, p2, vals, ops))

@@ -55,6 +55,14 @@ DEFERRED_WRITES = True
 # independent .at[slot].set updates are emitted in changes. Toggled by
 # utils/ab_writes.py for A/B.
 SORTED_FLUSH = False
+# Reorder each block's statements so all writes to one slot (one union-find
+# component of write targets) are emitted contiguously, preserving declared
+# order within a component — the full statement-reordering lever from
+# VERDICT r3 #2. Bit-identical by construction: block reads come from the
+# snapshot, so statements only interfere through the slots they write
+# (core/effects_exec.grouped_stmt_order; pinned by test_effects_grouping).
+# Toggled by utils/ab_writes.py for A/B.
+GROUP_STMTS = False
 
 
 def splitmix32_jax(x):
@@ -250,6 +258,14 @@ class _EffectOps:
         # deferred write-combining: slot -> effective (B, P) column, seeded
         # from the snapshot on first touch; flush() lands them all at once
         self._pend = {"b": {}, "n": {}, "s": {}}
+
+    @property
+    def group_stmts(self):
+        return GROUP_STMTS
+
+    @property
+    def alive_slot(self):
+        return self.lw.alive_bool
 
     # -- dtype helpers ------------------------------------------------------
 

@@ -38,9 +38,11 @@ def main() -> None:
 
     lowered = lower(compile_game(load_builtin(game)))
 
-    def build(deferred: bool, sorted_flush: bool = False):
+    def build(deferred: bool, sorted_flush: bool = False,
+              group_stmts: bool = False):
         S.DEFERRED_WRITES = deferred
         S.SORTED_FLUSH = sorted_flush
+        S.GROUP_STMTS = group_stmts
         roll = compiled_rollout(lowered, steps, auto_reset=True)
         st, eps = roll(init_state(lowered, batch, 8,
                                   np.arange(batch, dtype=np.uint32)))
@@ -51,13 +53,18 @@ def main() -> None:
     roll_d, st_d = build(True)
     print("building deferred+sorted-flush…", flush=True)
     roll_s, st_s = build(True, sorted_flush=True)
+    print("building deferred+grouped-stmts…", flush=True)
+    roll_g, st_g = build(True, group_stmts=True)
     print("building per-statement…", flush=True)
     roll_p, st_p = build(False)
     S.DEFERRED_WRITES = True
     S.SORTED_FLUSH = False
+    S.GROUP_STMTS = False
 
-    states = {"deferred": st_d, "sorted": st_s, "per_stmt": st_p}
-    rolls = {"deferred": roll_d, "sorted": roll_s, "per_stmt": roll_p}
+    states = {"deferred": st_d, "sorted": st_s, "grouped": st_g,
+              "per_stmt": st_p}
+    rolls = {"deferred": roll_d, "sorted": roll_s, "grouped": roll_g,
+             "per_stmt": roll_p}
     times = {name: [] for name in rolls}
     for i in range(iters):
         for name, roll in rolls.items():
