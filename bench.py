@@ -12,12 +12,46 @@ Prints exactly one JSON line:
 """
 
 import json
+import os
 import sys
+import threading
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _require_backend(timeout_s: float = 150.0) -> None:
+    """Fail fast (exit 2) when the accelerator backend cannot initialize.
+
+    `jax.devices()` blocks indefinitely inside `make_c_api_client` when the
+    axon relay is unhealthy — round 3 lost its driver bench artifact to
+    exactly this (rc=124 after the driver timeout, zero diagnostics). Probe
+    the backend on a daemon thread: normal init is seconds (compiles are
+    the slow part and happen later), so a silent probe past `timeout_s`
+    means the relay is down, and a loud fast exit beats an opaque hang."""
+    out = {}
+
+    def probe():
+        try:
+            out["devices"] = [str(d) for d in jax.devices()]
+        except Exception as e:
+            out["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in out:
+        print(json.dumps({
+            "error": "jax backend unavailable",
+            "detail": out.get(
+                "error",
+                f"jax.devices() did not answer within {timeout_s:.0f}s "
+                "(axon relay down?)"),
+        }), file=sys.stderr, flush=True)
+        # the stuck probe thread holds the backend lock; skip atexit
+        os._exit(2)
 
 
 def policy_rollout_bench(batch: int, inner_steps: int, iters: int):
@@ -87,6 +121,7 @@ def policy_rollout_bench(batch: int, inner_steps: int, iters: int):
 
 
 def main():
+    _require_backend()
     from game_engine_tpu.core.engine import compiled_rollout
     from game_engine_tpu.core.state import init_state
     from game_engine_tpu.gamespec.compile import compile_game
