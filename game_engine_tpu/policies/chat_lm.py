@@ -53,6 +53,10 @@ class LMConfig:
     # whether serving contexts carry the persona id; old checkpoints load
     # as False and keep byte-identical contexts
     personas: bool = False
+    # trained on the v2 intents (rules/history/advice) and their Gd=/Hn=/
+    # Wt= context segments? gates whether the serving tier may answer them
+    # (server.chat lm_may_serve); old checkpoints load as False
+    kinds2: bool = False
 
 
 _FOLD = str.maketrans({"—": "-", "–": "-", "’": "'", "“": '"', "”": '"'})
@@ -194,7 +198,10 @@ def loss_fn(params, tokens, mask, cfg: LMConfig):
 # corpus: self-distillation from the template composer
 # ---------------------------------------------------------------------------
 
-_QUERIES = (
+# the round-3 query distribution — held-out evaluation of a checkpoint must
+# use the distribution it TRAINED on (the shipped-checkpoint tests pin this
+# tuple for pre-kinds2 checkpoints; a longer list reshuffles every draw)
+_QUERIES_V1 = (
     "hello there", "hi everyone", "what's the status?", "who is still alive?",
     "what's happening?", "what's the score?", "who is winning?",
     "any statements yet?", "which one is the lie?", "who do you vote for?",
@@ -204,6 +211,14 @@ _QUERIES = (
     # extra status-flavored draws: the alive/fallen roster lines are the
     # hardest copies (long, state-dependent), so they get more corpus share
     "who is left?", "who died?", "status report", "who remains?",
+)
+
+_QUERIES = _QUERIES_V1 + (
+    # v2 intents (rules/history/advice): replies quote the Gd=/Hn= context
+    # segments, so the copy circuit must learn them like the boards
+    "what are the rules?", "how do i win?", "what happens in this phase?",
+    "what happened?", "catch me up", "who should i vote for?",
+    "any advice?", "what should i do?",
 )
 
 # sender names rotate so the model learns to COPY the S= field rather than
@@ -295,7 +310,8 @@ def _grounded_query(fields: list[str], players: dict, h: int) -> str:
 
 
 def build_corpus(games=("werewolf", "two-truths-and-a-lie"), seeds=range(150),
-                 max_pairs: int = 30000) -> list[tuple[str, str]]:
+                 max_pairs: int = 30000,
+                 queries: Optional[tuple] = None) -> list[tuple[str, str]]:
     """(context, reply) pairs harvested by playing oracle rooms and asking
     the template composer at every phase step. Deterministic.
 
@@ -338,7 +354,10 @@ def build_corpus(games=("werewolf", "two-truths-and-a-lie"), seeds=range(150),
                     else:
                         room.players[p]["name"] = _rand_name(
                             _smx((seed * 9176 + p * 331 + ghash) & 0xFFFFFFFF))
-            chat = ChatRoom("corpus", seed=seed, visibility=vis)
+            from game_engine_tpu.server.chat import phase_guide_from_spec
+
+            chat = ChatRoom("corpus", seed=seed, visibility=vis,
+                            phase_guide=phase_guide_from_spec(game.spec))
             # the student trains on the Pe= persona segment so its decodes
             # can reproduce each bot's tics (serving emits Pe= only for
             # persona-trained checkpoints — hook.personas)
@@ -346,6 +365,10 @@ def build_corpus(games=("werewolf", "two-truths-and-a-lie"), seeds=range(150),
             fields = sorted(f for f in room.players[1] if f != "name")
             for t in range(400):
                 room.step(oracle_policy(room, t, seed))
+                # who must act next (serving: manager's waiting_on carries
+                # the human seats the host blocks on; seat 1 is the corpus
+                # sender) — grounds the advice intent's Wt= flag
+                nxt = {} if room.done else oracle_policy(room, t + 1, seed)
                 snap = {
                     "player_states": {str(p): dict(row) for p, row in room.players.items()},
                     "current_phase_name": room.phase.name,
@@ -353,6 +376,7 @@ def build_corpus(games=("werewolf", "two-truths-and-a-lie"), seeds=range(150),
                         p for p, row in room.players.items()
                         if not row.get("is_alive", True)
                     ],
+                    "waiting_on": [1] if 1 in nxt else [],
                 }
                 # several queries per simulated step: the oracle stepping
                 # dominates corpus cost, extra (sender, query) draws are
@@ -366,7 +390,8 @@ def build_corpus(games=("werewolf", "two-truths-and-a-lie"), seeds=range(150),
                             fields, snap["player_states"],
                             _s((seed * 131 + t * 17 + 5) & 0xFFFFFFFF))
                     else:
-                        q = _QUERIES[(seed * 7 + t + j * 5) % len(_QUERIES)]
+                        qs = queries or _QUERIES
+                        q = qs[(seed * 7 + t + j * 5) % len(qs)]
                     who = _SENDERS[(seed * 5 + t * 3 + j * 101) % len(_SENDERS)]
                     chat.post(1, who, q)
                     plan = chat.plan_reply(1, who, q, snap)
@@ -527,4 +552,5 @@ def make_lm_hook(ckpt_path: str):
     # path still verifies the value before trusting the decode)
     hook.grounded = bool(cfg.grounded)
     hook.personas = bool(cfg.personas)
+    hook.kinds2 = bool(cfg.kinds2)
     return hook

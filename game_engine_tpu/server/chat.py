@@ -39,6 +39,25 @@ class ChatMessage:
 
 
 _KEYWORDS = [
+    # v2 intents (advice/rules/history) outrank everything: "who should I
+    # vote for" must not fall into the bot's own-vote intent, "what is
+    # this phase" must beat the status keyword 'phase', and a greeting
+    # prefix ("hey, any advice?") should not eat the actual question
+    (re.compile(
+        r"\bwho should (?:i|we) (?:vote|pick|choose|target)\b|"
+        r"\bwhat should (?:i|we) (?:do|pick|choose|play|vote)\b|"
+        r"\bany (?:advice|tips)\b|\bhelp me (?:decide|choose|pick|out)\b",
+        re.IGNORECASE), "advice"),
+    (re.compile(
+        r"\brules?\b|\bhow (?:does|do) (?:this|the game|it) work\b|"
+        r"\bhow to play\b|\bhow do (?:i|we|you) win\b|"
+        r"\bwhat happens (?:now|next|in this phase)\b|"
+        r"\bwhat(?:'s| is) this phase\b|\bexplain the game\b",
+        re.IGNORECASE), "rules"),
+    (re.compile(
+        r"\bwhat(?:'s| has| have)? happened\b|\bwho (?:died|fell)\b|"
+        r"\brecap\b|\bso far\b|\blast round\b|\bcatch me up\b",
+        re.IGNORECASE), "history"),
     (re.compile(r"\b(hi|hello|hey)\b", re.IGNORECASE), "greeting"),
     (re.compile(r"\b(status|phase|alive|who(?:'s| is)? (?:left|remaining|dead)|happening)\b", re.IGNORECASE), "status"),
     (re.compile(r"\b(score|points|standings|winning)\b", re.IGNORECASE), "score"),
@@ -47,8 +66,44 @@ _KEYWORDS = [
     (re.compile(r"\b(suspect|suspicious|liar|werewolf|assassin|accuse|guilty)\b", re.IGNORECASE), "suspicion"),
 ]
 
+# Intents added after the round-3 checkpoint shipped: their lm_context
+# carries kind-specific segments (Gd=/Hn=/Wt=), so only a checkpoint
+# trained on them (cfg.kinds2 -> hook.kinds2) may serve them; older hooks
+# get the template tier and keep byte-identical contexts for the original
+# kinds.
+_V2_KINDS = frozenset({"advice", "rules", "history"})
+
 # "player 3" / "@3" mentions, for the accusation tracker
 _MENTION = re.compile(r"(?:player\s*|@)(\d+)", re.IGNORECASE)
+
+
+def phase_guide_from_spec(spec) -> dict:
+    """Compact rules digest the chat responder can quote: per-phase
+    description + completion sentence keyed by LOWERCASED phase name, plus
+    the game's win/summary text under "__win__". The reference ChatBotNode
+    answers rules questions because the full DSL rides its prompt
+    (reference: agent/game_agent_v2.py:385-416); this is the determinized
+    slice the template tier and the distilled LM can both ground on."""
+    from game_engine_tpu.gamespec.schema import CompletionType
+
+    def _clean(s, n=110):
+        s = " ".join(str(s or "").split())
+        return (s[: n - 1].rstrip() + "…") if len(s) > n else s
+
+    guide: dict[str, Any] = {}
+    for ph in spec.phases.values():
+        done = _clean(ph.completion.description, 60)
+        if not done:
+            done = {
+                CompletionType.TIMER: "the timer runs out",
+                CompletionType.UI_DISPLAYED: "the board is shown",
+            }.get(ph.completion.type,
+                  _clean(ph.completion.target_description, 60)
+                  or "everyone has acted")
+        guide[ph.name.lower()] = {"desc": _clean(ph.description),
+                                  "done": done}
+    guide["__win__"] = _clean(spec.declaration.description, 140)
+    return guide
 
 
 def _pname(players: dict, pid) -> str:
@@ -96,7 +151,7 @@ def lm_context(kind: str, bot: int, sender_name: str, text: str,
                snapshot: dict[str, Any], variant: int = 0,
                sus_name: str = "", visibility: Optional[dict] = None,
                grounded: Optional[dict] = None,
-               persona: Optional[int] = None) -> str:
+               persona: Optional[int] = None, extra: str = "") -> str:
     """Serialize the reply-relevant state into the compact conditioning
     string consumed by the on-TPU chat LM (policies/chat_lm.py). The SAME
     serializer builds the self-distillation corpus, so serving inputs stay
@@ -155,7 +210,7 @@ def lm_context(kind: str, bot: int, sender_name: str, text: str,
         f"|Ns={roster}|X={sus_name or ''}|L={_alive_board(players)}"
         f"|Fl={_fallen_board(players, snapshot.get('deadPlayers', []))}"
         f"|F={_facts_board(players, bot, visibility)}"
-        f"|Sc={board}|I={inv}{pe}{g}|Q={text[:60]}"
+        f"|Sc={board}|I={inv}{pe}{g}{extra}|Q={text[:60]}"
     )
 
 
@@ -208,13 +263,19 @@ def decorate_persona(text: str, pid: int, h: int) -> str:
 
 
 def lm_may_serve(lm_hook, plan: dict) -> bool:
-    """Whether the learned tier may answer this plan. Ungrounded intents
-    are always LM-eligible; grounded field questions additionally require
-    a hook that declares grounded training (``hook.grounded`` — set by
-    policies.chat_lm.make_lm_hook from the checkpoint's config), so an old
-    ungrounded checkpoint keeps the round-3 template bypass."""
-    return bool(plan.get("lm_ok", True)) or bool(getattr(lm_hook, "grounded",
-                                                         False))
+    """Whether the learned tier may answer this plan. Plans the composer
+    marked LM-eligible (``lm_ok``) always are; grounded field questions
+    additionally require a hook that declares grounded training
+    (``hook.grounded`` — set by policies.chat_lm.make_lm_hook from the
+    checkpoint's config), so an old ungrounded checkpoint keeps the
+    round-3 template bypass. The grounded override applies ONLY to
+    grounded plans: a v2-intent plan (rules/history/advice) gated off for
+    an untrained hook must not leak through on hook.grounded alone."""
+    if plan.get("lm_ok", True):
+        return True
+    if plan.get("grounded") is not None:
+        return bool(getattr(lm_hook, "grounded", False))
+    return False
 
 
 _REFUSAL_RE = re.compile(
@@ -246,7 +307,8 @@ class ChatRoom:
     way, and a None/empty hook reply falls back to the templates."""
 
     def __init__(self, room_id: str, seed: int = 0, lm_hook=None,
-                 visibility: Optional[dict[str, int]] = None):
+                 visibility: Optional[dict[str, int]] = None,
+                 phase_guide: Optional[dict] = None):
         self.room_id = room_id
         self.seed = seed
         self.lm_hook = lm_hook
@@ -254,6 +316,8 @@ class ChatRoom:
         # codes: 0 public, 1 self-only, 2 team) — grounded answers reveal
         # public values truthfully and guard hidden ones; None = all public
         self.visibility = visibility or {}
+        # phase_guide_from_spec(spec): rules digest for the "rules" intent
+        self.phase_guide = phase_guide or {}
         # emit the Pe= persona segment in LM contexts even without a hook
         # (the corpus builder sets this so the student trains on it;
         # serving also emits it whenever the hook declares hook.personas)
@@ -382,13 +446,19 @@ class ChatRoom:
                                   grounded=fact,
                                   persona=(pid if (self.persona_ctx or getattr(
                                       self.lm_hook, "personas", False))
-                                           else None)),
+                                           else None),
+                                  extra=self._v2_extra(kind, sender_id, text,
+                                                       snapshot)),
             "composed": composed,
             # grounded field answers carry exact state values; only an LM
             # trained with the G= fact segment (hook.grounded) may serve
             # them, and commit_reply still verifies the value appears in
-            # the decode before trusting it (correctness over roleplay)
-            "lm_ok": kind != "field",
+            # the decode before trusting it (correctness over roleplay).
+            # v2 intents need a hook trained on their context segments
+            # (hook.kinds2) — lm_may_serve has no override for them
+            "lm_ok": kind != "field" and (
+                kind not in _V2_KINDS
+                or bool(getattr(self.lm_hook, "kinds2", False))),
             "grounded": ({"fname": fact["fname"], "val": fact["val"],
                           "hidden": fact["hidden"]} if fact else None),
             "bot": bot,
@@ -422,6 +492,42 @@ class ChatRoom:
 
     def _name(self, players: dict, pid) -> str:
         return players.get(str(pid), {}).get("name") or f"Player {pid}"
+
+    def _rules_text(self, text: str, snapshot: dict) -> str:
+        """The guide sentence a rules reply quotes: the win/summary text
+        for 'how do I win', else the current phase's digest, else ''."""
+        if re.search(r"\bwin\b", text, re.IGNORECASE):
+            return self.phase_guide.get("__win__", "")
+        phase = snapshot.get("current_phase_name") or ""
+        g = self.phase_guide.get(str(phase).lower()) or {}
+        desc = g.get("desc", "")
+        if desc and g.get("done"):
+            return f"{desc} It ends when {g['done']}."
+        return desc
+
+    @staticmethod
+    def _history_text(snapshot: dict) -> str:
+        """The last one or two game-note lines a history reply quotes."""
+        notes = [str(n.get("text", "")) for n in
+                 snapshot.get("game_notes", []) if n.get("text")]
+        return " Then: ".join(t[:90] for t in notes[-2:])
+
+    def _v2_extra(self, kind: str, sender_id: int, text: str,
+                  snapshot: dict) -> str:
+        """Kind-conditional context segments for the v2 intents — each
+        carries VERBATIM the fact text its composed reply quotes (a
+        distilled student is only faithful to facts its context shows).
+        Original kinds emit nothing, keeping their serving contexts
+        byte-identical for pre-v2 checkpoints."""
+        if kind == "rules":
+            return f"|Gd={self._rules_text(text, snapshot)}"
+        if kind == "history":
+            return f"|Hn={self._history_text(snapshot)}"
+        if kind == "advice":
+            waiting = snapshot.get("waiting_on") or []
+            up = any(int(w) == sender_id for w in waiting)
+            return f"|Wt={1 if up else 0}"
+        return ""
 
     def _accusation_counts(self, players: dict) -> dict[int, int]:
         """Who has been accused in this chat (mentions near suspicion words)."""
@@ -637,6 +743,58 @@ class ChatRoom:
                 ]
             else:
                 pool = [f"Accusations need proof, {sender_name}."]
+        elif kind == "advice":
+            # counsel the SENDER (the vote intent states the bot's own
+            # choice); grounded in who the host is waiting on + the bot's
+            # suspect read — the determinized slice of the reference bot's
+            # free strategic banter (agent/game_agent_v2.py:385-416)
+            waiting = snapshot.get("waiting_on") or []
+            up = any(int(w) == sender_id for w in waiting)
+            if up and sus_name:
+                pool = [
+                    f"You're up, {sender_name} — if it were me, I'd look hard at {sus_name}.",
+                    f"It's your move, {sender_name}. My read: {sus_name}.",
+                    f"The table's waiting on you. I'd weigh {sus_name} carefully.",
+                ]
+            elif sus_name:
+                pool = [
+                    f"When your moment comes, keep your eye on {sus_name}.",
+                    f"My advice, {sender_name}: play {phase} straight and watch {sus_name}.",
+                ]
+            else:
+                pool = [
+                    f"Play {phase} straight and keep your options open, {sender_name}.",
+                    f"No tricks in {phase}, {sender_name} — just don't get read.",
+                ]
+        elif kind == "rules":
+            rt = self._rules_text(text, snapshot)
+            if rt and re.search(r"\bwin\b", text, re.IGNORECASE):
+                pool = [f"How you win: {rt}",
+                        f"The long game, {sender_name}: {rt}"]
+            elif rt:
+                pool = [f"{phase}: {rt}",
+                        f"Here's {phase}, {sender_name}: {rt}"]
+            else:
+                pool = [
+                    f"We're in {phase} — play it as it comes.",
+                    f"The game will show you, {sender_name}; right now it's {phase}.",
+                ]
+        elif kind == "history":
+            ht = self._history_text(snapshot)
+            fallen = _fallen_board(players, dead)
+            if ht:
+                pool = [f"The story so far: {ht}",
+                        f"Catching you up, {sender_name}: {ht}"]
+            elif dead:
+                pool = [
+                    f"So far we've lost {fallen} — and now it's {phase}.",
+                    f"The short of it: {fallen} fallen, {len(alive)} of us left in {phase}.",
+                ]
+            else:
+                pool = [
+                    f"Nothing to recap yet — everyone's standing and we're in {phase}.",
+                    f"Quiet so far, {sender_name}: no one's fallen and it's {phase}.",
+                ]
         else:
             # no intent matched: quote the bot's own (public) standing
             # instead of a contentless deflection

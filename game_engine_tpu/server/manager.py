@@ -635,9 +635,12 @@ class GameHost:
                         for _rname, settings in mech.role_fields:
                             for fname, _v in settings:
                                 chat_vis[fname] = max(chat_vis.get(fname, 0), 1)
+            from game_engine_tpu.server.chat import phase_guide_from_spec
+
             self._chats[room_id] = ChatRoom(
                 room_id, seed=real_seed, lm_hook=self._chat_lm_hook,
-                visibility=chat_vis)
+                visibility=chat_vis,
+                phase_guide=phase_guide_from_spec(gs.lowered.game.spec))
             self._notes[room_id] = NotesLog()
             self._phase_history[room_id] = []
             ts0 = self._replay_ts if self._replay_ts is not None else time.time()
@@ -916,6 +919,17 @@ class GameHost:
                     # statements/submitted fields would contradict the
                     # board every client renders)
                     snap = self._project_now(room_id, gs, slot, names)
+                    # the history/advice intents ground on the notes log
+                    # and the host's waiting set (chat.py _v2_extra);
+                    # both are deterministic functions of engine state, so
+                    # crash-recovery recompute replay stays bit-identical
+                    log = self._notes.get(room_id)
+                    if log is not None:
+                        snap["game_notes"] = log.recent(10)
+                    seats = self._humans.get(room_id, (1,))
+                    snap["waiting_on"] = (
+                        [] if gs.is_done(slot)
+                        else gs.must_act_seats(slot, seats))
                     try:
                         plan = chat.plan_reply(player_id, sender_name, text,
                                                snap)

@@ -47,7 +47,8 @@ def main() -> None:
     # fact segment, so the shipped checkpoint may serve state questions
     # (server.chat.lm_may_serve; commit_reply verifies each decode)
     cfg = C.LMConfig(d_model=args.d_model, n_layers=args.layers,
-                     max_len=args.max_len, grounded=True, personas=True)
+                     max_len=args.max_len, grounded=True, personas=True,
+                     kinds2=True)
     t0 = time.time()
     pairs = C.build_corpus(seeds=range(args.seeds), max_pairs=args.max_pairs)
     # drop pairs encode_pair would truncate: a clipped reply has no EOS, so

@@ -109,9 +109,11 @@ def test_shipped_checkpoint_interrogation_composer_disabled():
         pytest.skip("shipped checkpoint predates grounded training")
     hook = C.make_lm_hook(_CKPT)
     assert hook.grounded
-    # held-out rooms (training corpus uses seeds 0..259)
+    # held-out rooms (training corpus uses seeds 0..259), drawn from the
+    # query distribution this checkpoint trained on (see test_chat_lm.py)
     pairs = C.build_corpus(games=("werewolf",), seeds=range(320, 332),
-                           max_pairs=4000)
+                           max_pairs=4000,
+                           queries=None if cfg.kinds2 else C._QUERIES_V1)
     cases = [(ctx, ref) for ctx, ref in pairs if "|G=" in ctx][:24]
     assert len(cases) >= 12, "corpus produced too few grounded pairs"
     ok = 0

@@ -149,9 +149,12 @@ def test_shipped_checkpoint_copies_default_numbered_handles():
     if not os.path.exists(path):
         pytest.skip("no shipped chat LM checkpoint")
     params, cfg = C.load(path)
-    # held-out rooms (train corpus uses seeds 0..259)
+    # held-out rooms (train corpus uses seeds 0..259), drawn from the query
+    # distribution THIS checkpoint trained on (pre-kinds2 ckpts trained on
+    # the v1 query tuple; the v2 list reshuffles every draw)
     pairs = C.build_corpus(games=("werewolf",), seeds=range(300, 312),
-                           max_pairs=3000)
+                           max_pairs=3000,
+                           queries=None if cfg.kinds2 else C._QUERIES_V1)
     cases = []
     for ctx, ref in pairs:
         m = re.search(r"\|Ns=([^|]*)", ctx)
