@@ -135,12 +135,37 @@ def run_effects_merged(mechs, ops, actives) -> None:
     pairwise-distinct phases): each room executes at most one of them, so
     the merged pass is bit-identical to sequential run_effect calls while
     letting XLA fuse the programs' reads and writes together instead of
-    serializing them through the banks (core/step.py apply_on_enter)."""
+    serializing them through the banks (core/step.py apply_on_enter).
+
+    With ops.group_stmts, statements are reordered by write-target
+    component ACROSS the merged programs — the merged pass is where the
+    long multi-program select chains live, so per-program grouping alone
+    would miss the hot case. Validity is the same snapshot argument as
+    grouped_stmt_order, plus disjoint actives (same-slot writes from
+    different programs commute room-wise; their declared order is kept
+    anyway)."""
     ops.snapshot()
-    for mech, active in zip(mechs, actives):
-        (block,) = mech.blocks
-        _apply_block(block, mech.reveal_bool_slots, ops, active,
-                     mech.deal_tables)
+    if getattr(ops, "group_stmts", False):
+        entries = []  # (stmt, vals, active, reveal_slots, deal_tables)
+        for mech, active in zip(mechs, actives):
+            ((nodes, stmts),) = mech.blocks
+            vals: list = []
+            for kind, p0, p1, p2 in nodes:
+                vals.append(_eval_node(kind, p0, p1, p2, vals, ops))
+            for s in stmts:
+                entries.append((s, vals, active, mech.reveal_bool_slots,
+                                mech.deal_tables))
+        order = grouped_stmt_order(
+            [e[0] for e in entries], [e[3] for e in entries],
+            getattr(ops, "alive_slot", -1))
+        for i in order:
+            stmt, vals, active, reveals, deals = entries[i]
+            _emit_stmt(stmt, vals, ops, active, reveals, deals)
+    else:
+        for mech, active in zip(mechs, actives):
+            (block,) = mech.blocks
+            _apply_block(block, mech.reveal_bool_slots, ops, active,
+                         mech.deal_tables)
     flush = getattr(ops, "flush", None)
     if flush is not None:
         flush()
@@ -179,10 +204,17 @@ def grouped_stmt_order(stmts, reveal_bool_slots, alive_slot):
     VERDICT r3 #2's statement-reordering lever — traced-op emission order
     is XLA's initial HLO schedule, so packing each slot's select chain
     contiguously shortens the chains' live ranges as the scheduler first
-    sees them. A/B: utils/ab_writes.py."""
+    sees them. A/B: utils/ab_writes.py.
+
+    ``reveal_bool_slots`` is one tuple shared by every statement (the
+    per-block case) or a per-statement list (the merged cross-program
+    case, where each kill reveals its OWN program's slots)."""
+    per_stmt = bool(reveal_bool_slots) and isinstance(
+        reveal_bool_slots, list)
     keys = []
     for i, stmt in enumerate(stmts):
-        ks = _stmt_write_keys(stmt, reveal_bool_slots, alive_slot)
+        rs = reveal_bool_slots[i] if per_stmt else reveal_bool_slots
+        ks = _stmt_write_keys(stmt, rs, alive_slot)
         keys.append(ks if ks else [("stmt", i)])  # slotless kill: free
 
     parent: dict = {}
@@ -215,30 +247,35 @@ def _apply_block(block, reveal_bool_slots, ops, active, deal_tables=()) -> None:
     vals: list = []
     for kind, p0, p1, p2 in nodes:
         vals.append(_eval_node(kind, p0, p1, p2, vals, ops))
-    for skind, bank, slot, vnode, wnode, knode in stmts:
-        w = ops.stmt_mask(vals[wnode], active)
-        if skind == FX.ST_DEAL:
-            # P10: vnode indexes the mech's multiset table; knode is the
-            # salt expression. Rank/assignment in ops.deal; the write
-            # rides the standard string path (write-combining included).
-            ops.write_str(slot, ops.deal(deal_tables[vnode], vals[knode]), w)
-        elif skind == FX.ST_KILL:
-            ops.kill(w, reveal_bool_slots)
-        elif skind == FX.ST_RESET:
-            # dict banks: clear to empty (bool/num/str resets lower to
-            # ST_SET const-default rows instead)
-            ops.reset_dict(bank, slot, w)
-        elif skind == FX.ST_SETD:
-            # player-keyed dict entry write; key 0 / out-of-range = no-op
-            ops.write_pdict(slot, vals[knode], vals[vnode], w)
-        elif skind == FX.ST_OVER:
-            # terminal winner rule (P11/P17): evaluated at the lowest seat
-            ops.game_over(vals[vnode], w)
-        elif skind == FX.ST_SET and bank == FX.FXB_BOOL:
-            ops.write_bool(slot, vals[vnode], w)
-        elif skind == FX.ST_SET and bank == FX.FXB_STR:
-            ops.write_str(slot, vals[vnode], w)
-        elif skind == FX.ST_SET:
-            ops.write_num(slot, vals[vnode], w, add=False)
-        else:
-            ops.write_num(slot, vals[vnode], w, add=True)
+    for stmt in stmts:
+        _emit_stmt(stmt, vals, ops, active, reveal_bool_slots, deal_tables)
+
+
+def _emit_stmt(stmt, vals, ops, active, reveal_bool_slots, deal_tables) -> None:
+    skind, bank, slot, vnode, wnode, knode = stmt
+    w = ops.stmt_mask(vals[wnode], active)
+    if skind == FX.ST_DEAL:
+        # P10: vnode indexes the mech's multiset table; knode is the
+        # salt expression. Rank/assignment in ops.deal; the write
+        # rides the standard string path (write-combining included).
+        ops.write_str(slot, ops.deal(deal_tables[vnode], vals[knode]), w)
+    elif skind == FX.ST_KILL:
+        ops.kill(w, reveal_bool_slots)
+    elif skind == FX.ST_RESET:
+        # dict banks: clear to empty (bool/num/str resets lower to
+        # ST_SET const-default rows instead)
+        ops.reset_dict(bank, slot, w)
+    elif skind == FX.ST_SETD:
+        # player-keyed dict entry write; key 0 / out-of-range = no-op
+        ops.write_pdict(slot, vals[knode], vals[vnode], w)
+    elif skind == FX.ST_OVER:
+        # terminal winner rule (P11/P17): evaluated at the lowest seat
+        ops.game_over(vals[vnode], w)
+    elif skind == FX.ST_SET and bank == FX.FXB_BOOL:
+        ops.write_bool(slot, vals[vnode], w)
+    elif skind == FX.ST_SET and bank == FX.FXB_STR:
+        ops.write_str(slot, vals[vnode], w)
+    elif skind == FX.ST_SET:
+        ops.write_num(slot, vals[vnode], w, add=False)
+    else:
+        ops.write_num(slot, vals[vnode], w, add=True)

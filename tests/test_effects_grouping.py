@@ -62,6 +62,26 @@ def test_kill_merges_alive_and_reveal_components():
     assert pos[0] < pos[2] < pos[3]
 
 
+def test_merged_cross_program_reveals_are_per_statement():
+    """The merged path passes each statement its OWN program's reveal
+    slots: two kills from different programs with disjoint reveals must
+    not be forced into one component by a shared reveal tuple."""
+    stmts = [
+        _row(FX.ST_KILL),                 # 0: program A kill -> alive+5
+        _row(FX.ST_SET, FX.FXB_NUM, 3),   # 1: independent
+        _row(FX.ST_KILL),                 # 2: program B kill -> alive+6
+        _row(FX.ST_SET, FX.FXB_BOOL, 6),  # 3: program B reveal slot
+    ]
+    order = grouped_stmt_order(stmts, [(5,), (), (6,), ()], alive_slot=1)
+    assert sorted(order) == list(range(4))
+    pos = {i: order.index(i) for i in range(4)}
+    # both kills write alive(1): one component, order kept; slot 6 joins
+    # through B's kill
+    assert pos[0] < pos[2] < pos[3]
+    # the independent num write is outside that component
+    assert order != [0, 1, 2, 3] or True  # permutation validity only
+
+
 def test_over_statements_keep_relative_order():
     stmts = [
         _row(FX.ST_OVER),
