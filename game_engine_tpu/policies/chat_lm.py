@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import re
 from typing import Any, Optional
 
 import jax
@@ -396,7 +397,18 @@ def build_corpus(games=("werewolf", "two-truths-and-a-lie"), seeds=range(150),
                     chat.post(1, who, q)
                     plan = chat.plan_reply(1, who, q, snap)
                     if plan is not None:
-                        pairs.append((plan["context"], plan["composed"]))
+                        # a pinned `queries` tuple means a LEGACY-
+                        # distribution eval (pre-kinds2 checkpoint): drop
+                        # pairs the CURRENT keyword table classifies into
+                        # v2 kinds ("who died?" -> history) — their
+                        # Gd=/Hn=/Wt= contexts and replies never existed
+                        # in that checkpoint's training distribution. The
+                        # reply is still committed so the message stream
+                        # (and the accusation tracker reading it) evolves
+                        # the same way serving would.
+                        if not (queries is not None and re.search(
+                                r"\|(Gd|Hn|Wt)=", plan["context"])):
+                            pairs.append((plan["context"], plan["composed"]))
                         chat.commit_reply(plan, None)
                     if len(pairs) >= max_pairs:
                         break

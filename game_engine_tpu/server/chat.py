@@ -48,15 +48,19 @@ _KEYWORDS = [
         r"\bwhat should (?:i|we) (?:do|pick|choose|play|vote)\b|"
         r"\bany (?:advice|tips)\b|\bhelp me (?:decide|choose|pick|out)\b",
         re.IGNORECASE), "advice"),
+    # rules/history stems are deliberately narrow: a bare \brules?\b would
+    # hijack "no rules against that, right?" and a bare \bso far\b would
+    # hijack "what's the score so far?" away from their real intents
     (re.compile(
-        r"\brules?\b|\bhow (?:does|do) (?:this|the game|it) work\b|"
+        r"\bwhat (?:are|'re) the rules\b|\brules\s*\?|"
+        r"\bhow (?:does|do) (?:this|the game|it) work\b|"
         r"\bhow to play\b|\bhow do (?:i|we|you) win\b|"
         r"\bwhat happens (?:now|next|in this phase)\b|"
-        r"\bwhat(?:'s| is) this phase\b|\bexplain the game\b",
+        r"\bwhat(?:'s| is) this phase\b|\bexplain the (?:game|rules)\b",
         re.IGNORECASE), "rules"),
     (re.compile(
         r"\bwhat(?:'s| has| have)? happened\b|\bwho (?:died|fell)\b|"
-        r"\brecap\b|\bso far\b|\blast round\b|\bcatch me up\b",
+        r"\brecap\b|\bcatch me up\b",
         re.IGNORECASE), "history"),
     (re.compile(r"\b(hi|hello|hey)\b", re.IGNORECASE), "greeting"),
     (re.compile(r"\b(status|phase|alive|who(?:'s| is)? (?:left|remaining|dead)|happening)\b", re.IGNORECASE), "status"),
@@ -91,7 +95,13 @@ def phase_guide_from_spec(spec) -> dict:
         return (s[: n - 1].rstrip() + "…") if len(s) > n else s
 
     guide: dict[str, Any] = {}
-    for ph in spec.phases.values():
+    # by ascending phase id, first-writer-wins: phase names that collide
+    # after lowercasing (legal in the DSL) deterministically keep the
+    # earliest phase's digest instead of silently quoting the last one
+    for pid in sorted(spec.phases):
+        ph = spec.phases[pid]
+        if ph.name.lower() in guide:
+            continue
         done = _clean(ph.completion.description, 60)
         if not done:
             done = {
@@ -512,6 +522,14 @@ class ChatRoom:
                  snapshot.get("game_notes", []) if n.get("text")]
         return " Then: ".join(t[:90] for t in notes[-2:])
 
+    @staticmethod
+    def _advice_up(sender_id: int, snapshot: dict) -> bool:
+        """Is the host waiting on the asking player? ONE definition shared
+        by the Wt= context segment and the composed advice reply — they
+        must agree or the distilled student's grounding desyncs."""
+        waiting = snapshot.get("waiting_on") or []
+        return any(int(w) == sender_id for w in waiting)
+
     def _v2_extra(self, kind: str, sender_id: int, text: str,
                   snapshot: dict) -> str:
         """Kind-conditional context segments for the v2 intents — each
@@ -524,9 +542,7 @@ class ChatRoom:
         if kind == "history":
             return f"|Hn={self._history_text(snapshot)}"
         if kind == "advice":
-            waiting = snapshot.get("waiting_on") or []
-            up = any(int(w) == sender_id for w in waiting)
-            return f"|Wt={1 if up else 0}"
+            return f"|Wt={1 if self._advice_up(sender_id, snapshot) else 0}"
         return ""
 
     def _accusation_counts(self, players: dict) -> dict[int, int]:
@@ -748,8 +764,7 @@ class ChatRoom:
             # choice); grounded in who the host is waiting on + the bot's
             # suspect read — the determinized slice of the reference bot's
             # free strategic banter (agent/game_agent_v2.py:385-416)
-            waiting = snapshot.get("waiting_on") or []
-            up = any(int(w) == sender_id for w in waiting)
+            up = self._advice_up(sender_id, snapshot)
             if up and sus_name:
                 pool = [
                     f"You're up, {sender_name} — if it were me, I'd look hard at {sus_name}.",

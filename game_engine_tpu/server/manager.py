@@ -923,13 +923,7 @@ class GameHost:
                     # and the host's waiting set (chat.py _v2_extra);
                     # both are deterministic functions of engine state, so
                     # crash-recovery recompute replay stays bit-identical
-                    log = self._notes.get(room_id)
-                    if log is not None:
-                        snap["game_notes"] = log.recent(10)
-                    seats = self._humans.get(room_id, (1,))
-                    snap["waiting_on"] = (
-                        [] if gs.is_done(slot)
-                        else gs.must_act_seats(slot, seats))
+                    self._attach_live_context(room_id, gs, slot, snap)
                     try:
                         plan = chat.plan_reply(player_id, sender_name, text,
                                                snap)
@@ -1237,24 +1231,32 @@ class GameHost:
         self._proj_cache[room_id] = (ver, _copy.deepcopy(snap))
         return snap
 
+    def _attach_live_context(self, room_id: str, gs, slot,
+                             snap: dict[str, Any]) -> None:
+        """game_notes + waiting_on on a projected snap — ONE definition
+        shared by the client-facing snapshot and the chat responder's
+        view (the v2 intents quote exactly these; two hand-maintained
+        copies would silently diverge)."""
+        log = self._notes.get(room_id)
+        if log is not None:
+            snap["game_notes"] = log.recent(10)
+        seats = self._humans.get(room_id, (1,))
+        snap["human_seats"] = list(seats)
+        snap["waiting_on"] = (
+            [] if gs.is_done(slot) else gs.must_act_seats(slot, seats)
+        )
+
     def snapshot(self, room_id: str, player_names: Optional[dict[int, str]] = None) -> dict[str, Any]:
         with self._lock:
             slots_key, slot = self._rooms[room_id]
             gs = self._slots[slots_key]
             snap = self._project_now(room_id, gs, slot, player_names)
             snap["roomId"] = room_id
-            seats = self._humans.get(room_id, (1,))
-            snap["human_seats"] = list(seats)
-            snap["waiting_on"] = (
-                [] if gs.is_done(slot) else gs.must_act_seats(slot, seats)
-            )
+            self._attach_live_context(room_id, gs, slot, snap)
             # phase_history entries {phase_id, phase_name, timestamp}
             # (reference: agent/game_agent_v2.py:1206-1215)
             self._record_phase(room_id, gs, slot)
             snap["phase_history"] = list(self._phase_history.get(room_id, []))
-            log = self._notes.get(room_id)
-            if log is not None:
-                snap["game_notes"] = log.recent(10)
             snap["items"] = [i.to_json() for i in gs.items[slot]]
             snap["itemsCreated"] = len(snap["items"])
             snap["lastAction"] = (

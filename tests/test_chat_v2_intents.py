@@ -141,6 +141,29 @@ def test_phase_guide_from_spec_builds_from_the_dsl():
         assert isinstance(row["desc"], str) and row["done"]
 
 
+def test_v2_stems_do_not_hijack_older_intents():
+    """Narrow triggers: 'so far' inside a score question stays score, and
+    an incidental 'rules' mention stays out of the rules lecture."""
+    room = ChatRoom("r", seed=1, phase_guide=GUIDE)
+    plan = _reply(room, "what's the score so far?", _snapshot())
+    assert plan["context"].startswith("K=score|")
+    plan2 = _reply(room, "no rules against that, right?", _snapshot())
+    assert "|Gd=" not in plan2["context"]
+
+
+def test_legacy_query_pin_drops_v2_pairs():
+    """build_corpus(queries=_QUERIES_V1) is a legacy-distribution eval:
+    v1 queries the NEW keyword table reclassifies into v2 kinds ('who
+    died?' -> history) must not surface pairs whose contexts the old
+    checkpoint never trained on."""
+    from game_engine_tpu.policies import chat_lm as C
+
+    pairs = C.build_corpus(games=("werewolf",), seeds=range(2),
+                           max_pairs=300, queries=C._QUERIES_V1)
+    assert pairs
+    assert not any(re.search(r"\|(Gd|Hn|Wt)=", ctx) for ctx, _ in pairs)
+
+
 def test_intent_classification_precedence():
     """'who should I vote for' is advice (not the bot's own-vote intent);
     'what is this phase' is rules (not status); 'hey, any advice?' is
