@@ -108,6 +108,7 @@ def main() -> None:
     em = 0
     name_oblig = name_met = 0
     g_total = g_em = g_faithful = 0
+    v2_total = v2_em = v2_faithful = 0
     def fold(s):  # the byte vocab folds em-dashes/smart quotes to ASCII
         return s.translate(C._FOLD)
 
@@ -121,6 +122,17 @@ def main() -> None:
             g_faithful += int(grounded_reply_ok(fold(out), {
                 "fname": gm.group(2), "val": gm.group(3) or None,
                 "hidden": gm.group(4) == "h"}))
+        vm = _re.search(r"\|(Gd|Hn)=([^|]+)", ctx)
+        if vm or "|Wt=" in ctx:  # v2 intent (rules/history/advice)
+            # faithfulness: when the context carries a quoted segment
+            # (non-empty Gd=/Hn=), the decode must contain it verbatim —
+            # the serving gate (hook.kinds2) has no per-reply verifier for
+            # these, so the promotion bar lives here
+            v2_total += 1
+            v2_em += int(fold(out) == fold(ref))
+            v2_faithful += int(
+                fold(vm.group(2)) in fold(out) if vm
+                else fold(out) == fold(ref))
         m = _re.search(r"\|Ns=([^|]*)", ctx)
         roster = [e.split(":", 1)[1] for e in m.group(1).split(",")
                   if ":" in e] if m else []
@@ -137,6 +149,9 @@ def main() -> None:
         "grounded_pairs": g_total,
         "grounded_exact_match": round(g_em / max(1, g_total), 4),
         "grounded_faithful_rate": round(g_faithful / max(1, g_total), 4),
+        "v2_pairs": v2_total,
+        "v2_exact_match": round(v2_em / max(1, v2_total), 4),
+        "v2_faithful_rate": round(v2_faithful / max(1, v2_total), 4),
     }
     print("HELD-OUT", json.dumps(metrics))
     with open(args.out.replace(".npz", "") + ".metrics.json", "w") as f:

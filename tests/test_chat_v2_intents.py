@@ -164,6 +164,41 @@ def test_legacy_query_pin_drops_v2_pairs():
     assert not any(re.search(r"\|(Gd|Hn|Wt)=", ctx) for ctx, _ in pairs)
 
 
+def test_shipped_checkpoint_v2_intents_composer_disabled():
+    """The shipped LM, ALONE, answers held-out v2-intent questions
+    faithfully — the promotion exit test for a kinds2 retrain (mirrors
+    the grounded interrogation test in test_chat_grounded_lm.py). Skipped
+    until a kinds2-trained checkpoint is promoted."""
+    import os
+
+    import pytest
+
+    from game_engine_tpu.policies import chat_lm as C
+
+    ckpt = os.path.join(os.path.dirname(__file__), "..",
+                        "docs", "checkpoints", "chat_lm.npz")
+    if not os.path.exists(ckpt):
+        pytest.skip("no shipped chat LM checkpoint")
+    params, cfg = C.load(ckpt)
+    if not cfg.kinds2:
+        pytest.skip("shipped checkpoint predates v2-intent training")
+    hook = C.make_lm_hook(ckpt)
+    assert hook.kinds2
+    pairs = C.build_corpus(games=("werewolf",), seeds=range(340, 352),
+                           max_pairs=4000)
+    cases = [(c, r) for c, r in pairs
+             if re.search(r"\|(Gd|Hn|Wt)=", c)][:24]
+    assert len(cases) >= 8, "corpus produced too few v2-intent pairs"
+    ok = 0
+    for ctx, ref in cases:
+        out = hook(ctx) or ""
+        m = re.search(r"\|(Gd|Hn)=([^|]+)", ctx)
+        quoted = m.group(2).translate(C._FOLD) if m else None
+        ok += int(quoted in out.translate(C._FOLD) if quoted
+                  else out.translate(C._FOLD) == ref.translate(C._FOLD))
+    assert ok / len(cases) >= 0.8, f"v2 faithfulness {ok}/{len(cases)}"
+
+
 def test_intent_classification_precedence():
     """'who should I vote for' is advice (not the bot's own-vote intent);
     'what is this phase' is rules (not status); 'hey, any advice?' is
