@@ -30,6 +30,7 @@ DEFAULT_GAMES = (
     "raven-moot",          # llm-seam demo game
     "storm-forge",         # adversarial 6-block ~40-statement program
     "masquerade-gala",     # ST_DEAL every round (P10-as-IR hot path)
+    "potlatch",            # declared composite terminal (ST_OVER chains)
 )
 
 
