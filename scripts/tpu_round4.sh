@@ -29,16 +29,19 @@ run ab_writes 2400 python -m game_engine_tpu.utils.ab_writes 4096 1024 16
 run bench_games 3600 python -m game_engine_tpu.utils.bench_games 4096 1024 5
 # 4. 65k-room headline
 run bench_65k 2400 python bench.py 65536 256 16
-# 5. grounded+persona chat LM retrain (VERDICT #6) — lands beside the old
-#    checkpoint; promoted manually after metrics review
+# 5. policy-in-the-loop headline
+run bench_policy 2400 python bench.py --policy 16384 128 4
+# 6. async learner A/B (VERDICT #8)
+run ab_async 3600 python -m game_engine_tpu.utils.ab_async 8192 16 2 16 attn
+# 7. LAST (longest TPU hold, ~90 min): grounded+persona+v2 chat LM
+#    retrain (VERDICT #6) — lands beside the old checkpoint; promoted
+#    manually after metrics review. Running it last means a flapping
+#    relay (or a driver bench capture colliding with the queue) costs
+#    the short high-value measurements nothing.
 if [ -f docs/checkpoints/chat_lm_r4.metrics.json ]; then
   echo "=== chat_lm_r4 already captured (metrics file), skipping ==="
 else
   run chat_lm_r4 5400 python -m game_engine_tpu.train.chat_lm --steps 3000 \
       --out docs/checkpoints/chat_lm_r4.npz
 fi
-# 6. async learner A/B (VERDICT #8)
-run ab_async 3600 python -m game_engine_tpu.utils.ab_async 8192 16 2 16 attn
-# 7. policy-in-the-loop headline
-run bench_policy 2400 python bench.py --policy 16384 128 4
 echo "ALL DONE $(date -u)"
