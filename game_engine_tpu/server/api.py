@@ -20,6 +20,9 @@ Routes (reference: SURVEY.md §2.4, src/app/api/*):
   POST /api/generate-dsl               {gameName, gameDescription[, overwrite]}
                                        -> new game YAML (409 on name collision
                                        without overwrite=true)
+  GET  /api/games/<name>/explain       compile-explain: attached mechanics,
+                                       record programs, effect summaries,
+                                       terminals, field visibility
   GET  /api/debug/rooms                storage dump
   GET  /, /register, /library, /room, /play   web client pages
   GET  /static/<asset>                 client js/css (server/web/)
@@ -161,6 +164,20 @@ class AppContext:
                 return page
             if route == ("GET", "/api/games"):
                 return 200, {"games": self.host.list_games()}
+            m = re.match(r"^/api/games/([^/]+)/explain$", path)
+            if m and method == "GET":
+                # compile-explain for game authors: what the analyzer
+                # attached per phase, record programs, effect summaries,
+                # terminals, field visibility (dslgen/explain.py)
+                from game_engine_tpu.dslgen.explain import explain_spec
+
+                try:
+                    return 200, explain_spec(self.host.game_spec(m.group(1)))
+                except KeyError:
+                    return 404, {"error": f"unknown game {m.group(1)!r}"}
+                except Exception as e:  # noqa: BLE001 — a game that fails
+                    # to compile should report the reason, not a 500
+                    return 422, {"error": f"game does not compile: {e}"}
             if route == ("POST", "/api/rooms/create"):
                 game = body["gameName"]
                 cat = {g["name"]: g for g in self.host.list_games()}

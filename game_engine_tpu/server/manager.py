@@ -516,6 +516,25 @@ class GameHost:
             )
         return out
 
+    def game_spec(self, game_name: str):
+        """Resolve a catalog game by name against THIS host's games path
+        (exact name wins, then substring — the same resolution rooms use).
+        Raises KeyError when nothing matches."""
+        fuzzy = None
+        for fn in sorted(os.listdir(self._games_path)):
+            if fn.endswith((".yaml", ".yml")):
+                try:
+                    s2 = load_game_spec(os.path.join(self._games_path, fn))
+                except Exception:
+                    continue
+                if s2.name == game_name:
+                    return s2
+                if fuzzy is None and game_name.lower() in s2.name.lower():
+                    fuzzy = s2
+        if fuzzy is None:
+            raise KeyError(f"unknown game {game_name!r}")
+        return fuzzy
+
     def _game_slots(self, game_name: str, rounds_per_player: int = 1) -> _GameSlots:
         key = f"{game_name}#r{rounds_per_player}"
         if key not in self._slots:
