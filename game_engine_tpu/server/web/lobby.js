@@ -51,6 +51,7 @@ const Lobby = (() => {
     grid.replaceChildren();
     for (const g of d.games) {
       const rooms = h("div", { class: "roomslot" });
+      const details = h("div", { class: "roomslot" });
       const card = h("div", { class: "gamecard", "data-game": g.name },
         h("h3", {}, g.name),
         h("div", { class: "desc" }, g.description),
@@ -59,8 +60,10 @@ const Lobby = (() => {
         h("div", { class: "row" },
           h("button", { onclick: () => createRoom(g.name) }, "Create room"),
           h("button", { class: "secondary", onclick: () => listRooms(g.name, rooms) },
-            "Find rooms")),
-        rooms);
+            "Find rooms"),
+          h("button", { class: "secondary", onclick: () => showExplain(g.name, details) },
+            "Rules")),
+        rooms, details);
       grid.append(card);
     }
     el("genform").addEventListener("submit", async (e) => {
@@ -79,6 +82,25 @@ const Lobby = (() => {
             ? `\n⚠ ${res.warnings.join("\n⚠ ")}` : "");
       if (!res.error) libraryPage();
     });
+  }
+
+  async function showExplain(gameName, box) {
+    // compile-explain digest (/api/games/<name>/explain): phase flow +
+    // attached mechanics, so players can read the rules the ENGINE will
+    // actually apply, not just the card blurb
+    if (box.childElementCount) { box.replaceChildren(); return; } // toggle
+    box.replaceChildren(h("div", { class: "meta" }, "loading…"));
+    const d = await api("GET", `/api/games/${encodeURIComponent(gameName)}/explain`);
+    box.replaceChildren();
+    if (d.error) { box.append(h("div", { class: "meta" }, `✗ ${d.error}`)); return; }
+    if (d.roles && d.roles.length)
+      box.append(h("div", { class: "meta" }, `roles: ${d.roles.join(", ")}`));
+    for (const p of d.phases) {
+      const mech = (p.mechanics || []).join("; ");
+      box.append(h("div", { class: "meta" },
+        `${p.id}. ${p.name}` + (p.terminal ? " (end)" : "") +
+        (mech ? ` — ${mech}` : "")));
+    }
   }
 
   async function createRoom(gameName) {

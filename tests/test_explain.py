@@ -77,3 +77,14 @@ def test_http_route():
         assert st2 == 404
     finally:
         srv.shutdown()
+
+
+def test_library_ui_wires_the_explain_endpoint():
+    """The library page's Rules toggle must call the explain route and
+    render the fields the endpoint actually serves."""
+    src = open(os.path.join(os.path.dirname(__file__), "..",
+                            "game_engine_tpu", "server", "web",
+                            "lobby.js")).read()
+    assert "/explain" in src and "showExplain" in src
+    for field in ("roles", "phases", "mechanics", "terminal"):
+        assert field in src, field
