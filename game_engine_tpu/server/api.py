@@ -23,6 +23,8 @@ Routes (reference: SURVEY.md §2.4, src/app/api/*):
   GET  /api/games/<name>/explain       compile-explain: attached mechanics,
                                        record programs, effect summaries,
                                        terminals, field visibility
+  POST /api/explain                    {yaml[, gameName]} -> validate +
+                                       explain UNSAVED YAML (author loop)
   GET  /api/debug/rooms                storage dump
   GET  /, /register, /library, /room, /play   web client pages
   GET  /static/<asset>                 client js/css (server/web/)
@@ -164,6 +166,30 @@ class AppContext:
                 return page
             if route == ("GET", "/api/games"):
                 return 200, {"games": self.host.list_games()}
+            if route == ("POST", "/api/explain"):
+                # author loop: validate + compile-explain UNSAVED YAML, so
+                # a game can be iterated before it lands in games/
+                import yaml as _yaml
+
+                from game_engine_tpu.dslgen.explain import explain_spec
+                from game_engine_tpu.dslgen.validate import errors, validate_doc
+
+                try:
+                    doc = _yaml.safe_load(str(body["yaml"]))
+                except Exception as e:  # noqa: BLE001 — bad YAML is a 422
+                    return 422, {"error": f"invalid YAML: {e}"}
+                issues, spec = validate_doc(doc, name=str(
+                    body.get("gameName", "draft")))
+                out: dict[str, Any] = {
+                    "issues": [str(i) for i in issues],
+                    "errors": [str(i) for i in errors(issues)],
+                }
+                if spec is not None and not errors(issues):
+                    try:
+                        out["explain"] = explain_spec(spec)
+                    except Exception as e:  # noqa: BLE001
+                        out["errors"] = [f"game does not compile: {e}"]
+                return (200 if not out["errors"] else 422), out
             m = re.match(r"^/api/games/([^/]+)/explain$", path)
             if m and method == "GET":
                 # compile-explain for game authors: what the analyzer

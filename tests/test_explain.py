@@ -79,6 +79,29 @@ def test_http_route():
         srv.shutdown()
 
 
+def test_post_explain_unsaved_yaml():
+    """POST /api/explain: the author loop — validate + explain a draft
+    without saving it to games/."""
+    import threading
+
+    from game_engine_tpu.server.api import make_server
+    from tests.test_server import req
+
+    srv = make_server(port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        good = open(os.path.join(games_dir(), "gift-circle.yaml")).read()
+        st, d = req(srv, "POST", "/api/explain", {"yaml": good})
+        assert st == 200 and not d["errors"] and d["explain"]["n_phases"] >= 2
+        st2, d2 = req(srv, "POST", "/api/explain", {"yaml": "just: a scalar"})
+        assert st2 == 422 and d2["errors"]
+        st3, d3 = req(srv, "POST", "/api/explain", {"yaml": ":\n  - ["})
+        assert st3 == 422 and "invalid YAML" in d3["error"]
+    finally:
+        srv.shutdown()
+
+
 def test_library_ui_wires_the_explain_endpoint():
     """The library page's Rules toggle must call the explain route and
     render the fields the endpoint actually serves."""
