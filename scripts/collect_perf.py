@@ -81,12 +81,12 @@ def main() -> None:
     games = all_json(os.path.join(d, "bench_games.log"))
     print("### Per-game breadth")
     if games:
-        print("| game | us/step | env steps/s |")
+        print("| game | us/step | M steps/s |")
         print("|---|---|---|")
         for g in games:
             if "game" in g:
                 print(f"| {g['game']} | {g.get('us_per_step', '?')} | "
-                      f"{g.get('env_steps_per_s', '?')} |")
+                      f"{g.get('msteps_per_s', g.get('env_steps_per_s', '?'))} |")
     else:
         print("NOT CAPTURED")
     print()
