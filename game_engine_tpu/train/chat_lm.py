@@ -109,12 +109,17 @@ def main() -> None:
     name_oblig = name_met = 0
     g_total = g_em = g_faithful = 0
     v2_total = v2_em = v2_faithful = 0
+    by_kind: dict = {}  # kind -> [total, exact]
     def fold(s):  # the byte vocab folds em-dashes/smart quotes to ASCII
         return s.translate(C._FOLD)
 
     for ctx, ref in eval_pairs:
         out = C.greedy_reply(params, cfg, ctx)
         em += int(fold(out) == fold(ref))
+        kind = ctx.split("|", 1)[0][2:]  # "K=<kind>|…"
+        row = by_kind.setdefault(kind, [0, 0])
+        row[0] += 1
+        row[1] += int(fold(out) == fold(ref))
         gm = _re.search(r"\|G=([^|;]*);([^|;]*);([^|;]*);(h|p)(s|o)", ctx)
         if gm:  # grounded field question: the round-4 faithfulness metric
             g_total += 1
@@ -152,6 +157,11 @@ def main() -> None:
         "v2_pairs": v2_total,
         "v2_exact_match": round(v2_em / max(1, v2_total), 4),
         "v2_faithful_rate": round(v2_faithful / max(1, v2_total), 4),
+        # which intent family fails (if any) decides what to fix, not
+        # whether to promote — the bars above are the promotion gate
+        "by_kind_exact_match": {
+            k: [n, round(e / max(1, n), 4)]
+            for k, (n, e) in sorted(by_kind.items())},
     }
     print("HELD-OUT", json.dumps(metrics))
     with open(args.out.replace(".npz", "") + ".metrics.json", "w") as f:
