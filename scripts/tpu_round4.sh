@@ -22,8 +22,12 @@ run() {
 }
 # 1. headline confirm @4096 (first post-write-combining driver-comparable number)
 run bench_4096 2400 python bench.py 4096 1024 16
-# 2. write-combining A/B incl. the sorted-flush variant (VERDICT #2 lever)
+# 2. write-combining A/B incl. the sorted-flush + grouped variants
+#    (VERDICT #2 lever) — werewolf (the headline program), then
+#    storm-forge (the ~40-statement program where statement grouping has
+#    the most room to matter)
 run ab_writes 2400 python -m game_engine_tpu.utils.ab_writes 4096 1024 16
+run ab_writes_storm 2400 python -m game_engine_tpu.utils.ab_writes 4096 512 16 storm-forge
 # 3. per-game breadth incl. the five IR-only games + storm-forge +
 #    masquerade-gala's ST_DEAL hot path (VERDICT #7)
 run bench_games 3600 python -m game_engine_tpu.utils.bench_games 4096 1024 5
