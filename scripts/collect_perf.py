@@ -63,20 +63,21 @@ def main() -> None:
             print(f"- **{title}**: NOT CAPTURED")
     print()
 
-    j = last_json(os.path.join(d, "ab_writes.log"))
-    print("### Write-combining / flush-order A/B")
-    if j:
-        rows = [(k.replace("_us_per_step", ""), v)
-                for k, v in j.items() if k.endswith("_us_per_step")]
-        print("| variant | us/step | env steps/s |")
-        print("|---|---|---|")
-        for k, v in rows:
-            print(f"| {k} | {v} | {j.get(k + '_env_steps_per_s', j.get(k.replace('_us_per_step','') + '_env_steps_per_s', '?'))} |"
-                  .replace("_us_per_step", ""))
-        print(f"\nraw: `{json.dumps(j)}`")
-    else:
-        print("NOT CAPTURED")
-    print()
+    for log_name, label in (("ab_writes", "werewolf"),
+                            ("ab_writes_storm", "storm-forge")):
+        j = last_json(os.path.join(d, f"{log_name}.log"))
+        print(f"### Write-combining / statement-order A/B ({label})")
+        if j:
+            rows = [(k.replace("_us_per_step", ""), v)
+                    for k, v in j.items() if k.endswith("_us_per_step")]
+            print("| variant | us/step | env steps/s |")
+            print("|---|---|---|")
+            for k, v in rows:
+                print(f"| {k} | {v} | {j.get(k + '_env_steps_per_s', '?')} |")
+            print(f"\nraw: `{json.dumps(j)}`")
+        else:
+            print("NOT CAPTURED")
+        print()
 
     games = all_json(os.path.join(d, "bench_games.log"))
     print("### Per-game breadth")
