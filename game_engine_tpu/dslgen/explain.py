@@ -44,7 +44,7 @@ def _describe_effects(m: M.Effects) -> str:
     kinds: set[str] = set()
     for b in m.program:
         for s in b:
-            kinds.add(type(s).__name__.lstrip("S").lower())
+            kinds.add(type(s).__name__[1:].lower())  # SKill -> kill
             f = getattr(s, "field", None)
             if f:
                 writes.add(f)

@@ -40,7 +40,7 @@ import os
 import re
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Optional
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import parse_qs, unquote, urlparse
 
 from game_engine_tpu.server.manager import GameHost, RoomGone
 from game_engine_tpu.server.storage import MemoryStorage
@@ -197,12 +197,17 @@ class AppContext:
                 # terminals, field visibility (dslgen/explain.py)
                 from game_engine_tpu.dslgen.explain import explain_spec
 
+                name = unquote(m.group(1))  # clients quote '(' etc.
                 try:
-                    return 200, explain_spec(self.host.game_spec(m.group(1)))
+                    spec = self.host.game_spec(name)
                 except KeyError:
-                    return 404, {"error": f"unknown game {m.group(1)!r}"}
+                    return 404, {"error": f"unknown game {name!r}"}
+                try:
+                    return 200, explain_spec(spec)
                 except Exception as e:  # noqa: BLE001 — a game that fails
-                    # to compile should report the reason, not a 500
+                    # to compile should report the reason, not a 500 (and
+                    # a compile-time KeyError must not read as 'unknown
+                    # game' — the resolve has its own try above)
                     return 422, {"error": f"game does not compile: {e}"}
             if route == ("POST", "/api/rooms/create"):
                 game = body["gameName"]

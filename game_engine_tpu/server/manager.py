@@ -466,6 +466,7 @@ class GameHost:
         self._policy_seats: dict[str, tuple[int, ...]] = {}  # per room
         self._backend = backend
         self._games_path = games_path or games_dir()
+        self._spec_cache: dict[str, tuple[int, Any]] = {}  # path -> (mtime_ns, spec)
         self._persist_dir = persist_dir
         self._slots: dict[str, _GameSlots] = {}
         self._rooms: dict[str, tuple[str, int]] = {}  # roomId -> (game, slot)
@@ -516,15 +517,30 @@ class GameHost:
             )
         return out
 
+    def _load_spec_cached(self, path: str):
+        """Parse a catalog YAML, cached by (path, mtime) — the explain
+        route resolves names per HTTP request and must not re-parse the
+        whole catalog each click."""
+        mtime = os.stat(path).st_mtime_ns
+        hit = self._spec_cache.get(path)
+        if hit is not None and hit[0] == mtime:
+            return hit[1]
+        spec = load_game_spec(path)
+        self._spec_cache[path] = (mtime, spec)
+        return spec
+
     def game_spec(self, game_name: str):
-        """Resolve a catalog game by name against THIS host's games path
-        (exact name wins, then substring — the same resolution rooms use).
+        """Resolve a catalog game by name against THIS host's games path:
+        exact name wins, then substring fallback — ONE definition shared
+        with room creation (_game_slots). Unparseable files are skipped
+        (as in list_games) so one broken YAML can't block the rest.
         Raises KeyError when nothing matches."""
         fuzzy = None
         for fn in sorted(os.listdir(self._games_path)):
             if fn.endswith((".yaml", ".yml")):
                 try:
-                    s2 = load_game_spec(os.path.join(self._games_path, fn))
+                    s2 = self._load_spec_cached(
+                        os.path.join(self._games_path, fn))
                 except Exception:
                     continue
                 if s2.name == game_name:
@@ -538,21 +554,9 @@ class GameHost:
     def _game_slots(self, game_name: str, rounds_per_player: int = 1) -> _GameSlots:
         key = f"{game_name}#r{rounds_per_player}"
         if key not in self._slots:
-            spec = None
-            fuzzy = None
-            for fn in sorted(os.listdir(self._games_path)):
-                if fn.endswith((".yaml", ".yml")):
-                    s2 = load_game_spec(os.path.join(self._games_path, fn))
-                    if s2.name == game_name:
-                        spec = s2  # exact name always wins
-                        break
-                    # substring fallback ("werewolf" -> "werewolf-(mafia)")
-                    # must not shadow an exact match later in file order
-                    if fuzzy is None and game_name.lower() in s2.name.lower():
-                        fuzzy = s2
-            spec = spec or fuzzy
-            if spec is None:
-                raise KeyError(f"unknown game {game_name!r}")
+            # exact-name-wins + substring fallback, shared with the
+            # explain route (one resolution definition, mtime-cached)
+            spec = self.game_spec(game_name)
             # loud-or-correct on the SERVING path: /api/generate-dsl runs
             # the validator, but hand-dropped YAML reaches here directly —
             # a game with validator ERRORS (unattachable hints, broken

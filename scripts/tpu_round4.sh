@@ -7,18 +7,24 @@
 cd /root/repo
 OUT=docs/r4_tpu_runs
 mkdir -p "$OUT"
-captured() {  # log already has a JSON object line => measurement landed
-  [ -f "$OUT/$1.log" ] && grep -qE '^\{.*\}$' "$OUT/$1.log"
-}
+# A step is captured only when its harness EXITED 0 with a JSON line in
+# the log — marked by a .ok file. Grepping the log alone is not enough:
+# bench_games prints one JSON row PER GAME and the trainer prints step
+# logs, so a relay flap mid-run would otherwise mark a half-finished
+# step "captured" and skip its remainder forever.
 run() {
   name=$1; tmo=$2; shift 2
-  if captured "$name"; then
+  if [ -f "$OUT/$name.ok" ]; then
     echo "=== $name already captured, skipping ==="
     return 0
   fi
   echo "=== $name start $(date -u +%H:%M:%S) ==="
   timeout "$tmo" "$@" 2>&1 | tee "$OUT/$name.log"
-  echo "=== $name exit $? $(date -u +%H:%M:%S) ==="
+  rc=${PIPESTATUS[0]}
+  echo "=== $name exit $rc $(date -u +%H:%M:%S) ==="
+  if [ "$rc" -eq 0 ] && grep -qE '^\{.*\}$' "$OUT/$name.log"; then
+    touch "$OUT/$name.ok"
+  fi
 }
 # 1. headline confirm @4096 (first post-write-combining driver-comparable number)
 run bench_4096 2400 python bench.py 4096 1024 16

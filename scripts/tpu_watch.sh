@@ -12,8 +12,8 @@ while [ "$attempts" -lt 3 ]; do
     bash scripts/tpu_round4.sh >> docs/r4_tpu_runs/runner.log 2>&1
     echo "queue attempt $attempts finished at $(date -u)" >> docs/r4_tpu_runs/watch.log
     if grep -q "ALL DONE" docs/r4_tpu_runs/runner.log && \
-       grep -qE '^\{.*\}$' docs/r4_tpu_runs/bench_4096.log 2>/dev/null && \
-       grep -qE '^\{.*\}$' docs/r4_tpu_runs/bench_65k.log 2>/dev/null; then
+       [ -f docs/r4_tpu_runs/bench_4096.ok ] && \
+       [ -f docs/r4_tpu_runs/bench_65k.ok ]; then
       echo "queue complete with headline captures at $(date -u)" >> docs/r4_tpu_runs/watch.log
       break
     fi
