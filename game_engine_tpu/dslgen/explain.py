@@ -169,3 +169,14 @@ def explain_game(name: str) -> dict[str, Any]:
     from game_engine_tpu.gamespec.parser import load_builtin
 
     return explain_spec(load_builtin(name))
+
+
+if __name__ == "__main__":
+    import json
+    import sys
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")  # pure host-side analysis
+    print(json.dumps(explain_game(sys.argv[1] if len(sys.argv) > 1
+                                  else "werewolf"), indent=1))
