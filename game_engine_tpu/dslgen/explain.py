@@ -178,5 +178,8 @@ if __name__ == "__main__":
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # pure host-side analysis
-    print(json.dumps(explain_game(sys.argv[1] if len(sys.argv) > 1
-                                  else "werewolf"), indent=1))
+    try:
+        print(json.dumps(explain_game(sys.argv[1] if len(sys.argv) > 1
+                                      else "werewolf"), indent=1))
+    except BrokenPipeError:  # `… | head` is a normal way to use this
+        pass
