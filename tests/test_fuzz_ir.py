@@ -310,6 +310,36 @@ def test_random_ir_program_four_way_parity(fuzz_seed):
             run_differential(lowered, n_players=n, seed=seed, max_steps=300)
 
 
+@pytest.mark.parametrize("fuzz_seed", range(8, 12))
+def test_random_ir_program_grouping_bit_identity(fuzz_seed):
+    """GROUP_STMTS (statement reordering by write-target component) must
+    be the identity on RANDOM typed programs — a harsher witness than the
+    catalog games in tests/test_effects_grouping.py: random blocks
+    interleave kills, deals, dict writes, resets and `over` with shared
+    slots, so any flaw in the component analysis shows up here."""
+    import jax
+
+    from game_engine_tpu.core import step as S
+
+    lowered, lines, _ = _compiled(fuzz_seed)
+    B, steps = 16, 120
+
+    def run(group):
+        S.GROUP_STMTS = group
+        try:
+            st, eps = compiled_rollout(lowered, steps)(
+                init_state(lowered, B, 5, np.arange(B, dtype=np.uint32)))
+            return jax.tree_util.tree_map(np.asarray, st), int(eps)
+        finally:
+            S.GROUP_STMTS = False
+
+    (st_a, eps_a), (st_b, eps_b) = run(False), run(True)
+    assert eps_a == eps_b, lines
+    for a, b in zip(jax.tree_util.tree_flatten(st_a)[0],
+                    jax.tree_util.tree_flatten(st_b)[0]):
+        np.testing.assert_array_equal(a, b, err_msg=str(lines))
+
+
 def test_random_ir_program_pallas_parity():
     """One seed through the Pallas interpreter (interpret mode) — the
     heaviest executor to build, so one representative program."""
