@@ -164,6 +164,23 @@ def test_legacy_query_pin_drops_v2_pairs():
     assert not any(re.search(r"\|(Gd|Hn|Wt)=", ctx) for ctx, _ in pairs)
 
 
+def test_phase_guide_covers_every_catalog_phase_name():
+    """The rules intent looks up guide[current_phase_name.lower()]; every
+    phase name a room can report must resolve for every catalog game."""
+    import os
+
+    from game_engine_tpu.gamespec.parser import games_dir
+
+    for fn in sorted(os.listdir(games_dir())):
+        if not fn.endswith((".yaml", ".yml")):
+            continue
+        spec = load_builtin(os.path.splitext(fn)[0])
+        guide = phase_guide_from_spec(spec)
+        for ph in spec.phases.values():
+            row = guide.get(ph.name.lower())
+            assert row is not None and row["done"], (fn, ph.name)
+
+
 def test_shipped_checkpoint_v2_intents_composer_disabled():
     """The shipped LM, ALONE, answers held-out v2-intent questions
     faithfully — the promotion exit test for a kinds2 retrain (mirrors
