@@ -210,9 +210,14 @@ void apply_on_enter(const Game& g, Room& r) {
           const int32_t* stmts = nodes + (int64_t)n_nodes * 4;
           off += 2 + n_nodes * 4 + n_stmts * 6;
           // block-entry snapshot: every expression reads it (simultaneous
-          // resolution); statement writes land on the live room in order
-          std::vector<uint8_t> sb(r.bools);
-          std::vector<int32_t> sn(r.nums), ss(r.strs);
+          // resolution); statement writes land on the live room in order.
+          // thread_local + assign reuses capacity — per-block heap churn
+          // halved the sim's steps/s when the IR became the only path
+          static thread_local std::vector<uint8_t> sb;
+          static thread_local std::vector<int32_t> sn, ss;
+          sb.assign(r.bools.begin(), r.bools.end());
+          sn.assign(r.nums.begin(), r.nums.end());
+          ss.assign(r.strs.begin(), r.strs.end());
           auto fx_atom = [&](int ai, int p) -> bool {
             const int32_t* a = &g.atoms[ai * 5];
             if (a[0] == AB_CONST) return a[4] == 1;
@@ -239,12 +244,18 @@ void apply_on_enter(const Game& g, Room& r) {
             }
             return false;
           };
-          std::vector<std::vector<int32_t>> vals(
-              n_nodes, std::vector<int32_t>(n, 0));
+          // node values: ONE flat reused buffer (node-major), not a
+          // vector-of-vectors — vals(k)[p] is value of node k at seat p.
+          // resize, not assign: every node writes all n lanes before any
+          // later node reads it (pool order), so zero-filling is pure
+          // memset cost (11% of werewolf selfplay, gprof)
+          static thread_local std::vector<int32_t> vbuf;
+          vbuf.resize((size_t)n_nodes * n);
+          auto vals = [&](int k) -> int32_t* { return &vbuf[(size_t)k * n]; };
           for (int ni = 0; ni < n_nodes; ++ni) {
             const int32_t* nd = &nodes[ni * 4];
             int kind = nd[0], a = nd[1], b = nd[2], c = nd[3];
-            auto& out = vals[ni];
+            int32_t* out = vals(ni);
             switch (kind) {
               case FX_CONST: for (int p = 0; p < n; ++p) out[p] = a; break;
               case FX_FIELD:
@@ -273,7 +284,7 @@ void apply_on_enter(const Game& g, Room& r) {
                 // semantics (SEMANTICS.md P20) are int32 two's-complement
                 // wrapping in all four executors
                 for (int p = 0; p < n; ++p) {
-                  int32_t x = vals[b][p], y = vals[c][p];
+                  int32_t x = vals(b)[p], y = vals(c)[p];
                   switch (a) {
                     case FXBIN_ADD:
                       out[p] = (int32_t)((uint32_t)x + (uint32_t)y); break;
@@ -288,7 +299,7 @@ void apply_on_enter(const Game& g, Room& r) {
                 break;
               case FX_CMP:
                 for (int p = 0; p < n; ++p) {
-                  int32_t x = vals[b][p], y = vals[c][p];
+                  int32_t x = vals(b)[p], y = vals(c)[p];
                   bool v;
                   switch (a) {
                     case OP_EQ: v = x == y; break;
@@ -302,31 +313,31 @@ void apply_on_enter(const Game& g, Room& r) {
                 }
                 break;
               case FX_NOT:
-                for (int p = 0; p < n; ++p) out[p] = vals[a][p] == 0 ? 1 : 0;
+                for (int p = 0; p < n; ++p) out[p] = vals(a)[p] == 0 ? 1 : 0;
                 break;
               case FX_AND:
                 for (int p = 0; p < n; ++p)
-                  out[p] = (vals[a][p] != 0 && vals[b][p] != 0) ? 1 : 0;
+                  out[p] = (vals(a)[p] != 0 && vals(b)[p] != 0) ? 1 : 0;
                 break;
               case FX_OR:
                 for (int p = 0; p < n; ++p)
-                  out[p] = (vals[a][p] != 0 || vals[b][p] != 0) ? 1 : 0;
+                  out[p] = (vals(a)[p] != 0 || vals(b)[p] != 0) ? 1 : 0;
                 break;
               case FX_WHERE:
                 for (int p = 0; p < n; ++p)
-                  out[p] = vals[a][p] != 0 ? vals[b][p] : vals[c][p];
+                  out[p] = vals(a)[p] != 0 ? vals(b)[p] : vals(c)[p];
                 break;
               case FX_AT:
                 for (int p = 0; p < n; ++p) {
-                  int32_t i = vals[b][p];
-                  out[p] = (i >= 1 && i <= n) ? vals[a][i - 1] : 0;
+                  int32_t i = vals(b)[p];
+                  out[p] = (i >= 1 && i <= n) ? vals(a)[i - 1] : 0;
                 }
                 break;
               case FX_INCOMING:
                 for (int p = 0; p < n; ++p) {
                   int32_t s = 0;
                   for (int qq = 0; qq < n; ++qq)
-                    if (vals[c][qq] != 0 && vals[b][qq] == p + 1) s += vals[a][qq];
+                    if (vals(c)[qq] != 0 && vals(b)[qq] == p + 1) s += vals(a)[qq];
                   out[p] = s;
                 }
                 break;
@@ -334,7 +345,7 @@ void apply_on_enter(const Game& g, Room& r) {
                 for (int p = 0; p < n; ++p) {
                   int32_t s = 0;
                   for (int qq = 0; qq < n; ++qq)
-                    if (vals[b][qq] != 0 && vals[a][qq] == vals[a][p]) s++;
+                    if (vals(b)[qq] != 0 && vals(a)[qq] == vals(a)[p]) s++;
                   out[p] = s;
                 }
                 break;
@@ -342,7 +353,7 @@ void apply_on_enter(const Game& g, Room& r) {
                 for (int p = 0; p < n; ++p) {
                   int32_t s = 0;
                   for (int qq = 0; qq < p; ++qq)
-                    if (vals[b][qq] != 0 && vals[a][qq] == vals[a][p]) s++;
+                    if (vals(b)[qq] != 0 && vals(a)[qq] == vals(a)[p]) s++;
                   out[p] = s;
                 }
                 break;
@@ -350,8 +361,8 @@ void apply_on_enter(const Game& g, Room& r) {
                 int32_t acc = 0;
                 bool any = false;
                 for (int qq = 0; qq < n; ++qq) {
-                  if (vals[c][qq] == 0) continue;
-                  int32_t v = vals[b][qq];
+                  if (vals(c)[qq] == 0) continue;
+                  int32_t v = vals(b)[qq];
                   if (!any) { acc = (a == FXRED_COUNT) ? 1 : v; any = true; }
                   else if (a == FXRED_SUM)
                     acc = (int32_t)((uint32_t)acc + (uint32_t)v);  // int32 wrap
@@ -368,8 +379,8 @@ void apply_on_enter(const Game& g, Room& r) {
                 int32_t best = 0;
                 bool any = false;
                 for (int qq = 0; qq < n; ++qq) {
-                  if (vals[c][qq] == 0) continue;
-                  int32_t v = vals[b][qq];
+                  if (vals(c)[qq] == 0) continue;
+                  int32_t v = vals(b)[qq];
                   // ties resolve to the LOWEST seat (strict compare)
                   if (!any || (a == 0 ? v > best : v < best)) {
                     best = v; win = qq + 1; any = true;
@@ -387,34 +398,38 @@ void apply_on_enter(const Game& g, Room& r) {
               // st[5]; salt 0 = the retired MECH_ROLES permutation, ties
               // to the lower seat); `where` (st[4]) only gates writes.
               // st[3] is the pool offset of the (P+1, P) multiset table.
-              std::vector<uint32_t> keys(n);
+              // O(P^2) stable rank — the same math as step.py/pallas
+              // (rank = #{q: key_q < key_p, or equal with q < p}); a
+              // stable_sort here was 11% of werewolf selfplay (gprof)
+              // and equals sorted-position exactly
+              static thread_local std::vector<uint32_t> keys;
+              keys.resize(n);
               for (int p = 0; p < n; ++p)
                 keys[p] = splitmix32(r.seed * 0x100u + (uint32_t)p +
-                                     (uint32_t)vals[st[5]][p] * 0x9E3779B9u);
-              std::vector<int> order(n);
-              std::iota(order.begin(), order.end(), 0);
-              std::stable_sort(order.begin(), order.end(),
-                               [&](int a, int b) { return keys[a] < keys[b]; });
-              for (int i = 0; i < n; ++i) {
-                int p = order[i];
-                if (vals[st[4]][p] == 0) continue;
-                r.strs[p * g.NS + st[2]] = g.pool[st[3] + n * g.P + i];
+                                     (uint32_t)vals(st[5])[p] * 0x9E3779B9u);
+              for (int p = 0; p < n; ++p) {
+                if (vals(st[4])[p] == 0) continue;
+                int rank = 0;
+                for (int qq = 0; qq < n; ++qq)
+                  if (keys[qq] < keys[p] || (keys[qq] == keys[p] && qq < p))
+                    rank++;
+                r.strs[p * g.NS + st[2]] = g.pool[st[3] + n * g.P + rank];
               }
               continue;
             }
             for (int p = 0; p < n; ++p) {
-              if (vals[st[4]][p] == 0) continue;
+              if (vals(st[4])[p] == 0) continue;
               switch (st[0]) {
                 case FXST_KILL:
                   kill_player(g, r, p + 1, rv_off, rv_n);
                   break;
                 case FXST_SET:
                   if (st[1] == FXB_BOOL)
-                    r.bools[p * g.NB + st[2]] = (uint8_t)(vals[st[3]][p] != 0);
+                    r.bools[p * g.NB + st[2]] = (uint8_t)(vals(st[3])[p] != 0);
                   else if (st[1] == FXB_STR)
-                    r.strs[p * g.NS + st[2]] = vals[st[3]][p];
+                    r.strs[p * g.NS + st[2]] = vals(st[3])[p];
                   else
-                    r.nums[p * g.NN + st[2]] = vals[st[3]][p];
+                    r.nums[p * g.NN + st[2]] = vals(st[3])[p];
                   break;
                 case FXST_RESET:  // dict banks clear to empty
                   if (st[1] == FXB_ODICT)
@@ -423,19 +438,19 @@ void apply_on_enter(const Game& g, Room& r) {
                     std::fill_n(&r.pdict[(p * g.NPD + st[2]) * g.P], g.P, 0);
                   break;
                 case FXST_SETD: {  // pdict[key] = code; bad key = no-op
-                  int32_t k = vals[st[5]][p];
+                  int32_t k = vals(st[5])[p];
                   if (k >= 1 && k <= n)
                     r.pdict[(p * g.NPD + st[2]) * g.P + (k - 1)] =
-                        vals[st[3]][p];
+                        vals(st[3])[p];
                   break;
                 }
                 case FXST_OVER:  // P11/P17: winner from the lowest seat
-                  if (p == 0) { r.done = true; r.winner = vals[st[3]][0]; }
+                  if (p == 0) { r.done = true; r.winner = vals(st[3])[0]; }
                   break;
                 default:  // FXST_ADD (int32 wrap, not UB)
                   r.nums[p * g.NN + st[2]] = (int32_t)(
                       (uint32_t)r.nums[p * g.NN + st[2]]
-                      + (uint32_t)vals[st[3]][p]);
+                      + (uint32_t)vals(st[3])[p]);
               }
             }
           }
