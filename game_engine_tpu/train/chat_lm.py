@@ -39,6 +39,10 @@ def main() -> None:
     ap.add_argument("--max-len", type=int, default=576)
     ap.add_argument("--out", default="chat_lm.npz")
     ap.add_argument("--cpu", action="store_true", help="force CPU (tests)")
+    ap.add_argument("--lr-decay", action="store_true",
+                    help="cosine-decay lr to lr/10 over --steps (the long "
+                         "runs need it: constant 3e-4 plateaus ~0.14/char, "
+                         "too hot for exact-match greedy decoding)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -67,7 +71,12 @@ def main() -> None:
           f"(mean reply {np.mean([len(r) for _, r in pairs]):.1f} chars)")
 
     params = C.init_params(jax.random.PRNGKey(args.seed), cfg)
-    tx = optax.adam(args.lr)
+    if args.lr_decay:
+        sched = optax.cosine_decay_schedule(args.lr, args.steps,
+                                            alpha=0.1)
+        tx = optax.adam(sched)
+    else:
+        tx = optax.adam(args.lr)
     opt = tx.init(params)
 
     @jax.jit
