@@ -1191,6 +1191,10 @@ def _weave_market(
     raid_desc: str,
     rich_terminal_name: str,
     win_coins: int,
+    actor_phrase: str = "All alive players",
+    actor_condition: str = "player.is_alive == true",
+    panel_for: str = "living players",
+    income_hint_gain: Optional[int] = None,
 ) -> dict[str, Any]:
     """Weave the market family (P12 income, P13 raids, richest-purse
     terminal) into an existing phase graph.
@@ -1201,6 +1205,15 @@ def _weave_market(
     ``raid_edge_pred``; and terminal phase 98, reached when any purse hits
     ``win_coins``, won by the richest player (P17 per-terminal winner
     modes — the base archetype's own terminal keeps its rule).
+
+    ``actor_phrase``/``actor_condition`` scope who raids — elimination-
+    style bases keep the alive-player default; bases without an
+    ``is_alive`` field pass a vacuously-true predicate in the same style
+    their own action phases use (e.g. ``player.total_score >= 0``).
+    ``income_hint_gain`` declares the income as an explicit P18
+    ``{income: {coins: n}}`` hint instead of relying on sentence mining —
+    required when the income phase carries a P20 effects program (text
+    income mining is disabled on those phases; mechanics.py P12 rule).
     """
     decl = doc["declaration"]
     decl["player_states"]["coins"] = {
@@ -1221,6 +1234,9 @@ def _weave_market(
         if income_phase_pred(ph["name"]):
             ph["description"] += " " + income_sentence
             ph["actions"].append(_tool_action("Show each purse", "createCoinDisplay"))
+            if income_hint_gain is not None:
+                ph.setdefault("mechanics", []).append(
+                    {"income": {"coins": income_hint_gain}})
             paid = True
     assert paid, "no income phase matched"
 
@@ -1253,13 +1269,13 @@ def _weave_market(
             _tool_action("Clear previous UI; exempt death markers", "clearCanvas"),
             _tool_action("TIER 1 - PUBLIC: Create raid phase indicator",
                          "createPhaseIndicator"),
-            _tool_action("TIER 2 - GROUP: Create the raid target panel for living players",
+            _tool_action(f"TIER 2 - GROUP: Create the raid target panel for {panel_for}",
                          "createVotingPanel"),
             _tool_action("Show each purse", "createCoinDisplay"),
         ],
-        "All alive players have chosen a raid target.",
-        "multiple_players_action", "All alive players",
-        "player.is_alive == true",
+        f"{actor_phrase} have chosen a raid target.",
+        "multiple_players_action", actor_phrase,
+        actor_condition,
         {"id": RR, "name": "Raid Resolution"},
     )
     phases[RR] = _ui_phase(
@@ -1283,6 +1299,12 @@ def _weave_market(
         ],
         None,
     )
+    # explicit P18 winner declaration: bases with their own score-like
+    # field (e.g. rounds' total_score) would otherwise win this terminal
+    # on that field — the "Richest" name matches the generic score rule
+    # and generic matches resolve score_like_field first (mechanics.py
+    # _terminal_game_over)
+    phases[98]["mechanics"] = [{"winner": {"score": "coins"}}]
     return doc
 
 
@@ -1332,6 +1354,10 @@ def _weave_auction(
     lot_terminal_name: str,
     bid_max: int,
     close_coins: int,
+    actor_phrase: str = "All alive players",
+    actor_condition: str = "player.is_alive == true",
+    panel_for: str = "living players",
+    income_hint_gain: Optional[int] = None,
 ) -> dict[str, Any]:
     """Weave the auction family (P12 income, P19 sealed-bid lots) into an
     existing phase graph — the auction analogue of ``_weave_market``: a bid
@@ -1374,6 +1400,9 @@ def _weave_auction(
         if income_phase_pred(ph["name"]):
             ph["description"] += " " + income_sentence
             ph["actions"].append(_tool_action("Show each purse", "createCoinDisplay"))
+            if income_hint_gain is not None:
+                ph.setdefault("mechanics", []).append(
+                    {"income": {"coins": income_hint_gain}})
             paid = True
     assert paid, "no income phase matched"
 
@@ -1406,14 +1435,14 @@ def _weave_auction(
             _tool_action("Clear previous UI; exempt death markers", "clearCanvas"),
             _tool_action("TIER 1 - PUBLIC: Create bid phase indicator",
                          "createPhaseIndicator"),
-            _tool_action("TIER 2 - GROUP: Create the sealed bid panel for living players",
+            _tool_action(f"TIER 2 - GROUP: Create the sealed bid panel for {panel_for}",
                          "createVotingPanel"),
             _tool_action("Show each purse", "createCoinDisplay"),
         ],
-        "All alive players have bid and bid_choice set to the sealed amount "
+        f"{actor_phrase} have bid and bid_choice set to the sealed amount "
         f"(1-{bid_max}).",
-        "multiple_players_action", "All alive players",
-        "player.is_alive == true",
+        "multiple_players_action", actor_phrase,
+        actor_condition,
         {"id": BR, "name": "Auction Resolution"},
     )
     phases[BR] = _ui_phase(
@@ -1438,6 +1467,8 @@ def _weave_auction(
         ],
         None,
     )
+    # explicit P18 winner declaration (see _weave_market's terminal note)
+    phases[97]["mechanics"] = [{"winner": {"score": "points"}}]
     return doc
 
 
@@ -1479,11 +1510,102 @@ def _mix_battle_auction(doc: dict[str, Any], bid_max: int = 5,
     )
 
 
+def _mix_rounds_market(doc: dict[str, Any], win_coins: int = 8) -> dict[str, Any]:
+    """Rounds + economy: the statement-round loop pays 1 coin at every
+    round start, a raid round is spliced onto the next-speaker edge, and a
+    richest-purse terminal (98) coexists with the base standings terminal
+    (P17 — the rounds terminal keeps score mode on total_score; coins is
+    not in the default score-field preference list, mechanics.py)."""
+    return _weave_market(
+        doc,
+        income_phase_pred=lambda name: name == "Round Start",
+        income_sentence="Then each player collects 1 coin from the story pot.",
+        check_name="Check Round Progress",
+        coin_branch_before=lambda k: k.startswith("If all players have completed"),
+        raid_edge_pred=lambda k: k.startswith("Otherwise"),
+        raid_desc="Each player chooses one rival to raid before the next tale.",
+        rich_terminal_name="Game Over — Richest Storyteller",
+        win_coins=win_coins,
+        actor_phrase="All players",
+        actor_condition="player.total_score >= 0",
+        panel_for="all players",
+    )
+
+
+def _mix_bluff_market(doc: dict[str, Any], win_coins: int = 8) -> dict[str, Any]:
+    """Bluff + economy: the court pays 1 coin at every showdown, a raid
+    round is spliced onto the court-continues edge, richest-purse terminal
+    (98). The base survivor terminal stays survivor-won: bluff's influence
+    field is a lives field, which blocks the resource fallback in the P11
+    default, and the terminal text pins survivor via P17."""
+    return _weave_market(
+        doc,
+        income_phase_pred=lambda name: name == "Showdown",
+        income_sentence="Then each alive player collects 1 coin from the court treasury.",
+        check_name="Check the Court",
+        coin_branch_before=lambda k: k.startswith("If only one player"),
+        raid_edge_pred=lambda k: "the court continues" in k,
+        raid_desc="Each alive player chooses one rival to raid before the next declarations.",
+        rich_terminal_name="Game Over — Richest Courtier",
+        win_coins=win_coins,
+    )
+
+
+def _mix_racing_market(doc: dict[str, Any], win_coins: int = 15) -> dict[str, Any]:
+    """Racing + economy: sponsorship income at every movement resolution
+    (declared as an explicit P18 income hint — the resolution phase carries
+    the P20 movement program, which disables text income mining), a raid
+    round spliced onto the race-continues edge, richest-purse terminal
+    (98). The base finish-line terminal keeps position mode via its
+    explicit winner hint."""
+    return _weave_market(
+        doc,
+        income_phase_pred=lambda name: name == "Movement Resolution",
+        income_sentence="Then each racer collects 1 sponsorship coin.",
+        check_name="Movement Resolution",
+        coin_branch_before=lambda k: "position" in k,
+        raid_edge_pred=lambda k: k.startswith("Otherwise"),
+        raid_desc="Each racer chooses one rival's pit to raid before the next sprint.",
+        rich_terminal_name="Game Over — Richest Racer",
+        win_coins=win_coins,
+        actor_phrase="All racers",
+        actor_condition="player.position >= 0",
+        panel_for="all racers",
+        income_hint_gain=1,
+    )
+
+
+def _mix_bluff_auction(doc: dict[str, Any], bid_max: int = 4,
+                       close_coins: int = 9) -> dict[str, Any]:
+    """Bluff + auctions: treasury income at every showdown, a sealed-bid
+    lot round on the court-continues edge, house-closes terminal (97) won
+    by the biggest lot collector. The prize field `points` becomes the
+    court's only score-like field, so both the AuctionScore prize and the
+    97 terminal resolve to it; the base survivor terminal is pinned by its
+    own text (P17)."""
+    return _weave_auction(
+        doc,
+        income_phase_pred=lambda name: name == "Showdown",
+        income_sentence="Then each alive player collects 2 coins from the court treasury.",
+        check_name="Check the Court",
+        lot_branch_before=lambda k: k.startswith("If only one player"),
+        bid_edge_pred=lambda k: "the court continues" in k,
+        bid_desc="Each alive player seals a bid of coins for the court's lot.",
+        lot_terminal_name="Game Over — Master Collector",
+        bid_max=bid_max,
+        close_coins=close_coins,
+    )
+
+
 _MIXERS: dict[tuple[str, str], Callable[[dict], dict]] = {
     ("elimination", "market"): _mix_elimination_market,
     ("battle", "market"): _mix_battle_market,
     ("elimination", "auction"): _mix_elimination_auction,
     ("battle", "auction"): _mix_battle_auction,
+    ("rounds", "market"): _mix_rounds_market,
+    ("bluff", "market"): _mix_bluff_market,
+    ("racing", "market"): _mix_racing_market,
+    ("bluff", "auction"): _mix_bluff_auction,
 }
 
 
@@ -2931,17 +3053,37 @@ def generate_from_description(
         # shared pool" is a draft, not a market) — IR rank()==0 claims
         archetype = "draft"
     elif _RACING_WORDS.search(description):
+        # racers who also collect/raid coins get the market family woven
+        # into the race loop (sponsorship income + pit raids + a richest
+        # terminal beside the finish line)
         archetype = "racing"
+        if _MARKET_WORDS.search(description):
+            extras = ("market",)
     elif _MINORITY_WORDS.search(description):
         archetype = "minority"
     elif _BLUFF_WORDS.search(description):
+        # a court that also bids for lots (auction vocabulary outranks
+        # bare economy, as in the global dispatch below) or raids purses
+        # composes that family into the claim/challenge loop
         archetype = "bluff"
+        if _AUCTION_WORDS.search(description):
+            extras = ("auction",)
+        elif _MARKET_WORDS.search(description):
+            extras = ("market",)
     elif _MASQ_WORDS.search(description):
         # mask/identity-rotation vocabulary: a fresh deal every round via
         # the IR's `deal ... salt` statement. Checked AFTER minority and
         # bluff — mask/costume words are common flavor in those families
         # ("hide behind costumes and challenge claims" is a bluff game)
         archetype = "masquerade"
+    elif (_ROUNDS_WORDS.search(description) and _MARKET_WORDS.search(description)
+          and not _AUCTION_WORDS.search(description)):
+        # statement-round vocabulary + economy vocabulary = a storytelling
+        # circle with a coin economy (story pot income, rival raids, a
+        # richest-storyteller terminal beside the standings terminal);
+        # auction vocabulary keeps the plain auction dispatch below
+        archetype = "rounds"
+        extras = ("market",)
     elif _AUCTION_WORDS.search(description):
         # auction vocabulary outranks generic economy words ("bidding" alone
         # is a market keyword; "bidding for lots" is an auction); with
