@@ -24,7 +24,11 @@ Archetypes also COMPOSE: ``Blueprint.extras`` weaves additional mechanic
 families into the base phase graph (``('market',)`` on ``'elimination'``
 adds P12 income each morning, a P13 raid round each day, and a second
 terminal won by the richest purse via P17 per-terminal winner modes — see
-``games/gold-rush.yaml``).
+``games/gold-rush.yaml``). The mix matrix (``_MIXERS``) spans 8 (base,
+extra) pairs: the market family weaves into elimination, battle, rounds,
+bluff, and racing; the auction family into elimination, battle, and bluff
+(witnesses: gold-rush, bounty-arena, story-pot, scrap-rally, relic-auction,
+trophy-arena, gilded-court).
 
 ``generate_from_description`` maps a free-text description onto a Blueprint
 by keyword (including mixes: a description with both night-role and economy
