@@ -426,16 +426,23 @@ def build_corpus(games=("werewolf", "two-truths-and-a-lie"), seeds=range(150),
 # ---------------------------------------------------------------------------
 
 
-def _make_decoder(params, cfg: LMConfig):
+def _make_decoder(params, cfg: LMConfig, sample: bool = False):
     """One jitted KV-cache scan decoding a WHOLE reply in a single device
     dispatch. The old path re-ran the full (1, max_len) forward per token —
     up to 128 sequential dispatches per chat reply (ADVICE r2); this is one
-    program whose total FLOPs equal ~two full forwards."""
+    program whose total FLOPs equal ~two full forwards.
+
+    ``sample=True`` builds the top-p/temperature variant for the roleplay
+    tier: the next token is drawn by inverse-CDF over the nucleus (the
+    smallest prefix of the sorted distribution whose mass reaches top_p)
+    from a caller-provided uniform stream — randomness stays host-derived
+    (splitmix32 over the context) so a decode is a pure function of
+    (checkpoint, ctx, seed), replayable like everything else."""
     D, nh = cfg.d_model, cfg.n_heads
     hd = D // nh
     L = cfg.max_len
 
-    def decode(buf, n0):
+    def decode(buf, n0, u=None, inv_temp=None, top_p=None):
         caches = tuple(
             (jnp.zeros((L, nh, hd), jnp.float32),
              jnp.zeros((L, nh, hd), jnp.float32))
@@ -472,7 +479,21 @@ def _make_decoder(params, cfg: LMConfig):
                 new_caches.append((kc, vc))
             xf = _ln(x, params["lnf_s"], params["lnf_b"])
             logits = _dot(xf[None], params["tok"].T)[0]
-            nxt = jnp.argmax(logits).astype(jnp.int32)
+            if sample:
+                lg = logits.astype(jnp.float32) * inv_temp
+                order = jnp.argsort(-lg)  # descending
+                ps = jax.nn.softmax(lg)[order]
+                cps = jnp.cumsum(ps)
+                # nucleus: tokens whose preceding mass is < top_p (always
+                # keeps the argmax token)
+                keep = (cps - ps) < top_p
+                kept = jnp.where(keep, ps, 0.0)
+                ck = jnp.cumsum(kept)
+                uv = jax.lax.dynamic_index_in_dim(u, pos, 0, keepdims=False)
+                idx = jnp.sum((ck < uv * ck[-1]).astype(jnp.int32))
+                nxt = order[jnp.minimum(idx, VOCAB - 1)].astype(jnp.int32)
+            else:
+                nxt = jnp.argmax(logits).astype(jnp.int32)
             # teacher-force inside the prompt, generate after it
             wpos = jnp.minimum(pos + 1, L - 1)
             cur = jax.lax.dynamic_index_in_dim(buf, wpos, 0, keepdims=False)
@@ -493,25 +514,27 @@ _DECODER_CACHE: dict[tuple, Any] = {}
 _DECODER_CACHE_MAX = 4
 
 
-def greedy_reply(params, cfg: LMConfig, ctx: str, max_new: int = 192) -> str:
-    """Deterministic greedy decode of a reply for a context string.
-
-    Returns "" (caller falls back to the template tier) when the decode
-    runs out of token budget before EOS — a truncated roster/status reply
-    would factually misreport the board."""
-    key = (id(params), dataclasses.astuple(cfg))
+def _decoder_for(params, cfg: LMConfig, sample: bool):
+    key = (id(params), dataclasses.astuple(cfg), sample)
     dec = _DECODER_CACHE.get(key)
     if dec is None:
         while len(_DECODER_CACHE) >= _DECODER_CACHE_MAX:
             _DECODER_CACHE.pop(next(iter(_DECODER_CACHE)))
-        dec = _DECODER_CACHE[key] = (_make_decoder(params, cfg), params)
+        dec = _DECODER_CACHE[key] = (
+            _make_decoder(params, cfg, sample=sample), params)
+    return dec[0]
+
+
+def _prompt_buf(cfg: LMConfig, ctx: str) -> tuple[np.ndarray, int]:
     # keep the FULL context (training saw it untruncated — encode_pair only
     # clips at max_len total); generation just uses whatever room is left
     toks = [BOS] + encode_text(ctx)[: cfg.max_len - 2] + [SEP]
-    n0 = len(toks)
     buf = np.full((cfg.max_len,), PAD, np.int32)
-    buf[:n0] = toks
-    out_buf = np.asarray(dec[0](jnp.asarray(buf), jnp.int32(n0)))
+    buf[: len(toks)] = toks
+    return buf, len(toks)
+
+
+def _finish_reply(out_buf: np.ndarray, n0: int, max_new: int) -> str:
     gen = out_buf[n0:].tolist()
     hit_eos = False
     reply_toks = []
@@ -531,6 +554,58 @@ def greedy_reply(params, cfg: LMConfig, ctx: str, max_new: int = 192) -> str:
     return out
 
 
+def greedy_reply(params, cfg: LMConfig, ctx: str, max_new: int = 320) -> str:
+    """Deterministic greedy decode of a reply for a context string.
+
+    Returns "" (caller falls back to the template tier) when the decode
+    runs out of token budget before EOS — a truncated roster/status reply
+    would factually misreport the board. The 320 budget covers the longest
+    composed kind (rules: prefix + a ~230-char guide digest + persona
+    tail); 192 silently clipped every two-sentence rules reply to its
+    first sentence (r4b first-eval artifact)."""
+    dec = _decoder_for(params, cfg, sample=False)
+    buf, n0 = _prompt_buf(cfg, ctx)
+    out_buf = np.asarray(dec(jnp.asarray(buf), jnp.int32(n0)))
+    return _finish_reply(out_buf, n0, max_new)
+
+
+def _ctx_uniforms(ctx: str, length: int, salt: int = 0) -> np.ndarray:
+    """(length,) uniforms in [0,1) derived from the context by splitmix32 —
+    the roleplay tier's randomness is a pure function of (ctx, salt), so a
+    journal replay or a re-served identical message reproduces the same
+    words (the determinism invariant holds even for flavor text)."""
+    from game_engine_tpu.gamespec.mechanics import splitmix32
+
+    h = (2166136261 ^ salt) & 0xFFFFFFFF
+    for ch in ctx:
+        h = ((h ^ ord(ch)) * 16777619) & 0xFFFFFFFF  # FNV-1a fold
+    out = np.empty((length,), np.float64)
+    for i in range(length):
+        h = splitmix32((h + 0x9E3779B9) & 0xFFFFFFFF)
+        out[i] = h / 4294967296.0
+    return out.astype(np.float32)
+
+
+def sampled_reply(params, cfg: LMConfig, ctx: str, *, temperature: float = 0.8,
+                  top_p: float = 0.9, salt: int = 0,
+                  max_new: int = 320) -> str:
+    """Top-p/temperature decode for the roleplay tier — varied, in-persona
+    smalltalk instead of the single greedy mode. Deterministic per
+    (checkpoint, ctx, salt): randomness comes from a splitmix32 stream over
+    the context, not a stateful RNG. Same truncation discipline as
+    greedy_reply ("" on budget exhaustion without a complete sentence)."""
+    dec = _decoder_for(params, cfg, sample=True)
+    buf, n0 = _prompt_buf(cfg, ctx)
+    u = jnp.asarray(_ctx_uniforms(ctx, cfg.max_len, salt))
+    # floor only guards div-by-zero: temperature -> 0 must actually
+    # concentrate the nucleus on the argmax (the greedy-equivalence pin in
+    # tests/test_chat_sample.py); a 1e-3 floor left near-ties sampled
+    out_buf = np.asarray(dec(jnp.asarray(buf), jnp.int32(n0), u,
+                             jnp.float32(1.0 / max(temperature, 1e-6)),
+                             jnp.float32(top_p)))
+    return _finish_reply(out_buf, n0, max_new)
+
+
 def save(path: str, params: dict[str, Any], cfg: LMConfig) -> None:
     # np.savez silently appends '.npz' to a bare path; normalize so that
     # save(p) and load(p) always agree on the file name
@@ -547,8 +622,55 @@ def load(path: str) -> tuple[dict[str, Any], LMConfig]:
     return params, cfg
 
 
-def make_lm_hook(ckpt_path: str):
+# kinds with no factual payload: the only kinds the roleplay tier may
+# sample. Everything that reports state (status/score/vote/field/v2
+# intents/suspicion's named suspect) stays greedy — variety is never worth
+# a misreported board.
+SAMPLE_KINDS = frozenset({"greeting", "default"})
+_CTX_KIND_RX = re.compile(r"^K=([a-z0-9_]+)\|")
+
+
+def _ctx_names(ctx: str) -> list[str]:
+    """Player names a reply might address: the sender (S=) plus the roster
+    (Ns=). Used by the sampled tier's name guard."""
+    names = []
+    m = re.search(r"\|S=([^|]+)", ctx)
+    if m:
+        names.append(m.group(1))
+    m = re.search(r"\|Ns=([^|]*)", ctx)
+    if m:
+        names += [e.split(":", 1)[1] for e in m.group(1).split(",")
+                  if ":" in e]
+    return [n for n in {n.strip() for n in names} if len(n) >= 3]
+
+
+def names_intact(out: str, ctx: str) -> bool:
+    """True when every word in ``out`` that shares a >=3-char prefix with a
+    known player name IS that name exactly. Char-level sampling can wander
+    mid-copy ("Vee" -> "Veee"); a reply that misspells who it's talking to
+    reads broken even in smalltalk, so the roleplay tier regenerates (new
+    salt) or falls back to greedy instead of shipping it."""
+    words = set(re.findall(r"[A-Za-z0-9_']+", out))
+    for nm in _ctx_names(ctx):
+        for w in words:
+            # case-sensitive containment: a garble extends the copied name
+            # verbatim ("Vee" -> "Veee"/"Veec"); an unrelated word that
+            # happens to share letters ("veer") differs in case and passes
+            if w != nm and nm in w:
+                return False
+    return True
+
+
+def make_lm_hook(ckpt_path: str, sample_temp: float = 0.0,
+                 sample_top_p: float = 0.9):
     """Load a checkpoint and return the ChatRoom lm_hook callable.
+
+    ``sample_temp > 0`` enables the roleplay tier: smalltalk kinds
+    (SAMPLE_KINDS — greeting and open chatter, parsed from the context's
+    ``K=`` prefix) decode with top-p/temperature sampling for varied
+    in-persona replies, deterministically seeded from the context; an
+    empty sampled decode falls back to greedy, then (via None) to the
+    template composer. State-reporting kinds always decode greedy.
 
     Warms the jitted forward with one dummy decode so the first real chat
     message never pays the TPU compile (15-190 s) inside the GameHost
@@ -556,8 +678,24 @@ def make_lm_hook(ckpt_path: str):
     params, cfg = load(ckpt_path)
     greedy_reply(params, cfg, "K=greeting|P=warmup|B=1|N=P|S=V|A=1|D=|V=0"
                  "|R=0|Q=hi", max_new=2)
+    if sample_temp > 0:
+        sampled_reply(params, cfg, "K=greeting|P=warmup|B=1|N=P|S=V|A=1|D=|"
+                      "V=0|R=0|Q=hi", temperature=sample_temp,
+                      top_p=sample_top_p, max_new=2)
 
     def hook(ctx: str) -> Optional[str]:
+        if sample_temp > 0:
+            m = _CTX_KIND_RX.match(ctx)
+            if m and m.group(1) in SAMPLE_KINDS:
+                # deterministic retry schedule: a decode that garbles a
+                # player name re-samples with the next salt, then yields
+                # to greedy — replay still reproduces the same words
+                for salt in (0, 1, 2):
+                    out = sampled_reply(params, cfg, ctx,
+                                        temperature=sample_temp,
+                                        top_p=sample_top_p, salt=salt)
+                    if out and names_intact(out, ctx):
+                        return out
         return greedy_reply(params, cfg, ctx) or None
 
     # grounded-trained checkpoints may serve field questions (the commit
@@ -565,4 +703,5 @@ def make_lm_hook(ckpt_path: str):
     hook.grounded = bool(cfg.grounded)
     hook.personas = bool(cfg.personas)
     hook.kinds2 = bool(cfg.kinds2)
+    hook.sampling = sample_temp > 0
     return hook

@@ -94,11 +94,13 @@ class AppContext:
     def __init__(self, storage_path: Optional[str] = None, games_path: Optional[str] = None,
                  backend: str = "jax", chat_lm: Optional[str] = None,
                  bot_ckpts: Optional[list] = None, llm_cmd: Optional[str] = None,
-                 llm_entry: Optional[str] = None):
+                 llm_entry: Optional[str] = None,
+                 chat_sample_temp: float = 0.0):
         self.storage = MemoryStorage(storage_path)
         persist_dir = (storage_path + ".rooms") if storage_path else None
         self.host = GameHost(games_path, backend=backend, persist_dir=persist_dir,
-                             chat_lm=chat_lm, bot_ckpts=bot_ckpts)
+                             chat_lm=chat_lm, bot_ckpts=bot_ckpts,
+                             chat_sample_temp=chat_sample_temp)
         # /api/generate-dsl model seam (reference: 3 gpt-5 calls behind
         # src/app/api/generate-dsl/route.ts:19-48). A deployment brings its
         # own model as a shell command (prompt on stdin -> YAML on stdout)
@@ -406,9 +408,11 @@ def make_server(port: int = 0, storage_path: Optional[str] = None,
                 chat_lm: Optional[str] = None,
                 bot_ckpts: Optional[list] = None,
                 llm_cmd: Optional[str] = None,
-                llm_entry: Optional[str] = None) -> ThreadingHTTPServer:
+                llm_entry: Optional[str] = None,
+                chat_sample_temp: float = 0.0) -> ThreadingHTTPServer:
     ctx = AppContext(storage_path, games_path, backend=backend, chat_lm=chat_lm,
-                     bot_ckpts=bot_ckpts, llm_cmd=llm_cmd, llm_entry=llm_entry)
+                     bot_ckpts=bot_ckpts, llm_cmd=llm_cmd, llm_entry=llm_entry,
+                     chat_sample_temp=chat_sample_temp)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -521,6 +525,18 @@ def main():  # pragma: no cover
     ap.add_argument("--chat-lm", default=None, metavar="CKPT_NPZ",
                     help="serve bot chat from the on-TPU transformer "
                          "(policies/chat_lm.py) instead of the templates")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the jax CPU platform for every device "
+                         "surface (chat LM, jax backend) — serve without "
+                         "touching the TPU (the image's sitecustomize "
+                         "overrides the JAX_PLATFORMS env)")
+    ap.add_argument("--chat-sample-temp", type=float, default=0.0,
+                    metavar="T",
+                    help="roleplay tier: sample smalltalk chat kinds "
+                         "(greeting/open chatter) at temperature T with "
+                         "top-p 0.9 instead of greedy decoding — varied, "
+                         "deterministic per message (needs --chat-lm); "
+                         "state-reporting kinds stay greedy")
     ap.add_argument("--bot-ckpt", action="append", default=None,
                     metavar="[GAME=]CKPT_NPZ",
                     help="serve greedy learned-policy bots from a trained "
@@ -538,9 +554,14 @@ def main():  # pragma: no cover
                     help="like --llm-cmd but a Python entrypoint "
                          "complete(prompt)->str, imported in-process")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     srv = make_server(args.port, args.storage, backend=args.backend,
                       chat_lm=args.chat_lm, bot_ckpts=args.bot_ckpt,
-                      llm_cmd=args.llm_cmd, llm_entry=args.llm_entry)
+                      llm_cmd=args.llm_cmd, llm_entry=args.llm_entry,
+                      chat_sample_temp=args.chat_sample_temp)
     print(f"game host listening on :{srv.server_address[1]}")
     srv.serve_forever()
 

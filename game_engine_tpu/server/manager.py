@@ -442,13 +442,18 @@ class GameHost:
     def __init__(self, games_path: Optional[str] = None, backend: str = "jax",
                  persist_dir: Optional[str] = None,
                  chat_lm: Optional[str] = None,
-                 bot_ckpts: Optional[list[str]] = None):
+                 bot_ckpts: Optional[list[str]] = None,
+                 chat_sample_temp: float = 0.0):
         """backend: 'jax' (batched device engine) or 'native' (C++ per-room
         simulator — lowest interactive latency, identical semantics).
         persist_dir: directory for per-room crash-recovery journals; None
         disables durability (tests, throwaway hosts).
         chat_lm: path to a policies/chat_lm.py checkpoint; bot chat then
         decodes on-device instead of using the template composer.
+        chat_sample_temp: >0 enables the roleplay tier — smalltalk kinds
+        (greeting/open chatter) decode with top-p/temperature sampling,
+        deterministically seeded from the context (chat_lm.SAMPLE_KINDS);
+        state-reporting kinds stay greedy.
         bot_ckpts: repeated 'game=path' (or bare 'path') policy checkpoint
         specs; matching games serve GREEDY learned-policy bots instead of
         the scripted uniform-legal policy (the reference's contextual LLM
@@ -457,7 +462,8 @@ class GameHost:
         self._chat_lm_hook = None
         if chat_lm:
             from game_engine_tpu.policies.chat_lm import make_lm_hook
-            self._chat_lm_hook = make_lm_hook(chat_lm)
+            self._chat_lm_hook = make_lm_hook(
+                chat_lm, sample_temp=chat_sample_temp)
         self._bot_ckpts: dict = {}
         if bot_ckpts:
             from game_engine_tpu.policies.serve import load_bot_policies

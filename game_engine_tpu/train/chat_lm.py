@@ -43,9 +43,19 @@ def main() -> None:
                     help="cosine-decay lr to lr/10 over --steps (the long "
                          "runs need it: constant 3e-4 plateaus ~0.14/char, "
                          "too hot for exact-match greedy decoding)")
+    ap.add_argument("--eval-ckpt", default=None, metavar="CKPT_NPZ",
+                    help="skip training: load this checkpoint and run only "
+                         "the held-out evaluation block (metrics written "
+                         "next to the checkpoint)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    if args.eval_ckpt:
+        params, cfg = C.load(args.eval_ckpt)
+        args.out = args.eval_ckpt
+        _evaluate(args, params, cfg)
+        return
 
     # grounded=True: the corpus includes field Q&A conditioned on the G=
     # fact segment, so the shipped checkpoint may serve state questions
@@ -103,7 +113,10 @@ def main() -> None:
         print("CTX ", ctx)
         print("LM  ", C.greedy_reply(params, cfg, ctx))
         print("REF ", ref)
+    _evaluate(args, params, cfg)
 
+
+def _evaluate(args, params, cfg) -> None:
     # held-out evaluation on UNSEEN seeds (rooms, rosters, senders): exact
     # match vs the teacher composer, plus name-copy faithfulness — every
     # roster name the reference reply quotes must appear verbatim in the
@@ -119,8 +132,15 @@ def main() -> None:
     g_total = g_em = g_faithful = 0
     v2_total = v2_em = v2_faithful = 0
     by_kind: dict = {}  # kind -> [total, exact]
-    def fold(s):  # the byte vocab folds em-dashes/smart quotes to ASCII
-        return s.translate(C._FOLD)
+
+    def fold(s):
+        # the exact target is the tokenizer's ENCODABLE projection of the
+        # reference (em-dashes/smart quotes fold to ASCII, everything
+        # outside the byte vocab — the composer's clip ellipsis "…" — is
+        # dropped): the student is scored on what it could possibly emit.
+        # Scoring against the raw reference mislabeled every clipped rules
+        # digest as a miss (r4b first-eval artifact: rules EM 0.02).
+        return C.decode_tokens(C.encode_text(s))
 
     for ctx, ref in eval_pairs:
         out = C.greedy_reply(params, cfg, ctx)

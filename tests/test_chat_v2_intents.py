@@ -206,13 +206,20 @@ def test_shipped_checkpoint_v2_intents_composer_disabled():
     cases = [(c, r) for c, r in pairs
              if re.search(r"\|(Gd|Hn|Wt)=", c)][:24]
     assert len(cases) >= 8, "corpus produced too few v2-intent pairs"
+    def proj(s):
+        # score on the tokenizer's encodable projection: the composer's
+        # clip ellipsis "…" is outside the byte vocab, so the student can
+        # never emit it — comparing raw text mislabels every clipped
+        # guide digest as unfaithful (see train/chat_lm.py _evaluate)
+        return C.decode_tokens(C.encode_text(s))
+
     ok = 0
     for ctx, ref in cases:
         out = hook(ctx) or ""
         m = re.search(r"\|(Gd|Hn)=([^|]+)", ctx)
-        quoted = m.group(2).translate(C._FOLD) if m else None
-        ok += int(quoted in out.translate(C._FOLD) if quoted
-                  else out.translate(C._FOLD) == ref.translate(C._FOLD))
+        quoted = proj(m.group(2)) if m else None
+        ok += int(quoted in proj(out) if quoted
+                  else proj(out) == proj(ref))
     assert ok / len(cases) >= 0.8, f"v2 faithfulness {ok}/{len(cases)}"
 
 
