@@ -46,7 +46,10 @@ def main() -> None:
     ap.add_argument("--eval-ckpt", default=None, metavar="CKPT_NPZ",
                     help="skip training: load this checkpoint and run only "
                          "the held-out evaluation block (metrics written "
-                         "next to the checkpoint)")
+                         "next to the checkpoint). --seeds MUST match the "
+                         "training run's value — the eval rooms are seeds "
+                         "[seeds, seeds+25), so a mismatch evaluates on "
+                         "TRAINING rooms and reports memorization")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
@@ -176,6 +179,9 @@ def _evaluate(args, params, cfg) -> None:
                 name_met += int(_re.search(rf"\b{_re.escape(nm)}\b", out)
                                 is not None)
     metrics = {
+        # provenance: which rooms this eval used (seeds [start, start+25));
+        # a reader can check it against the training run's --seeds
+        "eval_seed_start": args.seeds,
         "eval_pairs": len(eval_pairs),
         "exact_match": round(em / max(1, len(eval_pairs)), 4),
         "name_copy_obligations": name_oblig,
