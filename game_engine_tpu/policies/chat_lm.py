@@ -58,6 +58,10 @@ class LMConfig:
     # Wt= context segments? gates whether the serving tier may answer them
     # (server.chat lm_may_serve); old checkpoints load as False
     kinds2: bool = False
+    # trained with the suspicion Am=/Dn= segments (accused-me flag + dead
+    # count — the r4b residual's conditioning holes)? gates whether serving
+    # emits them (server.chat _sus_extra); old checkpoints load as False
+    sus2: bool = False
 
 
 _FOLD = str.maketrans({"—": "-", "–": "-", "’": "'", "“": '"', "”": '"'})
@@ -363,6 +367,7 @@ def build_corpus(games=("werewolf", "two-truths-and-a-lie"), seeds=range(150),
             # can reproduce each bot's tics (serving emits Pe= only for
             # persona-trained checkpoints — hook.personas)
             chat.persona_ctx = True
+            chat.sus_ctx = True
             fields = sorted(f for f in room.players[1] if f != "name")
             for t in range(400):
                 room.step(oracle_policy(room, t, seed))
@@ -703,5 +708,6 @@ def make_lm_hook(ckpt_path: str, sample_temp: float = 0.0,
     hook.grounded = bool(cfg.grounded)
     hook.personas = bool(cfg.personas)
     hook.kinds2 = bool(cfg.kinds2)
+    hook.sus2 = bool(cfg.sus2)
     hook.sampling = sample_temp > 0
     return hook

@@ -272,6 +272,18 @@ def decorate_persona(text: str, pid: int, h: int) -> str:
     return text
 
 
+def _accused_me(me: dict, bot: int, text: str) -> bool:
+    """Does the sender's message point at THIS bot? ONE definition shared
+    by the composer's suspicion branch and the Am= context segment — they
+    must agree or the distilled student's template selection desyncs (the
+    r4b residual: suspicion EM 0.597, misses were exactly the accused-me
+    vs deflect template flips the raw Q= text underdetermines)."""
+    return bool(
+        re.search(rf"\byou\b|player\s*{bot}\b", text, re.IGNORECASE)
+        or (me.get("name") and str(me["name"]).lower() in text.lower())
+    )
+
+
 def lm_may_serve(lm_hook, plan: dict) -> bool:
     """Whether the learned tier may answer this plan. Plans the composer
     marked LM-eligible (``lm_ok``) always are; grounded field questions
@@ -332,6 +344,7 @@ class ChatRoom:
         # (the corpus builder sets this so the student trains on it;
         # serving also emits it whenever the hook declares hook.personas)
         self.persona_ctx = False
+        self.sus_ctx = False  # corpus builder: emit Am=/Dn= for suspicion
         self.messages: list[ChatMessage] = []
         self._ids = itertools.count(1)
 
@@ -458,7 +471,9 @@ class ChatRoom:
                                       self.lm_hook, "personas", False))
                                            else None),
                                   extra=self._v2_extra(kind, sender_id, text,
-                                                       snapshot)),
+                                                       snapshot)
+                                  + self._sus_extra(kind, bot, text,
+                                                    snapshot)),
             "composed": composed,
             # grounded field answers carry exact state values; only an LM
             # trained with the G= fact segment (hook.grounded) may serve
@@ -544,6 +559,24 @@ class ChatRoom:
         if kind == "advice":
             return f"|Wt={1 if self._advice_up(sender_id, snapshot) else 0}"
         return ""
+
+    def _sus_extra(self, kind: str, bot: int, text: str,
+                   snapshot: dict) -> str:
+        """Suspicion-only context segments (r4b residual fix): Am= whether
+        the sender accused THIS bot (the composer's template-selection
+        branch — raw Q= text underdetermines it at 60 chars) and Dn= the
+        dead COUNT (the accused-me template says "N of us are already
+        gone"; a char-level student cannot reliably count the D= id list).
+        Emitted only when the checkpoint trained on them (hook.sus2) so
+        older checkpoints keep byte-identical suspicion contexts."""
+        if kind != "suspicion" or not (
+                self.sus_ctx or getattr(self.lm_hook, "sus2", False)):
+            return ""
+        players = snapshot.get("player_states", {})
+        me = players.get(str(bot), {})
+        dead = snapshot.get("deadPlayers", [])
+        return (f"|Am={1 if _accused_me(me, bot, text) else 0}"
+                f"|Dn={len(dead)}")
 
     def _accusation_counts(self, players: dict) -> dict[int, int]:
         """Who has been accused in this chat (mentions near suspicion words)."""
@@ -732,10 +765,7 @@ class ChatRoom:
             else:
                 pool = [f"Let's see how the votes land in {phase}."]
         elif kind == "suspicion":
-            accused_me = bool(
-                re.search(rf"\byou\b|player\s*{bot}\b", text, re.IGNORECASE)
-                or (me.get("name") and str(me["name"]).lower() in text.lower())
-            )
+            accused_me = _accused_me(me, bot, text)
             investigations = {
                 k: v for k, v in (me.get("investigated_alignments") or {}).items()
             }

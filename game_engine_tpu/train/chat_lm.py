@@ -65,7 +65,7 @@ def main() -> None:
     # (server.chat.lm_may_serve; commit_reply verifies each decode)
     cfg = C.LMConfig(d_model=args.d_model, n_layers=args.layers,
                      max_len=args.max_len, grounded=True, personas=True,
-                     kinds2=True)
+                     kinds2=True, sus2=True)
     t0 = time.time()
     pairs = C.build_corpus(seeds=range(args.seeds), max_pairs=args.max_pairs)
     # drop pairs encode_pair would truncate: a clipped reply has no EOS, so
