@@ -28,7 +28,9 @@ terminal won by the richest purse via P17 per-terminal winner modes — see
 extra) pairs: the market family weaves into elimination, battle, rounds,
 bluff, and racing; the auction family into elimination, battle, and bluff
 (witnesses: gold-rush, bounty-arena, story-pot, scrap-rally, relic-auction,
-trophy-arena, gilded-court).
+trophy-arena, gilded-court). Registered STACKS (``_STACKS``) compose BOTH
+economy families onto one base — elimination/battle + market + auction
+with three live terminals (witness: harbor-lots).
 
 ``generate_from_description`` maps a free-text description onto a Blueprint
 by keyword (including mixes: a description with both night-role and economy
@@ -1362,6 +1364,8 @@ def _weave_auction(
     actor_condition: str = "player.is_alive == true",
     panel_for: str = "living players",
     income_hint_gain: Optional[int] = None,
+    skip_income: bool = False,
+    lots_target: Optional[int] = None,
 ) -> dict[str, Any]:
     """Weave the auction family (P12 income, P19 sealed-bid lots) into an
     existing phase graph — the auction analogue of ``_weave_market``: a bid
@@ -1372,14 +1376,32 @@ def _weave_auction(
     bid is self-balancing — a lot winner's drained purse rarely wins the
     next lot — so a "first to N lots" trigger would be unreachable under
     random play; the purse-close trigger makes both terminals live, and
-    rewards spending coins on lots over hoarding."""
+    rewards spending coins on lots over hoarding.
+
+    STACKING on top of a market weave (``skip_income``/``lots_target``):
+    the market family already pays income and already ends a runaway purse
+    at ITS coin threshold, so the stacked auction skips its own income
+    sentence and triggers terminal 97 on ``lots_target`` points instead —
+    a second coins-threshold key would be shadowed by first-match-wins
+    (and the market income keeps purses replenished, which makes a lots
+    race reachable where the solo auction's was not). The existing coins
+    field keeps the market weave's description with a bidding note
+    appended."""
     decl = doc["declaration"]
-    decl["player_states"]["coins"] = {
-        "type": "num", "example": 2,
-        "description": "The player's coin purse used for bidding; when any "
-                       f"purse reaches {close_coins} the auction house "
-                       "closes.",
-    }
+    if "coins" in decl["player_states"]:
+        assert skip_income and lots_target is not None, (
+            "stacking the auction weave over an existing coins economy "
+            "requires skip_income=True and a lots_target terminal")
+        decl["player_states"]["coins"]["description"] = (
+            decl["player_states"]["coins"]["description"].rstrip()
+            + " Bids are paid from this purse.")
+    else:
+        decl["player_states"]["coins"] = {
+            "type": "num", "example": 2,
+            "description": "The player's coin purse used for bidding; when any "
+                           f"purse reaches {close_coins} the auction house "
+                           "closes.",
+        }
     decl["player_states"]["bid_choice"] = {
         "type": "num", "example": 1,
         "description": f"This round's sealed bid (1-{bid_max}); 0 before "
@@ -1394,21 +1416,26 @@ def _weave_auction(
     tmpl["coins"], tmpl["bid_choice"], tmpl["points"] = 2, 0, 0
     for row in decl["players_example"]["player_states"].values():
         row["coins"], row["bid_choice"], row["points"] = 2, 0, 0
-    decl["players_example"]["tools"] = list(decl["players_example"]["tools"]) + [
-        "createCoinDisplay", "createScoreBoard",
-    ]
+    extra_tools = ["createCoinDisplay", "createScoreBoard"]
+    if skip_income:  # stacked over market: those tools are already listed
+        extra_tools = [t for t in extra_tools
+                       if t not in decl["players_example"]["tools"]]
+    decl["players_example"]["tools"] = list(
+        decl["players_example"]["tools"]) + extra_tools
 
     phases = doc["phases"]
-    paid = False
-    for ph in phases.values():
-        if income_phase_pred(ph["name"]):
-            ph["description"] += " " + income_sentence
-            ph["actions"].append(_tool_action("Show each purse", "createCoinDisplay"))
-            if income_hint_gain is not None:
-                ph.setdefault("mechanics", []).append(
-                    {"income": {"coins": income_hint_gain}})
-            paid = True
-    assert paid, "no income phase matched"
+    if not skip_income:
+        paid = False
+        for ph in phases.values():
+            if income_phase_pred(ph["name"]):
+                ph["description"] += " " + income_sentence
+                ph["actions"].append(
+                    _tool_action("Show each purse", "createCoinDisplay"))
+                if income_hint_gain is not None:
+                    ph.setdefault("mechanics", []).append(
+                        {"income": {"coins": income_hint_gain}})
+                paid = True
+        assert paid, "no income phase matched"
 
     W = next(pid for pid, ph in phases.items() if ph["name"] == check_name)
     max_id = max(pid for pid in phases if pid < 97)
@@ -1419,10 +1446,12 @@ def _weave_auction(
     bid_return = None
     new_branches: dict[str, Any] = {}
     inserted = False
+    close_key = (f"If any player has {lots_target} or more points"
+                 if lots_target is not None
+                 else f"If any player has {close_coins} or more coins")
     for k, v in branches.items():
         if not inserted and lot_branch_before(k):
-            new_branches[f"If any player has {close_coins} or more coins"] = {
-                "id": 97, "name": lot_terminal_name}
+            new_branches[close_key] = {"id": 97, "name": lot_terminal_name}
             inserted = True
         if bid_edge_pred(k):
             bid_return = v
@@ -1430,7 +1459,10 @@ def _weave_auction(
         new_branches[k] = v
     assert inserted and bid_return is not None
     phases[W]["next_phase"] = new_branches
-    phases[W]["description"] += " Also evaluate whether any purse closed the auction house."
+    phases[W]["description"] += (
+        " Also evaluate whether the lot race closed the auction house."
+        if lots_target is not None else
+        " Also evaluate whether any purse closed the auction house.")
 
     phases[BS] = _action_phase(
         "Sealed Bids",
@@ -1601,6 +1633,60 @@ def _mix_bluff_auction(doc: dict[str, Any], bid_max: int = 4,
     )
 
 
+def _mix_elimination_market_auction(doc: dict[str, Any], win_coins: int = 6,
+                                    bid_max: int = 2,
+                                    lots_target: int = 2) -> dict[str, Any]:
+    """STACKED mix: elimination + market + auction on one phase graph —
+    morning income, a dawn sealed-bid lot round AND a day raid round each
+    cycle, with THREE live terminals (team extinction 99, richest purse 98,
+    first-to-N-lots 97). The stacked auction skips its own income (the
+    market already pays) and triggers on lots, not a second coins threshold
+    (first-match-wins would shadow it; see _weave_auction's stacking
+    note)."""
+    doc = _mix_elimination_market(doc, win_coins=win_coins)
+    # the raid round rides the night-continue edge (from the market weave);
+    # the lot round rides the DAY-continue edge — one of each per full
+    # cycle. Sharing the night edge would run ~one auction per game (games
+    # last 2-3 cycles), leaving the lots terminal unreachable.
+    return _weave_auction(
+        doc,
+        income_phase_pred=lambda name: False,  # unused under skip_income
+        income_sentence="",
+        check_name="Check Win Conditions",
+        lot_branch_before=lambda k: k.startswith("If this check follows"),
+        bid_edge_pred=lambda k: "day elimination" in k,
+        bid_desc="Each alive player seals a bid of coins for the dusk lot.",
+        lot_terminal_name="Game Over — Master Collector",
+        bid_max=bid_max,
+        close_coins=0,
+        skip_income=True,
+        lots_target=lots_target,
+    )
+
+
+def _mix_battle_market_auction(doc: dict[str, Any], win_coins: int = 8,
+                               bid_max: int = 2,
+                               lots_target: int = 2) -> dict[str, Any]:
+    """STACKED mix: battle + market + auction — bounty income, a lot round
+    and a raid round before each new arena round; terminals: last survivor
+    99, richest 98, first-to-N-lots 97."""
+    doc = _mix_battle_market(doc, win_coins=win_coins)
+    return _weave_auction(
+        doc,
+        income_phase_pred=lambda name: False,
+        income_sentence="",
+        check_name="Check Survivors",
+        lot_branch_before=lambda k: "continue" in k,
+        bid_edge_pred=lambda k: "continue" in k,
+        bid_desc="Each alive player seals a bid of coins for the round's lot.",
+        lot_terminal_name="Game Over — Master Collector",
+        bid_max=bid_max,
+        close_coins=0,
+        skip_income=True,
+        lots_target=lots_target,
+    )
+
+
 _MIXERS: dict[tuple[str, str], Callable[[dict], dict]] = {
     ("elimination", "market"): _mix_elimination_market,
     ("battle", "market"): _mix_battle_market,
@@ -1610,6 +1696,15 @@ _MIXERS: dict[tuple[str, str], Callable[[dict], dict]] = {
     ("bluff", "market"): _mix_bluff_market,
     ("racing", "market"): _mix_racing_market,
     ("bluff", "auction"): _mix_bluff_auction,
+}
+
+# two-extra STACKS: applied as one canonical composition (market inside,
+# auction on top) regardless of the blueprint's extras order
+_STACKS: dict[tuple[str, frozenset], Callable[[dict], dict]] = {
+    ("elimination", frozenset({"market", "auction"})):
+        _mix_elimination_market_auction,
+    ("battle", frozenset({"market", "auction"})):
+        _mix_battle_market_auction,
 }
 
 
@@ -1704,20 +1799,30 @@ def annotate_mechanics(doc: dict[str, Any]) -> dict[str, Any]:
 
 
 def generate(bp: Blueprint) -> dict[str, Any]:
-    # one extra at a time: stacking weaves on one graph is untested and can
-    # silently collide (market's and auction's coin-threshold branch keys
-    # are equal when win_coins == close_coins, so one terminal edge would
-    # be dropped by dict assignment) — reject loudly rather than emit a
-    # game with an unreachable terminal
-    if len(bp.extras) > 1:
-        raise ValueError(
-            f"blueprints compose at most one extra per base archetype "
-            f"(got {bp.extras!r})")
+    extras = tuple(bp.extras)
+    if len(set(extras)) != len(extras):
+        raise ValueError(f"duplicate extras {extras!r}")
     doc = _generate_base(bp)
-    for extra in bp.extras:
-        mixer = _MIXERS.get((bp.archetype, extra))
+    if len(extras) >= 2:
+        # two extras compose only through a registered STACK (one canonical
+        # composition per base) — naive sequential weaving can silently
+        # collide (equal coin-threshold branch keys drop a terminal edge by
+        # dict assignment; double income breaks both balances), so
+        # unregistered combinations are rejected loudly rather than
+        # emitting a game with an unreachable terminal
+        stack = _STACKS.get((bp.archetype, frozenset(extras)))
+        if stack is None:
+            raise ValueError(
+                f"no stacked mix for archetype {bp.archetype!r} + extras "
+                f"{extras!r} (registered: "
+                f"{sorted((b, tuple(sorted(e))) for b, e in _STACKS)})")
+        doc = stack(doc)
+    elif extras:
+        mixer = _MIXERS.get((bp.archetype, extras[0]))
         if mixer is None:
-            raise ValueError(f"no mixer for archetype {bp.archetype!r} + extra {extra!r}")
+            raise ValueError(
+                f"no mixer for archetype {bp.archetype!r} + extra "
+                f"{extras[0]!r}")
         doc = mixer(doc)
     return annotate_mechanics(doc)
 
@@ -2776,6 +2881,12 @@ _BATTLE_WORDS = re.compile(
     r"\b(last (?:one|player|man) standing|battle royale|survivor|sole survivor|vote.{0,20}out)\b",
     re.IGNORECASE,
 )
+# explicit raid vocabulary (a strict subset of _MARKET_WORDS): with auction
+# vocabulary also present, it stacks BOTH economy families onto the base
+_RAIDY_WORDS = re.compile(
+    r"\b(raid\w*|steal\w*|loot\w*|plunder\w*|rob(?:s|bed|bing)?)\b",
+    re.IGNORECASE,
+)
 
 
 # coverage accounting: vocabulary the "rounds" fallback genuinely models
@@ -3039,7 +3150,10 @@ def generate_from_description(
         archetype = "elimination"
         roles = _mine_elimination_roles(description)
         if _AUCTION_WORDS.search(description):
-            extras = ("auction",)  # auction vocabulary outranks bare economy
+            # auction vocabulary outranks bare economy; auction + explicit
+            # raid vocabulary stacks BOTH families onto the night cycle
+            extras = (("market", "auction")
+                      if _RAIDY_WORDS.search(description) else ("auction",))
         elif _MARKET_WORDS.search(description):
             extras = ("market",)
     elif _GIFT_WORDS.search(description):
@@ -3094,7 +3208,8 @@ def generate_from_description(
         # survival vocabulary it composes into the battle graph instead
         if _BATTLE_WORDS.search(description):
             archetype = "battle"
-            extras = ("auction",)
+            extras = (("market", "auction")
+                      if _RAIDY_WORDS.search(description) else ("auction",))
         else:
             archetype = "auction"
     elif _MARKET_WORDS.search(description):

@@ -484,11 +484,13 @@ def test_out_of_vocab_condition_literal_warns():
     assert not [i for i in issues2 if "mined vocabulary" in i.message]
 
 
-def test_multiple_extras_rejected():
-    """Stacking weaves is untested and can silently collide on equal
-    coin-threshold branch keys — loud, not a dropped terminal edge."""
-    with pytest.raises(ValueError, match="at most one extra"):
-        generate(Blueprint("g", "stacked", "elimination",
+def test_unregistered_multi_extras_rejected():
+    """Two extras compose only through a registered STACK (canonical
+    composition per base; tests/test_mix_stack.py covers the positive
+    cases) — naive sequential weaving can silently collide, so anything
+    unregistered stays loud, not a dropped terminal edge."""
+    with pytest.raises(ValueError, match="no stacked mix"):
+        generate(Blueprint("g", "stacked", "bluff",
                            extras=("market", "auction")))
 
 
