@@ -136,22 +136,40 @@ def test_sample_kinds_have_no_factual_payload():
 
 
 def test_shipped_checkpoint_sampling_varies_and_stays_wellformed():
-    """On the shipped model: sampling with different salts produces at
-    least two distinct greeting replies (the roleplay point), every decode
-    is deterministic given its salt, and outputs obey the same truncation
-    discipline as greedy (complete sentences or empty)."""
+    """On the shipped model: greeting replies VARY across the composer's
+    per-message variant roll (the R= context segment — serving rolls it
+    per message, so this is the mechanism that actually produces variety
+    in rooms), every decode is deterministic given its (ctx, salt), and
+    outputs obey the same truncation discipline as greedy (complete
+    sentences or empty).
+
+    Note: the r4c+ students are converged enough that top-p sampling at
+    a FIXED context collapses to greedy (~all mass on the teacher reply);
+    per-salt distinctness at one ctx is therefore not asserted — variety
+    rides R=, exactly as in the composer tier it distills."""
     if not os.path.exists(_CKPT):
         pytest.skip("no shipped chat LM checkpoint")
+    import re
+
     params, cfg = C.load(_CKPT)
+    # an IN-DISTRIBUTION greeting context (held-out corpus seed) — the
+    # richer-context students treat the minimal v1 CTX as OOV and emit
+    # EOS immediately (template fallback in serving), so sample what
+    # lm_context actually produces
+    ctx = next(c for c, _ in C.build_corpus(games=("werewolf",),
+                                            seeds=range(330, 334),
+                                            max_pairs=400)
+               if c.startswith("K=greeting|"))
     outs = []
-    for salt in range(6):
-        s = C.sampled_reply(params, cfg, CTX, temperature=0.9, salt=salt)
-        assert s == C.sampled_reply(params, cfg, CTX, temperature=0.9,
-                                    salt=salt)
+    for roll in range(6):
+        c2 = re.sub(r"\|R=\d+", "|R=%d" % roll, ctx)
+        s = C.sampled_reply(params, cfg, c2, temperature=0.9, salt=0)
+        assert s == C.sampled_reply(params, cfg, c2, temperature=0.9,
+                                    salt=0)
         if s:
             assert s[-1] in ".!?\"'" or s[-1].isalnum()
         outs.append(s)
-    assert len({o for o in outs if o}) >= 2, outs
+    assert len({o for o in outs if o}) >= 3, outs
 
 
 def test_chatroom_serves_sampled_greeting(tiny, tmp_path):
