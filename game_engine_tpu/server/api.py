@@ -56,22 +56,24 @@ class StaticAsset(str):
         return s
 
 
-def _load_llm_complete(llm_cmd: Optional[str], llm_entry: Optional[str]):
-    """Build a completion function for the generate-dsl model seam.
+def _load_llm_complete(llm_cmd: Optional[str], llm_entry: Optional[str],
+                       timeout: float = 900):
+    """Build a completion function for an external-model seam.
 
-    --llm-cmd:   shell command; receives the prompt on stdin and must print
-                 the completion (YAML, optionally fenced) on stdout. The
-                 900 s ceiling mirrors the reference's poll limit
-                 (src/app/api/generate-dsl/route.ts:51-56).
-    --llm-entry: 'module:function' Python entrypoint resolving to
-                 complete(prompt: str) -> str.
+    llm_cmd:   shell command; receives the prompt on stdin and must print
+               the completion on stdout. The generate-dsl default ceiling
+               of 900 s mirrors the reference's poll limit
+               (src/app/api/generate-dsl/route.ts:51-56); the chat seam
+               uses a much shorter one (a chat bubble, not a game).
+    llm_entry: 'module:function' Python entrypoint resolving to
+               complete(prompt: str) -> str.
     """
     if llm_cmd:
         import subprocess
 
         def complete(prompt: str) -> str:
             p = subprocess.run(llm_cmd, shell=True, input=prompt.encode(),
-                               capture_output=True, timeout=900)
+                               capture_output=True, timeout=timeout)
             if p.returncode != 0:
                 raise RuntimeError(
                     f"llm-cmd exited {p.returncode}: "
@@ -85,7 +87,7 @@ def _load_llm_complete(llm_cmd: Optional[str], llm_entry: Optional[str]):
         mod, _, fn = llm_entry.partition(":")
         complete = getattr(importlib.import_module(mod), fn or "complete")
         if not callable(complete):
-            raise TypeError(f"--llm-entry {llm_entry!r} is not callable")
+            raise TypeError(f"llm entry {llm_entry!r} is not callable")
         return complete
     return None
 
@@ -95,12 +97,20 @@ class AppContext:
                  backend: str = "jax", chat_lm: Optional[str] = None,
                  bot_ckpts: Optional[list] = None, llm_cmd: Optional[str] = None,
                  llm_entry: Optional[str] = None,
-                 chat_sample_temp: float = 0.0):
+                 chat_sample_temp: float = 0.0,
+                 chat_llm_cmd: Optional[str] = None,
+                 chat_llm_entry: Optional[str] = None):
         self.storage = MemoryStorage(storage_path)
         persist_dir = (storage_path + ".rooms") if storage_path else None
+        # external chat model (reference ChatBotNode's gpt call,
+        # agent/game_agent_v2.py:385): top responder tier, host-verified —
+        # see server/chat_llm.py. 120 s ceiling: a chat bubble, not a game.
+        chat_complete = _load_llm_complete(chat_llm_cmd, chat_llm_entry,
+                                           timeout=120)
         self.host = GameHost(games_path, backend=backend, persist_dir=persist_dir,
                              chat_lm=chat_lm, bot_ckpts=bot_ckpts,
-                             chat_sample_temp=chat_sample_temp)
+                             chat_sample_temp=chat_sample_temp,
+                             chat_complete=chat_complete)
         # /api/generate-dsl model seam (reference: 3 gpt-5 calls behind
         # src/app/api/generate-dsl/route.ts:19-48). A deployment brings its
         # own model as a shell command (prompt on stdin -> YAML on stdout)
@@ -409,10 +419,14 @@ def make_server(port: int = 0, storage_path: Optional[str] = None,
                 bot_ckpts: Optional[list] = None,
                 llm_cmd: Optional[str] = None,
                 llm_entry: Optional[str] = None,
-                chat_sample_temp: float = 0.0) -> ThreadingHTTPServer:
+                chat_sample_temp: float = 0.0,
+                chat_llm_cmd: Optional[str] = None,
+                chat_llm_entry: Optional[str] = None) -> ThreadingHTTPServer:
     ctx = AppContext(storage_path, games_path, backend=backend, chat_lm=chat_lm,
                      bot_ckpts=bot_ckpts, llm_cmd=llm_cmd, llm_entry=llm_entry,
-                     chat_sample_temp=chat_sample_temp)
+                     chat_sample_temp=chat_sample_temp,
+                     chat_llm_cmd=chat_llm_cmd,
+                     chat_llm_entry=chat_llm_entry)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -553,6 +567,16 @@ def main():  # pragma: no cover
     ap.add_argument("--llm-entry", default=None, metavar="MODULE:FUNC",
                     help="like --llm-cmd but a Python entrypoint "
                          "complete(prompt)->str, imported in-process")
+    ap.add_argument("--chat-llm-cmd", default=None, metavar="SHELL_CMD",
+                    help="external chat model: free-form persona roleplay "
+                         "as the top bot-chat tier (prompt on stdin, reply "
+                         "on stdout; server/chat_llm.py builds the prompt "
+                         "from visibility-gated state). Grounded answers "
+                         "are verified host-side; failures fall through "
+                         "to --chat-lm then the templates")
+    ap.add_argument("--chat-llm-entry", default=None, metavar="MODULE:FUNC",
+                    help="like --chat-llm-cmd but a Python entrypoint "
+                         "complete(prompt)->str, imported in-process")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -561,7 +585,9 @@ def main():  # pragma: no cover
     srv = make_server(args.port, args.storage, backend=args.backend,
                       chat_lm=args.chat_lm, bot_ckpts=args.bot_ckpt,
                       llm_cmd=args.llm_cmd, llm_entry=args.llm_entry,
-                      chat_sample_temp=args.chat_sample_temp)
+                      chat_sample_temp=args.chat_sample_temp,
+                      chat_llm_cmd=args.chat_llm_cmd,
+                      chat_llm_entry=args.chat_llm_entry)
     print(f"game host listening on :{srv.server_address[1]}")
     srv.serve_forever()
 

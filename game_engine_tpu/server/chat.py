@@ -485,11 +485,18 @@ class ChatRoom:
                 kind not in _V2_KINDS
                 or bool(getattr(self.lm_hook, "kinds2", False))),
             "grounded": ({"fname": fact["fname"], "val": fact["val"],
-                          "hidden": fact["hidden"]} if fact else None),
+                          "hidden": fact["hidden"],
+                          "subj": fact["subj_name"]} if fact else None),
             "bot": bot,
             "bot_name": bot_name,
             "private": private,
             "sender_id": sender_id,
+            # raw materials for the external-model tier's roleplay prompt
+            # (server/chat_llm.py): the addressed text, the sender's name
+            # and the persona id the composer would decorate with
+            "text": text,
+            "sender_name": sender_name,
+            "persona": pid,
             "trigger_ts": trigger_ts,
         }
 

@@ -443,7 +443,8 @@ class GameHost:
                  persist_dir: Optional[str] = None,
                  chat_lm: Optional[str] = None,
                  bot_ckpts: Optional[list[str]] = None,
-                 chat_sample_temp: float = 0.0):
+                 chat_sample_temp: float = 0.0,
+                 chat_complete=None):
         """backend: 'jax' (batched device engine) or 'native' (C++ per-room
         simulator — lowest interactive latency, identical semantics).
         persist_dir: directory for per-room crash-recovery journals; None
@@ -457,13 +458,22 @@ class GameHost:
         bot_ckpts: repeated 'game=path' (or bare 'path') policy checkpoint
         specs; matching games serve GREEDY learned-policy bots instead of
         the scripted uniform-legal policy (the reference's contextual LLM
-        bots, agent/game_agent_v2.py:468-617)."""
+        bots, agent/game_agent_v2.py:468-617).
+        chat_complete: external chat model — completion function
+        (prompt str -> reply str) serving free-form persona roleplay as
+        the TOP responder tier (server/chat_llm.py; the reference's
+        ChatBotNode gpt call, agent/game_agent_v2.py:385). Grounded
+        verification and template fallback still apply host-side."""
         self._lock = threading.RLock()
         self._chat_lm_hook = None
         if chat_lm:
             from game_engine_tpu.policies.chat_lm import make_lm_hook
             self._chat_lm_hook = make_lm_hook(
                 chat_lm, sample_temp=chat_sample_temp)
+        self._chat_ext = None
+        if chat_complete is not None:
+            from game_engine_tpu.server.chat_llm import make_chat_llm_hook
+            self._chat_ext = make_chat_llm_hook(chat_complete)
         self._bot_ckpts: dict = {}
         if bot_ckpts:
             from game_engine_tpu.policies.serve import load_bot_policies
@@ -956,6 +966,21 @@ class GameHost:
                     try:
                         plan = chat.plan_reply(player_id, sender_name, text,
                                                snap)
+                        if plan is not None and self._chat_ext is not None:
+                            # build the external tier's roleplay prompt
+                            # under the SAME lock hold (it reads the live
+                            # message list); the slow completion call runs
+                            # unlocked below like the lm_hook decode
+                            from game_engine_tpu.server.chat_llm import (
+                                roleplay_prompt,
+                            )
+                            plan["prompt"] = roleplay_prompt(
+                                plan, snap,
+                                [m.to_json()
+                                 for m in chat.visible(plan["bot"])],
+                                persona=plan.get("persona"),
+                                visibility=chat.visibility,
+                                game=slots_key.rsplit("#r", 1)[0])
                     except Exception:  # noqa: BLE001 — a responder crash must
                         # not lose the human's message from the journal:
                         # crash-recovery replay would silently diverge from
@@ -985,13 +1010,35 @@ class GameHost:
                     "e": "chat", "pid": player_id, "text": text, "ts": ts,
                     "bot": None,
                 })
-            # The lm_hook decode runs OUTSIDE the global host lock — with
-            # --chat-lm a full greedy decode (up to 128 sequential forwards)
-            # must not block every other room's HTTP requests. The per-room
-            # chat mutex keeps this room's message order deterministic.
+            # Model calls run OUTSIDE the global host lock — an external
+            # completion round-trip or a full greedy decode (up to 128
+            # sequential forwards with --chat-lm) must not block every
+            # other room's HTTP requests. The per-room chat mutex keeps
+            # this room's message order deterministic. Tier order:
+            # external model > learned LM > template composer; a grounded
+            # plan's reply is verified at each tier (grounded_reply_ok) —
+            # an unfaithful external decode falls THROUGH to the learned
+            # tier rather than straight to the template.
             lm_text = None
-            from game_engine_tpu.server.chat import lm_may_serve
-            if (plan is not None and chat.lm_hook is not None
+            from game_engine_tpu.server.chat import (
+                grounded_reply_ok,
+                lm_may_serve,
+            )
+            if plan is not None and self._chat_ext is not None \
+                    and plan.get("prompt"):
+                try:
+                    lm_text = self._chat_ext(plan["prompt"])
+                except Exception:  # noqa: BLE001 — external models fail;
+                    # the built-in tiers keep serving
+                    logging.getLogger(__name__).exception(
+                        "external chat model failed; falling through")
+                    lm_text = None
+                g = plan.get("grounded")
+                if lm_text and g is not None \
+                        and not grounded_reply_ok(lm_text, g):
+                    lm_text = None
+            if (lm_text is None and plan is not None
+                    and chat.lm_hook is not None
                     and lm_may_serve(chat.lm_hook, plan)):
                 try:
                     lm_text = chat.lm_hook(plan["context"])
