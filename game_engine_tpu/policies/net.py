@@ -438,15 +438,19 @@ def legal_action_mask(lowered: Lowered, state: GameState) -> jax.Array:
 
 
 def sample_actions(lowered: Lowered, params, state: GameState, key, cfg: NetConfig,
-                   obs=None):
+                   obs=None, apply_fn=None):
     """Sample per-player choices.
 
     Returns (actions (B,P) 1-based, logp (B,P), value (B,P),
     legal-action mask (B,P,A)). Pass a precomputed ``obs`` to avoid
-    rebuilding the (expensive) masked observation tensor."""
+    rebuilding the (expensive) masked observation tensor; ``apply_fn``
+    overrides the net forward (e.g. the fused Pallas kernel)."""
     if obs is None:
         obs = observe(lowered, state)
-    logits, value = apply_net(params, obs, cfg, lowered)
+    if apply_fn is None:
+        logits, value = apply_net(params, obs, cfg, lowered)
+    else:
+        logits, value = apply_fn(params, obs)
     mask = legal_action_mask(lowered, state)
     neg = jnp.float32(-1e9)
     logits = jnp.where(mask, logits, neg)

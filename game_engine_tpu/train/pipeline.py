@@ -57,6 +57,9 @@ def make_pipeline(lowered: Lowered, cfg: PPOConfig,
     split on one.
     """
     unroll = make_unroll(lowered, cfg)
+    from game_engine_tpu.train.ppo import make_apply_fn
+
+    apply_fn = make_apply_fn(lowered, cfg)
 
     def collect(params, state, key):
         state, key, traj = unroll(params, state, key)
@@ -66,7 +69,7 @@ def make_pipeline(lowered: Lowered, cfg: PPOConfig,
         return state, key, traj, last_obs
 
     def update(params, opt_state, traj, last_obs):
-        _, last_v = N.apply_net(params, last_obs, cfg.net, lowered)
+        _, last_v = apply_fn(params, last_obs)
         adv, ret = gae(traj, last_v, cfg)
 
         def loss_fn(p):

@@ -51,11 +51,28 @@ class PPOConfig:
     # re-running the encoder contractions at the cost of holding one
     # chunk's activations
     remat: str = "full"
+    # route the deepsets/attn policy net through the fused Pallas fwd+bwd
+    # kernels (policies/fused.py): one VMEM-resident pass per row block
+    # instead of the HBM-round-tripping XLA chain, param grads accumulated
+    # on-chip — no lax.map/checkpoint needed. Single-chip (or per-shard
+    # under shard_map) lever; leave off for pjit/GSPMD whole-step sharding.
+    fused_net: bool = False
     net: N.NetConfig = dataclasses.field(default_factory=N.NetConfig)
 
 
 def _game_over_mech(lowered: Lowered) -> LGameOver | None:
     return lowered.game_overs[0] if lowered.game_overs else None
+
+
+def make_apply_fn(lowered: Lowered, cfg: "PPOConfig"):
+    """(params, obs) -> (logits, value): the fused Pallas net when enabled
+    and supported, else the plain XLA apply_net."""
+    if cfg.fused_net:
+        from game_engine_tpu.policies import fused as FZ
+
+        if FZ.supports(lowered, cfg.net):
+            return FZ.make_apply(lowered, cfg.net)
+    return lambda params, obs: N.apply_net(params, obs, cfg.net, lowered)
 
 
 def terminal_rewards(lowered: Lowered, state: GameState, ended: jax.Array) -> jax.Array:
@@ -116,6 +133,7 @@ class Rollout(NamedTuple):
 
 def make_unroll(lowered: Lowered, cfg: PPOConfig):
     step = make_step(lowered)
+    apply_fn = make_apply_fn(lowered, cfg) if cfg.fused_net else None
 
     def unroll(params, state: GameState, key):
         def body(carry, _):
@@ -124,7 +142,8 @@ def make_unroll(lowered: Lowered, cfg: PPOConfig):
             # bf16 storage: apply_net consumes bf16 anyway; halves the
             # rollout buffer (the dominant HBM cost at 16k+ rooms)
             obs = N.observe(lowered, st).astype(jnp.bfloat16)
-            a, logp, v, legal = N.sample_actions(lowered, params, st, sk, cfg.net, obs=obs)
+            a, logp, v, legal = N.sample_actions(lowered, params, st, sk, cfg.net,
+                                                 obs=obs, apply_fn=apply_fn)
             mask = actor_mask(lowered, st)
             actions = jnp.where(mask, a, 0)
             nxt = step(st, actions)
@@ -169,7 +188,12 @@ def gae(traj: Rollout, last_value: jax.Array, cfg: PPOConfig):
 def ppo_loss(params, traj: Rollout, adv, ret, cfg: PPOConfig,
              lowered: Lowered | None = None):
     """Clipped-PPO loss shared by mirror self-play and league training."""
-    if cfg.net.arch in ("deepsets", "attn"):
+    if cfg.fused_net and cfg.net.arch in ("deepsets", "attn"):
+        # fused Pallas net: the backward holds only param-grad accumulators
+        # in VMEM, so the whole (T, B, P, F) obs goes through one call — no
+        # per-timestep remat map, no checkpointing
+        logits, value = make_apply_fn(lowered, cfg)(params, traj.obs)
+    elif cfg.net.arch in ("deepsets", "attn"):
         # chunk the recompute over T with remat inside: the set encoder's
         # (T, B, P, P, hp) phi activations would otherwise be held (or
         # rematerialized whole) for the backward pass — 8 GB at 16k rooms.
@@ -243,13 +267,14 @@ def team_masks(lowered: Lowered, state) -> jax.Array:
 
 def make_train_step(lowered: Lowered, cfg: PPOConfig, tx: optax.GradientTransformation):
     unroll = make_unroll(lowered, cfg)
+    apply_fn = make_apply_fn(lowered, cfg)
 
     def loss_fn(params, traj, adv, ret):
         return ppo_loss(params, traj, adv, ret, cfg, lowered)
 
     def train_step(params, opt_state, state: GameState, key):
         state, key, traj = unroll(params, state, key)
-        _, last_v = N.apply_net(params, N.observe(lowered, state), cfg.net, lowered)
+        _, last_v = apply_fn(params, N.observe(lowered, state))
         adv, ret = gae(traj, last_v, cfg)
         loss, metrics = jnp.float32(0.0), {}  # epochs=0: rollout-only run
         for _ in range(cfg.epochs):

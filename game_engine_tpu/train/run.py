@@ -79,6 +79,9 @@ def main(argv=None):
     ap.add_argument("--loss-chunk", type=int, default=1,
                     help="timesteps per remat chunk in the deepsets/attn "
                          "loss recompute (memory vs dispatch overhead)")
+    ap.add_argument("--fused", action="store_true",
+                    help="use the fused Pallas fwd+bwd policy-net kernels "
+                         "(deepsets/attn, single-chip; see policies/fused.py)")
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--eval-every", type=int, default=25)
     ap.add_argument("--eval-batch", type=int, default=1024)
@@ -96,7 +99,7 @@ def main(argv=None):
 
     lowered = lower(compile_game(load_builtin(args.game)))
     cfg = PPOConfig(horizon=args.horizon, epochs=args.epochs, lr=args.lr,
-                    loss_chunk=args.loss_chunk,
+                    loss_chunk=args.loss_chunk, fused_net=args.fused,
                     net=N.NetConfig(hidden=args.hidden, arch=args.arch))
     key = jax.random.PRNGKey(args.seed)
     params, opt_state, tx = init_training(lowered, cfg, key)
