@@ -677,6 +677,82 @@ void gs_room_policy(void* rh, int32_t* out) {
   room_policy(*r->g, *r, out);
 }
 
+// Flat Monte-Carlo lookahead for ONE seat — the search-bot tier
+// (policies/search.py). The reference's bots decide contextually via an
+// LLM call (reference: agent/game_agent_v2.py:468-617 BotBehaviorNode);
+// this is the native-engine answer: try each legal choice, roll
+// `rollouts` scripted continuations of the whole room to termination,
+// score terminal outcomes exactly like train/ppo.py terminal_rewards,
+// and return the choice with the best total (ties to the LOWEST choice).
+//
+// Deterministic in (room state, salt, rollouts, max_steps): rollout k
+// re-seeds the copy from splitmix32(salt ^ t-mix ^ k-mix) — common
+// random numbers, so the k-th rollout of every candidate replays the
+// same opponent stream (paired comparison, lower variance). Never
+// mutates the live room.
+//   mode: 1 = team game (team_codes[winner-1] vs my final team slot),
+//         2 = score game (winner is a 1-based seat), else returns 0 and
+//         the caller falls back to the scripted policy.
+// Returns the chosen 1-based action, or 0 when this seat has no decision.
+int32_t gs_room_search(void* rh, int32_t pid, int32_t rollouts,
+                       int32_t max_steps, int32_t mode, int32_t team_slot,
+                       const int32_t* team_codes, int32_t n_codes,
+                       uint32_t salt) {
+  auto* r0 = (Room*)rh;
+  const Game& g = *r0->g;
+  int p = pid - 1;
+  if (r0->done || p < 0 || p >= r0->n) return 0;
+  int i = r0->phase;
+  if (!g.ph(i, 0) || r0->acted[p]) return 0;
+  if (!pred_eval(g, *r0, g.ph(i, 1), p)) return 0;
+  int kind = g.ph(i, 4);
+  std::vector<int32_t> cands;
+  if (kind == K_TARGET) {
+    for (int q = 0; q < r0->n; ++q)
+      if (alive(g, *r0, q)) cands.push_back(q + 1);
+  } else if (kind == K_OPTION) {
+    int hi = g.ph(i, 5) > 0 ? g.ph(i, 5) : r0->n;
+    for (int c = 1; c <= hi; ++c) cands.push_back(c);
+  } else if (kind == K_SUBMIT) {
+    return 1;  // submit carries no choice
+  } else {
+    return 0;
+  }
+  if (cands.empty()) return 0;
+  if (mode != 1 && mode != 2) return 0;  // no terminal reward to search for
+  if (cands.size() == 1) return cands[0];
+  if (mode == 1 && (team_slot < 0 || n_codes <= 0)) return 0;
+  static thread_local Room sim;
+  static thread_local std::vector<int32_t> acts;
+  acts.resize(g.P);
+  int32_t best_c = 0;
+  int64_t best_s = 0;
+  bool any = false;
+  for (int32_t c : cands) {
+    int64_t score = 0;
+    for (int k = 0; k < rollouts; ++k) {
+      sim = *r0;
+      sim.seed = splitmix32(salt ^ ((uint32_t)r0->t * 0x85EBCA6Bu)
+                            ^ (0x9E3779B9u * (uint32_t)(k + 1)));
+      for (int t = 0; t < max_steps && !sim.done; ++t) {
+        room_policy(g, sim, acts.data());
+        if (t == 0) acts[p] = c;  // the candidate under evaluation
+        room_step(g, sim, acts.data());
+      }
+      if (!sim.done) continue;  // horizon truncation scores 0
+      if (mode == 1) {
+        int wi = sim.winner - 1;
+        wi = wi < 0 ? 0 : (wi >= n_codes ? n_codes - 1 : wi);
+        score += sim.strs[p * g.NS + team_slot] == team_codes[wi] ? 1 : -1;
+      } else {  // score mode: zero-sum per room, scaled to integers
+        score += sim.winner == pid ? (sim.n - 1) : -1;
+      }
+    }
+    if (!any || score > best_s) { best_s = score; best_c = c; any = true; }
+  }
+  return best_c;
+}
+
 int64_t gs_state_size(void* gh) {
   auto* g = (Game*)gh;
   return 5 + (int64_t)g->P * (g->NB + g->NN + g->NS + g->NPD * g->P + g->NOD + 3);

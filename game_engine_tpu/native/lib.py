@@ -55,6 +55,12 @@ def _build() -> Optional[ctypes.CDLL]:
     lib.gs_selfplay.argtypes = [
         ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_uint32, ctypes.c_int,
     ]
+    lib.gs_room_search.restype = ctypes.c_int32
+    lib.gs_room_search.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32, ctypes.c_uint32,
+    ]
     return lib
 
 
@@ -115,6 +121,18 @@ class CppRoom:
             if 1 <= pid <= P:
                 buf[pid - 1] = int(c)
         _lib.gs_room_step(self._h, buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+
+    def search(self, pid: int, rollouts: int, max_steps: int, mode: int,
+               team_slot: int, team_codes: "list[int] | tuple[int, ...]",
+               salt: int) -> int:
+        """Flat Monte-Carlo lookahead for one seat (gs_room_search); returns
+        the chosen 1-based action or 0 when this seat has no decision /
+        the game has no searchable terminal reward."""
+        codes = np.asarray(team_codes or [0], np.int32)
+        return int(_lib.gs_room_search(
+            self._h, pid, rollouts, max_steps, mode, team_slot,
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(codes),
+            ctypes.c_uint32(salt & 0xFFFFFFFF)))
 
     def policy_actions(self) -> dict[int, int]:
         P = self.game.lowered.P

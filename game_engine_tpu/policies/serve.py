@@ -138,9 +138,12 @@ class PolicyBots:
             seed=jnp.asarray([seed], jnp.uint32),
         )
 
-    def native_actions(self, read: dict[str, Any], n_players: int) -> dict[int, int]:
-        """{pid: choice} for one native room (0-emissions dropped)."""
-        acts = self.actions(self.state_from_native(read, n_players))[0]
+    def native_actions(self, read: dict[str, Any], n_players: int,
+                       seed: int = 0) -> dict[int, int]:
+        """{pid: choice} for one native room (0-emissions dropped). The
+        seed rides into GameState for interface parity with SearchBots —
+        the greedy forward itself never reads it."""
+        acts = self.actions(self.state_from_native(read, n_players, seed))[0]
         return {p + 1: int(acts[p]) for p in range(len(acts)) if acts[p] != 0}
 
 

@@ -99,7 +99,10 @@ class AppContext:
                  llm_entry: Optional[str] = None,
                  chat_sample_temp: float = 0.0,
                  chat_llm_cmd: Optional[str] = None,
-                 chat_llm_entry: Optional[str] = None):
+                 chat_llm_entry: Optional[str] = None,
+                 bot_search: Optional[list] = None,
+                 search_rollouts: int = 32,
+                 search_horizon: int = 200):
         self.storage = MemoryStorage(storage_path)
         persist_dir = (storage_path + ".rooms") if storage_path else None
         # external chat model (reference ChatBotNode's gpt call,
@@ -110,7 +113,10 @@ class AppContext:
         self.host = GameHost(games_path, backend=backend, persist_dir=persist_dir,
                              chat_lm=chat_lm, bot_ckpts=bot_ckpts,
                              chat_sample_temp=chat_sample_temp,
-                             chat_complete=chat_complete)
+                             chat_complete=chat_complete,
+                             bot_search=bot_search,
+                             search_rollouts=search_rollouts,
+                             search_horizon=search_horizon)
         # /api/generate-dsl model seam (reference: 3 gpt-5 calls behind
         # src/app/api/generate-dsl/route.ts:19-48). A deployment brings its
         # own model as a shell command (prompt on stdin -> YAML on stdout)
@@ -421,12 +427,18 @@ def make_server(port: int = 0, storage_path: Optional[str] = None,
                 llm_entry: Optional[str] = None,
                 chat_sample_temp: float = 0.0,
                 chat_llm_cmd: Optional[str] = None,
-                chat_llm_entry: Optional[str] = None) -> ThreadingHTTPServer:
+                chat_llm_entry: Optional[str] = None,
+                bot_search: Optional[list] = None,
+                search_rollouts: int = 32,
+                search_horizon: int = 200) -> ThreadingHTTPServer:
     ctx = AppContext(storage_path, games_path, backend=backend, chat_lm=chat_lm,
                      bot_ckpts=bot_ckpts, llm_cmd=llm_cmd, llm_entry=llm_entry,
                      chat_sample_temp=chat_sample_temp,
                      chat_llm_cmd=chat_llm_cmd,
-                     chat_llm_entry=chat_llm_entry)
+                     chat_llm_entry=chat_llm_entry,
+                     bot_search=bot_search,
+                     search_rollouts=search_rollouts,
+                     search_horizon=search_horizon)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -557,6 +569,17 @@ def main():  # pragma: no cover
                          "checkpoint (policies/net.py) for matching games; "
                          "repeatable, e.g. --bot-ckpt "
                          "werewolf=docs/checkpoints/attn_werewolf_u120.npz")
+    ap.add_argument("--bot-search", action="append", default=None,
+                    metavar="GAME|all",
+                    help="serve lookahead SEARCH bots (policies/search.py: "
+                         "the native sim rolls every legal choice to "
+                         "termination) for matching games; repeatable. "
+                         "Needs no checkpoint; the most specific "
+                         "--bot-ckpt/--bot-search fragment wins per game")
+    ap.add_argument("--search-rollouts", type=int, default=32,
+                    help="search-bot rollouts per candidate action")
+    ap.add_argument("--search-horizon", type=int, default=200,
+                    help="search-bot per-rollout step cap")
     ap.add_argument("--llm-cmd", default=None, metavar="SHELL_CMD",
                     help="external model for /api/generate-dsl: a shell "
                          "command receiving the generation prompt on stdin "
@@ -587,7 +610,10 @@ def main():  # pragma: no cover
                       llm_cmd=args.llm_cmd, llm_entry=args.llm_entry,
                       chat_sample_temp=args.chat_sample_temp,
                       chat_llm_cmd=args.chat_llm_cmd,
-                      chat_llm_entry=args.chat_llm_entry)
+                      chat_llm_entry=args.chat_llm_entry,
+                      bot_search=args.bot_search,
+                      search_rollouts=args.search_rollouts,
+                      search_horizon=args.search_horizon)
     print(f"game host listening on :{srv.server_address[1]}")
     srv.serve_forever()
 

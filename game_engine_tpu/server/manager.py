@@ -156,7 +156,12 @@ class _GameSlots:
         actions = np.asarray(bots).copy()
         pa = None
         if include_bots and policy is not None and any(policy_seats.values()):
-            pa = policy.actions(self.state)
+            if hasattr(policy, "actions_for_slots"):
+                # search bots do O(1 room) host work per slot — scope the
+                # batch to the slots actually being stepped
+                pa = policy.actions_for_slots(self.state, slots)
+            else:
+                pa = policy.actions(self.state)
         keep = np.zeros((self.capacity,), bool)
         for slot in slots:
             keep[slot] = True
@@ -362,8 +367,10 @@ class _NativeRooms:
         if include_bots and policy is not None and policy_seats:
             # same jitted greedy forward as the jax backend, over this
             # room's state converted to a one-room GameState — identical
-            # logits, identical actions (tests/test_bot_ckpt.py)
-            pa = policy.native_actions(room.read(), self.n_players[slot])
+            # logits, identical actions (tests/test_bot_ckpt.py). The room
+            # seed feeds the search tier's rollout streams (SearchBots).
+            pa = policy.native_actions(room.read(), self.n_players[slot],
+                                       seed=self.seeds[slot])
             for pid in policy_seats:
                 if pid in pa:
                     actions[pid] = pa[pid]
@@ -444,7 +451,10 @@ class GameHost:
                  chat_lm: Optional[str] = None,
                  bot_ckpts: Optional[list[str]] = None,
                  chat_sample_temp: float = 0.0,
-                 chat_complete=None):
+                 chat_complete=None,
+                 bot_search: Optional[list[str]] = None,
+                 search_rollouts: int = 32,
+                 search_horizon: int = 200):
         """backend: 'jax' (batched device engine) or 'native' (C++ per-room
         simulator — lowest interactive latency, identical semantics).
         persist_dir: directory for per-room crash-recovery journals; None
@@ -463,7 +473,14 @@ class GameHost:
         (prompt str -> reply str) serving free-form persona roleplay as
         the TOP responder tier (server/chat_llm.py; the reference's
         ChatBotNode gpt call, agent/game_agent_v2.py:385). Grounded
-        verification and template fallback still apply host-side."""
+        verification and template fallback still apply host-side.
+        bot_search: repeated game fragments ('' / 'all' matches every
+        game); matching games serve flat Monte-Carlo LOOKAHEAD bots
+        (policies/search.py — the native sim rolls every legal choice to
+        termination). Precedence per game: the most specific fragment
+        wins; a checkpoint beats search at equal specificity.
+        search_rollouts/search_horizon: rollouts per candidate action and
+        the per-rollout step cap."""
         self._lock = threading.RLock()
         self._chat_lm_hook = None
         if chat_lm:
@@ -478,7 +495,15 @@ class GameHost:
         if bot_ckpts:
             from game_engine_tpu.policies.serve import load_bot_policies
             self._bot_ckpts = load_bot_policies(bot_ckpts)
-        self._policies: dict[str, Any] = {}  # slots key -> PolicyBots | None
+        # search-bot specs: fragment -> () placeholder (mirrors the ckpt
+        # dict's fragment keying so precedence can compare specificity)
+        self._bot_search: list[str] = [
+            "" if s.strip().lower() in ("", "all") else s.strip().lower()
+            for s in (bot_search or [])]
+        self._search_rollouts = int(search_rollouts)
+        self._search_horizon = int(search_horizon)
+        # slots key -> PolicyBots | SearchBots | None
+        self._policies: dict[str, Any] = {}
         self._policy_seats: dict[str, tuple[int, ...]] = {}  # per room
         self._backend = backend
         self._games_path = games_path or games_dir()
@@ -592,24 +617,53 @@ class GameHost:
         return self._slots[key]
 
     def _policy_for(self, game_name: str, lowered):
-        """Build the greedy PolicyBots for a game when a --bot-ckpt spec
-        matches it AND its parameter shapes fit the compiled game (verified
-        by a dry forward — a mismatched checkpoint is skipped loudly,
-        never served wrong)."""
+        """Build the bot actor for a game: a greedy PolicyBots when a
+        --bot-ckpt spec matches AND its parameter shapes fit the compiled
+        game (verified by a dry forward — a mismatched checkpoint is
+        skipped loudly, never served wrong), or lookahead SearchBots when
+        a --bot-search fragment matches. The most SPECIFIC matching
+        fragment wins ('werewolf' beats ''); a checkpoint beats search at
+        equal specificity, so `--bot-ckpt werewolf=… --bot-search all`
+        serves the learned werewolf policy and search everywhere else."""
+        name = game_name.lower()
+        # (specificity, kind-rank, builder) — kind-rank 0 = ckpt wins ties
+        cands: list[tuple[int, int, Any]] = []
         for frag, (params, cfg, path) in self._bot_ckpts.items():
-            if frag and frag not in game_name.lower():
+            if frag and frag not in name:
                 continue
-            from game_engine_tpu.core.state import init_state as _init
-            from game_engine_tpu.policies.serve import PolicyBots
 
-            try:
-                pb = PolicyBots(lowered, params, cfg, path)
-                pb.actions(_init(lowered, 1, min(4, lowered.P), np.uint32(0)))
-                return pb
-            except Exception:  # noqa: BLE001 — shape mismatch, wrong game
-                logging.getLogger(__name__).exception(
-                    "bot checkpoint %s does not fit game %s; "
-                    "serving scripted bots", path, game_name)
+            def _mk_ckpt(params=params, cfg=cfg, path=path):
+                from game_engine_tpu.core.state import init_state as _init
+                from game_engine_tpu.policies.serve import PolicyBots
+
+                try:
+                    pb = PolicyBots(lowered, params, cfg, path)
+                    pb.actions(_init(lowered, 1, min(4, lowered.P),
+                                     np.uint32(0)))
+                    return pb
+                except Exception:  # noqa: BLE001 — shape mismatch
+                    logging.getLogger(__name__).exception(
+                        "bot checkpoint %s does not fit game %s; "
+                        "trying the next bot tier", path, game_name)
+                    return None
+
+            cands.append((len(frag), 0, _mk_ckpt))
+        for frag in self._bot_search:
+            if frag and frag not in name:
+                continue
+
+            def _mk_search():
+                from game_engine_tpu.policies.search import make_search_bots
+
+                return make_search_bots(
+                    lowered, rollouts=self._search_rollouts,
+                    horizon=self._search_horizon)
+
+            cands.append((len(frag), 1, _mk_search))
+        for _, _, mk in sorted(cands, key=lambda c: (-c[0], c[1])):
+            actor = mk()
+            if actor is not None:
+                return actor
         return None
 
     # -- room lifecycle ---------------------------------------------------------
