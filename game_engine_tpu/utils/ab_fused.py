@@ -75,16 +75,25 @@ def main() -> None:
 
     for name, cfg in cfgs.items():
         apply_fn = make_apply_fn(lowered, cfg)
+        # one-timestep (B, P, F) forward — the shape every rollout step
+        # dispatches. (A whole-(T,B) forward OOMs the attn arch on chip,
+        # and is not a shape any real path runs.)
         fwd = jax.jit(lambda p, o, a=apply_fn: a(p, o))
-        sync(fwd(params, traj.obs)[0])
-        out[f"net_fwd_{name}_s"] = timed(lambda: sync(fwd(params, traj.obs)[0]))
+        step_obs = traj.obs[0]
+        sync(fwd(params, step_obs)[0])
+        out[f"net_fwd_{name}_s"] = timed(lambda: sync(fwd(params, step_obs)[0]))
 
         _, last_v = N.apply_net(params, lobs, cfg.net, lowered)
         adv, ret = gae(traj, last_v, cfg)
+        # trajectory/advantages ride as ARGUMENTS: closed-over arrays embed
+        # as HLO constants, and a (T,B,P,F) constant blows the relay's
+        # compile-request body limit (HTTP 413, ab_fused round-4 capture)
         lg = jax.jit(jax.value_and_grad(
-            lambda p, c=cfg: ppo_loss(p, traj, adv, ret, c, lowered)[0]))
-        sync(lg(params)[0])
-        out[f"loss_grad_{name}_s"] = timed(lambda: sync(lg(params)[0]))
+            lambda p, tr, ad, rt, c=cfg: ppo_loss(p, tr, ad, rt, c,
+                                                  lowered)[0]))
+        sync(lg(params, traj, adv, ret)[0])
+        out[f"loss_grad_{name}_s"] = timed(
+            lambda: sync(lg(params, traj, adv, ret)[0]))
 
         collect, update = make_pipeline(lowered, cfg, tx)
         sync(collect(params, state0, key)[2].reward)
