@@ -16,16 +16,11 @@ import sys
 import time
 
 
-def main() -> None:
+def eval_game(game: str, rooms: int, rollouts: int, horizon: int) -> dict:
     from game_engine_tpu.gamespec.compile import compile_game
     from game_engine_tpu.gamespec.parser import load_builtin
     from game_engine_tpu.gamespec.tables import lower
     from game_engine_tpu.policies.search import SearchBots
-
-    game = sys.argv[1] if len(sys.argv) > 1 else "werewolf"
-    rooms = int(sys.argv[2]) if len(sys.argv) > 2 else 200
-    rollouts = int(sys.argv[3]) if len(sys.argv) > 3 else 32
-    horizon = int(sys.argv[4]) if len(sys.argv) > 4 else 200
 
     lw = lower(compile_game(load_builtin(game)))
     go = lw.game_overs[0] if lw.game_overs else None
@@ -81,7 +76,36 @@ def main() -> None:
         out["seat1_search_win"] = round(w1, 4)
         out["decisions"] = d1
         out["s_per_decision"] = round(lat1, 5)
-    print(json.dumps(out))
+    return out
+
+
+def main() -> None:
+    game = sys.argv[1] if len(sys.argv) > 1 else "werewolf"
+    rooms = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    rollouts = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    horizon = int(sys.argv[4]) if len(sys.argv) > 4 else 200
+
+    if game != "all":
+        print(json.dumps(eval_game(game, rooms, rollouts, horizon)))
+        return
+
+    # catalog balance sweep: one line per game. The pair
+    # (scripted baseline, search swing) is a game-design QA signal — a
+    # baseline near 0/1 that search cannot move marks a structurally
+    # degenerate game; a big swing marks a skill-dominated one.
+    import os
+
+    from game_engine_tpu.gamespec.parser import games_dir
+
+    for fn in sorted(os.listdir(games_dir())):
+        if not fn.endswith((".yaml", ".yml")):
+            continue
+        name = fn.rsplit(".", 1)[0]
+        try:
+            out = eval_game(name, rooms, rollouts, horizon)
+        except Exception as e:  # noqa: BLE001 — no searchable terminal etc.
+            out = {"game": name, "skipped": str(e)[:120]}
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
