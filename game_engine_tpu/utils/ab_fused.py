@@ -6,7 +6,7 @@ attn update is ~10-15x off roofline on HBM round-trips; the fused
 kernels keep each row block's whole fwd/bwd in VMEM.
 
 Rows measured (XLA vs fused):
-  net_fwd     one forward over the whole (T, B, P, F) obs
+  net_fwd     one per-step (B, P, F) forward (the rollout's dispatch shape)
   loss_grad   value_and_grad of the real ppo_loss on a fixed trajectory
   update      the pipeline's update program (epochs as configured)
   collect     the rollout program (sampling forward rides the kernel too)
@@ -68,7 +68,11 @@ def main() -> None:
     out = {"batch": batch, "horizon": horizon, "epochs": epochs,
            "arch": arch, "iters": iters}
 
+    def note(msg):
+        print(f"# {msg}", flush=True)  # progress: relay compiles are slow
+
     # one shared trajectory so loss_grad rows see identical data
+    note("compiling shared collect")
     collect_x, update_x = make_pipeline(lowered, cfgs["xla"], tx)
     st, ky, traj, lobs = collect_x(params, state0, key)
     sync(traj.reward)
@@ -80,8 +84,10 @@ def main() -> None:
         # and is not a shape any real path runs.)
         fwd = jax.jit(lambda p, o, a=apply_fn: a(p, o))
         step_obs = traj.obs[0]
+        note(f"{name}: net_fwd compile")
         sync(fwd(params, step_obs)[0])
         out[f"net_fwd_{name}_s"] = timed(lambda: sync(fwd(params, step_obs)[0]))
+        note(f"{name}: net_fwd {out[f'net_fwd_{name}_s']:.4f}s")
 
         _, last_v = N.apply_net(params, lobs, cfg.net, lowered)
         adv, ret = gae(traj, last_v, cfg)
@@ -91,10 +97,13 @@ def main() -> None:
         lg = jax.jit(jax.value_and_grad(
             lambda p, tr, ad, rt, c=cfg: ppo_loss(p, tr, ad, rt, c,
                                                   lowered)[0]))
+        note(f"{name}: loss_grad compile")
         sync(lg(params, traj, adv, ret)[0])
         out[f"loss_grad_{name}_s"] = timed(
             lambda: sync(lg(params, traj, adv, ret)[0]))
+        note(f"{name}: loss_grad {out[f'loss_grad_{name}_s']:.4f}s")
 
+        note(f"{name}: pipeline compile")
         collect, update = make_pipeline(lowered, cfg, tx)
         sync(collect(params, state0, key)[2].reward)
         out[f"collect_{name}_s"] = timed(
@@ -107,6 +116,7 @@ def main() -> None:
             _, _, tr, lo = c(params, state0, key)
             return sync(u(params, opt_state, tr, lo)[2]["loss"])
 
+        note(f"{name}: update {out[f'update_{name}_s']:.4f}s; sync rounds")
         one_sync_round()
         t = timed(one_sync_round)
         out[f"sync_{name}_s"] = t
