@@ -79,9 +79,14 @@ def main(argv=None):
     ap.add_argument("--loss-chunk", type=int, default=1,
                     help="timesteps per remat chunk in the deepsets/attn "
                          "loss recompute (memory vs dispatch overhead)")
-    ap.add_argument("--fused", action="store_true",
+    ap.add_argument("--fused", dest="fused", action="store_true", default=None,
                     help="use the fused Pallas fwd+bwd policy-net kernels "
-                         "(deepsets/attn, single-chip; see policies/fused.py)")
+                         "(deepsets/attn, single-chip; see policies/fused.py). "
+                         "DEFAULT on single-device non-CPU runs with "
+                         "supported shapes — measured 3.1x on the attn "
+                         "update (docs/PERF.md round-4c)")
+    ap.add_argument("--no-fused", dest="fused", action="store_false",
+                    help="force the plain XLA policy net")
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--eval-every", type=int, default=25)
     ap.add_argument("--eval-batch", type=int, default=1024)
@@ -98,9 +103,23 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     lowered = lower(compile_game(load_builtin(args.game)))
+    net_cfg = N.NetConfig(hidden=args.hidden, arch=args.arch)
+    fused = args.fused
+    if fused is None:
+        # auto: the fused kernels won 3.1x (attn update) / 1.7x (deepsets)
+        # on chip (docs/PERF.md round-4c). Off on CPU (interpret mode is a
+        # parity device, not a fast path) and under multi-device sharding
+        # (the kernels are a per-shard lever; run.py shards nothing).
+        from game_engine_tpu.policies import fused as FZ
+
+        fused = (jax.default_backend() != "cpu" and jax.device_count() == 1
+                 and FZ.supports(lowered, net_cfg))
+        if fused:
+            print(json.dumps({"event": "fused_net", "mode": "auto",
+                              "disable_with": "--no-fused"}))
     cfg = PPOConfig(horizon=args.horizon, epochs=args.epochs, lr=args.lr,
-                    loss_chunk=args.loss_chunk, fused_net=args.fused,
-                    net=N.NetConfig(hidden=args.hidden, arch=args.arch))
+                    loss_chunk=args.loss_chunk, fused_net=fused,
+                    net=net_cfg)
     key = jax.random.PRNGKey(args.seed)
     params, opt_state, tx = init_training(lowered, cfg, key)
     if args.resume:
