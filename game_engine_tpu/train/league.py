@@ -30,6 +30,7 @@ from game_engine_tpu.train.ppo import (
     Rollout,
     actor_mask,
     gae,
+    make_apply_fn,
     team_masks,
     terminal_rewards,
 )
@@ -101,6 +102,9 @@ def make_league_train_step(lowered: Lowered, cfg: PPOConfig, tx: optax.GradientT
     learner's episode win-rate for pool bookkeeping.
     """
     step = make_step(lowered)
+    # same per-step forward as make_unroll: the fused Pallas net when
+    # enabled (collect measured 1.51x for attn, docs/PERF.md round-4c)
+    apply_fn = make_apply_fn(lowered, cfg) if cfg.fused_net else None
 
     def learner_controls(state: GameState) -> jax.Array:
         """(B, P): even rooms -> learner plays the minority side."""
@@ -114,8 +118,10 @@ def make_league_train_step(lowered: Lowered, cfg: PPOConfig, tx: optax.GradientT
             st, k = carry
             k, sk1, sk2 = jax.random.split(k, 3)
             obs = N.observe(lowered, st).astype(jnp.bfloat16)
-            a, logp, v, legal = N.sample_actions(lowered, params, st, sk1, cfg.net, obs=obs)
-            oa, _, _, _ = N.sample_actions(lowered, opp_params, st, sk2, cfg.net, obs=obs)
+            a, logp, v, legal = N.sample_actions(lowered, params, st, sk1, cfg.net,
+                                                 obs=obs, apply_fn=apply_fn)
+            oa, _, _, _ = N.sample_actions(lowered, opp_params, st, sk2, cfg.net,
+                                           obs=obs, apply_fn=apply_fn)
             ctrl = learner_controls(st)
             am = actor_mask(lowered, st)
             actions = jnp.where(am & ctrl, a, jnp.where(am, oa, 0))

@@ -89,6 +89,28 @@ def test_fused_train_step_runs(ww_lowered):
     assert moved
 
 
+def test_fused_league_step_runs(ww_lowered):
+    """One fused LEAGUE update (frozen-opponent unroll rides the fused
+    per-step forward, loss rides the fused whole-trajectory pass)."""
+    from game_engine_tpu.train.league import make_league_train_step
+
+    cfg = PPOConfig(horizon=4, epochs=1, fused_net=True,
+                    net=N.NetConfig(hidden=64, arch="attn"))
+    params, opt_state, tx = init_training(ww_lowered, cfg, jax.random.PRNGKey(0))
+    opp = jax.tree_util.tree_map(jnp.copy, params)
+    before = jax.tree_util.tree_map(np.asarray, params)
+    state = init_state(ww_lowered, 8, 6, np.arange(8, dtype=np.uint32))
+    step = jax.jit(make_league_train_step(ww_lowered, cfg, tx))
+    params, opt_state, state, key, metrics = step(
+        params, opp, opt_state, state, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert 0.0 <= float(metrics["learner_win_rate"]) <= 1.0
+    moved = any(
+        np.abs(np.asarray(params[k]) - before[k]).max() > 0
+        for k in before)
+    assert moved
+
+
 def test_supports_gating(ww_lowered):
     assert FZ.supports(ww_lowered, N.NetConfig(arch="attn"))
     assert FZ.supports(ww_lowered, N.NetConfig(arch="deepsets"))
