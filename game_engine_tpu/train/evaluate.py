@@ -94,6 +94,34 @@ def matchup_table(lowered, cfg: PPOConfig, checkpoints: list[str],
     return table
 
 
+def elo_fit(table: dict, iters: int = 4000, lr: float = 0.5) -> dict:
+    """Fit Elo ratings + a minority-side advantage to the matchup matrix.
+
+    Model: P(row i beats column j when i plays the minority side) =
+    sigmoid(s_i - s_j + b), where b absorbs the game's structural side
+    asymmetry (werewolf's minority wins ~25% under uniform play, so b<0
+    there). The diagonal (self-play) pins b directly since s_i - s_i = 0.
+    Plain logistic regression by full-batch gradient descent; ratings are
+    reported in Elo points (400/ln 10 per nat) centered at 0.
+    """
+    names = list(table)
+    n = len(names)
+    w = np.asarray([[table[r][c] for c in names] for r in names], np.float64)
+    s = np.zeros(n)
+    b = 0.0
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(s[:, None] - s[None, :] + b)))
+        g = p - w  # dLoss/dlogit for the mean cross-entropy
+        s -= lr * (g.sum(axis=1) - g.sum(axis=0)) / (2 * n)
+        b -= lr * g.mean()
+    scale = 400.0 / np.log(10.0)
+    s = (s - s.mean()) * scale
+    return {
+        "ratings": {names[i]: round(float(s[i]), 1) for i in np.argsort(-s)},
+        "minority_side_elo": round(float(b * scale), 1),
+    }
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--game", default="werewolf")
@@ -113,8 +141,9 @@ def main(argv=None):
     if args.matchup:
         table = matchup_table(lowered, cfg, args.matchup, args.batch,
                               args.steps, args.players, args.seed)
+        elo = elo_fit(table)
         out = {"game": args.game, "mode": "matchup",
-               "rows_play": "minority side", "table": table}
+               "rows_play": "minority side", "table": table, "elo": elo}
         print(json.dumps(out))
         names = list(table)
         width = max(len(n) for n in names) + 2
@@ -122,6 +151,9 @@ def main(argv=None):
         print(" " * width + "  ".join(f"{n[:10]:>10}" for n in names))
         for r in names:
             print(f"{r:<{width}}" + "  ".join(f"{table[r][c]:>10.3f}" for c in names))
+        print(f"\nElo (minority-side advantage {elo['minority_side_elo']:+.0f}):")
+        for name, r in elo["ratings"].items():
+            print(f"  {name:<{width}} {r:+8.1f}")
         return out
     params, _, _ = init_training(lowered, cfg, jax.random.PRNGKey(0))
     if args.checkpoint:

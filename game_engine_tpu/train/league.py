@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from game_engine_tpu.core.engine import init_state_like
+from game_engine_tpu.core.engine import init_state_like, scripted_actions
 from game_engine_tpu.core.state import GameState
 from game_engine_tpu.core.step import make_step
 from game_engine_tpu.gamespec.tables import Lowered
@@ -47,11 +47,23 @@ class League:
     and record_result resolves by id (a result for an already-evicted
     snapshot is dropped, never misapplied to a shifted neighbor)."""
 
+    ANCHOR_ID = -1  # the scripted baseline's permanent pool id
+
     max_size: int = 8
     snapshot_every: int = 50
+    # keep the SCRIPTED policy in the pool as a permanent weak anchor.
+    # Measured round 4 (docs/PERF.md): a snapshot-only pool converges to
+    # uniformly-strong copies of the learner's own majority play, minority
+    # rooms become hopeless, and the minority side RESIGNS (werewolf
+    # learned-as-minority 0.69 -> 0.02 between u300 and u350, episodes
+    # shortening, entropy 0.81 -> 0.41). The anchor is self-balancing:
+    # resignation tanks the learner's winrate vs scripted, which raises
+    # the anchor's sampling weight and restores the recovery gradient.
+    anchor: bool = True
     pool: list = dataclasses.field(default_factory=list)  # {id, params, winrate}
     _updates: int = 0
     _next_id: int = 0
+    _anchor_winrate: float = 0.5
 
     @property
     def params_pool(self) -> list:
@@ -79,13 +91,23 @@ class League:
         return False
 
     def sample_opponent(self, rng: np.random.Generator) -> tuple[int, Any]:
+        """Returns (id, params); (ANCHOR_ID, None) means the scripted anchor."""
         assert self.pool, "snapshot before sampling"
         # prioritize opponents the learner loses to
-        w = np.asarray([max(1e-3, 1.0 - e["winrate"]) for e in self.pool])
-        pos = int(rng.choice(len(self.pool), p=w / w.sum()))
-        return self.pool[pos]["id"], self.pool[pos]["params"]
+        w = [max(1e-3, 1.0 - e["winrate"]) for e in self.pool]
+        ids = [(e["id"], e["params"]) for e in self.pool]
+        if self.anchor:
+            w.append(max(1e-3, 1.0 - self._anchor_winrate))
+            ids.append((self.ANCHOR_ID, None))
+        w = np.asarray(w)
+        pos = int(rng.choice(len(w), p=w / w.sum()))
+        return ids[pos]
 
     def record_result(self, sid: int, learner_win_rate: float, ema: float = 0.1) -> None:
+        if sid == self.ANCHOR_ID:
+            self._anchor_winrate = ((1 - ema) * self._anchor_winrate
+                                    + ema * learner_win_rate)
+            return
         for e in self.pool:
             if e["id"] == sid:
                 e["winrate"] = (1 - ema) * e["winrate"] + ema * learner_win_rate
@@ -94,12 +116,16 @@ class League:
         # result rather than shifting it onto a neighbor
 
 
-def make_league_train_step(lowered: Lowered, cfg: PPOConfig, tx: optax.GradientTransformation):
+def make_league_train_step(lowered: Lowered, cfg: PPOConfig, tx: optax.GradientTransformation,
+                           scripted_opponent: bool = False):
     """One league update: unroll vs a frozen opponent, PPO on learner seats.
 
     Returns train_step(params, opp_params, opt_state, state, key) ->
     (params, opt_state, state, key, metrics) — metrics include the
-    learner's episode win-rate for pool bookkeeping.
+    learner's episode win-rate for pool bookkeeping. With
+    `scripted_opponent`, opponent seats play the deterministic scripted
+    policy and `opp_params` is ignored (the League.anchor arm — compile
+    this as a SECOND jitted program alongside the snapshot one).
     """
     step = make_step(lowered)
     # same per-step forward as make_unroll: the fused Pallas net when
@@ -120,8 +146,11 @@ def make_league_train_step(lowered: Lowered, cfg: PPOConfig, tx: optax.GradientT
             obs = N.observe(lowered, st).astype(jnp.bfloat16)
             a, logp, v, legal = N.sample_actions(lowered, params, st, sk1, cfg.net,
                                                  obs=obs, apply_fn=apply_fn)
-            oa, _, _, _ = N.sample_actions(lowered, opp_params, st, sk2, cfg.net,
-                                           obs=obs, apply_fn=apply_fn)
+            if scripted_opponent:
+                oa = scripted_actions(lowered, st)
+            else:
+                oa, _, _, _ = N.sample_actions(lowered, opp_params, st, sk2, cfg.net,
+                                               obs=obs, apply_fn=apply_fn)
             ctrl = learner_controls(st)
             am = actor_mask(lowered, st)
             actions = jnp.where(am & ctrl, a, jnp.where(am, oa, 0))
@@ -148,15 +177,15 @@ def make_league_train_step(lowered: Lowered, cfg: PPOConfig, tx: optax.GradientT
         from game_engine_tpu.train.ppo import ppo_loss
 
         total, metrics = ppo_loss(params, traj, adv, ret, cfg, lowered)
-        return total, metrics["v_loss"]
+        return total, (metrics["v_loss"], metrics["entropy"])
 
     def train_step(params, opp_params, opt_state, state, key):
         state, key, traj, won = unroll(params, opp_params, state, key)
         _, last_v = N.apply_net(params, N.observe(lowered, state), cfg.net, lowered)
         adv, ret = gae(traj, last_v, cfg)
-        loss = v_loss = jnp.float32(0)
+        loss = v_loss = entropy = jnp.float32(0)
         for _ in range(cfg.epochs):
-            (loss, v_loss), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            (loss, (v_loss, entropy)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 params, traj, adv, ret
             )
             updates, opt_state = tx.update(grads, opt_state, params)
@@ -166,6 +195,7 @@ def make_league_train_step(lowered: Lowered, cfg: PPOConfig, tx: optax.GradientT
         metrics = {
             "loss": loss,
             "v_loss": v_loss,
+            "entropy": entropy,
             "episodes": episodes,
             "learner_win_rate": wins / jnp.maximum(episodes, 1),
         }

@@ -97,6 +97,13 @@ def main(argv=None):
                     help="train against a pool of frozen snapshots "
                          "(prioritized opponent sampling) instead of mirror self-play")
     ap.add_argument("--league-snapshot-every", type=int, default=50)
+    ap.add_argument("--no-league-anchor", dest="league_anchor",
+                    action="store_false", default=True,
+                    help="drop the scripted policy from the opponent pool. "
+                         "With no weak anchor a long run's minority side can "
+                         "RESIGN once the pool is uniformly strong "
+                         "(measured: werewolf 0.69 -> 0.02 by u350, "
+                         "docs/PERF.md round 4)")
     ap.add_argument("--league-dir", default="",
                     help="also save each league snapshot here (for the "
                          "evaluate --matchup win-rate matrix)")
@@ -127,13 +134,17 @@ def main(argv=None):
 
         params = load_tree(args.resume, params)
         print(json.dumps({"event": "resume", "from": args.resume}))
-    league = rng = league_step = None
+    league = rng = league_step = anchor_step = None
     if args.league:
         from game_engine_tpu.train.league import League, make_league_train_step
 
-        league = League(snapshot_every=args.league_snapshot_every)
+        league = League(snapshot_every=args.league_snapshot_every,
+                        anchor=args.league_anchor)
         league.maybe_snapshot(params)
         league_step = jax.jit(make_league_train_step(lowered, cfg, tx))
+        if args.league_anchor:
+            anchor_step = jax.jit(
+                make_league_train_step(lowered, cfg, tx, scripted_opponent=True))
         rng = np.random.default_rng(args.seed)
     # donation keeps params/opt/state/key in place across updates
     train_step = jax.jit(make_train_step(lowered, cfg, tx), donate_argnums=(0, 1, 2, 3))
@@ -161,9 +172,14 @@ def main(argv=None):
     for u in range(1, args.updates + 1):
         if league is not None:
             opp_idx, opp = league.sample_opponent(rng)
-            params, opt_state, state, key, metrics = league_step(
-                params, opp, opt_state, state, key
-            )
+            if opp_idx == league.ANCHOR_ID:
+                params, opt_state, state, key, metrics = anchor_step(
+                    params, params, opt_state, state, key
+                )
+            else:
+                params, opt_state, state, key, metrics = league_step(
+                    params, opp, opt_state, state, key
+                )
             if float(metrics["episodes"]) > 0:  # no-episode updates carry no signal
                 league.record_result(opp_idx, float(metrics["learner_win_rate"]))
             if league.maybe_snapshot(params) and args.league_dir:

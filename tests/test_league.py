@@ -19,7 +19,7 @@ def ww():
 
 
 def test_league_pool_management():
-    lg = League(max_size=3, snapshot_every=2)
+    lg = League(max_size=3, snapshot_every=2, anchor=False)
     p = {"w": np.ones(2)}
     snaps = [lg.maybe_snapshot(p) for _ in range(8)]
     assert snaps == [True, False, True, False, True, False, True, False]
@@ -47,7 +47,7 @@ def test_league_pool_management():
 def test_league_train_step(ww):
     cfg = PPOConfig(horizon=6, epochs=2, net=N.NetConfig(hidden=32, layers=1))
     params, opt_state, tx = init_training(ww, cfg, jax.random.PRNGKey(0))
-    lg = League(snapshot_every=1)
+    lg = League(snapshot_every=1, anchor=False)
     lg.maybe_snapshot(params)
     train = jax.jit(make_league_train_step(ww, cfg, tx))
     state = init_state(ww, 8, 5, np.arange(8, dtype=np.uint32))
@@ -61,3 +61,63 @@ def test_league_train_step(ww):
     assert np.isfinite(float(metrics["loss"]))
     assert 0.0 <= float(metrics["learner_win_rate"]) <= 1.0
     assert len(lg.params_pool) >= 2
+
+
+def test_league_anchor_sampling():
+    """The scripted anchor stays in the draw forever, its weight rises as
+    the learner loses to it, and it never counts against max_size."""
+    lg = League(max_size=2, snapshot_every=1)  # anchor defaults ON
+    p = {"w": np.ones(2)}
+    for _ in range(5):
+        lg.maybe_snapshot(p)
+    assert len(lg.params_pool) == 2  # anchor not in the snapshot pool
+    rng = np.random.default_rng(0)
+    # learner crushes every snapshot but RESIGNS vs scripted: the anchor
+    # must dominate the draw (the anti-resignation mechanism)
+    for _ in range(30):
+        for sid in lg.ids():
+            lg.record_result(sid, 1.0)
+        lg.record_result(League.ANCHOR_ID, 0.0)
+    hits = sum(
+        1 for _ in range(200)
+        if lg.sample_opponent(rng)[0] == League.ANCHOR_ID)
+    assert hits > 150, hits
+    anchor_params = [o for i, o in (lg.sample_opponent(rng) for _ in range(50))
+                     if i == League.ANCHOR_ID]
+    assert anchor_params and all(o is None for o in anchor_params)
+
+
+def test_league_anchor_step(ww):
+    """The scripted-opponent league program trains end-to-end."""
+    cfg = PPOConfig(horizon=6, epochs=1, net=N.NetConfig(hidden=32, layers=1))
+    params, opt_state, tx = init_training(ww, cfg, jax.random.PRNGKey(0))
+    train = jax.jit(make_league_train_step(ww, cfg, tx, scripted_opponent=True))
+    state = init_state(ww, 8, 5, np.arange(8, dtype=np.uint32))
+    before = jax.tree_util.tree_map(np.asarray, params)
+    params, opt_state, state, key, metrics = train(
+        params, params, opt_state, state, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["entropy"]))
+    assert any(np.abs(np.asarray(params[k]) - before[k]).max() > 0 for k in before)
+
+
+def test_elo_fit_recovers_synthetic_ratings():
+    """elo_fit on a matrix generated from known ratings + a minority-side
+    handicap recovers the ordering, the gaps, and the handicap."""
+    from game_engine_tpu.train.evaluate import elo_fit
+
+    true_elo = {"a": 200.0, "b": 0.0, "c": -200.0}
+    side = -120.0  # minority side is structurally disadvantaged
+    k = np.log(10.0) / 400.0
+    table = {
+        r: {
+            c: float(1.0 / (1.0 + np.exp(-k * (true_elo[r] - true_elo[c] + side))))
+            for c in true_elo
+        }
+        for r in true_elo
+    }
+    fit = elo_fit(table)
+    assert list(fit["ratings"]) == ["a", "b", "c"]
+    assert abs(fit["minority_side_elo"] - side) < 15.0
+    for name, want in true_elo.items():
+        assert abs(fit["ratings"][name] - want) < 15.0, (name, fit)
