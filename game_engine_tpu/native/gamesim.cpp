@@ -694,11 +694,22 @@ void gs_room_policy(void* rh, int32_t* out) {
 //         2 = score game (winner is a 1-based seat), else returns 0 and
 //         the caller falls back to the scripted policy.
 // Returns the chosen 1-based action, or 0 when this seat has no decision.
-int32_t gs_room_search(void* rh, int32_t pid, int32_t rollouts,
-                       int32_t max_steps, int32_t mode, int32_t team_slot,
-                       const int32_t* team_codes, int32_t n_codes,
-                       uint32_t salt) {
-  auto* r0 = (Room*)rh;
+//
+// The candidate enumeration + common-random-number scoring lives in
+// search_scores_core so gs_room_search_scores (the determinized /
+// information-set tier's per-candidate totals, policies/search.py) shares
+// it statement-for-statement — the argmax here stays bit-identical to the
+// pre-refactor build (first strictly-greater total wins; candidates are
+// enumerated in ascending order, so ties go to the LOWEST choice).
+// Core return: -1 = forced submit (caller answers 1), 0 = no decision /
+// unsearchable, N>0 = candidate count written to out_cands/out_scores
+// (single candidate: score 0, no rollouts — same fast path as before).
+static int32_t search_scores_core(Room* r0, int32_t pid, int32_t rollouts,
+                                  int32_t max_steps, int32_t mode,
+                                  int32_t team_slot, const int32_t* team_codes,
+                                  int32_t n_codes, uint32_t salt,
+                                  int32_t* out_cands, int64_t* out_scores,
+                                  int32_t cap) {
   const Game& g = *r0->g;
   int p = pid - 1;
   if (r0->done || p < 0 || p >= r0->n) return 0;
@@ -714,20 +725,23 @@ int32_t gs_room_search(void* rh, int32_t pid, int32_t rollouts,
     int hi = g.ph(i, 5) > 0 ? g.ph(i, 5) : r0->n;
     for (int c = 1; c <= hi; ++c) cands.push_back(c);
   } else if (kind == K_SUBMIT) {
-    return 1;  // submit carries no choice
+    return -1;  // submit carries no choice
   } else {
     return 0;
   }
   if (cands.empty()) return 0;
   if (mode != 1 && mode != 2) return 0;  // no terminal reward to search for
-  if (cands.size() == 1) return cands[0];
+  if ((int32_t)cands.size() > cap) return 0;  // caller buffer too small
+  if (cands.size() == 1) {
+    out_cands[0] = cands[0];
+    out_scores[0] = 0;
+    return 1;
+  }
   if (mode == 1 && (team_slot < 0 || n_codes <= 0)) return 0;
   static thread_local Room sim;
   static thread_local std::vector<int32_t> acts;
   acts.resize(g.P);
-  int32_t best_c = 0;
-  int64_t best_s = 0;
-  bool any = false;
+  int32_t nc = 0;
   for (int32_t c : cands) {
     int64_t score = 0;
     for (int k = 0; k < rollouts; ++k) {
@@ -748,9 +762,59 @@ int32_t gs_room_search(void* rh, int32_t pid, int32_t rollouts,
         score += sim.winner == pid ? (sim.n - 1) : -1;
       }
     }
-    if (!any || score > best_s) { best_s = score; best_c = c; any = true; }
+    out_cands[nc] = c;
+    out_scores[nc] = score;
+    ++nc;
+  }
+  return nc;
+}
+
+int32_t gs_room_search(void* rh, int32_t pid, int32_t rollouts,
+                       int32_t max_steps, int32_t mode, int32_t team_slot,
+                       const int32_t* team_codes, int32_t n_codes,
+                       uint32_t salt) {
+  auto* r0 = (Room*)rh;
+  static thread_local std::vector<int32_t> cbuf;
+  static thread_local std::vector<int64_t> sbuf;
+  int cap = r0->g->P > 64 ? r0->g->P : 64;
+  // K_OPTION games can declare more options than seats
+  {
+    const Game& g = *r0->g;
+    int i = r0->phase;
+    if (g.ph(i, 4) == K_OPTION && g.ph(i, 5) > cap) cap = g.ph(i, 5);
+  }
+  cbuf.resize(cap);
+  sbuf.resize(cap);
+  int32_t n = search_scores_core(r0, pid, rollouts, max_steps, mode,
+                                 team_slot, team_codes, n_codes, salt,
+                                 cbuf.data(), sbuf.data(), cap);
+  if (n < 0) return 1;  // forced submit
+  if (n == 0) return 0;
+  if (n == 1) return cbuf[0];
+  int32_t best_c = 0;
+  int64_t best_s = 0;
+  bool any = false;
+  for (int32_t j = 0; j < n; ++j) {
+    if (!any || sbuf[j] > best_s) { best_s = sbuf[j]; best_c = cbuf[j]; any = true; }
   }
   return best_c;
+}
+
+// Per-candidate score totals for the information-set (determinized)
+// search tier: policies/search.py samples hidden-state determinizations,
+// scores every candidate in each sampled world with THIS call, and
+// argmaxes the cross-world total. out_cands/out_scores are caller buffers
+// of capacity cap. Returns the candidate count, 0 when this seat has no
+// decision (or cap is too small), or -1 for a forced submit.
+int32_t gs_room_search_scores(void* rh, int32_t pid, int32_t rollouts,
+                              int32_t max_steps, int32_t mode,
+                              int32_t team_slot, const int32_t* team_codes,
+                              int32_t n_codes, uint32_t salt,
+                              int32_t* out_cands, int64_t* out_scores,
+                              int32_t cap) {
+  return search_scores_core((Room*)rh, pid, rollouts, max_steps, mode,
+                            team_slot, team_codes, n_codes, salt,
+                            out_cands, out_scores, cap);
 }
 
 int64_t gs_state_size(void* gh) {

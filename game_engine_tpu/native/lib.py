@@ -61,6 +61,13 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int32, ctypes.c_uint32,
     ]
+    lib.gs_room_search_scores.restype = ctypes.c_int32
+    lib.gs_room_search_scores.argtypes = [
+        ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32, ctypes.c_uint32, ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+    ]
     return lib
 
 
@@ -133,6 +140,30 @@ class CppRoom:
             self._h, pid, rollouts, max_steps, mode, team_slot,
             codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(codes),
             ctypes.c_uint32(salt & 0xFFFFFFFF)))
+
+    def search_scores(self, pid: int, rollouts: int, max_steps: int,
+                      mode: int, team_slot: int,
+                      team_codes: "list[int] | tuple[int, ...]",
+                      salt: int, cap: int = 1024) -> Optional[dict[int, int]]:
+        """Per-candidate rollout score totals for one seat
+        (gs_room_search_scores — the information-set search tier's
+        primitive). Returns {candidate: total}, {1: 0} for a forced
+        submit, or None when this seat has no decision. argmax over the
+        dict in ascending candidate order reproduces search() exactly."""
+        codes = np.asarray(team_codes or [0], np.int32)
+        cands = np.zeros(cap, np.int32)
+        scores = np.zeros(cap, np.int64)
+        n = int(_lib.gs_room_search_scores(
+            self._h, pid, rollouts, max_steps, mode, team_slot,
+            codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(codes),
+            ctypes.c_uint32(salt & 0xFFFFFFFF),
+            cands.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), cap))
+        if n < 0:
+            return {1: 0}
+        if n == 0:
+            return None
+        return {int(cands[j]): int(scores[j]) for j in range(n)}
 
     def policy_actions(self) -> dict[int, int]:
         P = self.game.lowered.P

@@ -102,7 +102,8 @@ class AppContext:
                  chat_llm_entry: Optional[str] = None,
                  bot_search: Optional[list] = None,
                  search_rollouts: int = 32,
-                 search_horizon: int = 200):
+                 search_horizon: int = 200,
+                 search_det: int = 0):
         self.storage = MemoryStorage(storage_path)
         persist_dir = (storage_path + ".rooms") if storage_path else None
         # external chat model (reference ChatBotNode's gpt call,
@@ -116,7 +117,8 @@ class AppContext:
                              chat_complete=chat_complete,
                              bot_search=bot_search,
                              search_rollouts=search_rollouts,
-                             search_horizon=search_horizon)
+                             search_horizon=search_horizon,
+                             search_det=search_det)
         # /api/generate-dsl model seam (reference: 3 gpt-5 calls behind
         # src/app/api/generate-dsl/route.ts:19-48). A deployment brings its
         # own model as a shell command (prompt on stdin -> YAML on stdout)
@@ -430,7 +432,8 @@ def make_server(port: int = 0, storage_path: Optional[str] = None,
                 chat_llm_entry: Optional[str] = None,
                 bot_search: Optional[list] = None,
                 search_rollouts: int = 32,
-                search_horizon: int = 200) -> ThreadingHTTPServer:
+                search_horizon: int = 200,
+                search_det: int = 0) -> ThreadingHTTPServer:
     ctx = AppContext(storage_path, games_path, backend=backend, chat_lm=chat_lm,
                      bot_ckpts=bot_ckpts, llm_cmd=llm_cmd, llm_entry=llm_entry,
                      chat_sample_temp=chat_sample_temp,
@@ -438,7 +441,8 @@ def make_server(port: int = 0, storage_path: Optional[str] = None,
                      chat_llm_entry=chat_llm_entry,
                      bot_search=bot_search,
                      search_rollouts=search_rollouts,
-                     search_horizon=search_horizon)
+                     search_horizon=search_horizon,
+                     search_det=search_det)
 
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):  # quiet
@@ -580,6 +584,12 @@ def main():  # pragma: no cover
                     help="search-bot rollouts per candidate action")
     ap.add_argument("--search-horizon", type=int, default=200,
                     help="search-bot per-rollout step cap")
+    ap.add_argument("--search-det", type=int, default=0, metavar="D",
+                    help="information-set search: score candidates over D "
+                         "hidden-state determinizations sampled under each "
+                         "searcher's own observation mask instead of "
+                         "reading the true room state (0 = full-information "
+                         "lookahead). D*rollouts rollouts per candidate")
     ap.add_argument("--llm-cmd", default=None, metavar="SHELL_CMD",
                     help="external model for /api/generate-dsl: a shell "
                          "command receiving the generation prompt on stdin "
@@ -613,7 +623,8 @@ def main():  # pragma: no cover
                       chat_llm_entry=args.chat_llm_entry,
                       bot_search=args.bot_search,
                       search_rollouts=args.search_rollouts,
-                      search_horizon=args.search_horizon)
+                      search_horizon=args.search_horizon,
+                      search_det=args.search_det)
     print(f"game host listening on :{srv.server_address[1]}")
     srv.serve_forever()
 

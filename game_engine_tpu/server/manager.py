@@ -454,7 +454,8 @@ class GameHost:
                  chat_complete=None,
                  bot_search: Optional[list[str]] = None,
                  search_rollouts: int = 32,
-                 search_horizon: int = 200):
+                 search_horizon: int = 200,
+                 search_det: int = 0):
         """backend: 'jax' (batched device engine) or 'native' (C++ per-room
         simulator — lowest interactive latency, identical semantics).
         persist_dir: directory for per-room crash-recovery journals; None
@@ -502,6 +503,9 @@ class GameHost:
             for s in (bot_search or [])]
         self._search_rollouts = int(search_rollouts)
         self._search_horizon = int(search_horizon)
+        # D>0: information-set search (policies/search.py Determinizer) —
+        # bots see only their own observation mask, not the true state
+        self._search_det = int(search_det)
         # slots key -> PolicyBots | SearchBots | None
         self._policies: dict[str, Any] = {}
         self._policy_seats: dict[str, tuple[int, ...]] = {}  # per room
@@ -657,7 +661,8 @@ class GameHost:
 
                 return make_search_bots(
                     lowered, rollouts=self._search_rollouts,
-                    horizon=self._search_horizon)
+                    horizon=self._search_horizon,
+                    determinize=self._search_det)
 
             cands.append((len(frag), 1, _mk_search))
         for _, _, mk in sorted(cands, key=lambda c: (-c[0], c[1])):

@@ -6,7 +6,12 @@ games: seat 1 searching vs scripted. Also times one search decision (the
 serving-latency cost of the tier). Deterministic: fixed seeds.
 
     python -m game_engine_tpu.utils.eval_search [game] [rooms] [rollouts] \
-        [horizon]
+        [horizon] [determinize]
+
+determinize=D>0 evaluates the INFORMATION-SET tier (SearchBots
+determinize=D): bots score candidates over D hidden-state worlds sampled
+under their own observation mask instead of reading the true state —
+the honest comparison point for the full-information numbers.
 """
 
 from __future__ import annotations
@@ -16,7 +21,8 @@ import sys
 import time
 
 
-def eval_game(game: str, rooms: int, rollouts: int, horizon: int) -> dict:
+def eval_game(game: str, rooms: int, rollouts: int, horizon: int,
+              determinize: int = 0) -> dict:
     from game_engine_tpu.gamespec.compile import compile_game
     from game_engine_tpu.gamespec.parser import load_builtin
     from game_engine_tpu.gamespec.tables import lower
@@ -24,7 +30,8 @@ def eval_game(game: str, rooms: int, rollouts: int, horizon: int) -> dict:
 
     lw = lower(compile_game(load_builtin(game)))
     go = lw.game_overs[0] if lw.game_overs else None
-    sb = SearchBots(lw, rollouts=rollouts, horizon=horizon)
+    sb = SearchBots(lw, rollouts=rollouts, horizon=horizon,
+                    determinize=determinize)
     n = min(6, lw.P)
 
     def play(search_pred):
@@ -56,7 +63,8 @@ def eval_game(game: str, rooms: int, rollouts: int, horizon: int) -> dict:
                 t_search / max(decisions, 1) if search_pred else 0.0)
 
     out = {"game": game, "rooms": rooms, "rollouts": rollouts,
-           "horizon": horizon, "n_players": n, "mode": go.mode if go else None}
+           "horizon": horizon, "determinize": determinize,
+           "n_players": n, "mode": go.mode if go else None}
     base, _, _ = play(None)
     out["scripted_minority_or_seat1_win"] = round(base, 4)
     if go and go.mode == "team":
@@ -84,9 +92,11 @@ def main() -> None:
     rooms = int(sys.argv[2]) if len(sys.argv) > 2 else 200
     rollouts = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     horizon = int(sys.argv[4]) if len(sys.argv) > 4 else 200
+    determinize = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 
     if game != "all":
-        print(json.dumps(eval_game(game, rooms, rollouts, horizon)))
+        print(json.dumps(eval_game(game, rooms, rollouts, horizon,
+                                   determinize)))
         return
 
     # catalog balance sweep: one line per game. The pair
