@@ -3097,31 +3097,13 @@ def _mine_mask_names(description: str) -> tuple[str, str, str]:
     return names if len(names) == 3 else ("Fox", "Owl", "Crane")
 
 
-def generate_from_description(
-    name: str,
-    description: str,
-    llm_hook: Optional[Callable[[str, str], dict]] = None,
-    report: Optional[list[str]] = None,
-) -> dict[str, Any]:
-    """Free-text description -> DSL doc. ``llm_hook(name, description)`` can
-    override with an external model (the seam where the reference called
-    gpt-5); the built-in path is keyword archetype selection.
-
-    ``report`` (optional, caller-provided list) receives WARNING strings —
-    most importantly the low-description-coverage warning when the built-in
-    vocabularies understood too little of the description to honor it."""
-    if llm_hook is not None:
-        return llm_hook(name, description)
-    cov = description_coverage(description)
-    if report is not None and cov["score"] < COVERAGE_WARN_THRESHOLD:
-        sample = ", ".join(cov["unconsumed"][:8])
-        report.append(
-            f"WARNING: description coverage {int(cov['score'] * 100)}% — "
-            f"{len(cov['unconsumed'])} of {cov['content_words']} content "
-            f"words were not understood by the deterministic generator "
-            f"({sample}). The generated game is a best-effort archetype and "
-            "likely does NOT match the description; plug an external model "
-            "(dslgen/llm_adapter.py llm_hook) for arbitrary games.")
+def keyword_selection(description: str) -> dict[str, Any]:
+    """The deterministic keyword-dispatch decision, exposed as data:
+    ``{"archetype", "roles", "extras", "matched"}``. ``matched`` is False
+    exactly when NO selection vocabulary fired and the dispatch fell
+    through to the "rounds" default — the blind spot the learned intent
+    tier (dslgen/intent.py) covers. Pure refactor of the round-1..4
+    cascade; ``generate_from_description`` consumes it unchanged."""
     roles: tuple[RoleDef, ...] = ()
     extras: tuple[str, ...] = ()
     # conversion vocabulary outranks night vocabulary: "the cult converts a
@@ -3139,9 +3121,9 @@ def generate_from_description(
                     "free", "",
                     "Starts free; votes by day, may be converted by night."),
         )
-        return generate(Blueprint(
-            name=name, description=description, archetype=archetype,
-            roles=roles, min_players=_mine_min_players(description, 5)))
+        return {"archetype": archetype, "roles": roles, "extras": (),
+                "matched": True,
+                "min_players": _mine_min_players(description, 5)}
     # night/role vocabulary FIRST: "werewolves steal gold at night" is an
     # elimination game that happens to mention market words, not a market
     # game (round-1 precedence, kept) — but if the description ALSO talks
@@ -3222,9 +3204,67 @@ def generate_from_description(
     elif _BATTLE_WORDS.search(description):
         archetype = "battle"
     else:
-        archetype = "rounds"
+        # pure fallthrough: NO selection vocabulary fired. "rounds" is the
+        # round-1 default (statement/guess rounds genuinely model quiz-ish
+        # descriptions); matched=False lets the learned intent tier weigh in
+        min_players = _mine_min_players(description, 4)
+        return {"archetype": "rounds", "roles": (), "extras": (),
+                "matched": False, "min_players": min_players}
     min_players = _mine_min_players(
         description, max(4, len(roles)) if archetype == "elimination" else 4)
+    return {"archetype": archetype, "roles": roles, "extras": extras,
+            "matched": True, "min_players": min_players}
+
+
+def generate_from_description(
+    name: str,
+    description: str,
+    llm_hook: Optional[Callable[[str, str], dict]] = None,
+    report: Optional[list[str]] = None,
+) -> dict[str, Any]:
+    """Free-text description -> DSL doc. ``llm_hook(name, description)`` can
+    override with an external model (the seam where the reference called
+    gpt-5); the built-in path is keyword archetype selection, backed by the
+    learned intent classifier (dslgen/intent.py) exactly where the keyword
+    cascade is blind (no selection vocabulary fired at all).
+
+    ``report`` (optional, caller-provided list) receives WARNING strings —
+    most importantly the low-description-coverage warning when the built-in
+    vocabularies understood too little of the description to honor it —
+    plus a notice when the learned tier picked the archetype."""
+    if llm_hook is not None:
+        return llm_hook(name, description)
+    cov = description_coverage(description)
+    sel = keyword_selection(description)
+    archetype, roles, extras = sel["archetype"], sel["roles"], sel["extras"]
+    min_players = sel["min_players"]
+    learned_note = None
+    if not sel["matched"] and not _ROUNDS_WORDS.search(description):
+        # the cascade saw NOTHING it understands and the default "rounds"
+        # archetype has no textual support either — ask the learned tier
+        from game_engine_tpu.dslgen import intent as I
+
+        res = I.classify_default(description)
+        if res is not None and res.confident and res.archetype != "rounds":
+            archetype = res.archetype
+            min_players = _mine_min_players(
+                description, 5 if archetype == "conversion" else 4)
+            learned_note = (
+                f"NOTE: no selection vocabulary matched; the learned intent "
+                f"classifier picked the '{res.archetype}' archetype "
+                f"(confidence {res.confidence:.2f}). Parameters are that "
+                "archetype's defaults unless mined from the description.")
+    if report is not None and cov["score"] < COVERAGE_WARN_THRESHOLD:
+        sample = ", ".join(cov["unconsumed"][:8])
+        report.append(
+            f"WARNING: description coverage {int(cov['score'] * 100)}% — "
+            f"{len(cov['unconsumed'])} of {cov['content_words']} content "
+            f"words were not understood by the deterministic generator "
+            f"({sample}). The generated game is a best-effort archetype and "
+            "likely does NOT match the description; plug an external model "
+            "(dslgen/llm_adapter.py llm_hook) for arbitrary games.")
+    if report is not None and learned_note is not None:
+        report.append(learned_note)
     return generate(Blueprint(name=name, description=description,
                               archetype=archetype, roles=roles,
                               min_players=min_players, extras=extras))
