@@ -48,6 +48,8 @@ import dataclasses
 import re
 from typing import Any, Callable, Optional
 
+from game_engine_tpu.dslgen import rules as RU
+
 
 @dataclasses.dataclass(frozen=True)
 class RoleDef:
@@ -2973,6 +2975,9 @@ def description_coverage(description: str) -> dict[str, Any]:
                 _CONVERT_LEADER_NAME):
         for m in re.finditer(pat, text, re.IGNORECASE):
             consumed.update(re.findall(r"[a-z][a-z'-]+", m.group(0)))
+    # house-rule sentences the rules miner compiles to effect programs are
+    # understood, not unconsumed prose
+    consumed.update(RU.consumed_words(text))
     unconsumed = sorted({w for w in content if w not in consumed})
     score = 1.0 - len(unconsumed) / len(set(content))
     return {"score": round(score, 3), "content_words": len(set(content)),
@@ -3265,6 +3270,13 @@ def generate_from_description(
             "(dslgen/llm_adapter.py llm_hook) for arbitrary games.")
     if report is not None and learned_note is not None:
         report.append(learned_note)
-    return generate(Blueprint(name=name, description=description,
-                              archetype=archetype, roles=roles,
-                              min_players=min_players, extras=extras))
+    doc = generate(Blueprint(name=name, description=description,
+                             archetype=archetype, roles=roles,
+                             min_players=min_players, extras=extras))
+    # house-rule sentences compile to a declared P20 effects program on the
+    # archetype's round loop (dslgen/rules.py) — novel mechanics beyond the
+    # archetype matrix, still fully deterministic
+    mined_rules = RU.mine_rules(description)
+    if mined_rules:
+        RU.inject_rules(doc, mined_rules, report=report)
+    return doc
