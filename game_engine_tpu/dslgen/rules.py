@@ -225,15 +225,14 @@ def _already_paid(doc: dict[str, Any], field: str) -> bool:
     """True when the archetype already pays recurring income into `field`
     (text-minable sentence or explicit {income: ...} hint on any phase) —
     an unconditional gain rule would double-pay it."""
-    from game_engine_tpu.gamespec.mechanics import _INCOME_RE
+    from game_engine_tpu.gamespec.mechanics import iter_text_income
 
     for ph in doc["phases"].values():
         for hint in ph.get("mechanics", []):
             inc = hint.get("income") if isinstance(hint, dict) else None
             if isinstance(inc, dict) and field in inc:
                 return True
-        for m in _INCOME_RE.finditer(ph.get("description", "")):
-            w = m.group(2).lower()
+        for w, _amount in iter_text_income(ph.get("description", "")):
             if field in (w, w + "s", w[:-1] if w.endswith("s") else w):
                 return True
     return False
@@ -244,15 +243,15 @@ def _preserve_text_income(doc: dict[str, Any], pid: int) -> None:
     on it (mechanics.py P12 rule) — lift any minable income sentence in
     the anchor phase's description into an explicit {income: ...} hint
     first so the declared program cannot silently defund the archetype."""
-    from game_engine_tpu.gamespec.mechanics import _INCOME_RE
+    from game_engine_tpu.gamespec.mechanics import iter_text_income
 
     ph = doc["phases"][pid]
     fields = doc["declaration"]["player_states"]
     gains: dict[str, int] = {}
-    for m in _INCOME_RE.finditer(ph.get("description", "")):
-        f = _resolve_field(m.group(2).lower(), fields)
+    for w, amount in iter_text_income(ph.get("description", "")):
+        f = _resolve_field(w, fields)
         if f is not None and f not in gains:
-            gains[f] = int(m.group(1))
+            gains[f] = amount
     if gains and not any(isinstance(h, dict) and "income" in h
                          for h in ph.get("mechanics", [])):
         ph.setdefault("mechanics", []).insert(0, {"income": gains})
@@ -304,17 +303,23 @@ def inject_rules(
                      f"archetype already pays recurring {f!r} income "
                      "(double-pay guard).")
                 continue
-            writes.append(f"{f} += {r.amount} where alive")
+            stmt = f"{f} += {r.amount} where alive"
+            writes.append(stmt)
         elif r.kind == "catchup":
-            writes.append(
-                f"{f} += {r.amount} where alive and {f} < {r.threshold}")
+            stmt = f"{f} += {r.amount} where alive and {f} < {r.threshold}"
+            writes.append(stmt)
         elif r.kind == "leader_tax":
-            writes.append(
-                f"{f} -= {r.amount} where alive and seat == argmax({f}, alive)")
+            stmt = f"{f} -= {r.amount} where alive and seat == argmax({f}, alive)"
+            writes.append(stmt)
         elif r.kind == "threshold_kill":
-            kills.append(f"kill where {f} >= {r.amount}")
+            stmt = f"kill where {f} >= {r.amount}"
+            kills.append(stmt)
+        else:
+            note(f"NOTE: mined rule {r.text!r} has unhandled kind "
+                 f"{r.kind!r}; skipped.")
+            continue
         note(f"NOTE: mined custom rule {r.text!r} -> "
-             f"{(writes + kills)[-1]!r} on phase {pid} "
+             f"{stmt!r} on phase {pid} "
              f"({doc['phases'][pid]['name']!r}).")
 
     stmts = writes + (["---"] if writes and kills else []) + kills

@@ -322,6 +322,16 @@ _INCOME_RE = re.compile(
     r"(?:gain|collect|receive|earn)s?\s+(\d+)\s+([A-Za-z_]+)",
     re.IGNORECASE,
 )
+def iter_text_income(description: str) -> list[tuple[str, int]]:
+    """Public accessor for the P12 income-sentence miner: every
+    ("each/all/every player(s) gains K <word>") match in *description* as
+    (word_lowercase, amount) pairs, in order.  dslgen/rules.py builds its
+    double-pay guard and income-preservation on this — keep it the single
+    source of truth for what counts as a minable income sentence."""
+    return [(m.group(2).lower(), int(m.group(1)))
+            for m in _INCOME_RE.finditer(description)]
+
+
 _RAID_RE = re.compile(
     r"\b(raid\w*|steal\w*|rob(?:s|bed|bing)?|plunder\w*|loot\w*)\b", re.IGNORECASE
 )
