@@ -2876,9 +2876,21 @@ _CONVERT_LEADER_NAME = (
     r"(prophets?|cult leaders?|high priest(?:ess)?e?s?|patient zero|"
     r"vampire lords?|puppet ?masters?|hive queens?|zombie kings?)")
 _NIGHT_WORDS = re.compile(
-    r"\b(night|hidden role|mafia|impostor|assassin|deduction|werewol\w+|secret(?:ly)? kill)\b",
+    r"\b(night|hidden roles?|mafia|impostor|assassin|deduction|werewol\w+|secret(?:ly)? kill)\b",
     re.IGNORECASE,
 )
+# STRUCTURAL night-cycle vocabulary — a strict subset of _NIGHT_WORDS
+# excluding the role-flavor tokens (assassin, deduction) that also appear
+# in bluff-family games ("a bluffing and deduction game... the Assassin
+# card" is Coup, not Werewolf; held-out eval witness: describe_coup in
+# tests/fixtures/heldout_descriptions.json)
+_NIGHT_STRUCT_WORDS = re.compile(
+    r"\b(night|hidden roles?|mafia|impostor|werewol\w+|secret(?:ly)? kill)\b",
+    re.IGNORECASE,
+)
+# core bluff identity words; "challenge"/"influence" alone are too common
+# to outrank a night cycle, but bluff/coup name the family itself
+_BLUFF_CORE_WORDS = re.compile(r"\b(bluff\w*|coup)\b", re.IGNORECASE)
 _BATTLE_WORDS = re.compile(
     r"\b(last (?:one|player|man) standing|battle royale|survivor|sole survivor|vote.{0,20}out)\b",
     re.IGNORECASE,
@@ -3132,8 +3144,15 @@ def keyword_selection(description: str) -> dict[str, Any]:
     # night/role vocabulary FIRST: "werewolves steal gold at night" is an
     # elimination game that happens to mention market words, not a market
     # game (round-1 precedence, kept) — but if the description ALSO talks
-    # economy, the market family is composed in as a mechanic mix
-    if _NIGHT_WORDS.search(description) or _mine_elimination_roles(description):
+    # economy, the market family is composed in as a mechanic mix.
+    # EXCEPTION: when the family names itself bluff/Coup and the only
+    # night hits are role flavor (assassin, deduction) with no structural
+    # night cycle, the bluff branch below owns it (Coup's Assassin card
+    # must not turn the game into werewolf; held-out witness describe_coup)
+    bluff_owns = (_BLUFF_CORE_WORDS.search(description)
+                  and not _NIGHT_STRUCT_WORDS.search(description))
+    if not bluff_owns and (_NIGHT_WORDS.search(description)
+                           or _mine_elimination_roles(description)):
         archetype = "elimination"
         roles = _mine_elimination_roles(description)
         if _AUCTION_WORDS.search(description):
