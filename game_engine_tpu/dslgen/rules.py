@@ -24,6 +24,28 @@ Grammar (v1) — each family maps to one IR statement:
   threshold_kill "anyone who reaches 3 or more curses is eliminated"
                     -> ``kill where curses >= 3``   (needs is_alive)
 
+Grammar v2 (round 5, VERDICT r4 item 4) — four more families over the
+SAME IR plus the P6p/P6w parameterized resolution hints:
+
+  transfer      "every round, the richest player gives 1 coin to the
+                 poorest player" / "...the poorest player steals 1 coin
+                 from the richest player"
+                    -> paired ``coins -=/+= 1 where ... seat ==
+                       argmax/argmin(coins, alive)`` writes from one
+                       snapshot (conserved; unclamped like leader_tax)
+  protection    "players with 3 or more shields cannot be eliminated"
+                    -> ``{vote_elimination|night_resolution:
+                         {protect: shields >= 3}}`` hint args (and the
+                       same guard appended to mined threshold kills)
+  vote_weight   "the vote of a player with 2 or more badges counts
+                 double"
+                    -> ``{vote_elimination: {weight: if(badges >= 2,
+                         2, 1)}}``
+  one_shot      "at the start of the game, each player receives 5 coins"
+                    -> ``coins += 5 where alive and coins_opening_grant
+                       == 0`` + ``coins_opening_grant = 1`` (synthesized
+                       once-flag; paid on the loop phase's first entry)
+
 Nouns resolve to existing numeric player_states fields (word / word+'s' /
 singular, plus the score-alias bank); an unresolved noun SYNTHESIZES a new
 num field (default 0) exactly the way the market weave synthesizes
@@ -92,6 +114,51 @@ _KILL_RX = re.compile(
     + r"out\s+of\s+the\s+game)",
     re.IGNORECASE)
 
+# -- round-5 families (VERDICT r4 item 4): transfers, protection, vote
+# weighting, one-shot grants — each lowers to EXISTING IR constructs
+# (argmax/argmin transfers; P6p/P6w parameterized resolution hints; a
+# synthesized once-flag), no executor changes.
+_LEADER_WORDS = r"(richest|leading|top|wealthiest)"
+_TRAILER_WORDS = r"(poorest|last[- ]place|trailing|lowest)"
+_EITHER_SEL = rf"(?:{_LEADER_WORDS}|{_TRAILER_WORDS})"
+_TRANSFER_RX = re.compile(
+    _EVERY_ROUND + r"the\s+" + _EITHER_SEL
+    + r"\s+player\s+(?:gives|pays|hands)\s+" + _NUM_RX + r"\s+" + _NOUN
+    + r"\s+to\s+the\s+" + _EITHER_SEL + r"\s+player",
+    re.IGNORECASE)
+_STEAL_RX = re.compile(
+    _EVERY_ROUND + r"the\s+" + _EITHER_SEL
+    + r"\s+player\s+(?:steals|takes)\s+" + _NUM_RX + r"\s+" + _NOUN
+    + r"\s+from\s+the\s+" + _EITHER_SEL + r"\s+player",
+    re.IGNORECASE)
+_PROTECT_RX = re.compile(
+    r"(?:any\s+player|anyone|players?)\s+(?:with|holding)\s+" + _NUM_RX
+    + r"\s+or\s+more\s+" + _NOUN
+    + r"\s+(?:cannot|can\s*not|can't)\s+be\s+"
+    + r"(?:eliminated|voted\s+out|killed|banished)",
+    re.IGNORECASE)
+_WEIGHT_RX = re.compile(
+    r"(?:the\s+)?votes?\s+(?:of|from)\s+(?:a|any|each|every)\s+player\s+"
+    + r"(?:with|holding)\s+" + _NUM_RX + r"\s+or\s+more\s+" + _NOUN
+    + r"\s+counts?\s+(?:double|twice)",
+    re.IGNORECASE)
+_WEIGHT2_RX = re.compile(
+    r"(?:any\s+player|anyone|players?)\s+(?:with|holding)\s+" + _NUM_RX
+    + r"\s+or\s+more\s+" + _NOUN
+    + r"\s+counts?\s+(?:double|twice)\s+when\s+voting",
+    re.IGNORECASE)
+_ONESHOT_RX = re.compile(
+    r"(?:at\s+the\s+start\s+of\s+the\s+game|(?:on|in)\s+the\s+first\s+"
+    r"round(?:\s+only)?|once\s+at\s+the\s+start),?\s+"
+    r"(?:each|every|all)\s+players?\s+" + _GAINS + _NUM_RX + r"\s+" + _NOUN,
+    re.IGNORECASE)
+
+
+def _sel_kind(leader_group: Optional[str], trailer_group: Optional[str]) -> str:
+    """argmax for richest/leading/top, argmin for poorest/last-place."""
+    return "max" if leader_group else "min"
+
+
 # score-ish nouns share the archetypes' score fields rather than
 # synthesizing a parallel resource
 _SCORE_ALIASES = ("points", "score", "total_score", "victory_points")
@@ -100,10 +167,15 @@ _SCORE_ALIASES = ("points", "score", "total_score", "victory_points")
 @dataclasses.dataclass(frozen=True)
 class MinedRule:
     kind: str                  # gain | catchup | leader_tax | threshold_kill
+                               # | transfer | protection | vote_weight
+                               # | one_shot
     noun: str                  # resource noun as written (lowercased)
-    amount: int                # gain/tax amount; kill threshold for kills
+    amount: int                # gain/tax/transfer amount; protection /
+                               # kill / weight threshold
     threshold: Optional[int]   # catchup "fewer than N" bound
     text: str                  # matched sentence span (coverage + NOTEs)
+    src_sel: str = ""          # transfer: "max"|"min" selector of the payer
+    dst_sel: str = ""          # transfer: selector of the receiver
 
 
 def mine_rules(description: str) -> list[MinedRule]:
@@ -134,10 +206,39 @@ def mine_rules(description: str) -> list[MinedRule]:
         found.append((m.start(), MinedRule(
             "threshold_kill", m.group(2).lower(), _num(m.group(1)),
             None, m.group(0))))
+    # round-5 families ------------------------------------------------------
+    for rx, reversed_dir in ((_TRANSFER_RX, False), (_STEAL_RX, True)):
+        for m in rx.finditer(description):
+            a_sel = _sel_kind(m.group(1), m.group(2))
+            b_sel = _sel_kind(m.group(5), m.group(6))
+            if a_sel == b_sel:
+                continue  # "richest gives to richest" is not a transfer
+            # steal: the ACTOR is the receiver, the named "from" player pays
+            src, dst = (b_sel, a_sel) if reversed_dir else (a_sel, b_sel)
+            found.append((m.start(), MinedRule(
+                "transfer", m.group(4).lower(), _num(m.group(3)),
+                None, m.group(0), src_sel=src, dst_sel=dst)))
+    for m in _PROTECT_RX.finditer(description):
+        found.append((m.start(), MinedRule(
+            "protection", m.group(2).lower(), _num(m.group(1)),
+            None, m.group(0))))
+    weight_spans: list[tuple[int, int]] = []
+    for rx in (_WEIGHT_RX, _WEIGHT2_RX):
+        for m in rx.finditer(description):
+            if any(a <= m.start() < b for a, b in weight_spans):
+                continue
+            weight_spans.append((m.start(), m.start() + len(m.group(0))))
+            found.append((m.start(), MinedRule(
+                "vote_weight", m.group(2).lower(), _num(m.group(1)),
+                None, m.group(0))))
+    for m in _ONESHOT_RX.finditer(description):
+        found.append((m.start(), MinedRule(
+            "one_shot", m.group(2).lower(), _num(m.group(1)),
+            None, m.group(0))))
     found.sort(key=lambda t: t[0])
     out, seen = [], set()
     for _, r in found:
-        key = (r.kind, r.noun, r.amount, r.threshold)
+        key = (r.kind, r.noun, r.amount, r.threshold, r.src_sel, r.dst_sel)
         if key not in seen:
             seen.add(key)
             out.append(r)
@@ -285,8 +386,11 @@ def inject_rules(
 
     writes: list[str] = []
     kills: list[str] = []
+    protect_exprs: list[str] = []
+    weight_rule: Optional[tuple[str, int]] = None
     for r in rules:
-        if r.kind == "threshold_kill" and not has_alive:
+        if (r.kind in ("threshold_kill", "protection")
+                and not has_alive):
             note(f"NOTE: custom rule {r.text!r} needs player elimination "
                  "but this archetype has no is_alive field; skipped.")
             continue
@@ -314,6 +418,37 @@ def inject_rules(
         elif r.kind == "threshold_kill":
             stmt = f"kill where {f} >= {r.amount}"
             kills.append(stmt)
+        elif r.kind == "transfer":
+            # leader->trailer (or reversed) directed transfer: both sides
+            # write from the SAME block-entry snapshot so debit == credit
+            # (conserved; unclamped like leader_tax). Distinct-seat guard
+            # keeps a one-player standing (src == dst) a no-op.
+            src = f"arg{r.src_sel}({f}, alive)"
+            dst = f"arg{r.dst_sel}({f}, alive)"
+            guard = f"alive and {src} != {dst}"
+            stmt = f"{f} -= {r.amount} where {guard} and seat == {src}"
+            writes.append(stmt)
+            writes.append(
+                f"{f} += {r.amount} where {guard} and seat == {dst}")
+        elif r.kind == "one_shot":
+            # opening grant, paid exactly once on the loop phase's first
+            # entry via a synthesized once-flag (num 0/1, default 0)
+            flag = f"{f}_opening_grant"
+            if flag not in fields:
+                _add_field(doc, flag, f"one-shot marker for: {r.text}")
+            stmt = f"{f} += {r.amount} where alive and {flag} == 0"
+            writes.append(stmt)
+            writes.append(f"{flag} = 1")
+        elif r.kind == "protection":
+            protect_exprs.append(f"{f} >= {r.amount}")
+            stmt = f"protect: {f} >= {r.amount}"
+        elif r.kind == "vote_weight":
+            if weight_rule is not None:
+                note(f"NOTE: custom rule {r.text!r} skipped — a vote "
+                     "weight rule is already declared (one per game).")
+                continue
+            weight_rule = (f, r.amount)
+            stmt = f"weight: if({f} >= {r.amount}, 2, 1)"
         else:
             note(f"NOTE: mined rule {r.text!r} has unhandled kind "
                  f"{r.kind!r}; skipped.")
@@ -321,6 +456,25 @@ def inject_rules(
         note(f"NOTE: mined custom rule {r.text!r} -> "
              f"{stmt!r} on phase {pid} "
              f"({doc['phases'][pid]['name']!r}).")
+
+    # protection guards every kill path: the archetype's vote / night
+    # resolutions (P6p parameterized hints) AND any mined threshold kill
+    if protect_exprs:
+        shield = " or ".join(f"({e})" for e in protect_exprs)
+        kills = [f"{k} and not ({shield})" for k in kills]
+        if not _parameterize_resolution_hints(
+                doc, {"vote_elimination", "night_resolution"},
+                "protect", shield):
+            note("NOTE: protection rule(s) mined but the phase graph "
+                 "declares no vote_elimination/night_resolution hint — "
+                 "they guard only mined threshold kills.")
+    if weight_rule is not None:
+        f, n = weight_rule
+        if not _parameterize_resolution_hints(
+                doc, {"vote_elimination"}, "weight",
+                f"if({f} >= {n}, 2, 1)"):
+            note("NOTE: vote-weight rule mined but the phase graph "
+                 "declares no vote_elimination hint; skipped.")
 
     stmts = writes + (["---"] if writes and kills else []) + kills
     if not stmts:
@@ -333,6 +487,37 @@ def inject_rules(
     _preserve_text_income(doc, pid)
     doc["phases"][pid].setdefault("mechanics", []).append({"effects": stmts})
     return stmts
+
+
+def _parameterize_resolution_hints(
+        doc: dict[str, Any], hint_names: set[str], key: str,
+        expr: str) -> bool:
+    """Attach `{key: expr}` to every matching resolution hint in the doc
+    (P6p protect / P6w weight). String hints become dict form; existing
+    dict args merge — an existing `protect` OR-joins with the new one, an
+    existing `weight` is kept (first declaration wins). Returns True when
+    at least one hint was parameterized."""
+    changed = False
+    for ph in doc["phases"].values():
+        hints = ph.get("mechanics")
+        if not isinstance(hints, list):
+            continue
+        for idx, h in enumerate(hints):
+            if isinstance(h, str) and h in hint_names:
+                hints[idx] = {h: {key: expr}}
+                changed = True
+            elif isinstance(h, dict):
+                for name in (set(h) & hint_names):
+                    cur = h[name] if isinstance(h[name], dict) else {}
+                    if key == "protect" and cur.get("protect"):
+                        cur["protect"] = f"({cur['protect']}) or ({expr})"
+                    elif key in cur:
+                        continue  # first declaration wins
+                    else:
+                        cur[key] = expr
+                    h[name] = cur
+                    changed = True
+    return changed
 
 
 def consumed_words(description: str) -> set[str]:

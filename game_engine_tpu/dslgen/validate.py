@@ -260,6 +260,19 @@ def _pred_fields(pred) -> set[str]:
         return set()
 
 
+def _guard_expr_fields(src: str) -> set[str]:
+    """Fields read by a P6p/P6w guard/weight expression (usage accounting;
+    a malformed expr is reported by the hint validator, not here)."""
+    if not src:
+        return set()
+    from game_engine_tpu.gamespec import effects as FXm
+
+    try:
+        return FXm.program_fields(((FXm.SKill(where=FXm.parse_expr(src)),),))
+    except Exception:  # noqa: BLE001
+        return set()
+
+
 def _cond_fields(cond) -> set[str]:
     if isinstance(cond, C.CondAnd):
         return set().union(*(_cond_fields(c) for c in cond.items))
@@ -305,10 +318,13 @@ def _semantic_gap_issues(spec: GameSpec, game) -> list[Issue]:
                 consumed |= set(mech.kill_phases) | set(mech.protect_phases)
                 touched |= set(mech.reset_bools) | set(mech.reset_nums)
                 touched |= set(mech.reveal_bools)
+                touched |= _guard_expr_fields(mech.protect)
             elif isinstance(mech, M.VoteElim):
                 consumed |= set(mech.vote_phases)
                 touched |= _pred_fields(mech.voter_pred)
                 touched |= set(mech.reveal_bools)
+                touched |= _guard_expr_fields(mech.protect)
+                touched |= _guard_expr_fields(mech.weight)
             elif isinstance(mech, M.ResourceIncome):
                 touched |= {f for f, _ in mech.gains}
             elif isinstance(mech, M.ResourceRaid):
@@ -401,6 +417,37 @@ def _semantic_gap_issues(spec: GameSpec, game) -> list[Issue]:
                         f"anchor {hname!r} is not consumed by any "
                         "night_resolution phase downstream",
                     ))
+            elif (hname in ("vote_elimination", "night_resolution")
+                  and isinstance(_harg, tuple) and _harg):
+                # P6p/P6w: parameterized resolution hints — guard/weight
+                # expressions must be valid IR over declared fields HERE,
+                # not at room creation
+                from game_engine_tpu.gamespec import effects as FXm
+
+                allowed = ({"protect", "weight"}
+                           if hname == "vote_elimination" else {"protect"})
+                args = {str(k): str(v) for k, v in _harg}
+                for k in sorted(set(args) - allowed):
+                    issues.append(Issue(
+                        ERROR, f"{where}.mechanics",
+                        f"{hname} hint argument {k!r} unknown "
+                        f"(allowed: {', '.join(sorted(allowed))})"))
+                for k in sorted(set(args) & allowed):
+                    try:
+                        e = FXm.parse_expr(args[k])
+                        FXm.check_program(
+                            ((FXm.SKill(where=e),),), game.layout,
+                            frozenset(spec.phases),
+                            has_alive="is_alive" in decl.field_names())
+                    except FXm.EffectError as err:
+                        issues.append(Issue(
+                            ERROR, f"{where}.mechanics",
+                            f"{hname} {k} expression rejected: {err}"))
+                if not any(isinstance(mech, M.HINTS[hname])
+                           for mech in cp.program.on_enter):
+                    issues.append(Issue(
+                        ERROR, f"{where}.mechanics",
+                        f"parameterized {hname} hint did not attach"))
             elif hname == "effects":
                 # P20: re-parse the program to attach the EffectError to the
                 # exact phase path (the analyzer raises at compile time, so

@@ -711,6 +711,21 @@ def parse_statement(src: str, env: dict[str, Expr]) -> Optional[Stmt]:
     return SAdd(field, value, where)
 
 
+def parse_expr(src: str) -> Expr:
+    """Parse one standalone guard/weight expression — the payload of a
+    declared `vote_elimination: {protect:|weight: ...}` or
+    `night_resolution: {protect: ...}` hint (P6p/P6w). Same surface as
+    statement right-hand sides; no `let` environment."""
+    toks = _tokenize(str(src))
+    if toks[0] == ("end", ""):
+        raise EffectError("empty guard/weight expression")
+    p = _Parser(toks, {})
+    e = p.expr()
+    if p.peek()[0] != "end":
+        raise EffectError(f"trailing tokens in expression {src!r}")
+    return e
+
+
 def parse_program(lines: list, *, strict_lines: bool = True,
                   reserved=frozenset()) -> Program:
     """Parse an `effects:` hint payload (list of statement strings; "---"
@@ -1266,40 +1281,64 @@ def auction_program(bid_field: str, bidder_pred: Pred, res_field: str,
     ),)
 
 
-def _plurality_expr(phases: frozenset[int], pred: Pred) -> Expr:
+def _plurality_expr(phases: frozenset[int], pred: Pred,
+                    weight: Optional[Expr] = None) -> Expr:
     """P6 plurality as IR: the 1-based seat receiving the most choices from
     seats whose register was recorded in `phases` and who still match
     `pred`; ties to the LOWEST candidate seat (EArgBest pins it); 0 when no
     votes. Bit-identical to the retired _plurality kernels: votes received
     by seat s = |{q present: choice[q] == s, chose-in-phase, pred(q)}|,
-    winner = lowest seat of the max count when any count >= 1."""
+    winner = lowest seat of the max count when any count >= 1.
+
+    `weight` (declared vote_elimination {weight: ...} hint, P6w) evaluates
+    per VOTER seat — "counts double" rules; None keeps the 1-per-voter
+    default bit-identical to rounds 1-4."""
     voter = EAnd(EChoseIn(phases), EPredRef(pred))
-    votes = EIncoming(ONE, EChoice(), voter)
+    votes = EIncoming(weight if weight is not None else ONE,
+                      EChoice(), voter)
     return EArgBest("max", votes, ECmp("ge", votes, ONE))
 
 
-def vote_elim_program(vote_phases: frozenset[int], voter_pred: Pred) -> Program:
+def vote_elim_program(vote_phases: frozenset[int], voter_pred: Pred,
+                      protect: Optional[Expr] = None,
+                      weight: Optional[Expr] = None) -> Program:
     """P6: plurality elimination — the seat with the most votes dies (P15
     reveal via the kill statement's reveal_bools); zero votes => no effect;
-    a dead target stays dead with no new reveal (the `alive` gate)."""
-    victim = _plurality_expr(vote_phases, voter_pred)
-    return ((SKill(where=EAnd(ECmp("eq", ESeat(), victim), EAlive())),),)
+    a dead target stays dead with no new reveal (the `alive` gate).
+
+    Declared-hint extensions (P6p/P6w, SEMANTICS.md):
+      protect — guard expression evaluated at the VICTIM seat; a seat
+        matching it cannot die from this vote ("cannot be eliminated
+        while..." house rules);
+      weight  — per-voter vote weight expression ("counts double")."""
+    victim = _plurality_expr(vote_phases, voter_pred, weight)
+    where = EAnd(ECmp("eq", ESeat(), victim), EAlive())
+    if protect is not None:
+        where = EAnd(where, ENot(protect))
+    return ((SKill(where=where),),)
 
 
 def night_resolve_program(
     kill_phases: frozenset[int], protect_phases: frozenset[int],
     kill_pred: Pred, protect_pred: Pred,
     resets: tuple[str, ...],
+    protect: Optional[Expr] = None,
 ) -> Program:
     """P7: kill target = plurality of killer-phase choices, protection =
     plurality of protector-phase choices; the kill succeeds iff the target
     is alive and differs from the protected seat. Night bookkeeping fields
     then reset to their template defaults ((field, default) pairs) — one
     block: every read is the phase-entry snapshot, resets land after the
-    death writes exactly like the retired kernels."""
+    death writes exactly like the retired kernels.
+
+    `protect` (declared night_resolution {protect: ...} hint, P6p) is an
+    extra victim-seat guard beyond the doctor's choice — state-based
+    immunity house rules; None keeps rounds 1-4 bit-identical."""
     kt = _plurality_expr(kill_phases, kill_pred)
     pt = _plurality_expr(protect_phases, protect_pred)
     die = EAnd(EAnd(ECmp("eq", ESeat(), kt), ECmp("ne", kt, pt)), EAlive())
+    if protect is not None:
+        die = EAnd(die, ENot(protect))
     stmts: list = [SKill(where=die)]
     stmts.extend(SReset(f) for f in resets)
     return (tuple(stmts),)

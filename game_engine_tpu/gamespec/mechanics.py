@@ -126,6 +126,9 @@ class NightResolve:
     reset_bools: tuple[str, ...] = ()
     reset_nums: tuple[str, ...] = ()
     reveal_bools: tuple[str, ...] = ()  # P15: set true on the killed player
+    # P6p: extra victim-seat immunity guard (effect-IR expression text from
+    # a declared `night_resolution: {protect: ...}` hint); "" = none
+    protect: str = ""
 
 
 @dataclasses.dataclass(frozen=True)
@@ -135,6 +138,11 @@ class VoteElim:
     vote_phases: frozenset[int]
     voter_pred: Pred
     reveal_bools: tuple[str, ...] = ()  # P15
+    # P6p/P6w: declared `vote_elimination: {protect:|weight: ...}` hint
+    # args — victim-seat immunity guard / per-voter weight (IR expression
+    # text, parsed at lowering); "" = rounds-1-4 default
+    protect: str = ""
+    weight: str = ""
 
 
 @dataclasses.dataclass(frozen=True)
@@ -930,6 +938,14 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
                 return hint in res_hints
             return bool(text_hit)
 
+        def _hint_args(hint: str) -> dict:
+            """String kwargs of a parameterized resolution hint
+            (`{vote_elimination: {protect: ..., weight: ...}}`)."""
+            for h, harg in ph.mechanic_hints:
+                if h == hint and isinstance(harg, tuple):
+                    return {str(k): str(v) for k, v in harg}
+            return {}
+
         if role_assign is not None and (
                 _ROLE_ASSIGN_RE.search(text) or "role_assignment" in hint_names):
             mechanics.append(role_assign)
@@ -1004,6 +1020,8 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
                         reset_bools=tuple(dict.fromkeys(reset_bools)),
                         reset_nums=tuple(dict.fromkeys(reset_nums)),
                         reveal_bools=reveal_bools,
+                        protect=_hint_args("night_resolution").get(
+                            "protect", ""),
                     )
                 )
         elif _want("vote_elimination", _VOTE_ELIM_RE.search(ph.description + " " + ph.name)):
@@ -1011,11 +1029,14 @@ def analyze(spec: GameSpec, layout: StateLayout) -> dict[int, PhaseProgram]:
             vote_ph = [c for c in chain if records[c].choice_kind is ChoiceKind.TARGET]
             if vote_ph:
                 vp = vote_ph[-1]
+                ve_args = _hint_args("vote_elimination")
                 mechanics.append(
                     VoteElim(
                         vote_phases=frozenset({vp}),
                         voter_pred=_safe_pred(spec.phases[vp].completion.target_condition),
                         reveal_bools=reveal_bools,
+                        protect=ve_args.get("protect", ""),
+                        weight=ve_args.get("weight", ""),
                     )
                 )
         elif (_want("bluff_challenge", _CHALLENGE_RE.search(text))

@@ -360,11 +360,18 @@ def lower(game: CompiledGame) -> Lowered:
                     FX.night_resolve_program(
                         mech.kill_phases, mech.protect_phases,
                         mech.kill_pred, mech.protect_pred,
-                        (*mech.reset_bools, *mech.reset_nums)),
+                        (*mech.reset_bools, *mech.reset_nums),
+                        protect=(FX.parse_expr(mech.protect)
+                                 if mech.protect else None)),
                     i, mech.reveal_bools))
             elif isinstance(mech, M.VoteElim):
                 mechanics.append(_lower_fx(
-                    FX.vote_elim_program(mech.vote_phases, mech.voter_pred),
+                    FX.vote_elim_program(
+                        mech.vote_phases, mech.voter_pred,
+                        protect=(FX.parse_expr(mech.protect)
+                                 if mech.protect else None),
+                        weight=(FX.parse_expr(mech.weight)
+                                if mech.weight else None)),
                     i, mech.reveal_bools))
             elif isinstance(mech, M.ResourceIncome):
                 mechanics.append(_lower_fx(FX.income_program(mech.gains), i))

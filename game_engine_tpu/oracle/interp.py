@@ -153,11 +153,18 @@ class OracleRoom:
                 FX.night_resolve_program(
                     mech.kill_phases, mech.protect_phases,
                     mech.kill_pred, mech.protect_pred,
-                    (*mech.reset_bools, *mech.reset_nums)),
+                    (*mech.reset_bools, *mech.reset_nums),
+                    protect=(FX.parse_expr(mech.protect)
+                             if mech.protect else None)),
                 mech.reveal_bools)
         elif isinstance(mech, M.VoteElim):
             self._apply_effects(
-                FX.vote_elim_program(mech.vote_phases, mech.voter_pred),
+                FX.vote_elim_program(
+                    mech.vote_phases, mech.voter_pred,
+                    protect=(FX.parse_expr(mech.protect)
+                             if mech.protect else None),
+                    weight=(FX.parse_expr(mech.weight)
+                            if mech.weight else None)),
                 mech.reveal_bools)
         elif isinstance(mech, M.ResourceIncome):
             self._apply_effects(FX.income_program(mech.gains), ())

@@ -65,7 +65,7 @@ def main() -> None:
     results = {"batch": batch, "steps": steps, "iters": iters}
     variants = [
         ("ir", real_fx, real_merged),
-        ("noop", lambda lw, st, pe, active, m: st,
+        ("noop", lambda lw, st, active, m: st,
          lambda mechs, ops, actives: None),
         ("ir2", real_fx, real_merged),  # re-run: drift control
     ]

@@ -71,6 +71,20 @@ def build_rollout(root: str, batch: int, steps: int):
         _purge()
 
 
+def hlo_histogram(compiled) -> dict:
+    """Op histogram + fusion stats of an optimized executable."""
+    import collections
+    import re
+
+    txt = compiled.as_text()
+    ops = collections.Counter(
+        m.group(1) for m in re.finditer(r"=\s*[\w\[\],<>x]*\s*(\w+)\(", txt))
+    return {"total_ops": sum(ops.values()),
+            "while": ops.get("while", 0),
+            "fusion": ops.get("fusion", 0),
+            "top": ops.most_common(20)}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pin", required=True,
@@ -79,7 +93,17 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=16)
+    ap.add_argument("--hlo", action="store_true",
+                    help="print optimized-HLO op histograms instead of timing")
     args = ap.parse_args()
+
+    if args.hlo:
+        head_root = __file__.rsplit("/game_engine_tpu/", 1)[0]
+        for label, root in ((args.pin_label, args.pin), ("HEAD", head_root)):
+            fn, _st = build_rollout(root, args.batch, args.steps)
+            print(json.dumps({"build": label, **hlo_histogram(fn)}),
+                  flush=True)
+        return
 
     head_root = __file__.rsplit("/game_engine_tpu/", 1)[0]
 
