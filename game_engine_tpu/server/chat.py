@@ -319,6 +319,45 @@ def grounded_reply_ok(reply: str, g: dict) -> bool:
                      reply) is not None
 
 
+def history_reply_ok(reply: str, h: dict) -> bool:
+    """Deterministic faithfulness check for a learned HISTORY reply
+    (who-died recaps). The chat-probe eval (utils/eval_chat_probes.py)
+    caught the student asserting wrong casualty facts — garbled roster
+    names ("Playerer3") and "everyone's standing" over real corpses —
+    which the grounded-field verifier never sees. Rules:
+
+      * every roster-shaped token in the decode must be a real roster
+        name, and every named casualty must actually be dead;
+      * when casualties exist, at least one must be named — a "nothing
+        happened" recap over real deaths is a wrong fact, not style.
+
+    `h`: {"dead": [names...], "roster": [names...]} from the snapshot."""
+    dead = {n.lower() for n in h.get("dead", ()) if n}
+    roster = {n.lower() for n in h.get("roster", ()) if n}
+    mentioned = {m.group(0).lower()
+                 for m in re.finditer(r"\b[A-Z][\w'-]+\b", reply)}
+    # tokens that look like roster references (share a roster prefix or
+    # contain a digit-suffixed Player handle) must resolve exactly
+    for tok in mentioned:
+        if tok in roster:
+            continue
+        if re.match(r"player\w*", tok) or any(
+                tok[:4] == n[:4] for n in roster):
+            return False
+    named_dead = {n for n in dead if re.search(
+        rf"\b{re.escape(n)}\b", reply, re.IGNORECASE)}
+    named_live = {n for n in roster - dead if re.search(
+        rf"\b{re.escape(n)}\b", reply, re.IGNORECASE)}
+    if dead:
+        if not named_dead:
+            return False
+        # naming a living player inside a casualty recap misreports them
+        # (the composer's recap names only the fallen + a survivor COUNT)
+        if named_live:
+            return False
+    return True
+
+
 class ChatRoom:
     """Per-room chat log + deterministic bot responder.
 
@@ -487,6 +526,17 @@ class ChatRoom:
             "grounded": ({"fname": fact["fname"], "val": fact["val"],
                           "hidden": fact["hidden"],
                           "subj": fact["subj_name"]} if fact else None),
+            "kind": kind,
+            # casualty facts for history-decode verification (commit_reply)
+            "history": ({
+                "dead": [str(r.get("name") or f"Player {p}")
+                         for p, r in players_all.items()
+                         if not r.get("is_alive", True)
+                         or str(p) in set(map(str, snapshot.get(
+                             "deadPlayers", ())))],
+                "roster": [str(r.get("name") or f"Player {p}")
+                           for p, r in players_all.items()],
+            } if kind == "history" else None),
             "bot": bot,
             "bot_name": bot_name,
             "private": private,
@@ -513,6 +563,9 @@ class ChatRoom:
         g = plan.get("grounded")
         if lm_text and g is not None and not grounded_reply_ok(lm_text, g):
             lm_text = None
+        h = plan.get("history")
+        if lm_text and h is not None and not history_reply_ok(lm_text, h):
+            lm_text = None  # wrong casualty facts -> truthful template
         return self.post(
             plan["bot"], plan["bot_name"], lm_text or plan["composed"],
             visibility="private" if plan["private"] else "public",
@@ -625,6 +678,11 @@ class ChatRoom:
 
     # questions that warrant a grounded field answer (casual mentions of a
     # field word in a statement fall through to the intent pools)
+    _WEALTH_SYNONYM_RX = re.compile(
+        r"\b(rich(?:er|est)?|wealth\w*|purse|fortune|stash|bankroll|"
+        r"treasury)\b", re.IGNORECASE)
+    _RESOURCE_FIELD_RX = re.compile(
+        r"coin|gold|credit|money|chip|resource|token|pearl", re.IGNORECASE)
     _QUESTION_RE = re.compile(
         r"\?|\b(what|how (?:many|much)|tell me|do you|does|have you|are you|"
         r"is (?:your|my|their|his|her))\b", re.IGNORECASE)
@@ -656,6 +714,16 @@ class ChatRoom:
             if re.search(pat, low):
                 field = f
                 break
+        if field is None and self._WEALTH_SYNONYM_RX.search(low):
+            # paraphrase tier: "how rich is X" / "X's purse" grounds to the
+            # game's declared resource field even though no field is named
+            # (chat-probe eval witness: gr_coins_paraphrase) — numeric
+            # fields only, first declared resource-named one wins
+            for f, v in me.items():
+                if (isinstance(v, int) and not isinstance(v, bool)
+                        and self._RESOURCE_FIELD_RX.search(f)):
+                    field = f
+                    break
         if field is None or field == "name":
             return None
         # subject: an explicit player mention/name, else the bot itself

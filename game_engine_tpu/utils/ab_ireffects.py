@@ -63,10 +63,37 @@ def main() -> None:
         return times[len(times) // 2]
 
     results = {"batch": batch, "steps": steps, "iters": iters}
+
+    from game_engine_tpu.gamespec import effects as FX
+
+    def _has_stmt(mech, skinds) -> bool:
+        return any(s[0] in skinds for _nodes, stmts in mech.blocks
+                   for s in stmts)
+
+    def _selective(skip_pred):
+        """(fx, merged) pair stubbing exactly the programs skip_pred
+        matches — per-program cost attribution."""
+        def fx(lw, st, active, m):
+            return st if skip_pred(m) else real_fx(lw, st, active, m)
+
+        def merged(mechs, ops, actives):
+            keep = [(m, a) for m, a in zip(mechs, actives)
+                    if not skip_pred(m)]
+            if keep:
+                real_merged([m for m, _ in keep], ops,
+                            [a for _, a in keep])
+        return fx, merged
+
+    nodeal = _selective(lambda m: _has_stmt(m, {FX.ST_DEAL}))
+    nokill = _selective(lambda m: _has_stmt(m, {FX.ST_KILL}))
+    noover = _selective(lambda m: _has_stmt(m, {FX.ST_OVER}))
     variants = [
         ("ir", real_fx, real_merged),
         ("noop", lambda lw, st, active, m: st,
          lambda mechs, ops, actives: None),
+        ("nodeal", *nodeal),    # role-deal programs stubbed
+        ("nokill", *nokill),    # night/vote kill programs stubbed
+        ("noover", *noover),    # terminal-rule programs stubbed
         ("ir2", real_fx, real_merged),  # re-run: drift control
     ]
     for name, fn, merged in variants:
