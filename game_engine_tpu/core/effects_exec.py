@@ -37,7 +37,84 @@ def _nz(x):
     return jnp.where(x != 0, jnp.int32(1), jnp.int32(0))
 
 
-def _eval_node(kind: int, p0: int, p1: int, p2: int, vals: list, ops):
+_I32_MIN, _I32_MAX = -(2 ** 31), 2 ** 31 - 1
+_FULL_RANGE = (_I32_MIN, _I32_MAX)
+
+
+def static_ranges(nodes, P: int) -> list:
+    """Abstract int32 value range per node (trace-time Python ints).
+
+    A tiny forward abstract interpretation over the node pool: constants,
+    seat/count builtins and aggregation arities give tight bounds; field
+    and choice reads are unknown (full int32). Feeds the packed
+    single-reduce argbest emission (ops.argbest_ranged): a plurality's
+    key (`incoming(1, choice, voter)` ∈ [0, P]) packs with the seat
+    tie-break into ONE reduce, replacing the 3-reduce generic argbest —
+    the dominant cost of the werewolf night/vote programs
+    (utils/ab_ireffects.py nokill decomposition, docs/PERF.md round 5).
+    Overflowing bounds widen to full range, so packing is never tried
+    where it could wrap."""
+    out: list = []
+    for kind, p0, p1, p2 in nodes:
+        if kind == FX.NK_CONST:
+            r = (p0, p0)
+        elif kind == FX.NK_SEAT:
+            r = (1, P)
+        elif kind == FX.NK_NPLAYERS:
+            r = (0, P)
+        elif kind in (FX.NK_CHOSEIN, FX.NK_ALIVE, FX.NK_PRESENT,
+                      FX.NK_PRED, FX.NK_CMP, FX.NK_NOT, FX.NK_AND,
+                      FX.NK_OR):
+            r = (0, 1)
+        elif kind == FX.NK_BIN:
+            (alo, ahi), (blo, bhi) = out[p1], out[p2]
+            if p0 == FX.BIN_ADD:
+                cand = (alo + blo, ahi + bhi)
+            elif p0 == FX.BIN_SUB:
+                cand = (alo - bhi, ahi - blo)
+            elif p0 == FX.BIN_MUL:
+                prods = (alo * blo, alo * bhi, ahi * blo, ahi * bhi)
+                cand = (min(prods), max(prods))
+            elif p0 == FX.BIN_MIN:
+                cand = (min(alo, blo), min(ahi, bhi))
+            else:
+                cand = (max(alo, blo), max(ahi, bhi))
+            r = cand if _I32_MIN <= cand[0] and cand[1] <= _I32_MAX \
+                else _FULL_RANGE
+        elif kind == FX.NK_WHERE:
+            (alo, ahi), (blo, bhi) = out[p1], out[p2]
+            r = (min(alo, blo), max(ahi, bhi))
+        elif kind == FX.NK_AT:
+            lo, hi = out[p0]
+            r = (min(lo, 0), max(hi, 0))  # invalid index reads 0
+        elif kind == FX.NK_INCOMING:
+            lo, hi = out[p0]
+            cand = (min(0, P * lo), max(0, P * hi))
+            r = cand if _I32_MIN <= cand[0] and cand[1] <= _I32_MAX \
+                else _FULL_RANGE
+        elif kind in (FX.NK_EQCOUNT, FX.NK_RANK):
+            r = (0, P)
+        elif kind == FX.NK_REDUCE:
+            if p0 == FX.RED_COUNT:
+                r = (0, P)
+            elif p0 == FX.RED_SUM:
+                lo, hi = out[p1]
+                cand = (min(0, P * lo), max(0, P * hi))
+                r = cand if _I32_MIN <= cand[0] and cand[1] <= _I32_MAX \
+                    else _FULL_RANGE
+            else:  # masked max/min; empty reduces to 0
+                lo, hi = out[p1]
+                r = (min(lo, 0), max(hi, 0))
+        elif kind == FX.NK_ARGBEST:
+            r = (0, P)
+        else:  # NK_FIELD, NK_CHOICE: unknown
+            r = _FULL_RANGE
+        out.append(r)
+    return out
+
+
+def _eval_node(kind: int, p0: int, p1: int, p2: int, vals: list, ops,
+               ranges=None):
     if kind == FX.NK_CONST:
         return jnp.int32(p0)
     if kind == FX.NK_FIELD:
@@ -110,6 +187,8 @@ def _eval_node(kind: int, p0: int, p1: int, p2: int, vals: list, ops):
     if kind == FX.NK_REDUCE:
         return ops.reduce(p0, vals[p1], vals[p2])
     if kind == FX.NK_ARGBEST:
+        if ranges is not None and hasattr(ops, "argbest_ranged"):
+            return ops.argbest_ranged(p0, vals[p1], vals[p2], ranges[p1])
         return ops.argbest(p0, vals[p1], vals[p2])
     raise ValueError(f"unknown effect node kind {kind}")
 
@@ -149,9 +228,12 @@ def run_effects_merged(mechs, ops, actives) -> None:
         entries = []  # (stmt, vals, active, reveal_slots, deal_tables)
         for mech, active in zip(mechs, actives):
             ((nodes, stmts),) = mech.blocks
+            ranges = (static_ranges(nodes, ops.P)
+                      if getattr(ops, "P", 0) else None)
             vals: list = []
             for kind, p0, p1, p2 in nodes:
-                vals.append(_eval_node(kind, p0, p1, p2, vals, ops))
+                vals.append(_eval_node(kind, p0, p1, p2, vals, ops,
+                                       ranges))
             for s in stmts:
                 entries.append((s, vals, active, mech.reveal_bool_slots,
                                 mech.deal_tables))
@@ -244,9 +326,10 @@ def _apply_block(block, reveal_bool_slots, ops, active, deal_tables=()) -> None:
         order = grouped_stmt_order(stmts, reveal_bool_slots,
                                    getattr(ops, "alive_slot", -1))
         stmts = [stmts[i] for i in order]
+    ranges = static_ranges(nodes, ops.P) if getattr(ops, "P", 0) else None
     vals: list = []
     for kind, p0, p1, p2 in nodes:
-        vals.append(_eval_node(kind, p0, p1, p2, vals, ops))
+        vals.append(_eval_node(kind, p0, p1, p2, vals, ops, ranges))
     for stmt in stmts:
         _emit_stmt(stmt, vals, ops, active, reveal_bool_slots, deal_tables)
 

@@ -431,6 +431,36 @@ class _EffectOps:
         w = jnp.min(jnp.where(win, self._seat, self.P + 1), axis=1, keepdims=True)
         return jnp.where(any_m, w, 0)
 
+    def argbest_ranged(self, kind, key, mask, key_range):
+        """Packed single-reduce argbest, used when the static range
+        analysis (effects_exec.static_ranges) proves the shifted key and
+        the seat tie-break pack into one int32: z = (key - lo) * (P + 2)
+        ± seat, so ONE masked max/min yields both the winning key and the
+        P6 lowest-seat tie-break. Replaces the generic 3-reduce argbest
+        on every analyzer plurality (vote/night kill targets: key =
+        incoming(1, choice, voter) ∈ [0, P]) — the dominant per-step cost
+        of the werewolf IR programs (docs/PERF.md round 5). Bit-identical
+        to argbest by construction; the golden fixture enforces it."""
+        lo, hi = key_range
+        P = self.P
+        span = hi - lo
+        if span < 0 or span > (2 ** 31 - 2 - P) // (P + 2):
+            return self.argbest(kind, key, mask)  # could wrap: generic path
+        m = self._b(self._bp(mask)) & self.st.present
+        k2 = self._bp(self._i(key)) - jnp.int32(lo)
+        if kind == FX.ARG_MAX:
+            # equal keys: larger (P - seat) = lower seat wins the max
+            z = jnp.where(m, k2 * (P + 2) + (P - self._seat), jnp.int32(-1))
+            zbest = jnp.max(z, axis=1, keepdims=True)
+            win = P - zbest % (P + 2)
+            return jnp.where(zbest >= 0, win, 0)
+        # ARG_MIN: equal keys: smaller (seat - 1) = lower seat wins the min
+        z = jnp.where(m, k2 * (P + 2) + (self._seat - 1),
+                      jnp.int32(2 ** 31 - 1))
+        zbest = jnp.min(z, axis=1, keepdims=True)
+        win = zbest % (P + 2) + 1
+        return jnp.where(zbest < 2 ** 31 - 1, win, 0)
+
     def deal(self, table, salt):
         """ST_DEAL (P10 as IR): per-seat value code from the multiset
         table, RNG-permuted by splitmix32 keys. salt 0 reproduces the
