@@ -121,6 +121,14 @@ def main() -> None:
     ap.add_argument("--backend", default="native", choices=["native", "jax"])
     ap.add_argument("--storage", default="/tmp/load_rooms.json")
     ap.add_argument("--chat-lm", default=None)
+    # honest-bot tier (VERDICT r4 item 8): capacity with det-search bots
+    # deciding every bot action, not the microsecond scripted tier
+    ap.add_argument("--bot-search", action="append", default=None,
+                    metavar="GAME|all",
+                    help="serve lookahead search bots for matching games")
+    ap.add_argument("--search-det", type=int, default=0,
+                    help="information-set determinizations per decision")
+    ap.add_argument("--search-rollouts", type=int, default=32)
     args = ap.parse_args()
 
     # journaling ON (persist_dir rides the storage path) — capacity with
@@ -134,7 +142,9 @@ def main() -> None:
     from game_engine_tpu.server.api import make_server
 
     srv = make_server(0, args.storage, backend=args.backend,
-                      chat_lm=args.chat_lm)
+                      chat_lm=args.chat_lm, bot_search=args.bot_search,
+                      search_rollouts=args.search_rollouts,
+                      search_det=args.search_det)
     port = srv.server_address[1]
     threading.Thread(target=srv.serve_forever, daemon=True).start()
 
@@ -162,7 +172,11 @@ def main() -> None:
     rss_mb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     print(json.dumps({
         "rooms": per * args.clients, "clients": args.clients,
-        "backend": args.backend, "wall_s": round(wall, 1),
+        "backend": args.backend,
+        "bot_tier": (f"search(det={args.search_det}, "
+                     f"rollouts={args.search_rollouts})"
+                     if args.bot_search else "scripted"),
+        "wall_s": round(wall, 1),
         "requests": n_req, "req_per_s": round(n_req / wall, 1),
         "games_completed": stats.get("games_done", 0),
         "games_per_min": round(stats.get("games_done", 0) / wall * 60, 1),
