@@ -106,7 +106,26 @@ class _GameSlots:
         self.prev_dead: dict[int, list] = {}
         self._waiting_fn = jax.jit(self._waiting_matrix)
 
+    def _grow(self) -> None:
+        """Double the batch when the slot pool is exhausted: 64 slots is
+        the warm start, not a room cap (the serving claim is hundreds of
+        journaled rooms; a full pool used to surface as an opaque 400).
+        Doubling keeps jit recompiles of the batched fns to O(log rooms)."""
+        new_cap = self.capacity * 2
+        tail = init_state(
+            self.lowered, new_cap - self.capacity, self.lowered.P,
+            np.arange(self.capacity, new_cap, dtype=np.uint32),
+        )
+        self.state = jax.tree_util.tree_map(
+            lambda full, t: jnp.concatenate([full, t], axis=0),
+            self.state, tail,
+        )
+        self.free.extend(range(self.capacity, new_cap))
+        self.capacity = new_cap
+
     def alloc(self, n_players: int, seed: int) -> int:
+        if not self.free:
+            self._grow()
         slot = self.free.pop(0)
         fresh = init_state(self.lowered, 1, n_players, np.uint32(seed))
         self.state = jax.tree_util.tree_map(
@@ -343,6 +362,9 @@ class _NativeRooms:
         self.prev_dead: dict[int, list] = {}
 
     def alloc(self, n_players: int, seed: int) -> int:
+        if not self.free:  # elastic pool, same contract as _GameSlots
+            self.free.extend(range(self.capacity, self.capacity * 2))
+            self.capacity *= 2
         slot = self.free.pop(0)
         self.rooms[slot] = self.game.room(n_players, seed)
         self.n_players[slot] = n_players
@@ -682,15 +704,16 @@ class GameHost:
             key = f"{game_name}#r{rounds_per_player}"
             gs = self._game_slots(game_name, rounds_per_player)
             if not gs.free:
-                # pool exhausted: reclaim slots of finished rooms (viewing a
-                # finished game is best-effort once capacity is needed)
+                # pool exhausted: first reclaim slots of finished rooms
+                # (viewing a finished game is best-effort once capacity is
+                # needed); if every slot holds a LIVE room, alloc() grows
+                # the pool instead of failing — 64 slots is a warm start,
+                # not a room cap
                 for rid, (k, s) in list(self._rooms.items()):
                     if k == key and gs.is_done(s):
                         self.end_room(rid)
                         if gs.free:
                             break
-                if not gs.free:
-                    raise ValueError(f"no free game slots for {game_name!r}")
             self._seeds += 1
             real_seed = seed if seed is not None else self._seeds
             slot = gs.alloc(n_players, real_seed)

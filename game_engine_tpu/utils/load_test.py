@@ -44,10 +44,12 @@ class Client(threading.Thread):
     waiting_on) with a state read and a chat message sprinkled in."""
 
     def __init__(self, port: int, game: str, n_rooms: int, stop: threading.Event,
-                 stats: dict, lock: threading.Lock, cid: int):
+                 stats: dict, lock: threading.Lock, cid: int,
+                 bots_per_room: int = 1):
         super().__init__(daemon=True)
         self.port, self.game, self.n_rooms = port, game, n_rooms
         self.stop, self.stats, self.lock, self.cid = stop, stats, lock, cid
+        self.bots_per_room = bots_per_room
 
     def _record(self, ep: str, ms: float):
         with self.lock:
@@ -59,7 +61,8 @@ class Client(threading.Thread):
                         "playerName": f"load{self.cid}_{i}"})
         self._record("create", ms)
         rid = out["room"]["roomId"]
-        _req(self.port, "POST", "/api/rooms/add-bot", {"roomId": rid})
+        for _ in range(self.bots_per_room):
+            _req(self.port, "POST", "/api/rooms/add-bot", {"roomId": rid})
         out, ms = _req(self.port, "POST", f"/api/rooms/{rid}/start",
                        {"seed": (self.cid * 1009 + i) & 0x7FFFFFFF})
         self._record("start", ms)
@@ -129,6 +132,9 @@ def main() -> None:
     ap.add_argument("--search-det", type=int, default=0,
                     help="information-set determinizations per decision")
     ap.add_argument("--search-rollouts", type=int, default=32)
+    ap.add_argument("--bots-per-room", type=int, default=1,
+                    help="bots added per room (5 == full 6-player "
+                         "werewolf room, every bot on the serving tier)")
     args = ap.parse_args()
 
     # journaling ON (persist_dir rides the storage path) — capacity with
@@ -152,7 +158,8 @@ def main() -> None:
     stats: dict = {}
     lock = threading.Lock()
     per = max(1, args.rooms // args.clients)
-    clients = [Client(port, args.game, per, stop, stats, lock, c)
+    clients = [Client(port, args.game, per, stop, stats, lock, c,
+                      bots_per_room=args.bots_per_room)
                for c in range(args.clients)]
     t0 = time.time()
     for c in clients:
@@ -183,7 +190,8 @@ def main() -> None:
         "errors": stats.get("errors", 0),
         "error_samples": stats.get("error_samples", []),
         "continue_ms": {p: _q(lat["continue"], q) for p, q in
-                        (("p50", .5), ("p90", .9), ("p99", .99))},
+                        (("p50", .5), ("p90", .9), ("p95", .95),
+                         ("p99", .99))},
         "action_ms_p50": _q(lat["action"], .5),
         "state_ms_p50": _q(lat["state"], .5),
         "chat_ms_p50": _q(lat["chat"], .5),

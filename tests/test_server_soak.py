@@ -2,6 +2,8 @@
 exercises slot allocation/reclamation and the host lock under parallelism."""
 
 import json
+
+import numpy as np
 import threading
 from http.client import HTTPConnection
 
@@ -98,3 +100,55 @@ def test_twenty_concurrent_rooms(server):
     # distinct rooms, all with a winner
     assert len({r[3] for r in results}) == n
     assert all(r[2] >= 1 for r in results)
+
+
+def test_live_rooms_grow_beyond_slot_capacity_native():
+    """70 LIVE rooms of one game: the 64-slot warm-start pool must grow
+    (server/manager.py _NativeRooms elastic alloc), not 400. Before round
+    5 this was a hard cap — the 65th live room raised 'no free game
+    slots' (utils/load_test.py stalled at exactly 64 rooms/game)."""
+    from game_engine_tpu.server.manager import GameHost
+
+    host = GameHost(backend="native")
+    rids = []
+    for i in range(70):
+        rid = f"grow{i}"
+        host.start_room(rid, "werewolf", 6, seed=i)
+        rids.append(rid)
+    # every room is live and independently steppable past the growth point
+    for rid in (rids[0], rids[63], rids[64], rids[69]):
+        snap = host.run_until_input_needed(rid)
+        assert snap["stateVersion"] >= 1
+    assert len({r for r in rids if host.has_room(r)}) == 70
+    for rid in rids:
+        host.end_room(rid)
+
+
+def test_gameslots_growth_preserves_state_jax():
+    """_GameSlots doubling concat must not disturb in-flight rooms: step a
+    room, grow the batch, and require the room's arrays bit-identical and
+    still steppable (the jax backend's state is ONE batched pytree)."""
+    import jax
+
+    from game_engine_tpu.gamespec.compile import compile_game
+    from game_engine_tpu.gamespec.parser import load_builtin
+    from game_engine_tpu.gamespec.tables import lower
+    from game_engine_tpu.server.manager import _GameSlots
+
+    lowered = lower(compile_game(load_builtin("werewolf")))
+    gs = _GameSlots(lowered, capacity=2)
+    s0 = gs.alloc(6, seed=7)
+    s1 = gs.alloc(6, seed=8)
+    for _ in range(3):
+        gs.step_slot(s0, {})
+    before = jax.tree_util.tree_map(lambda a: np.asarray(a[s0]).copy(),
+                                    gs.state)
+    s2 = gs.alloc(6, seed=9)  # forces _grow: capacity 2 -> 4
+    assert gs.capacity == 4 and s2 == 2
+    after = jax.tree_util.tree_map(lambda a: np.asarray(a[s0]), gs.state)
+    flat_b, _ = jax.tree_util.tree_flatten(before)
+    flat_a, _ = jax.tree_util.tree_flatten(after)
+    for b, a in zip(flat_b, flat_a):
+        np.testing.assert_array_equal(b, a)
+    gs.step_slot(s0, {})  # still steppable at the new batch shape
+    gs.step_slot(s2, {})
