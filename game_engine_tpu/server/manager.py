@@ -564,13 +564,19 @@ class GameHost:
     # -- game catalog ----------------------------------------------------------
 
     def list_games(self) -> list[dict[str, Any]]:
-        """Scan games/*.yaml (reference: src/app/api/games/route.ts:13-56)."""
+        """Scan games/*.yaml (reference: src/app/api/games/route.ts:13-56).
+
+        Parses ride the (path, mtime) spec cache: /api/rooms/create and
+        /api/games hit this per request, and a cold re-parse of the whole
+        catalog is ~600 ms — it was the dominant cost of room creation
+        under load (docs/PERF.md round 5, utils/load_test.py)."""
         out = []
         for fn in sorted(os.listdir(self._games_path)):
             if not fn.endswith((".yaml", ".yml")):
                 continue
             try:
-                spec = load_game_spec(os.path.join(self._games_path, fn))
+                spec = self._load_spec_cached(
+                    os.path.join(self._games_path, fn))
             except Exception:
                 continue
             out.append(
