@@ -76,6 +76,7 @@ class Dims:
     n_opt: int      # option-head width
     A: int          # unified action width = max(P, n_opt)
     has_attn: bool
+    br: int = BLOCK_ROWS  # rows per grid step (see BLOCK_ROWS)
 
     @property
     def G(self) -> int:  # viewer one-hot + phase one-hot + alive fraction
@@ -90,7 +91,8 @@ class Dims:
         return 2 * self.hp + self.NP + 1
 
 
-def dims_for(lowered: Lowered, cfg: N.NetConfig) -> Dims:
+def dims_for(lowered: Lowered, cfg: N.NetConfig,
+             block_rows: int = BLOCK_ROWS) -> Dims:
     hp = max(32, cfg.hidden // 2)
     n_opt = max(1, int(lowered.choice_max.max()))
     return Dims(
@@ -103,6 +105,7 @@ def dims_for(lowered: Lowered, cfg: N.NetConfig) -> Dims:
         n_opt=n_opt,
         A=max(lowered.P, n_opt),
         has_attn=cfg.arch == "attn",
+        br=block_rows,
     )
 
 
@@ -187,35 +190,36 @@ def _fwd_body(d: Dims, room, rest, pr: dict[str, Any], keep: bool):
         hb = (hn * pr["ln_s"] + pr["ln_b"]).astype(bf16)
         qkv = bdot(hb, pr["w_qkv"])                        # (PR, 3hp) f32
         qkv3 = qkv.reshape(P, R, 3 * hp)
-        q = [qkv3[i][:, :hp] for i in range(P)]            # each (R, hp)
-        k = [qkv3[i][:, hp:2 * hp] for i in range(P)]
-        w = [qkv3[i][:, 2 * hp:] for i in range(P)]
+        q3 = qkv3[:, :, :hp]                               # (P, R, hp)
+        k3 = qkv3[:, :, hp:2 * hp]
+        w3 = qkv3[:, :, 2 * hp:]
         scale = 1.0 / math.sqrt(hp)
-        # softmax over the seat axis WITHOUT materializing (R, P): the P
-        # scores per query stay (R, 1) scalars-per-row through max/exp/sum
+        # seat-LEADING attention: every op below is a full-lane (P, R) or
+        # (P, R, hp) tile. The previous emission kept P x P (R, 1) score
+        # scalars-per-row — 36 ops/query-block at 1/128 lane utilization,
+        # the dominant VPU cost of the kernel at small P (docs/PERF.md r5)
         att, o_rows = [], []
         for i in range(P):
-            s_i = [jnp.sum(q[i] * k[j], axis=-1, keepdims=True) * scale
-                   for j in range(P)]                      # P x (R, 1)
-            m = s_i[0]
+            s_i = jnp.sum(q3[i][None] * k3, axis=-1) * scale   # (P, R)
+            # softmax stats via (1, R) row slices: Mosaic rejects the
+            # axis-0 keepdims reduce's replicated layout at the broadcast
+            m = s_i[0:1]
             for j in range(1, P):
-                m = jnp.maximum(m, s_i[j])
-            ex = [jnp.exp(s - m) for s in s_i]
-            den = ex[0]
+                m = jnp.maximum(m, s_i[j:j + 1])
+            ex = jnp.exp(s_i - m)
+            den = ex[0:1]
             for j in range(1, P):
-                den = den + ex[j]
-            a_i = [x / den for x in ex]                    # f32 softmax out
-            ab = [x.astype(bf16).astype(f32) for x in a_i]  # net's bf16 att
-            o_i = ab[0] * w[0]
-            for j in range(1, P):
-                o_i = o_i + ab[j] * w[j]
+                den = den + ex[j:j + 1]
+            a_i = ex / den                                 # (P, R) f32
+            ab = a_i.astype(bf16).astype(f32)              # net's bf16 att
+            o_i = jnp.sum(ab[:, :, None] * w3, axis=0)     # (R, hp)
             att.append(a_i)
             o_rows.append(o_i)
         o2 = jnp.concatenate(o_rows, axis=0)               # (PR, hp)
         aog = bdot(o2, pr["w_ao"])                         # (PR, hp) f32
         phib = (e + aog).astype(bf16)
         if keep:
-            sv.update(hn=hn, inv=inv, hb=hb, q=q, k=k, w=w,
+            sv.update(hn=hn, inv=inv, hb=hb, q3=q3, k3=k3, w3=w3,
                       att=att, o2=o2)
     else:
         phib = eb
@@ -286,8 +290,8 @@ def _fwd_kernel(d: Dims, room_ref, rest_ref, *rest_args):
 
 def _run_fwd(d: Dims, room, rest, packed):
     n_rows = rest.shape[0]
-    grid = (n_rows // BLOCK_ROWS,)
-    R = BLOCK_ROWS
+    grid = (n_rows // d.br,)
+    R = d.br
     pspecs = [
         pl.BlockSpec(p.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for p in packed
@@ -322,16 +326,13 @@ def _run_fwd(d: Dims, room, rest, packed):
 # backward kernel: recompute fwd per block, accumulate param grads
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(d: Dims, room_ref, rest_ref, dl_ref, dv_ref, *rest_args):
-    names = _param_names(d)
-    n = len(names)
-    param_refs, grad_refs = rest_args[:n], rest_args[n:]
-    pr = _named(d, param_refs)
-    R, P, hp = rest_ref.shape[0], d.P, d.hp
+def _grad_body(d: Dims, room, dl, dv, pr: dict[str, Any],
+               sv: dict[str, Any]) -> dict[str, Any]:
+    """Parameter gradients for one block given the loss cotangents dl
+    (R, A) and dv (R, 1) and the saved forward intermediates sv. Shared
+    by the plain backward kernel and the monolithic loss-grad kernel."""
+    R, P, hp = dl.shape[0], d.P, d.hp
     f32, bf16 = jnp.float32, jnp.bfloat16
-    room = room_ref[:]                                    # (P, R, F0)
-
-    _, _, sv = _fwd_body(d, room, rest_ref[:], pr, keep=True)
 
     def tdot(a, b):  # (R, m)^T (R, n) -> (m, n) param-grad contraction
         return jax.lax.dot_general(
@@ -342,8 +343,6 @@ def _bwd_kernel(d: Dims, room_ref, rest_ref, dl_ref, dv_ref, *rest_args):
         return jnp.sum(x, axis=0, keepdims=True)
 
     g: dict[str, Any] = {}
-    dl = dl_ref[:]                                        # (R, A)
-    dv = dv_ref[:]                                        # (R, 1)
     d_opt = dl[:, :d.n_opt]
     phi, gb, xs, zs = sv["phi"], sv["gb"], sv["xs"], sv["zs"]
     x_last = xs[-1]
@@ -382,34 +381,32 @@ def _bwd_kernel(d: Dims, room_ref, rest_ref, dl_ref, dv_ref, *rest_args):
         g["w_ao"] = tdot(o2, d_phi2)
         d_o2 = jnp.dot(d_phi2, pr["w_ao"].T, preferred_element_type=f32)
         d_o3 = d_o2.reshape(P, R, hp)
-        q, k, w, att = sv["q"], sv["k"], sv["w"], sv["att"]
+        q3, k3, w3, att = sv["q3"], sv["k3"], sv["w3"], sv["att"]
         scale = 1.0 / math.sqrt(hp)
+        # seat-leading, mirroring the forward: (P, R) / (P, R, hp) tiles
         dq_rows = []
-        dk_rows = [jnp.zeros((R, hp), f32) for _ in range(P)]
-        dw_rows = [jnp.zeros((R, hp), f32) for _ in range(P)]
+        dk3 = jnp.zeros((P, R, hp), f32)
+        dw3 = jnp.zeros((P, R, hp), f32)
         for i in range(P):
             d_oi = d_o3[i]                                 # (R, hp)
-            a_i = att[i]                                   # P x (R, 1) f32
-            d_a = [jnp.sum(d_oi * w[j], axis=-1, keepdims=True)
-                   for j in range(P)]                      # P x (R, 1)
-            for j in range(P):
-                # the net mixes with the bf16-rounded att value
-                ab_ij = a_i[j].astype(bf16).astype(f32)
-                dw_rows[j] = dw_rows[j] + ab_ij * d_oi
-            inner = a_i[0] * d_a[0]
+            a_i = att[i]                                   # (P, R) f32
+            d_a = jnp.sum(d_oi[None] * w3, axis=-1)        # (P, R)
+            # the net mixes with the bf16-rounded att value
+            ab_i = a_i.astype(bf16).astype(f32)
+            dw3 = dw3 + ab_i[:, :, None] * d_oi[None]
+            ad = a_i * d_a
+            inner = ad[0:1]                                # (1, R)
             for j in range(1, P):
-                inner = inner + a_i[j] * d_a[j]
-            dq_i = jnp.zeros((R, hp), f32)
-            for j in range(P):
-                d_s = a_i[j] * (d_a[j] - inner)            # softmax bwd
-                dq_i = dq_i + d_s * k[j]
-                dk_rows[j] = dk_rows[j] + d_s * q[i]
+                inner = inner + ad[j:j + 1]
+            d_s = a_i * (d_a - inner)                      # softmax bwd
+            dq_i = jnp.sum(d_s[:, :, None] * k3, axis=0)   # (R, hp)
+            dk3 = dk3 + d_s[:, :, None] * q3[i][None]
             dq_rows.append(dq_i * scale)
-        dk_rows = [x * scale for x in dk_rows]
+        dk3 = dk3 * scale
         d_qkv = jnp.concatenate(
             [jnp.concatenate(dq_rows, axis=0),
-             jnp.concatenate(dk_rows, axis=0),
-             jnp.concatenate(dw_rows, axis=0)], axis=-1)   # (PR, 3hp)
+             dk3.reshape(P * R, hp),
+             dw3.reshape(P * R, hp)], axis=-1)             # (PR, 3hp)
         g["w_qkv"] = tdot(sv["hb"], d_qkv)
         d_h = jnp.dot(d_qkv, pr["w_qkv"].T, preferred_element_type=f32)
         hn = sv["hn"]
@@ -429,7 +426,10 @@ def _bwd_kernel(d: Dims, room_ref, rest_ref, dl_ref, dv_ref, *rest_args):
     dz0 = dp0 * _dgelu(sv["z0"])
     g["w_phi0"] = tdot(room.reshape(P * R, d.F0).astype(f32), dz0)
     g["b_phi0"] = rsum(dz0)
+    return g
 
+
+def _accumulate(names, grad_refs, g) -> None:
     step = pl.program_id(0)
     for name, ref in zip(names, grad_refs):
         @pl.when(step == 0)
@@ -441,10 +441,21 @@ def _bwd_kernel(d: Dims, room_ref, rest_ref, dl_ref, dv_ref, *rest_args):
             ref[:] = ref[:] + g[name]
 
 
+def _bwd_kernel(d: Dims, room_ref, rest_ref, dl_ref, dv_ref, *rest_args):
+    names = _param_names(d)
+    n = len(names)
+    param_refs, grad_refs = rest_args[:n], rest_args[n:]
+    pr = _named(d, param_refs)
+    room = room_ref[:]                                    # (P, R, F0)
+    _, _, sv = _fwd_body(d, room, rest_ref[:], pr, keep=True)
+    g = _grad_body(d, room, dl_ref[:], dv_ref[:], pr, sv)
+    _accumulate(names, grad_refs, g)
+
+
 def _run_bwd(d: Dims, room, rest, dl, dv, packed):
     n_rows = rest.shape[0]
-    grid = (n_rows // BLOCK_ROWS,)
-    R = BLOCK_ROWS
+    grid = (n_rows // d.br,)
+    R = d.br
     pspecs = [
         pl.BlockSpec(p.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
         for p in packed
@@ -478,16 +489,219 @@ def _run_bwd(d: Dims, room, rest, dl, dv, packed):
 
 
 # ---------------------------------------------------------------------------
+# monolithic PPO loss-grad kernel: fwd + in-kernel loss cotangents + bwd in
+# ONE pass over the row stream
+# ---------------------------------------------------------------------------
+#
+# value_and_grad over the fwd/bwd kernel pair runs the forward TWICE: once
+# standalone (to produce logits for the XLA-side loss) and once inside the
+# backward's recompute. ab_fused2/ab_fused3 (docs/PERF.md round 5) show the
+# kernels ARE the whole cost of the fused loss grad, so that standalone
+# forward is ~45% pure redundancy. This kernel computes the clipped-PPO
+# loss cotangents dl/dv in VMEM from the recomputed forward — the PPO loss
+# is row-local once the masked-advantage normalization and denominators
+# are precomputed outside — and feeds them straight into _grad_body.
+
+N_STATS = 4  # per-block [sum pg*m, sum 0.5*(v-ret)^2*valid, sum ent*m, sum ratio*m]
+
+
+def _lossgrad_kernel(d: Dims, clip_eps: float, ent_coef: float,
+                     room_ref, rest_ref, legal_ref, aoh_ref, logp_ref,
+                     advn_ref, ret_ref, wrow_ref, vrow_ref, *rest_args):
+    names = _param_names(d)
+    n = len(names)
+    param_refs = rest_args[:n]
+    grad_refs, stats_ref = rest_args[n:n + n], rest_args[n + n]
+    pr = _named(d, param_refs)
+    f32 = jnp.float32
+    room = room_ref[:]                                    # (P, R, F0)
+    logits, value, sv = _fwd_body(d, room, rest_ref[:], pr, keep=True)
+    R, A = logits.shape
+
+    legal = legal_ref[:]                                  # (R, A) 1/0 f32
+    logits_m = jnp.where(legal > 0, logits, jnp.float32(-1e9))
+    mx = jnp.max(logits_m, axis=-1, keepdims=True)
+    ex = jnp.exp(logits_m - mx)
+    sumex = jnp.sum(ex, axis=-1, keepdims=True)
+    logp_all = logits_m - (mx + jnp.log(sumex))           # (R, A)
+    p = ex / sumex
+    aoh = aoh_ref[:]                                      # (R, A) one-hot
+    logp = jnp.sum(logp_all * aoh, axis=-1, keepdims=True)
+    ratio = jnp.exp(logp - logp_ref[:])                   # (R, 1)
+    adv = advn_ref[:]                                     # pre-normalized
+    u1 = ratio * adv
+    u2 = jnp.clip(ratio, 1.0 - clip_eps, 1.0 + clip_eps) * adv
+    pg = -jnp.minimum(u1, u2)
+    # d pg / d logp — matches lax.min's tie rule: inside the clip band
+    # u1 == u2 and both subgradients are adv*ratio, so the 0.5/0.5 split
+    # equals the single-branch value
+    inband = (ratio >= 1.0 - clip_eps) & (ratio <= 1.0 + clip_eps)
+    flows = (u1 <= u2) | inband
+    dpg_dlogp = -adv * ratio * jnp.where(flows, 1.0, 0.0)
+
+    ent = -jnp.sum(p * logp_all, axis=-1, keepdims=True)  # (R, 1)
+    wrow = wrow_ref[:]                                    # mask/msum (R, 1)
+    vrow = vrow_ref[:]                                    # vf*valid/n (R, 1)
+    ret = ret_ref[:]
+    # loss = pg_loss + vf*v_loss + ent_coef*(-entropy); all row-local
+    dl = wrow * (dpg_dlogp * (aoh - p)
+                 + ent_coef * p * (logp_all + ent))
+    dl = dl * legal                                       # -1e9 lanes: no grad
+    dv = vrow * (value - ret)
+
+    g = _grad_body(d, room, dl, dv, pr, sv)
+    _accumulate(names, grad_refs, g)
+
+    # loss/metric sums: scatter the (R, 1) pieces into (R, 128) lanes,
+    # ones(1,R) @ (R,128) on the MXU (no axis-0 VPU reduce — Mosaic
+    # rejects its replicated layout), then accumulate into a fixed
+    # (8, 128) block across grid steps like the param grads.
+    # wrow/vrow already carry the 1/msum, vf/n scalings, so the summed
+    # stats ARE pg_loss, vf*v_loss, entropy, ratio_mean
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, 128), 1)
+    z = (jnp.where(lane == 0, pg * wrow, 0.0)
+         + jnp.where(lane == 1, 0.5 * (value - ret) ** 2 * vrow, 0.0)
+         + jnp.where(lane == 2, ent * wrow, 0.0)
+         + jnp.where(lane == 3, ratio * wrow, 0.0))
+    s1 = jnp.dot(jnp.ones((1, R), f32), z,
+                 preferred_element_type=f32)               # (1, 128)
+    row = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    s8 = jnp.where(row == 0, s1, 0.0)                      # (8, 128)
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _sinit():
+        stats_ref[:] = s8
+
+    @pl.when(step != 0)
+    def _sacc():
+        stats_ref[:] = stats_ref[:] + s8
+
+
+def _run_lossgrad(d: Dims, clip_eps, ent_coef, room, rest, legal, aoh,
+                  logp_old, advn, ret, wrow, vrow, packed):
+    n_rows = rest.shape[0]
+    grid = (n_rows // d.br,)
+    R = d.br
+    A = legal.shape[-1]
+    pspecs = [
+        pl.BlockSpec(p.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for p in packed
+    ]
+    gspecs = [
+        pl.BlockSpec(p.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+        for p in packed
+    ]
+    gshapes = [jax.ShapeDtypeStruct(p.shape, jnp.float32) for p in packed]
+
+    def row1(i):
+        return (i, 0)
+
+    outs = pl.pallas_call(
+        functools.partial(_lossgrad_kernel, d, clip_eps, ent_coef),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((d.P, R, d.F0), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, d.G), row1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, A), row1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, A), row1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), row1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), row1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), row1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), row1, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), row1, memory_space=pltpu.VMEM),
+            *pspecs,
+        ],
+        out_specs=[
+            *gspecs,
+            pl.BlockSpec((8, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            *gshapes,
+            jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=VMEM_LIMIT),
+        interpret=_interpret(),
+    )(room, rest, legal, aoh, logp_old, advn, ret, wrow, vrow, *packed)
+    return outs[:-1], outs[-1]
+
+
+def make_loss_vg(lowered: Lowered, cfg: N.NetConfig, clip_eps: float,
+                 vf_coef: float, ent_coef: float,
+                 block_rows: int = BLOCK_ROWS):
+    """(params, obs, legal, actions, logp_old, adv, ret, mask) ->
+    ((loss, metrics), grads) — the fused train path's replacement for
+    jax.value_and_grad(ppo_loss): ONE kernel pass instead of a standalone
+    forward plus a recomputing backward. Numerics mirror train.ppo
+    .ppo_loss (masked-advantage normalization, legal masking, clip/tie
+    rules); tests/test_fused_net.py pins loss/metric/grad closeness."""
+    if not supports(lowered, cfg):
+        raise ValueError("fused kernels cover deepsets/attn with 1 head")
+    d = dims_for(lowered, cfg, block_rows)
+
+    def loss_vg(params, obs, legal, actions, logp_old, adv, ret, mask):
+        f32 = jnp.float32
+        lead = obs.shape[:-1]
+        n = int(np.prod(lead))
+        A = legal.shape[-1]
+        m = mask.astype(f32).reshape(n, 1)
+        msum = jnp.maximum(jnp.sum(m), 1.0)
+        advf = adv.astype(f32).reshape(n, 1)
+        mean = jnp.sum(advf * m) / msum
+        std = jnp.sqrt(jnp.sum(m * (advf - mean) ** 2) / msum) + 1e-8
+        advn = (advf - mean) / std
+        a_idx = jnp.clip(actions.reshape(n) - 1, 0, A - 1)
+        aoh = jax.nn.one_hot(a_idx, A, dtype=f32)
+
+        rows = obs.reshape(n, d.F).astype(jnp.bfloat16)
+        n_pad = -(-n // d.br) * d.br
+
+        def pad(x):
+            return jnp.pad(x, ((0, n_pad - n),) + ((0, 0),) * (x.ndim - 1))
+
+        rows = pad(rows)
+        room = rows[:, :d.P * d.F0].reshape(
+            n_pad, d.P, d.F0).transpose(1, 0, 2)
+        rest = rows[:, d.P * d.F0:]
+        legal_f = pad(legal.reshape(n, A).astype(f32))
+        aoh = pad(aoh)
+        logp_f = pad(logp_old.astype(f32).reshape(n, 1))
+        advn = pad(advn)
+        ret_f = pad(ret.astype(f32).reshape(n, 1))
+        wrow = pad(m / msum)                       # 0 on padded rows
+        vrow = pad(jnp.full((n, 1), vf_coef / n, f32))
+        packed = _pack_params(params, d)
+        grads_t, stats = _run_lossgrad(
+            d, clip_eps, ent_coef, room, rest, legal_f, aoh, logp_f,
+            advn, ret_f, wrow, vrow, packed)
+        s = stats[0]  # row 0 of the accumulated (8, 128) block
+        pg_loss, v_loss, entropy, ratio_mean = s[0], s[1], s[2], s[3]
+        loss = pg_loss + v_loss - ent_coef * entropy
+        metrics = {"pg_loss": pg_loss, "v_loss": v_loss / vf_coef,
+                   "entropy": entropy, "ratio_mean": ratio_mean}
+        grads = {name: gt.reshape(params[name].shape)
+                 for name, gt in zip(_param_names(d), grads_t)}
+        return (loss, metrics), grads
+
+    return loss_vg
+
+
+# ---------------------------------------------------------------------------
 # public entry: apply_net-compatible callable with a custom VJP
 # ---------------------------------------------------------------------------
 
-def make_apply(lowered: Lowered, cfg: N.NetConfig):
+def make_apply(lowered: Lowered, cfg: N.NetConfig,
+               block_rows: int = BLOCK_ROWS):
     """Build fused (params, obs) -> (logits, value), drop-in for
     N.apply_net on the deepsets/attn archs. obs may have any leading dims;
     gradients flow to params only (obs is rollout data in every caller)."""
     if not supports(lowered, cfg):
         raise ValueError("fused kernels cover deepsets/attn with 1 head")
-    d = dims_for(lowered, cfg)
+    d = dims_for(lowered, cfg, block_rows)
 
     @jax.custom_vjp
     def core(packed, room, rest):
@@ -509,7 +723,7 @@ def make_apply(lowered: Lowered, cfg: N.NetConfig):
         assert obs.shape[-1] == d.F, (obs.shape, d)
         n = int(np.prod(lead)) if lead else 1
         rows = obs.reshape(n, d.F).astype(jnp.bfloat16)
-        n_pad = -(-n // BLOCK_ROWS) * BLOCK_ROWS
+        n_pad = -(-n // d.br) * d.br
         if n_pad != n:
             rows = jnp.pad(rows, ((0, n_pad - n), (0, 0)))
         # seat-major (P, rows, F0): the kernels index seats on the leading

@@ -179,15 +179,22 @@ def make_league_train_step(lowered: Lowered, cfg: PPOConfig, tx: optax.GradientT
         total, metrics = ppo_loss(params, traj, adv, ret, cfg, lowered)
         return total, (metrics["v_loss"], metrics["entropy"])
 
+    from game_engine_tpu.train.ppo import make_loss_vg_fn
+
+    loss_vg = make_loss_vg_fn(lowered, cfg)
+
     def train_step(params, opp_params, opt_state, state, key):
         state, key, traj, won = unroll(params, opp_params, state, key)
         _, last_v = N.apply_net(params, N.observe(lowered, state), cfg.net, lowered)
         adv, ret = gae(traj, last_v, cfg)
         loss = v_loss = entropy = jnp.float32(0)
         for _ in range(cfg.epochs):
-            (loss, (v_loss, entropy)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, traj, adv, ret
-            )
+            if loss_vg is not None:
+                (loss, mets), grads = loss_vg(params, traj, adv, ret)
+                v_loss, entropy = mets["v_loss"], mets["entropy"]
+            else:
+                (loss, (v_loss, entropy)), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, traj, adv, ret)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
         episodes = jnp.sum(traj.done.astype(jnp.int32))

@@ -68,6 +68,10 @@ def make_pipeline(lowered: Lowered, cfg: PPOConfig,
         last_obs = N.observe(lowered, state).astype(jnp.bfloat16)
         return state, key, traj, last_obs
 
+    from game_engine_tpu.train.ppo import make_loss_vg_fn
+
+    loss_vg = make_loss_vg_fn(lowered, cfg)
+
     def update(params, opt_state, traj, last_obs):
         _, last_v = apply_fn(params, last_obs)
         adv, ret = gae(traj, last_v, cfg)
@@ -78,8 +82,11 @@ def make_pipeline(lowered: Lowered, cfg: PPOConfig,
         loss = jnp.float32(0)
         metrics = {}
         for _ in range(cfg.epochs):
-            (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params)
+            if loss_vg is not None:
+                (loss, metrics), grads = loss_vg(params, traj, adv, ret)
+            else:
+                (loss, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
         metrics = dict(metrics)

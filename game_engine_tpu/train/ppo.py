@@ -57,6 +57,10 @@ class PPOConfig:
     # on-chip — no lax.map/checkpoint needed. Single-chip (or per-shard
     # under shard_map) lever; leave off for pjit/GSPMD whole-step sharding.
     fused_net: bool = False
+    # with fused_net: use the monolithic loss-grad kernel (one pass over
+    # the rows) instead of value_and_grad over the fwd/bwd kernel pair,
+    # which runs the forward twice. Off switch exists for A/B only.
+    fused_loss: bool = True
     net: N.NetConfig = dataclasses.field(default_factory=N.NetConfig)
 
 
@@ -265,6 +269,29 @@ def team_masks(lowered: Lowered, state) -> jax.Array:
     return jnp.broadcast_to(seat1, state.present.shape) & state.present
 
 
+def make_loss_vg_fn(lowered: Lowered, cfg: PPOConfig):
+    """((loss, metrics), grads) via the MONOLITHIC fused loss-grad kernel
+    (fwd + in-kernel PPO cotangents + bwd in one pass over the rows —
+    value_and_grad over the kernel pair runs the forward twice,
+    docs/PERF.md round 5), or None when the config doesn't qualify.
+    Works for any Rollout mask, incl. the league's learner-seat mask."""
+    if not (cfg.fused_net and cfg.fused_loss
+            and cfg.net.arch in ("deepsets", "attn")):
+        return None
+    from game_engine_tpu.policies import fused as FZ
+
+    if not FZ.supports(lowered, cfg.net):
+        return None
+    _mono = FZ.make_loss_vg(lowered, cfg.net, cfg.clip,
+                            cfg.vf_coef, cfg.ent_coef)
+
+    def loss_vg(params, traj, adv, ret):
+        return _mono(params, traj.obs, traj.legal, traj.actions,
+                     traj.logp, adv, ret, traj.mask)
+
+    return loss_vg
+
+
 def make_train_step(lowered: Lowered, cfg: PPOConfig, tx: optax.GradientTransformation):
     unroll = make_unroll(lowered, cfg)
     apply_fn = make_apply_fn(lowered, cfg)
@@ -272,15 +299,19 @@ def make_train_step(lowered: Lowered, cfg: PPOConfig, tx: optax.GradientTransfor
     def loss_fn(params, traj, adv, ret):
         return ppo_loss(params, traj, adv, ret, cfg, lowered)
 
+    loss_vg = make_loss_vg_fn(lowered, cfg)
+
     def train_step(params, opt_state, state: GameState, key):
         state, key, traj = unroll(params, state, key)
         _, last_v = apply_fn(params, N.observe(lowered, state))
         adv, ret = gae(traj, last_v, cfg)
         loss, metrics = jnp.float32(0.0), {}  # epochs=0: rollout-only run
         for _ in range(cfg.epochs):
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                params, traj, adv, ret
-            )
+            if loss_vg is not None:
+                (loss, metrics), grads = loss_vg(params, traj, adv, ret)
+            else:
+                (loss, metrics), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, traj, adv, ret)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
         metrics = dict(metrics)

@@ -116,3 +116,58 @@ def test_supports_gating(ww_lowered):
     assert FZ.supports(ww_lowered, N.NetConfig(arch="deepsets"))
     assert not FZ.supports(ww_lowered, N.NetConfig(arch="mlp"))
     assert not FZ.supports(ww_lowered, N.NetConfig(arch="attn", attn_heads=4))
+
+
+def test_monolithic_loss_vg_matches_value_and_grad(ww_lowered):
+    """The one-pass loss-grad kernel (fused.make_loss_vg): loss, metrics
+    and param grads must match jax.value_and_grad over the XLA ppo_loss
+    on a genuine trajectory (pad path: 12 rooms -> 576 rows)."""
+    cfg_x = PPOConfig(horizon=6, epochs=1,
+                      net=N.NetConfig(hidden=64, arch="attn"))
+    params, opt_state, tx = init_training(ww_lowered, cfg_x,
+                                          jax.random.PRNGKey(0))
+    state = init_state(ww_lowered, 12, 6, np.arange(12, dtype=np.uint32))
+    collect, _ = make_pipeline(ww_lowered, cfg_x, tx)
+    state, key, traj, last_obs = collect(params, state, jax.random.PRNGKey(2))
+    _, last_v = N.apply_net(params, last_obs, cfg_x.net, ww_lowered)
+    adv, ret = gae(traj, last_v, cfg_x)
+
+    (l_x, m_x), g_x = jax.value_and_grad(
+        lambda p: ppo_loss(p, traj, adv, ret, cfg_x, ww_lowered),
+        has_aux=True)(params)
+    mono = FZ.make_loss_vg(ww_lowered, cfg_x.net, cfg_x.clip,
+                           cfg_x.vf_coef, cfg_x.ent_coef)
+    (l_f, m_f), g_f = mono(params, traj.obs, traj.legal, traj.actions,
+                           traj.logp, adv, ret, traj.mask)
+    assert abs(float(l_x) - float(l_f)) / (abs(float(l_x)) + 1e-6) < 2e-2
+    for k in ("pg_loss", "v_loss", "entropy", "ratio_mean"):
+        assert abs(float(m_x[k]) - float(m_f[k])) < 5e-2, (
+            k, float(m_x[k]), float(m_f[k]))
+    for k in g_x:
+        a, b = np.asarray(g_x[k]), np.asarray(g_f[k])
+        denom = np.abs(a).max() + 1e-6
+        assert b.shape == a.shape
+        assert np.abs(a - b).max() / denom < 5e-2, (
+            f"{k}: monolithic grad diverges "
+            f"{np.abs(a - b).max() / denom:.3e}")
+
+
+def test_monolithic_train_step_runs(ww_lowered):
+    """make_train_step with fused_loss=True (the default fused path) runs
+    end-to-end and moves params; fused_loss=False keeps the two-pass
+    path alive for A/B."""
+    for fl in (True, False):
+        cfg = PPOConfig(horizon=4, epochs=1, fused_net=True, fused_loss=fl,
+                        net=N.NetConfig(hidden=64, arch="deepsets"))
+        params, opt_state, tx = init_training(ww_lowered, cfg,
+                                              jax.random.PRNGKey(0))
+        before = jax.tree_util.tree_map(np.asarray, params)
+        state = init_state(ww_lowered, 8, 6, np.arange(8, dtype=np.uint32))
+        step = jax.jit(make_train_step(ww_lowered, cfg, tx))
+        params, opt_state, state, key, metrics = step(
+            params, opt_state, state, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"])), fl
+        moved = any(
+            np.abs(np.asarray(params[k]) - before[k]).max() > 0
+            for k in before)
+        assert moved, fl
