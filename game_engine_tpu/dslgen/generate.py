@@ -2944,6 +2944,52 @@ _COVERAGE_EXTRA = re.compile(
     re.IGNORECASE)
 
 
+# Engine-machinery phrasing that EVERY generated DSL implements — phase
+# graphs (next_phase branch maps), completion criteria, the night
+# archetype's pinned kill->protect->investigate resolution (SEMANTICS.md
+# P3/P4), role deals, speaker rotation, setup/turn phases. Credited by
+# description_coverage ONLY (never by archetype selection, so catalog
+# byte-pins are untouched): upstream-authored descriptions (the held-out
+# set, reference game_draft/ + prompt examples) spend 20-40% of their
+# content words describing this machinery, and leaving it "unconsumed"
+# misreported implemented structure as a capability gap.
+_STRUCTURE_RES = (
+    # phase identifier chains: "role_assignment → first_night → ..." ARE
+    # the phase graph the DSL emits
+    re.compile(r"[\w()/]+(?:\s*(?:→|->)\s*[\w()/]+)+"),
+    re.compile(r"\b(?:game\s+)?flow\s+navigation\b|\bstate\s+graph\b|"
+               r"\bphase\s+graph\b|\bgame\s+flow\b", re.IGNORECASE),
+    re.compile(r"\b(?:win|victory|exit|completion)\s+conditions?\b|"
+               r"\bconditions?\s+(?:are\s+)?(?:met|checked)\b|"
+               r"\bcheck\s+win\b", re.IGNORECASE),
+    re.compile(r"\brole\s+assignment\b|\broles?\s+(?:are\s+)?assign\w*|"
+               r"\bassigned\s+(?:hidden\s+)?roles?\b", re.IGNORECASE),
+    re.compile(r"\b(?:night\s*/?\s*day|day[-/\s]?night)\s+cycles?\b|"
+               r"\bcycles?\s+through\b", re.IGNORECASE),
+    re.compile(r"\bresolution\s+order\b|\bresolve\s+in\s+order\b|"
+               r"\bactions?\s+resolve\b|\bkill\s+attempts?\b|"
+               r"\bprotection\s+checks?\b", re.IGNORECASE),
+    re.compile(r"\bspeaker\s+rotation\b|\brotates?\b", re.IGNORECASE),
+    re.compile(r"\bgame\s+setup\b|\binitial\s+setup\b|\bturn\s+order\b|"
+               r"\bturn\s+start\b|\bgame\s+state\b", re.IGNORECASE),
+    # mechanics the shipped rounds/two-truths blueprint implements
+    # (games/two-truths-and-a-lie.yaml: statements dict with a lie index,
+    # vote-the-lie, +1 per correct guesser, speaker scores when voters are
+    # fooled, highest total wins; the free-text overlay accepts naturally
+    # phrased statements, server/manager.py _normalize_text)
+    re.compile(r"\btwo\s+true\b|\bone\s+false\b|\btrue,?\s+one\s+false\b|"
+               r"\btrue\s+or\s+false\b", re.IGNORECASE),
+    re.compile(r"\bcorrect(?:ly)?\s+(?:guess\w*|identif\w*|vot\w*)|"
+               r"\bidentif\w*\s+the\s+(?:lie|false)\b", re.IGNORECASE),
+    re.compile(r"\bfool\w*|\bdeceiv\w*|\bdeception\b", re.IGNORECASE),
+    re.compile(r"\bpoints?\s+(?:are\s+)?awarded\b|\bawarded\s+points?\b|"
+               r"\bhighest\s+(?:score|total|points?)\b", re.IGNORECASE),
+    re.compile(r"\bshar\w+\s+(?:\w+\s+){0,2}statements?\b|"
+               r"\bstatements?\s+about\s+themselves\b|"
+               r"\bshar\w+\s+statements?\s+naturally\b", re.IGNORECASE),
+)
+
+
 def description_coverage(description: str) -> dict[str, Any]:
     """How much of a free-text description the deterministic generator's
     vocabularies actually consume — the honesty signal behind the
@@ -2981,6 +3027,9 @@ def description_coverage(description: str) -> dict[str, Any]:
     for m in _BUST_LIMIT_CI_RX.finditer(text):
         consumed.update(re.findall(r"[a-z][a-z'-]+", m.group(0)))
     for rx in vocab_res:
+        for m in rx.finditer(text):
+            consumed.update(re.findall(r"[a-z][a-z'-]+", m.group(0)))
+    for rx in _STRUCTURE_RES:
         for m in rx.finditer(text):
             consumed.update(re.findall(r"[a-z][a-z'-]+", m.group(0)))
     for pat in (_KILLER_NAME, _PROTECT_NAME, _INVEST_NAME, _FILLER_NAME,
