@@ -334,7 +334,12 @@ def build_corpus(games=("werewolf", "two-truths-and-a-lie"), seeds=range(150),
     from game_engine_tpu.server.chat import ChatRoom
 
     pairs: list[tuple[str, str]] = []
+    # per-game quota: the outer game loop used to let the first game eat
+    # the whole cap; with a multi-game catalog corpus (round 5) each game
+    # gets an equal share so field vocabularies all get learned
+    quota = max(1, max_pairs // len(tuple(games)))
     for gname in games:
+        game_cap = min(max_pairs, len(pairs) + quota)
         game = compile_game(load_builtin(gname))
         vis = dict(field_visibility(lower(game)))
         for seed in seeds:
@@ -415,11 +420,11 @@ def build_corpus(games=("werewolf", "two-truths-and-a-lie"), seeds=range(150),
                                 r"\|(Gd|Hn|Wt)=", plan["context"])):
                             pairs.append((plan["context"], plan["composed"]))
                         chat.commit_reply(plan, None)
-                    if len(pairs) >= max_pairs:
+                    if len(pairs) >= game_cap:
                         break
-                if room.done or len(pairs) >= max_pairs:
+                if room.done or len(pairs) >= game_cap:
                     break
-            if len(pairs) >= max_pairs:
+            if len(pairs) >= game_cap:
                 break
         if len(pairs) >= max_pairs:
             break

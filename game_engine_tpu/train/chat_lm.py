@@ -32,6 +32,9 @@ def main() -> None:
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-pairs", type=int, default=50000)
+    ap.add_argument("--games", default="werewolf,two-truths-and-a-lie",
+                    help="comma list of catalog games for the corpus "
+                         "(per-game quota of --max-pairs)")
     ap.add_argument("--seeds", type=int, default=260,
                     help="rooms simulated per game for the corpus")
     ap.add_argument("--d-model", type=int, default=160)
@@ -67,7 +70,8 @@ def main() -> None:
                      max_len=args.max_len, grounded=True, personas=True,
                      kinds2=True, sus2=True)
     t0 = time.time()
-    pairs = C.build_corpus(seeds=range(args.seeds), max_pairs=args.max_pairs)
+    pairs = C.build_corpus(games=tuple(args.games.split(",")),
+                           seeds=range(args.seeds), max_pairs=args.max_pairs)
     # drop pairs encode_pair would truncate: a clipped reply has no EOS, so
     # training on it teaches run-on decodes. Loud — a growing count means
     # the context format outgrew max_len again (it did at 448 when the
